@@ -1,0 +1,182 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Q, Tables}
+
+/** Near-duplicate detection over `documents` — the training-data-pipeline
+  * dedup family (exact dedup lives in CoreQueries as `dedup_exact` /
+  * `dedup_window`):
+  *
+  *  - MinHash + LSH banding over 5-char shingles (signatures per doc; same
+  *    band hash ⇒ candidate pair);
+  *  - SimHash (16-bit, token-md5 sign aggregation);
+  *  - blocked n-gram Jaccard (exact set similarity inside (lang, source)
+  *    blocks).
+  *
+  * All hashes are md5-derived so the DuckDB oracle reproduces them exactly;
+  * at 100 TB the same plans hold: shingling/minhashing is embarrassingly
+  * parallel per document, LSH banding turns O(n²) pair search into a
+  * groupBy on band hash, and the Jaccard join is blocked so the join fans
+  * out only within blocking keys.
+  */
+object DedupQueries {
+
+  private val NumHashes = 12
+  private val BandSize  = 3 // -> 4 bands
+
+  /** Char 5-gram shingle array (SQL expr, 1-based substring like DuckDB). */
+  private val shinglesExpr =
+    """CASE WHEN length(text) < 5 THEN array(text)
+       ELSE transform(sequence(1, length(text) - 4), i -> substring(text, i, 5)) END"""
+
+  private def minhashCol(j: Int): Column =
+    expr(s"array_min(transform(shingles, s -> md5(concat('$j', s))))").as(s"mh$j")
+
+  /** MinHash signatures + LSH band hashes per document. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val withShingles = docs.withColumn("shingles", expr(shinglesExpr))
+    val withMh = withShingles.select(
+      col("doc_id") +: (0 until NumHashes).map(minhashCol): _*)
+    val bands = (0 until NumHashes / BandSize).map { b =>
+      val cols = (0 until BandSize).map(r => col(s"mh${b * BandSize + r}"))
+      md5(concat(cols: _*)).as(s"band$b")
+    }
+    withMh.select(col("doc_id") +: bands: _*)
+  }
+
+  private def minhashOracle: String = {
+    val mhDefs = (0 until NumHashes).map { j =>
+      s"list_aggregate(list_transform(shingles, s -> md5(concat('$j', s))), 'min') AS mh$j"
+    }.mkString(",\n              ")
+    val bandDefs = (0 until NumHashes / BandSize).map { b =>
+      val cols = (0 until BandSize).map(r => s"mh${b * BandSize + r}").mkString(", ")
+      s"md5(concat($cols)) AS band$b"
+    }.mkString(", ")
+    s"""SELECT doc_id, $bandDefs
+        FROM (SELECT doc_id,
+              $mhDefs
+              FROM (SELECT doc_id,
+                      CASE WHEN length(text) < 5 THEN [text]
+                      ELSE list_transform(range(1, length(text) - 3),
+                             i -> substr(text, i, 5)) END AS shingles
+                    FROM documents))"""
+  }
+
+  private val dedupMinhash = Q(
+    "dedup_minhash",
+    (s, dir) => minhashSignatures(Tables.documents(s, dir)),
+    Some(minhashOracle))
+
+  /** LSH candidate pairs: documents sharing any band hash. */
+  def minhashCandidatePairs(docs: DataFrame): DataFrame = {
+    val sig = minhashSignatures(docs)
+    val long = sig.selectExpr("doc_id",
+      s"stack(${NumHashes / BandSize}, " +
+        (0 until NumHashes / BandSize)
+          .map(b => s"$b, band$b").mkString(", ") + ") AS (band_no, band_hash)")
+    val a = long.select(col("band_hash"), col("doc_id").as("a"))
+    val b = long.select(col("band_hash"), col("doc_id").as("b"))
+    a.join(b, "band_hash").where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  private val dedupMinhashPairs = Q(
+    "dedup_minhash_pairs",
+    (s, dir) => minhashCandidatePairs(Tables.documents(s, dir)),
+    Some {
+      val bandUnion = (0 until NumHashes / BandSize)
+        .map(b => s"SELECT doc_id, band$b AS band_hash FROM sig")
+        .mkString(" UNION ALL ")
+      s"""WITH sig AS ($minhashOracle),
+          long AS ($bandUnion)
+          SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          FROM long a JOIN long b
+            ON a.band_hash = b.band_hash AND a.doc_id < b.doc_id"""
+    })
+
+  /** SimHash: 16 "bits", bit i = sign of Σ_tokens (±1 by parity of hex digit
+    * i of md5(token)). Multiplicity-weighted (raw token stream, not set). */
+  private val dedupSimhash = Q(
+    "dedup_simhash",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(expr("filter(split(lower(text), '[^a-z]+'), t -> t <> '')"))
+            .as("token"))
+        .withColumn("h", md5(col("token")))
+      val sums = (1 to 16).map { i =>
+        sum(when(expr(s"(instr('0123456789abcdef', substring(h, $i, 1)) - 1) % 2") === 1,
+          1L).otherwise(-1L)).as(s"s$i")
+      }
+      val agg = toks.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      val bits = (1 to 16).map(i => when(col(s"s$i") > 0, "1").otherwise("0"))
+      agg.select(col("doc_id"), concat(bits: _*).as("simhash"))
+    },
+    Some {
+      val sumDefs = (1 to 16).map { i =>
+        s"sum(CASE WHEN (instr('0123456789abcdef', substring(h, $i, 1)) - 1) % 2 = 1 THEN 1 ELSE -1 END) AS s$i"
+      }.mkString(",\n                ")
+      val bitDefs = (1 to 16)
+        .map(i => s"CASE WHEN s$i > 0 THEN '1' ELSE '0' END").mkString(" || ")
+      s"""SELECT doc_id, $bitDefs AS simhash
+          FROM (SELECT doc_id,
+                $sumDefs
+                FROM (SELECT doc_id, md5(token) AS h
+                      FROM (SELECT doc_id, unnest(list_filter(
+                              string_split_regex(lower(text), '[^a-z]+'),
+                              t -> t <> '')) AS token
+                            FROM documents))
+                GROUP BY doc_id)"""
+    })
+
+  /** Blocked exact n-gram Jaccard: distinct word-3-gram sets, pairs within
+    * (lang, source) blocks, |∩| via relational join so both engines compute
+    * identical integers. */
+  private val dedupNgramJaccard = Q(
+    "dedup_ngram_jaccard",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("toks", expr("filter(split(lower(text), '[^a-z]+'), t -> t <> '')"))
+        .withColumn("grams", expr(
+          """CASE WHEN size(toks) < 3 THEN array()
+             ELSE array_distinct(transform(sequence(1, size(toks) - 2),
+               i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))) END"""))
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("grams"), size(col("grams")).cast("long").as("n"))
+      val pairs = docs.as("x").join(docs.as("y"),
+          col("x.lang") === col("y.lang") &&
+            col("x.source") === col("y.source") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          col("x.n").as("na"), col("y.n").as("nb"),
+          size(array_intersect(col("x.grams"), col("y.grams"))).cast("long")
+            .as("inter"))
+      pairs.select(col("a"), col("b"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("uni"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
+    },
+    Some("""WITH g AS (
+              SELECT doc_id, lang, source, grams,
+                CAST(len(grams) AS BIGINT) AS n
+              FROM (SELECT doc_id, lang, source,
+                      CASE WHEN len(toks) < 3 THEN []
+                      ELSE list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) END AS grams
+                    FROM (SELECT doc_id, lang, source,
+                            list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                              t -> t <> '') AS toks
+                          FROM documents)))
+            SELECT a, b, inter, uni, round(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
+            FROM (SELECT x.doc_id AS a, y.doc_id AS b,
+                    CAST(len(list_intersect(x.grams, y.grams)) AS BIGINT) AS inter,
+                    x.n + y.n - CAST(len(list_intersect(x.grams, y.grams)) AS BIGINT) AS uni
+                  FROM g x JOIN g y
+                    ON x.lang = y.lang AND x.source = y.source
+                   AND x.doc_id < y.doc_id)"""))
+
+  val all: Seq[Q] = Seq(dedupMinhash, dedupMinhashPairs, dedupSimhash,
+    dedupNgramJaccard)
+}

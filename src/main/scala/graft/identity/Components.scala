@@ -1,0 +1,157 @@
+package graft.identity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** O16 — the reference's flagship capability: identity transitive closure
+  * (connected components over the `tb_identity` alias-edge graph,
+  * `/root/reference/src/KissmetricsToDatabase.php:359-455,506-559`,
+  * `/root/reference/src/Operations/FileImporter.php:95-130`).
+  *
+  * The reference has three mutually inconsistent single-node implementations
+  * (SURVEY.md §7.4); we implement the *correct* semantics — true connected
+  * components, canonical id = min of component — with the alternating
+  * large-star / small-star algorithm (Kiveris et al., "Connected Components
+  * in MapReduce and Beyond", SoCC'14), which converges in O(log n) rounds of
+  * pure DataFrame joins/aggregations and is the standard shape for
+  * trillion-edge graphs:
+  *
+  *  - large-star: connect every neighbor larger than u to u's minimum neighbor
+  *  - small-star: connect every neighbor not larger than u to u's minimum neighbor
+  *
+  * Scale design: each round is one shuffle on the node id; lineage is cut with
+  * `localCheckpoint` every round (iterative plans otherwise grow without
+  * bound); convergence is detected by an aggregate signature of the edge set
+  * (count + sum of per-edge hashes) — no driver-side collect of data, just two
+  * scalar aggregates per round. Skewed high-degree nodes are exactly what
+  * large-star is designed to shrink; AQE handles residual shuffle skew.
+  */
+object Components {
+
+  /** Connected components of an undirected edge list.
+    *
+    * @param edges DataFrame with two Long-compatible columns (src, dst).
+    * @return DataFrame `(node: Long, component: Long)` — every node that
+    *         appears in any edge, with component = min node id of its
+    *         component. Deterministic.
+    */
+  def connectedComponents(edges: DataFrame, maxIterations: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    val cols = edges.columns
+    require(cols.length == 2, s"edges must have exactly 2 columns, got ${cols.mkString(",")}")
+
+    // Normalize: Long pairs, no self-loops, undirected-canonical (big, small), distinct.
+    var e = edges
+      .select(col(cols(0)).cast("long").as("u"), col(cols(1)).cast("long").as("v"))
+      .where($"u".isNotNull && $"v".isNotNull && $"u" =!= $"v")
+      .select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
+      .distinct()
+      .localCheckpoint(eager = true)
+
+    // All original nodes (star edges can drop isolated-after-contraction nodes
+    // from intermediate edge sets; we re-attach at the end).
+    val nodes = e.select($"u".as("node")).union(e.select($"v".as("node")))
+      .distinct().localCheckpoint(eager = true)
+
+    def signature(df: DataFrame): (Long, Long) = {
+      // bit_xor, not sum: order-independent AND overflow-free (Spark 4 runs
+      // ANSI mode by default, where summing 64-bit hashes throws).
+      val row = df.agg(
+        count(lit(1)).as("c"),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("h")).head()
+      (row.getLong(0), row.getLong(1))
+    }
+
+    // large-star: for each node u with neighborhood N(u) (both directions),
+    // m = min(N(u) ∪ {u}); emit (v, m) for v in N(u) with v > u.
+    def largeStar(ed: DataFrame): DataFrame = {
+      val nbrs = ed.select($"u", $"v").union(ed.select($"v".as("u"), $"u".as("v")))
+      val m = nbrs.groupBy($"u").agg(min($"v").as("mn"))
+        .select($"u", least($"u", $"mn").as("m"))
+      nbrs.join(m, "u")
+        .where($"v" > $"u")
+        // v > u >= m, so the emitted pair is already canonical (big, small)
+        .select($"v".as("u"), $"m".as("v"))
+        .where($"u" =!= $"v")
+        .distinct()
+    }
+
+    // small-star: edges already canonical (u > v); m = min(N≤(u) ∪ {u});
+    // emit (v, m) for v in N≤(u) ∪ {u}, v != m.
+    def smallStar(ed: DataFrame): DataFrame = {
+      val m = ed.groupBy($"u").agg(min($"v").as("m"))
+      val reattach = m.select($"u", $"m".as("v")) // (u, m) covers v == u case
+      ed.join(m, "u")
+        .select($"v".as("u"), $"m".as("v"))
+        .union(reattach)
+        .where($"u" =!= $"v")
+        .select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
+        .distinct()
+    }
+
+    var sig = signature(e)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val next = smallStar(largeStar(e)).localCheckpoint(eager = true)
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      e = next
+      iter += 1
+    }
+
+    // Converged state is a star forest: u (member) -> v (root = min).
+    // Roots map to themselves; isolated original nodes map to themselves.
+    val member = e.select($"u".as("node"), $"v".as("component"))
+    nodes.join(member, Seq("node"), "left")
+      .select($"node", coalesce($"component", $"node").as("component"))
+  }
+
+  /** Incremental merge: closure(existing assignments ∪ new edges) — the
+    * correct version of the reference's G2 "resolve against one LIMIT 1
+    * match" (which fails to merge two existing clusters bridged by a new
+    * edge, `/root/reference/src/Operations/FileImporter.php:104-130`).
+    * Assignments are themselves edges (node—component), so the union's
+    * closure is exact; cost is proportional to the *delta* graph diameter.
+    */
+  def mergeIncremental(assignments: DataFrame, newEdges: DataFrame): DataFrame = {
+    val cols = assignments.columns
+    val asEdges = assignments.select(col(cols(0)).as("u"), col(cols(1)).as("v"))
+    val ncols = newEdges.columns
+    val ne = newEdges.select(col(ncols(0)).as("u"), col(ncols(1)).as("v"))
+    connectedComponents(asEdges.union(ne))
+  }
+
+  /** String-id convenience: hashes string identities to stable 64-bit ids,
+    * runs CC on longs (8-byte shuffle keys instead of arbitrary strings —
+    * the 100 TB version), then maps back and picks the min *string* per
+    * component as canonical.
+    */
+  def connectedComponentsString(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val cols = edges.columns
+    val e = edges.select(col(cols(0)).cast("string").as("a"), col(cols(1)).cast("string").as("b"))
+    val dict = e.select($"a".as("id")).union(e.select($"b".as("id")))
+      .distinct()
+      .withColumn("nid", xxhash64($"id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // xxhash64 collisions are possible in principle; at reference scale the
+    // id space is people (≤ billions) and a collision merely over-merges one
+    // pair — acceptable for this operator; a collision-free variant would
+    // zipWithIndex the dictionary.
+    val le = e.join(dict.withColumnRenamed("id", "a").withColumnRenamed("nid", "na"), "a")
+      .join(dict.withColumnRenamed("id", "b").withColumnRenamed("nid", "nb"), "b")
+      .select($"na", $"nb")
+    val cc = connectedComponents(le)
+    val withId = cc.join(dict, cc("node") === dict("nid")).select($"id", $"component")
+    val canon = withId.groupBy($"component").agg(min($"id").as("canonical_id"))
+    val out = withId.join(canon, "component").select($"id", $"canonical_id")
+    dict.unpersist()
+    out
+  }
+}

@@ -1,0 +1,100 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Q, Tables}
+
+/** One media object: opaque binary payload + typed metadata — the schema
+  * shape for image/audio/video columns at 100 TB (payload stays a parquet
+  * binary column, metadata is columnar and prunable, decode runs
+  * partition-parallel next to the data).
+  */
+final case class MediaRecord(
+    doc_id: Long,
+    payload: Array[Byte],
+    width: Int,
+    height: Int,
+    format: String)
+
+final case class MediaFeatures(
+    doc_id: Long,
+    payload_len: Long,
+    width: Int,
+    height: Int,
+    brightness_raw: Double,
+    thumb: String)
+
+/** Multimodal-column plumbing. The image/audio decode libraries are not in
+  * this container, so the DECODE step is a deterministic stand-in (declared
+  * stub): it derives "pixels" from the payload bytes themselves. Everything
+  * around it — binary columns, typed metadata, per-partition batched decode,
+  * feature schema — is the real production shape; swapping in a JPEG decoder
+  * changes only the body of [[decodePartition]].
+  */
+object Multimodal {
+
+  /** Synthesize a binary payload column for the corpus: 16 deterministic
+    * bytes (md5 of the text) standing in for encoded image data, plus typed
+    * metadata derived from document fields.
+    */
+  def attachPayload(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      unhex(md5(col("text"))).as("payload"),
+      (lit(64) + (col("doc_id") % 64)).cast("int").as("width"),
+      (lit(64) + (col("n_chars") % 64)).cast("int").as("height"),
+      lit("fake").as("format"))
+
+  /** STUB decode (real impl would JPEG/PNG-decode `payload` here). The
+    * surrounding iterator shape is the contract: one partition in, lazily
+    * one feature row per record out, no materialization of the whole
+    * partition in memory.
+    */
+  def decodePartition(it: Iterator[MediaRecord]): Iterator[MediaFeatures] =
+    it.map { r =>
+      val bytes = r.payload.map(_ & 0xFF)
+      MediaFeatures(
+        doc_id = r.doc_id,
+        payload_len = r.payload.length.toLong,
+        width = r.width,
+        height = r.height,
+        // "brightness": mean byte value — stands in for decoded-pixel stats
+        brightness_raw = bytes.sum.toDouble / bytes.length,
+        // "thumbnail": first 4 bytes, hex — stands in for a resized frame
+        thumb = r.payload.take(4).map("%02X".format(_)).mkString)
+    }
+
+  def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(decodePartition)
+  }
+
+  def featureFrame(spark: SparkSession, dir: String): DataFrame =
+    decodeFeatures(spark, attachPayload(Tables.documents(spark, dir)))
+      .toDF()
+      .select(col("doc_id"), col("payload_len"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        round(col("brightness_raw"), 4).as("brightness"),
+        col("thumb"))
+}
+
+object MultimodalQueries {
+  // Oracle reproduces the byte math from the md5 hex string: byte i =
+  // 16*hexval(2i-1) + hexval(2i); brightness = mean of the 16 bytes.
+  private val multimodalDecode = Q(
+    "multimodal_decode",
+    (s, dir) => Multimodal.featureFrame(s, dir),
+    Some("""SELECT doc_id, CAST(16 AS BIGINT) AS payload_len,
+            CAST(64 + doc_id % 64 AS BIGINT) AS width,
+            CAST(64 + n_chars % 64 AS BIGINT) AS height,
+            round(list_sum(list_transform(range(1, 17),
+              i -> (instr('0123456789abcdef', substr(h, 2*i - 1, 1)) - 1) * 16
+                 + (instr('0123456789abcdef', substr(h, 2*i, 1)) - 1))) / 16.0, 4)
+              AS brightness,
+            upper(substr(h, 1, 8)) AS thumb
+            FROM (SELECT doc_id, n_chars, md5(text) AS h FROM documents)"""))
+
+  val all: Seq[Q] = Seq(multimodalDecode)
+}

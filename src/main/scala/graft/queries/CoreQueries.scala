@@ -1,0 +1,399 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.transform.EventTransforms
+
+/** The relational core of the engine (SURVEY.md §2.1): every scan, filter,
+  * projection, aggregation, join, sort, and scalar-function capability of the
+  * reference pipeline, re-expressed as declarative DataFrame plans so
+  * Catalyst handles pushdown/pruning/join-selection/codegen.
+  *
+  * Determinism contract with the DuckDB oracle (SURVEY.md §7.4):
+  *  - integer-valued outputs are cast to BIGINT on both sides (DuckDB
+  *    `length`/`instr`/`year` return BIGINT; Spark returns INT);
+  *  - doubles entering strings go through `%.2f` printf on both sides;
+  *  - aggregated doubles are `round(_, 2)`;
+  *  - `events.ts` is parquet TIMESTAMP(NANOS): Spark floor-truncates to
+  *    microseconds (Tables.events), the oracle uses `epoch_ns(ts) // 1000`
+  *    (same floor) wherever sub-second precision matters, and plain
+  *    `strftime` at second granularity elsewhere;
+  *  - every non-aggregate query carries a unique key column so the driver's
+  *    set-compare is well-defined.
+  */
+object CoreQueries {
+
+  private def events(s: SparkSession, dir: String)    = Tables.events(s, dir)
+  private def orders(s: SparkSession, dir: String)    = Tables.orders(s, dir)
+  private def customer(s: SparkSession, dir: String)  = Tables.customer(s, dir)
+  private def lineitem(s: SparkSession, dir: String)  = Tables.lineitem(s, dir)
+  private def documents(s: SparkSession, dir: String) = Tables.documents(s, dir)
+
+  private val tsSecond: Column = date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")
+
+  // O4/O5 scan + projection: column pruning reaches the parquet reader
+  // (ReadSchema carries only the 5 referenced columns).
+  private val scanProject = Q(
+    "scan_project",
+    (s, dir) =>
+      events(s, dir).select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        tsSecond.as("ts_s")),
+    Some("""SELECT event_id, user_id, event_type, value,
+            strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s FROM events"""))
+
+  // F2 equality predicate (reference `_p2 != ''` alias-event filter,
+  // /root/reference/src/KissmetricsToDatabase.php:567).
+  private val filterAlias = Q(
+    "filter_alias_events",
+    (s, dir) =>
+      events(s, dir).filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("value")),
+    Some("SELECT event_id, user_id, value FROM events WHERE event_type = 'signup'"))
+
+  // F3 LIKE predicate (reference LIKE 'updated email' / LIKE '%x%',
+  // /root/reference/src/KissmetricsToDatabase.php:587, teste.php:59-64).
+  private val filterLike = Q(
+    "filter_like",
+    (s, dir) =>
+      documents(s, dir)
+        .filter(col("text").like("%merge%") && col("lang").like("e%"))
+        .select(col("doc_id"), col("lang"), col("n_chars")),
+    Some("""SELECT doc_id, lang, n_chars FROM documents
+            WHERE text LIKE '%merge%' AND lang LIKE 'e%'"""))
+
+  // F4 IN-list + F5 NOT-contains (reference isin + skip-identities-with-@,
+  // /root/reference/src/Operations/FileImporter.php:104-107, KissmetricsToDatabase.php:414).
+  private val filterInNotContains = Q(
+    "filter_in_notcontains",
+    (s, dir) =>
+      customer(s, dir)
+        .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE") &&
+          !col("c_name").contains("9"))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
+    Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+            WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE')
+              AND NOT contains(c_name, '9')"""))
+
+  // O12 coalesce-to-empty, O13 empty->NULL, O14 epoch<->ts, O15 md5 row
+  // fingerprint — the reference's per-row derivation chain in one projection.
+  private val deriveEventColumns = Q(
+    "derive_event_columns",
+    (s, dir) =>
+      events(s, dir).select(
+        col("event_id"),
+        EventTransforms.notNull(col("event_type")).as("n_not_null"),
+        EventTransforms.emptyToNull(col("event_type")).as("n_nullable"),
+        tsSecond.as("ts_s"),
+        unix_timestamp(col("ts")).as("epoch_s"),
+        md5(concat_ws("",
+          col("event_id"), col("event_type"), col("user_id"),
+          format_string("%.2f", col("value")),
+          unix_timestamp(col("ts")))).as("md5hash")),
+    Some("""SELECT event_id,
+            coalesce(event_type, '') AS n_not_null,
+            nullif(trim(event_type), '') AS n_nullable,
+            strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+            epoch_ns(ts) // 1000000000 AS epoch_s,
+            md5(concat_ws('', event_id, event_type, user_id,
+                printf('%.2f', value), epoch_ns(ts) // 1000000000)) AS md5hash
+            FROM events"""))
+
+  // O11 key sanitization: `-`, `_`, ` ` runs -> `_`; metadata-only rename.
+  private val sanitizeColumns = Q(
+    "sanitize_columns",
+    (s, dir) =>
+      EventTransforms.sanitizeColumnNames(
+        events(s, dir).select(
+          col("event_id").as("event-id"),
+          col("event_type").as("event type"),
+          col("user_id").as("user__id"))),
+    Some("SELECT event_id, event_type AS event_type, user_id FROM events"))
+
+  // A1 counts (reference before/after COUNT(*) deltas).
+  private val aggCounts = Q(
+    "agg_counts",
+    (s, dir) =>
+      events(s, dir).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("user_id")).as("n_users")),
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type"""))
+
+  // A2 max-length-per-key (reference pass-1 schema sizing).
+  private val aggMaxLength = Q(
+    "agg_max_length",
+    (s, dir) =>
+      documents(s, dir).groupBy(col("lang"))
+        .agg(max(length(col("text"))).cast("long").as("max_len"),
+          min(length(col("text"))).cast("long").as("min_len"),
+          count(lit(1)).as("cnt")),
+    Some("""SELECT lang, CAST(max(length(text)) AS BIGINT) AS max_len,
+            CAST(min(length(text)) AS BIGINT) AS min_len,
+            CAST(count(*) AS BIGINT) AS cnt
+            FROM documents GROUP BY lang"""))
+
+  // A3 distinct key-set union — the reference's dynamic-schema discovery,
+  // over the JSON props column.
+  private val schemaKeysUnion = Q(
+    "schema_keys_union",
+    (s, dir) =>
+      events(s, dir)
+        .select(explode(expr("json_object_keys(props)")).as("jkey"))
+        .distinct(),
+    Some("""SELECT DISTINCT unnest(json_keys(props)) AS jkey FROM events"""))
+
+  // A4/O15 exact dedup via row fingerprint, deterministic because surviving
+  // values are identical across any choice of survivor.
+  private val dedupExact = Q(
+    "dedup_exact",
+    (s, dir) =>
+      lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+        .withColumn("md5hash", md5(concat_ws("",
+          col("l_returnflag"), col("l_linestatus"),
+          format_string("%.2f", col("l_quantity")))))
+        .dropDuplicates("md5hash"),
+    Some("""SELECT DISTINCT l_returnflag, l_linestatus, l_quantity,
+            md5(concat_ws('', l_returnflag, l_linestatus,
+                printf('%.2f', l_quantity))) AS md5hash
+            FROM lineitem"""))
+
+  // A4 dedup via window keep-first rule: first event per user by (ts, id).
+  private val dedupWindow = Q(
+    "dedup_window",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), tsSecond.as("ts_s"))
+    },
+    Some("""SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM (SELECT user_id, event_id, ts,
+                    row_number() OVER (PARTITION BY user_id
+                      ORDER BY epoch_ns(ts) // 1000, event_id) AS rn
+                  FROM events) WHERE rn = 1"""))
+
+  // J1 equi-join; the dimension side is explicitly broadcast — at 100 TB the
+  // fact side never shuffles for this join.
+  private val joinAliasLookup = Q(
+    "join_alias_lookup",
+    (s, dir) =>
+      orders(s, dir)
+        .join(broadcast(customer(s, dir)),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+          col("c_mktsegment")),
+    Some("""SELECT o_orderkey, o_custkey, c_name, c_mktsegment
+            FROM orders JOIN customer ON o_custkey = c_custkey"""))
+
+  // J3 anti-join (reference "pair already known -> skip"): customers with
+  // no event activity (every customer has orders, so the orders variant
+  // would be vacuous).
+  private val joinAntiNew = Q(
+    "join_anti_new",
+    (s, dir) =>
+      customer(s, dir)
+        .join(events(s, dir), col("c_custkey") === col("user_id"), "left_anti")
+        .select(col("c_custkey"), col("c_name")),
+    Some("""SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)"""))
+
+  // Semi-join complement of J3.
+  private val joinSemi = Q(
+    "join_semi",
+    (s, dir) =>
+      customer(s, dir)
+        .join(orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name")),
+    Some("""SELECT c_custkey, c_name FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"""))
+
+  // S1/S2/S3 natural sort + limit (reference natsort file ordering).
+  private val sortNaturalLimit = Q(
+    "sort_natural_limit",
+    (s, dir) =>
+      orders(s, dir)
+        .select(concat(lit("rev_"), col("o_orderkey")).as("fname"))
+        .withColumn("natkey",
+          regexp_extract(col("fname"), "[0-9]+", 0).cast("long"))
+        .orderBy(col("natkey"))
+        .limit(100),
+    Some("""SELECT concat('rev_', o_orderkey) AS fname,
+            CAST(regexp_extract(concat('rev_', o_orderkey), '[0-9]+') AS BIGINT) AS natkey
+            FROM orders ORDER BY natkey LIMIT 100"""))
+
+  // X1-X7 scalar string functions in one projection.
+  private val stringFuncs = Q(
+    "string_funcs",
+    (s, dir) =>
+      customer(s, dir).select(
+        col("c_custkey"),
+        md5(col("c_name")).as("md5_name"),
+        concat_ws("-", col("c_name"), col("c_mktsegment")).as("cat"),
+        length(col("c_name")).cast("long").as("len"),
+        trim(concat(lit("  "), col("c_name"), lit("  "))).as("trimmed"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+        instr(col("c_name"), "1").cast("long").as("pos1"),
+        split_part(col("c_name"), lit("#"), lit(2)).as("numpart")),
+    Some("""SELECT c_custkey, md5(c_name) AS md5_name,
+            concat_ws('-', c_name, c_mktsegment) AS cat,
+            CAST(length(c_name) AS BIGINT) AS len,
+            trim(concat('  ', c_name, '  ')) AS trimmed,
+            regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+            CAST(instr(c_name, '1') AS BIGINT) AS pos1,
+            split_part(c_name, '#', 2) AS numpart
+            FROM customer"""))
+
+  // X9/X10 date functions.
+  private val dateFuncs = Q(
+    "date_funcs",
+    (s, dir) =>
+      orders(s, dir).select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+        datediff(col("o_orderdate"), to_date(lit("1995-01-01"))).cast("long").as("days_since"),
+        date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3mo")),
+    Some("""SELECT o_orderkey,
+            strftime(o_orderdate, '%Y-%m-%d') AS od,
+            CAST(year(o_orderdate) AS BIGINT) AS yr,
+            CAST(month(o_orderdate) AS BIGINT) AS mo,
+            strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+            CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since,
+            strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3mo
+            FROM orders"""))
+
+  // X11 rate arithmetic (reference rows/sec ETA display, recast as a query).
+  private val etaRate = Q(
+    "eta_rate",
+    (s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          min(unix_timestamp(col("ts"))).as("min_s"),
+          max(unix_timestamp(col("ts"))).as("max_s"))
+        .select(col("event_type"), col("cnt"), col("min_s"), col("max_s"),
+          round(col("cnt").cast("double") / (col("max_s") - col("min_s")), 6)
+            .as("rows_per_sec")),
+    Some("""SELECT event_type, cnt, min_s, max_s,
+            round(CAST(cnt AS DOUBLE) / (max_s - min_s), 6) AS rows_per_sec
+            FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+                    min(epoch_ns(ts) // 1000000000) AS min_s,
+                    max(epoch_ns(ts) // 1000000000) AS max_s
+                  FROM events GROUP BY event_type)"""))
+
+  // O3 incremental high-watermark: synthetic revision-file key > watermark.
+  private val incrementalWatermark = Q(
+    "incremental_watermark",
+    (s, dir) =>
+      events(s, dir)
+        .withColumn("fname",
+          concat(lit("rev_"), floor(col("event_id") / 1000).cast("long")))
+        .withColumn("natkey",
+          regexp_extract(col("fname"), "[0-9]+", 0).cast("long"))
+        .filter(col("natkey") > 3)
+        .groupBy(col("fname"), col("natkey"))
+        .agg(count(lit(1)).as("cnt")),
+    Some("""SELECT fname, natkey, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT concat('rev_', CAST(floor(event_id / 1000) AS BIGINT)) AS fname,
+                    CAST(floor(event_id / 1000) AS BIGINT) AS natkey
+                  FROM events)
+            WHERE natkey > 3 GROUP BY fname, natkey"""))
+
+  // Gap sessionization (30-min inactivity) — lag + running sum windows.
+  private val eventsSessionize = Q(
+    "events_sessionize",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("sess_id",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"))
+        .agg(max(col("sess_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+    },
+    Some("""SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions,
+            CAST(count(*) AS BIGINT) AS n_events
+            FROM (SELECT user_id,
+                    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+                  FROM (SELECT user_id, event_id, us,
+                          CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                               THEN 1 ELSE 0 END AS new_sess
+                        FROM (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+                                lag(epoch_ns(ts) // 1000, 1) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_ns(ts) // 1000, event_id) AS prev_us
+                              FROM events)))
+            GROUP BY user_id"""))
+
+  // JSON path extraction from the props column.
+  private val jsonPropsExtract = Q(
+    "json_props_extract",
+    (s, dir) =>
+      events(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k")),
+    Some("""SELECT event_id,
+            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events"""))
+
+  // Top-k by aggregate with rank window; rank on the exact double, output
+  // rounded, user_id tiebreak for determinism.
+  private val topkUsers = Q(
+    "topk_users",
+    (s, dir) => {
+      val agg = events(s, dir).groupBy(col("user_id"))
+        .agg(sum(col("value")).as("total_raw"), count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("total_raw").desc, col("user_id"))
+      agg.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 10)
+        .select(col("user_id"), round(col("total_raw"), 2).as("total"),
+          col("cnt"), col("rk"))
+    },
+    Some("""SELECT user_id, round(total_raw, 2) AS total, cnt, rk
+            FROM (SELECT user_id, total_raw, cnt,
+                    CAST(row_number() OVER (ORDER BY total_raw DESC, user_id) AS BIGINT) AS rk
+                  FROM (SELECT user_id, sum(value) AS total_raw,
+                          CAST(count(*) AS BIGINT) AS cnt
+                        FROM events GROUP BY user_id))
+            WHERE rk <= 10"""))
+
+  // ROLLUP grouping-sets extension (absent from the reference; §2 gap fill).
+  private val cubeEventDay = Q(
+    "cube_event_day",
+    (s, dir) =>
+      events(s, dir)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .rollup(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("total"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("day"), lit("ALL")).as("day"),
+          col("cnt"), col("total")),
+    Some("""SELECT coalesce(event_type, 'ALL') AS event_type,
+            coalesce(day, 'ALL') AS day,
+            CAST(count(*) AS BIGINT) AS cnt, round(sum(value), 2) AS total
+            FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value
+                  FROM events)
+            GROUP BY ROLLUP(event_type, day)"""))
+
+  val all: Seq[Q] = Seq(
+    scanProject, filterAlias, filterLike, filterInNotContains,
+    deriveEventColumns, sanitizeColumns, aggCounts, aggMaxLength,
+    schemaKeysUnion, dedupExact, dedupWindow, joinAliasLookup, joinAntiNew,
+    joinSemi, sortNaturalLimit, stringFuncs, dateFuncs, etaRate,
+    incrementalWatermark, eventsSessionize, jsonPropsExtract, topkUsers,
+    cubeEventDay)
+}

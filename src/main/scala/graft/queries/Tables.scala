@@ -1,0 +1,41 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table loading for the driver corpus (TESTDATA.md).
+  *
+  * All tables are parquet; `events.ts` is written as parquet TIMESTAMP(NANOS)
+  * which Spark cannot natively map — we read it leniently
+  * (`spark.sql.legacy.parquet.nanosAsLong`) and normalize to TimestampType
+  * (microsecond, floor-truncated) so the rest of the engine sees a standard
+  * Spark timestamp. DuckDB's `CAST(ts AS TIMESTAMP)` applies the same
+  * truncation, which keeps oracle comparisons exact.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    // Session-level, runtime-settable; required before the first read of a
+    // TIMESTAMP(NANOS) parquet footer or the scan fails to resolve.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // nanosAsLong mode: ns since epoch -> microsecond timestamp (floor)
+        df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      case _ => df
+    }
+  }
+}

@@ -1,0 +1,156 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Q, Tables}
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`embedding: array<float>`, 64-dim).
+  *
+  * Determinism across engines: both sides cast to double FIRST, then fold
+  * the products left-to-right (`aggregate` in Spark, `list_sum` over a
+  * `list_transform` in DuckDB) — a fixed-order double summation, bit-exact
+  * on both engines. Cosines are rounded to 6 places on output; ranking uses
+  * the raw double with vec_id tiebreak.
+  *
+  *  - `sim_bruteforce_topk` is the exact baseline: broadcast the (tiny)
+  *    query set against all vectors — at 100 TB the vector side stays
+  *    partition-parallel with no shuffle until the final per-query top-k.
+  *  - `sim_lsh_buckets` is the scale path: sign of the projection onto 8
+  *    md5-derived ±1 hyperplanes → a 256-bucket code; ANN then only probes
+  *    one bucket (candidate set ~n/256) instead of all n.
+  */
+object SimQueries {
+
+  private val Dim = 64
+  private val NumPlanes = 8
+
+  /** SQL expr: dot(a, b) as an ordered left fold in double. */
+  private def dotExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  /** ±1 pseudo-random hyperplane weight for (plane j, dim i), md5-derived so
+    * the oracle reproduces it: parity of the first hex digit of md5("j_i"). */
+  private def planeWeight(j: Int, i: Int): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${j}_$i".getBytes("UTF-8"))
+    if (((hex(0) >> 4) & 0xF) % 2 == 1) 1 else -1
+  }
+
+  /** Projection sign expr for plane j over a double-cast array column. */
+  private def signExpr(arr: String, j: Int): String = {
+    val terms = (0 until Dim).map { i =>
+      val w = planeWeight(j, i)
+      if (w == 1) s"CAST($arr[$i] AS DOUBLE)" else s"(-CAST($arr[$i] AS DOUBLE))"
+    }
+    // left-fold addition order = array order on both engines
+    s"CASE WHEN (${terms.mkString(" + ")}) > 0 THEN '1' ELSE '0' END"
+  }
+
+  def lshBuckets(emb: DataFrame): DataFrame = {
+    val code = (0 until NumPlanes)
+      .map(j => expr(signExpr("embedding", j)))
+    emb.select(col("vec_id"), concat(code: _*).as("bucket"))
+  }
+
+  private def lshOracle: String = {
+    val codes = (0 until NumPlanes).map { j =>
+      val terms = (0 until Dim).map { i =>
+        val w = planeWeight(j, i)
+        // DuckDB lists are 1-based
+        if (w == 1) s"CAST(embedding[${i + 1}] AS DOUBLE)"
+        else s"(-CAST(embedding[${i + 1}] AS DOUBLE))"
+      }
+      s"CASE WHEN (${terms.mkString(" + ")}) > 0 THEN '1' ELSE '0' END"
+    }
+    s"SELECT vec_id, ${codes.mkString(" || ")} AS bucket FROM embeddings"
+  }
+
+  private val simLshBuckets = Q(
+    "sim_lsh_buckets",
+    (s, dir) => lshBuckets(Tables.embeddings(s, dir)),
+    Some(lshOracle))
+
+  /** Exact cosine top-k for a query set against the full table. */
+  def bruteForceTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val vecs = emb.select(col("vec_id"), col("embedding"),
+      expr(dotExpr("embedding", "embedding")).as("norm2"))
+    val queries = vecs.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col("norm2").as("q_norm2"))
+      .where(queryPred)
+    val scored = vecs.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        expr(dotExpr("embedding", "q_emb")) / sqrt(col("norm2") * col("q_norm2")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rk"))
+  }
+
+  private val simBruteforce = Q(
+    "sim_bruteforce_topk",
+    (s, dir) =>
+      bruteForceTopK(Tables.embeddings(s, dir), col("q_id") < 5, 3),
+    Some {
+      val dot = "list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
+      val na  = "list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))"
+      val nq  = "list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
+      s"""SELECT q_id, vec_id, round(cos, 6) AS cos, rk
+          FROM (SELECT q_id, vec_id, cos,
+                  CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos DESC, vec_id) AS BIGINT) AS rk
+                FROM (SELECT q.vec_id AS q_id, a.vec_id AS vec_id,
+                        $dot / sqrt($na * $nq) AS cos
+                      FROM embeddings a
+                      JOIN embeddings q ON q.vec_id < 5 AND a.vec_id <> q.vec_id))
+          WHERE rk <= 3"""
+    })
+
+  /** Bucketed ANN: top-k within the query's LSH bucket only — the plan that
+    * survives scale (join key = bucket, candidates ~ n / 2^planes). */
+  def bucketedTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val withBucket = lshBuckets(emb)
+      .join(emb, "vec_id")
+      .withColumn("norm2", expr(dotExpr("embedding", "embedding")))
+    val queries = withBucket
+      .select(col("vec_id").as("q_id"), col("bucket"),
+        col("embedding").as("q_emb"), col("norm2").as("q_norm2"))
+      .where(queryPred)
+    val scored = withBucket.join(broadcast(queries), "bucket")
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        expr(dotExpr("embedding", "q_emb")) / sqrt(col("norm2") * col("q_norm2")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rk"))
+  }
+
+  private val simAnnBucketed = Q(
+    "sim_ann_bucketed",
+    (s, dir) =>
+      bucketedTopK(Tables.embeddings(s, dir), col("q_id") < 20, 3),
+    Some {
+      val dot = "list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
+      val na  = "list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))"
+      val nq  = "list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
+      s"""WITH b AS ($lshOracle)
+          SELECT q_id, vec_id, round(cos, 6) AS cos, rk
+          FROM (SELECT q_id, vec_id, cos,
+                  CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos DESC, vec_id) AS BIGINT) AS rk
+                FROM (SELECT q.vec_id AS q_id, a.vec_id AS vec_id,
+                        $dot / sqrt($na * $nq) AS cos
+                      FROM embeddings a JOIN b ba ON ba.vec_id = a.vec_id
+                      JOIN embeddings q ON q.vec_id < 20
+                      JOIN b bq ON bq.vec_id = q.vec_id
+                      WHERE ba.bucket = bq.bucket AND a.vec_id <> q.vec_id))
+          WHERE rk <= 3"""
+    })
+
+  val all: Seq[Q] = Seq(simLshBuckets, simBruteforce, simAnnBucketed)
+}

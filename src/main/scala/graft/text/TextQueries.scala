@@ -1,0 +1,149 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Q, Tables}
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline extensions (language ID, quality scoring, token
+  * counting, document fingerprinting). Everything is expressed as
+  * codegen-friendly column expressions (no UDFs); all arithmetic is integer
+  * or explicitly rounded so the DuckDB oracle hash-matches exactly.
+  */
+object TextQueries {
+
+  /** Word-token pipeline: lowercase, split on non-letters, drop empties. */
+  private val tokenizeExpr = "filter(split(lower(text), '[^a-z]+'), t -> t <> '')"
+
+  // Global token frequency — explode + count, the canonical text op.
+  private val textTokens = Q(
+    "text_tokens",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(expr(tokenizeExpr)).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt")),
+    Some("""SELECT token, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+                  FROM documents)
+            WHERE token <> '' GROUP BY token"""))
+
+  // Per-document quality scoring: length, token stats, stopword ratio.
+  // Ratios are exact rationals in double (int/int) -> identical across
+  // engines before rounding.
+  private val textQuality = Q(
+    "text_quality",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("toks", expr(tokenizeExpr))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("n_stop", size(expr(
+          "filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to'))")).cast("long"))
+        .select(
+          col("doc_id"),
+          col("n_chars"),
+          col("n_tokens"),
+          round(col("n_chars").cast("double") / col("n_tokens"), 4).as("chars_per_token"),
+          round(col("n_stop").cast("double") / col("n_tokens"), 4).as("stop_ratio"),
+          (col("n_tokens") >= 20 && col("n_chars") >= 100).as("quality_ok")),
+    Some("""SELECT doc_id, n_chars, n_tokens,
+            round(CAST(n_chars AS DOUBLE) / n_tokens, 4) AS chars_per_token,
+            round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stop_ratio,
+            (n_tokens >= 20 AND n_chars >= 100) AS quality_ok
+            FROM (SELECT doc_id, n_chars,
+                    CAST(len(toks) AS BIGINT) AS n_tokens,
+                    CAST(len(list_filter(toks,
+                      t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) AS n_stop
+                  FROM (SELECT doc_id, n_chars,
+                          list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                            t -> t <> '') AS toks
+                        FROM documents))"""))
+
+  // Language-ID heuristic: count marker-substring occurrences per language
+  // (occurrences = (len - len(remove)) / len(marker), exact integer math),
+  // argmax with a fixed priority order. The corpus vocabulary is synthetic,
+  // so the score ties resolve through the priority chain deterministically.
+  private val textLangid = Q(
+    "text_langid",
+    (s, dir) => {
+      def score(marker: String) =
+        ((length(col("text")) - length(regexp_replace(col("text"), marker, ""))) /
+          marker.length).cast("long")
+      Tables.documents(s, dir)
+        .withColumn("s_en", score(" the "))
+        .withColumn("s_de", score(" der "))
+        .withColumn("s_es", score(" el "))
+        .withColumn("s_fr", score(" le "))
+        .select(
+          col("doc_id"), col("lang"), col("s_en"), col("s_de"), col("s_es"), col("s_fr"),
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+            col("s_en") >= col("s_fr") && col("s_en") > 0, "en")
+            .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr") &&
+              col("s_de") > 0, "de")
+            .when(col("s_es") >= col("s_fr") && col("s_es") > 0, "es")
+            .when(col("s_fr") > 0, "fr")
+            .otherwise("und").as("lang_pred"))
+    },
+    Some("""SELECT doc_id, lang, s_en, s_de, s_es, s_fr,
+            CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+                 WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+                 WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+                 WHEN s_fr > 0 THEN 'fr'
+                 ELSE 'und' END AS lang_pred
+            FROM (SELECT doc_id, lang,
+                    CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT) AS s_en,
+                    CAST((length(text) - length(replace(text, ' der ', ''))) / 5 AS BIGINT) AS s_de,
+                    CAST((length(text) - length(replace(text, ' el ', ''))) / 4 AS BIGINT) AS s_es,
+                    CAST((length(text) - length(replace(text, ' le ', ''))) / 4 AS BIGINT) AS s_fr
+                  FROM documents)"""))
+
+  // Document fingerprint: min/max md5 over word-3-gram shingles — the
+  // rolling-hash fingerprint family; byte-wise string min/max of hex digests
+  // is engine-independent.
+  private val textFingerprint = Q(
+    "text_fingerprint",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("toks", expr(tokenizeExpr))
+        .withColumn("grams", expr(
+          // guard: sequence(1, 0) would generate a DESCENDING [1, 0] range
+          """CASE WHEN size(toks) < 3 THEN array()
+             ELSE transform(sequence(1, size(toks) - 2),
+               i -> md5(concat_ws(' ', toks[i-1], toks[i], toks[i+1]))) END"""))
+        .select(
+          col("doc_id"),
+          size(col("grams")).cast("long").as("n_grams"),
+          coalesce(array_min(col("grams")), lit("")).as("fp_min"),
+          coalesce(array_max(col("grams")), lit("")).as("fp_max")),
+    Some("""SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+            coalesce(list_aggregate(grams, 'min'), '') AS fp_min,
+            coalesce(list_aggregate(grams, 'max'), '') AS fp_max
+            FROM (SELECT doc_id,
+                    list_transform(range(1, greatest(len(toks) - 1, 1)),
+                      i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS grams
+                  FROM (SELECT doc_id,
+                          list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                            t -> t <> '') AS toks
+                        FROM documents))"""))
+
+  // Token counting: whitespace tokens + a BPE-ish regex segmentation
+  // (letter runs capped at 4 chars, digit runs, other non-space symbols).
+  private val tokenCount = Q(
+    "token_count",
+    (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(expr("filter(split(text, '\\\\s+'), t -> t <> '')")).cast("long")
+          .as("ws_tokens"),
+        regexp_count(col("text"), lit("[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\\s]"))
+          .cast("long").as("bpe_tokens")),
+    Some("""SELECT doc_id,
+            CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT)
+              AS ws_tokens,
+            CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+              AS bpe_tokens
+            FROM documents"""))
+
+  val all: Seq[Q] = Seq(textTokens, textQuality, textLangid, textFingerprint,
+    tokenCount)
+}
