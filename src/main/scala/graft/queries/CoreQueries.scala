@@ -296,15 +296,15 @@ object CoreQueries {
     (s, dir) =>
       events(s, dir)
         .withColumn("fname",
-          concat(lit("rev_"), floor(col("event_id") / 1000).cast("long")))
+          concat(lit("rev_"), floor(col("event_id") / 100).cast("long")))
         .withColumn("natkey",
           regexp_extract(col("fname"), "[0-9]+", 0).cast("long"))
         .filter(col("natkey") > 3)
         .groupBy(col("fname"), col("natkey"))
         .agg(count(lit(1)).as("cnt")),
     Some("""SELECT fname, natkey, CAST(count(*) AS BIGINT) AS cnt
-            FROM (SELECT concat('rev_', CAST(floor(event_id / 1000) AS BIGINT)) AS fname,
-                    CAST(floor(event_id / 1000) AS BIGINT) AS natkey
+            FROM (SELECT concat('rev_', CAST(floor(event_id / 100) AS BIGINT)) AS fname,
+                    CAST(floor(event_id / 100) AS BIGINT) AS natkey
                   FROM events)
             WHERE natkey > 3 GROUP BY fname, natkey"""))
 

@@ -1,0 +1,96 @@
+package graft.identity
+
+import scala.util.Random
+
+import graft.SparkSpec
+
+/** Property-style tests (seeded random, deterministic) for the O16
+  * connected-components operator: Spark result must equal a driver-side
+  * union-find on the same edges, canonical id = min of component, and
+  * incremental (two batches) ≡ batch (union) — the reference's
+  * G1-vs-G2-vs-rebuild equivalence question (SURVEY.md §5.3).
+  */
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference implementation: union-find with min-label canonicalization. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(ra) = rb
+    }
+    edges.foreach { case (a, b) => union(a, b) }
+    val roots = parent.keys.map(k => k -> find(k)).toMap
+    val minOf = roots.groupBy(_._2).map { case (r, m) => r -> m.keys.min }
+    roots.map { case (k, r) => k -> minOf(r) }
+  }
+
+  private def sparkCC(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+
+  test("matches union-find on random graphs (seeded)") {
+    val rnd = new Random(42)
+    for (trial <- 1 to 8) {
+      val n = 5 + rnd.nextInt(60)
+      val m = rnd.nextInt(3 * n)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val expected = unionFind(edges)
+        val got = sparkCC(edges)
+        assert(got == expected, s"trial $trial n=$n m=$m")
+      }
+    }
+  }
+
+  test("chain collapses to single component with min canonical") {
+    val edges = (0L until 30L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val got = sparkCC(edges)
+    assert(got.values.toSet == Set(0L))
+    assert(got.keySet == (0L until 30L).toSet)
+  }
+
+  test("two disjoint cliques stay separate") {
+    val a = for (i <- 0L to 3L; j <- (i + 1) to 4L) yield (i, j)
+    val b = for (i <- 10L to 13L; j <- (i + 1) to 14L) yield (i, j)
+    val got = sparkCC(a ++ b)
+    assert((0L to 4L).forall(got(_) == 0L))
+    assert((10L to 14L).forall(got(_) == 10L))
+  }
+
+  test("incremental merge equals batch closure when a bridge arrives") {
+    // the exact failure mode of the reference's G2 LIMIT-1 resolve:
+    // two existing clusters {1,2} and {10,11}, new edge 2-10 bridges them
+    val batch1 = Seq((1L, 2L), (10L, 11L))
+    val assignments = sparkCC(batch1).toSeq.toDF("node", "component")
+    val bridge = Seq((2L, 10L)).toDF("src", "dst")
+    val merged = Components.mergeIncremental(assignments, bridge)
+      .as[(Long, Long)].collect().toMap
+    val batchAll = sparkCC(batch1 :+ (2L, 10L))
+    assert(merged == batchAll)
+    assert(merged.values.toSet == Set(1L))
+  }
+
+  test("string ids: canonical is min string per component") {
+    val edges = Seq(("anon-9", "user@x"), ("user@x", "anon-1"), ("z", "y"))
+      .toDF("a", "b")
+    val got = Components.connectedComponentsString(edges)
+      .as[(String, String)].collect().toMap
+    assert(got("anon-9") == "anon-1")
+    assert(got("user@x") == "anon-1")
+    assert(got("anon-1") == "anon-1")
+    assert(got("z") == "y")
+    assert(got("y") == "y")
+  }
+
+  test("self-loops and duplicate edges are harmless") {
+    val got = sparkCC(Seq((1L, 1L), (1L, 2L), (1L, 2L), (2L, 1L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+  }
+}
