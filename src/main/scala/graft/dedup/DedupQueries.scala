@@ -25,43 +25,73 @@ object DedupQueries {
 
   private val NumHashes = 12
   private val BandSize  = 3 // -> 4 bands
+  private val P         = 2038074743L // prime < 2^31
+  // fixed odd multipliers/offsets for the universal-hash family
+  private val A = Seq(1299709L, 15485863L, 32452843L, 49979687L, 67867967L,
+    86028121L, 104395301L, 122949823L, 141650939L, 160481183L, 179424673L,
+    198491317L)
+  private val B = Seq(977L, 1979L, 2971L, 3967L, 4969L, 5953L, 6959L, 7951L,
+    8963L, 9973L, 10979L, 11981L)
 
   /** Char 5-gram shingle array (SQL expr, 1-based substring like DuckDB). */
   private val shinglesExpr =
     """CASE WHEN length(text) < 5 THEN array(text)
        ELSE transform(sequence(1, length(text) - 4), i -> substring(text, i, 5)) END"""
 
-  private def minhashCol(j: Int): Column =
-    expr(s"array_min(transform(shingles, s -> md5(concat('$j', s))))").as(s"mh$j")
+  /** 28-bit integer base hash from the first 7 hex digits of md5 — the SAME
+    * digit-by-digit formula on both engines (no conv() in DuckDB), so one
+    * md5 per shingle feeds all 12 minhash functions as pure integer math.
+    */
+  private def baseHashExpr(h: String): String =
+    (0 until 7).map { i =>
+      val pow = 1L << (4 * (6 - i)) // 16^(6-i)
+      s"(instr('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * ${pow}L"
+    }.mkString("(", " + ", ")")
 
-  /** MinHash signatures + LSH band hashes per document. */
+  // DuckDB shares the formula, minus Spark's L suffix
+  private def baseHashSql(h: String): String =
+    (0 until 7).map { i =>
+      val pow = 1L << (4 * (6 - i))
+      s"(instr('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * $pow"
+    }.mkString("(", " + ", ")")
+
+  /** MinHash signatures + LSH band hashes per document. One md5 per
+    * (doc, shingle), exploded, then a single hash-aggregate computing all
+    * 12 universal-hash minima — fully whole-stage-codegen, one shuffle on
+    * doc_id.
+    */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val withShingles = docs.withColumn("shingles", expr(shinglesExpr))
-    val withMh = withShingles.select(
-      col("doc_id") +: (0 until NumHashes).map(minhashCol): _*)
+    val bases = docs
+      .select(col("doc_id"), explode(expr(shinglesExpr)).as("s"))
+      .select(col("doc_id"), expr(baseHashExpr("md5(s)")).as("x"))
+    val mhs = (0 until NumHashes).map(j =>
+      min(expr(s"(${A(j)}L * x + ${B(j)}L) % ${P}L")).as(s"mh$j"))
+    val agg = bases.groupBy(col("doc_id")).agg(mhs.head, mhs.tail: _*)
     val bands = (0 until NumHashes / BandSize).map { b =>
       val cols = (0 until BandSize).map(r => col(s"mh${b * BandSize + r}"))
-      md5(concat(cols: _*)).as(s"band$b")
+      md5(concat_ws("_", cols: _*)).as(s"band$b")
     }
-    withMh.select(col("doc_id") +: bands: _*)
+    agg.select(col("doc_id") +: bands: _*)
   }
 
   private def minhashOracle: String = {
     val mhDefs = (0 until NumHashes).map { j =>
-      s"list_aggregate(list_transform(shingles, s -> md5(concat('$j', s))), 'min') AS mh$j"
+      s"min((${A(j)} * x + ${B(j)}) % $P) AS mh$j"
     }.mkString(",\n              ")
     val bandDefs = (0 until NumHashes / BandSize).map { b =>
       val cols = (0 until BandSize).map(r => s"mh${b * BandSize + r}").mkString(", ")
-      s"md5(concat($cols)) AS band$b"
+      s"md5(concat_ws('_', $cols)) AS band$b"
     }.mkString(", ")
     s"""SELECT doc_id, $bandDefs
         FROM (SELECT doc_id,
               $mhDefs
-              FROM (SELECT doc_id,
-                      CASE WHEN length(text) < 5 THEN [text]
-                      ELSE list_transform(range(1, length(text) - 3),
-                             i -> substr(text, i, 5)) END AS shingles
-                    FROM documents))"""
+              FROM (SELECT doc_id, ${baseHashSql("md5(s)")} AS x
+                    FROM (SELECT doc_id, unnest(
+                            CASE WHEN length(text) < 5 THEN [text]
+                            ELSE list_transform(range(1, length(text) - 3),
+                                   i -> substr(text, i, 5)) END) AS s
+                          FROM documents))
+              GROUP BY doc_id)"""
   }
 
   private val dedupMinhash = Q(
@@ -69,9 +99,11 @@ object DedupQueries {
     (s, dir) => minhashSignatures(Tables.documents(s, dir)),
     Some(minhashOracle))
 
-  /** LSH candidate pairs: documents sharing any band hash. */
+  /** LSH candidate pairs: documents sharing any band hash.
+    * Signatures are localCheckpointed first — the self-join would otherwise
+    * recompute the full shingle+minhash pipeline for both sides. */
   def minhashCandidatePairs(docs: DataFrame): DataFrame = {
-    val sig = minhashSignatures(docs)
+    val sig = minhashSignatures(docs).localCheckpoint(eager = true)
     val long = sig.selectExpr("doc_id",
       s"stack(${NumHashes / BandSize}, " +
         (0 until NumHashes / BandSize)

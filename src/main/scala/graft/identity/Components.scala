@@ -51,10 +51,13 @@ object Components {
       .distinct()
       .localCheckpoint(eager = true)
 
-    // All original nodes (star edges can drop isolated-after-contraction nodes
-    // from intermediate edge sets; we re-attach at the end).
-    val nodes = e.select($"u".as("node")).union(e.select($"v".as("node")))
-      .distinct().localCheckpoint(eager = true)
+    // All original nodes (star edges can drop isolated-after-contraction
+    // nodes from intermediate edge sets; we re-attach at the end). Derived
+    // lazily from the checkpointed initial edge set — no extra
+    // materialization job.
+    val e0 = e
+    def nodes = e0.select($"u".as("node")).union(e0.select($"v".as("node")))
+      .distinct()
 
     def signature(df: DataFrame): (Long, Long) = {
       // bit_xor, not sum: order-independent AND overflow-free (Spark 4 runs
@@ -67,16 +70,17 @@ object Components {
 
     // large-star: for each node u with neighborhood N(u) (both directions),
     // m = min(N(u) ∪ {u}); emit (v, m) for v in N(u) with v > u.
+    // No distinct here: duplicate edges are idempotent under the min
+    // aggregations downstream and small-star ends with a distinct — saving
+    // one shuffle per round. (v > u >= m also makes emitted pairs already
+    // canonical (big, small) with u != v guaranteed.)
     def largeStar(ed: DataFrame): DataFrame = {
       val nbrs = ed.select($"u", $"v").union(ed.select($"v".as("u"), $"u".as("v")))
       val m = nbrs.groupBy($"u").agg(min($"v").as("mn"))
         .select($"u", least($"u", $"mn").as("m"))
       nbrs.join(m, "u")
         .where($"v" > $"u")
-        // v > u >= m, so the emitted pair is already canonical (big, small)
         .select($"v".as("u"), $"m".as("v"))
-        .where($"u" =!= $"v")
-        .distinct()
     }
 
     // small-star: edges already canonical (u > v); m = min(N≤(u) ∪ {u});
@@ -92,16 +96,20 @@ object Components {
         .distinct()
     }
 
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
     var sig = signature(e)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
+      val t0 = System.nanoTime()
       val next = smallStar(largeStar(e)).localCheckpoint(eager = true)
       val nextSig = signature(next)
       converged = nextSig == sig
       sig = nextSig
       e = next
       iter += 1
+      if (debug) System.err.println(
+        f"[cc] iter=$iter edges=${sig._1} ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
 
     // Converged state is a star forest: u (member) -> v (root = min).

@@ -151,12 +151,16 @@ object CoreQueries {
   private val dedupExact = Q(
     "dedup_exact",
     (s, dir) =>
+      // distinct on the natural columns FIRST (map-side partial agg, tiny
+      // shuffle), fingerprint only the survivors — md5hash is a pure
+      // function of the three columns so the result is identical to
+      // dropDuplicates("md5hash"), minus 600k row-level hashes
       lineitem(s, dir)
         .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+        .distinct()
         .withColumn("md5hash", md5(concat_ws("",
           col("l_returnflag"), col("l_linestatus"),
-          format_string("%.2f", col("l_quantity")))))
-        .dropDuplicates("md5hash"),
+          format_string("%.2f", col("l_quantity"))))),
     Some("""SELECT DISTINCT l_returnflag, l_linestatus, l_quantity,
             md5(concat_ws('', l_returnflag, l_linestatus,
                 printf('%.2f', l_quantity))) AS md5hash
@@ -389,11 +393,96 @@ object CoreQueries {
                   FROM events)
             GROUP BY ROLLUP(event_type, day)"""))
 
+  // Set operations (a §2 "not present" gap, filled natively): long English
+  // docs minus one source. (Defined on documents — every user emits every
+  // event type, so user-based sets would be vacuously empty.)
+  private val setOps = Q(
+    "set_ops",
+    (s, dir) => {
+      val d = documents(s, dir)
+      d.filter(col("lang") === "en").select(col("doc_id"))
+        .intersect(d.filter(col("n_chars") > 200).select(col("doc_id")))
+        .except(d.filter(col("source") === "src0").select(col("doc_id")))
+    },
+    Some("""SELECT doc_id FROM documents WHERE lang = 'en'
+            INTERSECT SELECT doc_id FROM documents WHERE n_chars > 200
+            EXCEPT SELECT doc_id FROM documents WHERE source = 'src0'"""))
+
+  // As-of join: for each purchase, the most recent strictly-earlier click
+  // of the same user — expressed as an IGNORE NULLS running last over the
+  // per-user event sequence (one shuffle on user_id, no self-join).
+  private val asofJoin = Q(
+    "asof_join",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("last_click_id",
+          last(when(col("event_type") === "click", col("event_id")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("last_click_id"), lit(-1L)).as("last_click_id"))
+    },
+    Some("""SELECT event_id, user_id, coalesce(last_click_id, -1) AS last_click_id
+            FROM (SELECT event_id, user_id, event_type,
+                    last_value(CASE WHEN event_type = 'click' THEN event_id END
+                      IGNORE NULLS) OVER (PARTITION BY user_id
+                        ORDER BY epoch_ns(ts) // 1000, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      AS last_click_id
+                  FROM events)
+            WHERE event_type = 'purchase'"""))
+
+  // Equi + range join: lineitems shipped within 60 days of their order.
+  private val rangeJoin = Q(
+    "range_join",
+    (s, dir) =>
+      lineitem(s, dir)
+        .join(orders(s, dir),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") &&
+            col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("qty")),
+    Some("""SELECT o_orderkey, CAST(count(*) AS BIGINT) AS cnt,
+            round(sum(l_quantity), 2) AS qty
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             AND l_shipdate >= o_orderdate
+             AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+            GROUP BY o_orderkey"""))
+
+  // Window-function battery: rank family + lag/lead in one pass.
+  private val windowFuncs = Q(
+    "window_funcs",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .select(
+          col("event_id"),
+          col("user_id"),
+          rank().over(w).cast("long").as("rk"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          coalesce(lag(col("value"), 1).over(w), lit(-1.0)).as("prev_value"),
+          coalesce(lead(col("value"), 1).over(w), lit(-1.0)).as("next_value"))
+    },
+    Some("""SELECT event_id, user_id,
+            CAST(rank() OVER w AS BIGINT) AS rk,
+            CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+            coalesce(lag(value, 1) OVER w, -1.0) AS prev_value,
+            coalesce(lead(value, 1) OVER w, -1.0) AS next_value
+            FROM (SELECT event_id, user_id, value, epoch_ns(ts) // 1000 AS us
+                  FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)"""))
+
   val all: Seq[Q] = Seq(
     scanProject, filterAlias, filterLike, filterInNotContains,
     deriveEventColumns, sanitizeColumns, aggCounts, aggMaxLength,
     schemaKeysUnion, dedupExact, dedupWindow, joinAliasLookup, joinAntiNew,
     joinSemi, sortNaturalLimit, stringFuncs, dateFuncs, etaRate,
     incrementalWatermark, eventsSessionize, jsonPropsExtract, topkUsers,
-    cubeEventDay)
+    cubeEventDay, setOps, asofJoin, rangeJoin, windowFuncs)
 }

@@ -112,9 +112,12 @@ object SimQueries {
   /** Bucketed ANN: top-k within the query's LSH bucket only — the plan that
     * survives scale (join key = bucket, candidates ~ n / 2^planes). */
   def bucketedTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    // checkpoint: bucket codes + norms feed both join sides; without it the
+    // 8 × 64-term projections run twice
     val withBucket = lshBuckets(emb)
       .join(emb, "vec_id")
       .withColumn("norm2", expr(dotExpr("embedding", "embedding")))
+      .localCheckpoint(eager = true)
     val queries = withBucket
       .select(col("vec_id").as("q_id"), col("bucket"),
         col("embedding").as("q_emb"), col("norm2").as("q_norm2"))
