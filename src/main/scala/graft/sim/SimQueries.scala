@@ -155,5 +155,62 @@ object SimQueries {
           WHERE rk <= 3"""
     })
 
-  val all: Seq[Q] = Seq(simLshBuckets, simBruteforce, simAnnBucketed)
+  /** Embedding near-dup detection: every vector's best in-bucket neighbor
+    * with a near-dup verdict. (This corpus has no true near-dups — max
+    * cosine ≈ 0.47 — so the output is the top-1 edge list rather than a
+    * thresholded pair set, which would be vacuously empty.) Vectors alone
+    * in their bucket report nn_id = -1. At scale this is the LSH-blocked
+    * O(n·bucket) plan, not the O(n²) cross join.
+    */
+  private val dedupEmbedding = Q(
+    "dedup_embedding",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val withBucket = lshBuckets(emb)
+        .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+        .withColumn("norm2", expr(dotExpr("embedding", "embedding")))
+        .localCheckpoint(eager = true)
+      val other = withBucket.select(col("bucket"),
+        col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        col("norm2").as("b_norm2"))
+      val scored = withBucket.join(other, "bucket")
+        .where(col("vec_id") =!= col("b_id"))
+        .withColumn("cos",
+          expr(dotExpr("embedding", "b_emb")) / sqrt(col("norm2") * col("b_norm2")))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("b_id"))
+      val top1 = scored.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("b_id"), col("cos"))
+      emb.select(col("vec_id")).join(top1, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("b_id"), lit(-1L)).as("nn_id"),
+          round(coalesce(col("cos"), lit(-1.0)), 6).as("cos"),
+          (coalesce(col("cos"), lit(-1.0)) > 0.9).as("near_dup"))
+    },
+    Some {
+      val dot = "list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
+      val na  = "list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))"
+      val nq  = "list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
+      s"""WITH b AS ($lshOracle),
+          top1 AS (
+            SELECT q_id, b_id, cos FROM (
+              SELECT q_id, b_id, cos,
+                row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, b_id) AS rn
+              FROM (SELECT q.vec_id AS q_id, a.vec_id AS b_id,
+                      $dot / sqrt($na * $nq) AS cos
+                    FROM embeddings q JOIN b bq ON bq.vec_id = q.vec_id
+                    JOIN b ba ON ba.bucket = bq.bucket
+                    JOIN embeddings a ON a.vec_id = ba.vec_id
+                    WHERE a.vec_id <> q.vec_id))
+            WHERE rn = 1)
+          SELECT e.vec_id,
+            coalesce(t.b_id, -1) AS nn_id,
+            round(coalesce(t.cos, -1.0), 6) AS cos,
+            coalesce(t.cos, -1.0) > 0.9 AS near_dup
+          FROM embeddings e LEFT JOIN top1 t ON t.q_id = e.vec_id"""
+    })
+
+  val all: Seq[Q] = Seq(simLshBuckets, simBruteforce, simAnnBucketed,
+    dedupEmbedding)
 }
