@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for the lenient-JSON repair (O4): unlike a
+  * Scala `udf()`, it has no encoder/serialization boundary and generates a
+  * direct static call inside whole-stage codegen, so the repair sits in the
+  * same generated loop as `from_json`.
+  *
+  * Semantics identical to [[graft.ingest.NdjsonReader.repairLine]] (the
+  * reference's addslashes-callback heuristic, `/root/reference/helpers.php:10-22`).
+  */
+case class RepairJsonLine(child: Expression) extends UnaryExpression {
+
+  // AbstractDataType (and so ExpectsInputTypes) is private[sql]; check by hand
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"repair_json requires STRING, got ${child.dataType.catalogString}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "repair_json"
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      RepairJsonLine.repair(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.RepairJsonLine.repair($c.toString()))")
+
+  override protected def withNewChildInternal(newChild: Expression): RepairJsonLine =
+    copy(child = newChild)
+}
+
+object RepairJsonLine {
+  /** Static entry point for generated code. */
+  def repair(s: String): String = graft.ingest.NdjsonReader.repairLine(s)
+}
+
+/** Function registration — usable two ways:
+  *  - `GraftFunctions.register(spark)` imperatively (NdjsonReader does this);
+  *  - `--conf spark.sql.extensions=graft.functions.GraftExtensions` for
+  *    cluster-wide availability including pure-SQL users.
+  */
+object GraftFunctions {
+  private val repairInfo = new ExpressionInfo(
+    classOf[RepairJsonLine].getName, null, "repair_json",
+    "_FUNC_(line) - repairs unescaped quotes/backslashes inside flat-JSON string values",
+    "")
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("repair_json"), repairInfo,
+      (exprs: Seq[Expression]) => RepairJsonLine(exprs.head))
+}
+
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("repair_json"),
+      new ExpressionInfo(classOf[RepairJsonLine].getName, null, "repair_json",
+        "_FUNC_(line) - repairs unescaped quotes/backslashes inside flat-JSON string values", ""),
+      (exprs: Seq[Expression]) => RepairJsonLine(exprs.head)))
+}

@@ -83,19 +83,20 @@ object NdjsonReader {
     watermark.fold(base)(wm => base.filter(col("file_no") > wm))
   }
 
-  /** Lines → string→string map; strict parse first, repair UDF only on the
-    * strict-parse failures; unparseable-after-repair lines keep a non-null
+  /** Lines → string→string map; strict parse first, the native
+    * `repair_json` expression (graft.functions.RepairJsonLine — stays in
+    * whole-stage codegen, unlike a Scala udf) only on the strict-parse
+    * failures; unparseable-after-repair lines keep a non-null
     * `corrupt_line` for the caller to count/route (G1 skips, G2 aborts —
     * we surface, caller decides).
     */
   def parsed(lines: DataFrame): DataFrame = {
-    val spark = lines.sparkSession
-    val repair = udf(repairLine _)
+    graft.functions.GraftFunctions.register(lines.sparkSession)
     lines
       .withColumn("strict", from_json(col("line"), MapSchema))
       .withColumn("fields",
         when(col("strict").isNotNull, col("strict"))
-          .otherwise(from_json(repair(col("line")), MapSchema)))
+          .otherwise(from_json(expr("repair_json(line)"), MapSchema)))
       .withColumn("corrupt_line",
         when(col("fields").isNull, col("line")).otherwise(lit(null)))
       .drop("strict")

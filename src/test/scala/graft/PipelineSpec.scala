@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import graft.sources.Maintenance
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def put(dir: String, name: String, lines: String*): Unit =
+    Files.writeString(Paths.get(dir, name), lines.mkString("\n"))
+
+  test("batch pipeline: ingest, identity closure, watermark advance, delta rerun") {
+    val in = Files.createTempDirectory("pipe-in").toString
+    val out = Files.createTempDirectory("pipe-out").toString
+    val wmf = Files.createTempDirectory("pipe-wm").resolve("last").toString
+
+    put(in, "1.json",
+      """{"_p": "anon-1", "_n": "view", "_t": "1700000000"}""",
+      """{"_p": "alice", "_p2": "anon-1", "_n": "signup", "_t": "1700000100"}""")
+    put(in, "2.json",
+      """{"_p": "bob", "_n": "view", "_t": "1700000200"}""")
+
+    val (n1, prevWm1) = Pipeline.run(spark, in, out, Some(wmf))
+    assert(n1 == 3 && prevWm1 == -1L)
+
+    val events = spark.read.parquet(s"$out/events")
+    assert(events.count() == 3)
+    assert(events.columns.contains("event_date"))
+
+    // identity closure: alice <-> anon-1 in one cluster, canonical = min
+    val ids = spark.read.parquet(s"$out/identity")
+      .select("alias_id", "canonical_id").as[(String, String)].collect().toMap
+    assert(ids("alice") == "alice" && ids("anon-1") == "alice")
+
+    // second run: nothing new -> no ingest
+    val (n2, prevWm2) = Pipeline.run(spark, in, out, Some(wmf))
+    assert(n2 == 0 && prevWm2 == 2L)
+
+    // delta file -> only its rows are appended
+    put(in, "3.json",
+      """{"_p": "carol", "_n": "view", "_t": "1700000300"}""")
+    val (n3, _) = Pipeline.run(spark, in, out, Some(wmf))
+    assert(n3 == 1)
+    assert(spark.read.parquet(s"$out/events").count() == 4)
+  }
+
+  test("compaction reduces file count, preserves rows") {
+    val dir = Files.createTempDirectory("compact").toString + "/t"
+    spark.range(1000).repartition(16).write.parquet(dir)
+    val before = spark.read.parquet(dir).count()
+    val (nBefore, nAfter) = Maintenance.compact(spark, dir)
+    assert(nBefore == 16)
+    assert(nAfter == 1)
+    assert(spark.read.parquet(dir).count() == before)
+  }
+}
