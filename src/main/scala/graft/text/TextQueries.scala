@@ -144,6 +144,51 @@ object TextQueries {
               AS bpe_tokens
             FROM documents"""))
 
+  // TF-IDF: top-3 terms per document. Ranking uses the ROUNDED score
+  // (then term) so a last-ulp ln() difference between engines cannot flip
+  // the order; ties in (tf, df) produce bit-identical scores on both.
+  private val textTfidf = Q(
+    "text_tfidf",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val n = docs.count().toDouble
+      val tf = docs
+        .select(col("doc_id"), explode(expr(tokenizeExpr)).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val scored = tf.join(broadcast(df_), "term")
+        .withColumn("tfidf",
+          round(col("tf") * log(lit(n) / col("df")), 6))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term"))
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("tfidf"), col("rk"))
+    },
+    Some("""WITH tf AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, unnest(list_filter(
+                      string_split_regex(lower(text), '[^a-z]+'),
+                      t -> t <> '')) AS term
+                    FROM documents)
+              GROUP BY doc_id, term),
+            df AS (
+              SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM tf GROUP BY term),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+            SELECT doc_id, term, tf, df, tfidf, rk
+            FROM (SELECT doc_id, term, tf, df, tfidf,
+                    CAST(row_number() OVER (PARTITION BY doc_id
+                      ORDER BY tfidf DESC, term) AS BIGINT) AS rk
+                  FROM (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                          round(tf.tf * ln((SELECT n FROM n) / df.df), 6) AS tfidf
+                        FROM tf JOIN df ON tf.term = df.term))
+            WHERE rk <= 3"""))
+
   val all: Seq[Q] = Seq(textTokens, textQuality, textLangid, textFingerprint,
-    tokenCount)
+    tokenCount, textTfidf)
 }
