@@ -209,6 +209,45 @@ object DedupQueries {
                     ON x.lang = y.lang AND x.source = y.source
                    AND x.doc_id < y.doc_id)"""))
 
+  /** Dedup clusters: connected components over the LSH candidate-pair
+    * graph — "these documents are all versions of one another". Composes
+    * the MinHash pipeline with the identity CC operator; docs with no
+    * candidate pair form singleton clusters. Cluster id = min doc_id.
+    */
+  private val dedupClusters = Q(
+    "dedup_clusters",
+    (s, dir) => {
+      import org.apache.spark.sql.functions.{coalesce, col}
+      val docs = Tables.documents(s, dir)
+      val pairs = minhashCandidatePairs(docs)
+      val cc = graft.identity.Components.connectedComponents(pairs)
+      docs.select(col("doc_id"))
+        .join(cc, col("doc_id") === col("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster"))
+    },
+    Some {
+      val bandUnion = (0 until NumHashes / BandSize)
+        .map(b => s"SELECT doc_id, band$b AS band_hash FROM sig")
+        .mkString(" UNION ALL ")
+      s"""WITH RECURSIVE
+          sig AS ($minhashOracle),
+          long AS ($bandUnion),
+          pairs AS (
+            SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+            FROM long a JOIN long b
+              ON a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+          und AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+          nodes AS (SELECT DISTINCT u AS node FROM und),
+          reach(node, r) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT reach.node, und.v FROM reach JOIN und ON reach.r = und.u),
+          comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+          SELECT d.doc_id, CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS cluster
+          FROM documents d LEFT JOIN comp c ON c.node = d.doc_id"""
+    })
+
   val all: Seq[Q] = Seq(dedupMinhash, dedupMinhashPairs, dedupSimhash,
-    dedupNgramJaccard)
+    dedupNgramJaccard, dedupClusters)
 }

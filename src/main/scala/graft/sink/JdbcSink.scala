@@ -31,20 +31,23 @@ object JdbcSink {
     "\"" + Sanitize.key(name).replace("\"", "") + "\""
 
   /** Spark type → portable SQL type (reference stores everything VARCHAR;
-    * we keep real types and only fall back to TEXT for strings). */
-  def sqlType(dt: DataType): String = dt match {
+    * we keep real types and only fall back to VARCHAR for strings).
+    * `maxVarchar` is dialect-dependent: 65535 on Redshift, 32672 on Derby.
+    */
+  def sqlType(dt: DataType, maxVarchar: Int = 65535): String = dt match {
     case LongType | IntegerType => "BIGINT"
     case DoubleType | FloatType => "DOUBLE PRECISION"
     case BooleanType            => "BOOLEAN"
     case DateType               => "DATE"
     case _: TimestampType       => "TIMESTAMP"
     case _: DecimalType         => "NUMERIC"
-    case _                      => "VARCHAR(65535)"
+    case _                      => s"VARCHAR($maxVarchar)"
   }
 
-  def createTableSql(table: String, schema: StructType): String =
+  def createTableSql(table: String, schema: StructType,
+                     maxVarchar: Int = 65535): String =
     schema.fields
-      .map(f => s"${ident(f.name)} ${sqlType(f.dataType)}")
+      .map(f => s"${ident(f.name)} ${sqlType(f.dataType, maxVarchar)}")
       .mkString(s"CREATE TABLE IF NOT EXISTS ${ident(table)} (", ", ", ")")
 
   /** Columns present in the frame but missing from the live table. */
@@ -53,9 +56,10 @@ object JdbcSink {
     schema.fields.toSeq.filterNot(f => have(Sanitize.key(f.name).toLowerCase))
   }
 
-  def alterTableSql(table: String, newCols: Seq[StructField]): Seq[String] =
+  def alterTableSql(table: String, newCols: Seq[StructField],
+                    maxVarchar: Int = 65535): Seq[String] =
     newCols.map(f =>
-      s"ALTER TABLE ${ident(table)} ADD COLUMN ${ident(f.name)} ${sqlType(f.dataType)}")
+      s"ALTER TABLE ${ident(table)} ADD COLUMN ${ident(f.name)} ${sqlType(f.dataType, maxVarchar)}")
 
   def insertSql(table: String, schema: StructType): String = {
     val cols = schema.fields.map(f => ident(f.name)).mkString(", ")
@@ -74,8 +78,10 @@ object JdbcSink {
 
   /** Driver-side, once-per-batch schema evolution (the reference re-ran the
     * diff per ROW). */
-  def evolveSchema(conn: Connection, table: String, schema: StructType): Seq[String] = {
-    val stmts = alterTableSql(table, diffColumns(schema, existingColumns(conn, table)))
+  def evolveSchema(conn: Connection, table: String, schema: StructType,
+                   maxVarchar: Int = 65535): Seq[String] = {
+    val stmts = alterTableSql(table,
+      diffColumns(schema, existingColumns(conn, table)), maxVarchar)
     val st = conn.createStatement()
     try stmts.foreach(st.execute) finally st.close()
     stmts
@@ -137,12 +143,22 @@ object JdbcSink {
     * idempotence (reference T2 contract).
     */
   def writeEvolving(df: DataFrame, table: String, connect: () => Connection,
-                    batchSize: Int = 1000): Unit = {
+                    batchSize: Int = 1000, maxVarchar: Int = 65535): Unit = {
     val conn = connect()
     try {
-      val st = conn.createStatement()
-      try st.execute(createTableSql(table, df.schema)) finally st.close()
-      evolveSchema(conn, table, df.schema)
+      val exists = {
+        val rs = conn.getMetaData.getTables(null, null,
+          graft.model.Sanitize.key(table).replace("\"", ""), null)
+        try rs.next() finally rs.close()
+      }
+      if (!exists) {
+        // no IF NOT EXISTS in every dialect (Derby lacks it) — probe first
+        val st = conn.createStatement()
+        try st.execute(createTableSql(table, df.schema, maxVarchar)
+          .replace("CREATE TABLE IF NOT EXISTS", "CREATE TABLE"))
+        finally st.close()
+      }
+      evolveSchema(conn, table, df.schema, maxVarchar)
     } finally conn.close()
     write(df, table, connect, batchSize)
   }
