@@ -478,11 +478,44 @@ object CoreQueries {
                   FROM events)
             WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)"""))
 
+  // Exact interpolated percentiles: Spark's percentile and DuckDB's
+  // quantile_cont share the linear-interpolation formula over the same
+  // sorted values, so round(_, 4) matches exactly.
+  private val exactPercentiles = Q(
+    "exact_percentiles",
+    (s, dir) =>
+      events(s, dir).groupBy(col("event_type")).agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        round(min(col("value")), 4).as("vmin"),
+        round(max(col("value")), 4).as("vmax")),
+    Some("""SELECT event_type,
+            round(quantile_cont(value, 0.5), 4) AS p50,
+            round(quantile_cont(value, 0.95), 4) AS p95,
+            round(min(value), 4) AS vmin,
+            round(max(value), 4) AS vmax
+            FROM events GROUP BY event_type"""))
+
+  // Sketch aggregates (HLL distinct, GK quantiles): Spark's sketch
+  // algorithms are not DuckDB's, so this is deliberately registered
+  // WITHOUT an oracle (driver records the weaker rows-only check); the
+  // exact twins above cover value correctness. At 100 TB the sketches are
+  // the ones you actually run — fixed-size state, single pass, mergeable.
+  private val approxStats = Q(
+    "approx_stats",
+    (s, dir) =>
+      events(s, dir).groupBy(col("event_type")).agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        expr("approx_percentile(value, 0.5)").as("approx_p50"),
+        count(lit(1)).as("cnt")),
+    None)
+
   val all: Seq[Q] = Seq(
     scanProject, filterAlias, filterLike, filterInNotContains,
     deriveEventColumns, sanitizeColumns, aggCounts, aggMaxLength,
     schemaKeysUnion, dedupExact, dedupWindow, joinAliasLookup, joinAntiNew,
     joinSemi, sortNaturalLimit, stringFuncs, dateFuncs, etaRate,
     incrementalWatermark, eventsSessionize, jsonPropsExtract, topkUsers,
-    cubeEventDay, setOps, asofJoin, rangeJoin, windowFuncs)
+    cubeEventDay, setOps, asofJoin, rangeJoin, windowFuncs,
+    exactPercentiles, approxStats)
 }
