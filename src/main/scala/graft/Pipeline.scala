@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -43,9 +45,25 @@ object Pipeline {
         .select(col("person"), col("alias"))
         .distinct()
       if (!edges.isEmpty) {
-        Components.connectedComponentsString(edges)
+        // Incremental merge: union the delta's edges with the EXISTING
+        // assignments (themselves edges node—canonical) before closure —
+        // otherwise a delta batch would overwrite the table with only its
+        // own components and a bridging edge would never merge two
+        // pre-existing clusters (the reference's G2 bug this engine fixes,
+        // /root/reference/src/Operations/FileImporter.php:104-130).
+        val idDir = s"$outDir/identity"
+        val existing =
+          if (Files.exists(Paths.get(idDir)))
+            spark.read.parquet(idDir)
+              .select(col("alias_id").as("person"), col("canonical_id").as("alias"))
+          else spark.emptyDataFrame
+            .select(lit("").as("person"), lit("").as("alias")).limit(0)
+        Components.connectedComponentsString(existing.union(edges))
           .withColumnRenamed("id", "alias_id")
-          .write.mode("overwrite").parquet(s"$outDir/identity")
+          // materialize off the source dir before overwriting it (write
+          // would otherwise truncate the parquet it is lazily reading)
+          .localCheckpoint(eager = true)
+          .write.mode("overwrite").parquet(idDir)
       }
 
       watermarkFile.foreach { f =>

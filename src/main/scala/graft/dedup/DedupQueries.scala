@@ -55,18 +55,23 @@ object DedupQueries {
       s"(instr('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * $pow"
     }.mkString("(", " + ", ")")
 
-  /** MinHash signatures + LSH band hashes per document. One md5 per
-    * (doc, shingle), exploded, then a single hash-aggregate computing all
-    * 12 universal-hash minima — fully whole-stage-codegen, one shuffle on
-    * doc_id.
+  /** MinHash signatures + LSH band hashes per document — SHUFFLE-FREE:
+    * shingles stay an array column, one md5 per shingle via `transform`,
+    * and each of the 12 universal-hash minima is an `array_min(transform)`
+    * over the materialized base hashes. No explode, no groupBy — the whole
+    * signature is one whole-stage-codegen projection, embarrassingly
+    * parallel per document (the shape that survives 100 TB: the former
+    * explode+hash-aggregate shuffled |doc|×|shingles| rows on doc_id).
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val bases = docs
-      .select(col("doc_id"), explode(expr(shinglesExpr)).as("s"))
-      .select(col("doc_id"), expr(baseHashExpr("md5(s)")).as("x"))
+    val withBases = docs
+      .where(col("text").isNotNull)
+      .select(col("doc_id"),
+        expr(s"transform($shinglesExpr, s -> ${baseHashExpr("md5(s)")})").as("xs"))
     val mhs = (0 until NumHashes).map(j =>
-      min(expr(s"(${A(j)}L * x + ${B(j)}L) % ${P}L")).as(s"mh$j"))
-    val agg = bases.groupBy(col("doc_id")).agg(mhs.head, mhs.tail: _*)
+      expr(s"array_min(transform(xs, x -> (${A(j)}L * x + ${B(j)}L) % ${P}L))")
+        .as(s"mh$j"))
+    val agg = withBases.select(col("doc_id") +: mhs: _*)
     val bands = (0 until NumHashes / BandSize).map { b =>
       val cols = (0 until BandSize).map(r => col(s"mh${b * BandSize + r}"))
       md5(concat_ws("_", cols: _*)).as(s"band$b")

@@ -26,8 +26,48 @@ import org.apache.spark.storage.StorageLevel
   * (count + sum of per-edge hashes) — no driver-side collect of data, just two
   * scalar aggregates per round. Skewed high-degree nodes are exactly what
   * large-star is designed to shrink; AQE handles residual shuffle skew.
+  *
+  * Hybrid tail: star rounds shrink the edge set geometrically, so the last
+  * O(log n) rounds are tiny jobs whose cost is pure scheduling overhead.
+  * Once the live edge count (already known from the convergence signature —
+  * no extra job) drops below `driverFinishEdges`, the remainder is collected
+  * and finished with one in-memory union-find, and the result re-distributed.
+  * The threshold bounds driver memory (4M edges ≈ tens of MB), so the
+  * operator stays distributed exactly while the data is big and skips the
+  * fixed-overhead tail — on a 1000-executor cluster this saves the same
+  * rounds it saves at bench scale.
   */
 object Components {
+
+  /** Edge-count threshold below which CC finishes with a driver-side
+    * union-find instead of more star rounds. */
+  val DefaultDriverFinishEdges: Long = 4000000L
+
+  /** In-memory union-find, canonical = Ordering-min of each set. Iterative
+    * find (no recursion — component chains can exceed stack depth) with
+    * full path compression. Input pairs need not be deduplicated. */
+  private def unionFindMin[T](pairs: Iterator[(T, T)])(
+      implicit ord: Ordering[T]): Iterator[(T, T)] = {
+    val parent = scala.collection.mutable.HashMap.empty[T, T]
+    def find(x0: T): T = {
+      var r = x0
+      while (parent(r) != r) r = parent(r)
+      var x = x0
+      while (parent(x) != r) { val nxt = parent(x); parent(x) = r; x = nxt }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    // snapshot keys first: find() compresses paths (value writes) while
+    // we iterate
+    parent.keys.toList.iterator.map(k => k -> find(k))
+  }
 
   /** Connected components of an undirected edge list.
     *
@@ -36,7 +76,8 @@ object Components {
     *         appears in any edge, with component = min node id of its
     *         component. Deterministic.
     */
-  def connectedComponents(edges: DataFrame, maxIterations: Int = 50): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIterations: Int = 50,
+      driverFinishEdges: Long = DefaultDriverFinishEdges): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -98,9 +139,9 @@ object Components {
 
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
     var sig = signature(e)
-    var converged = false
+    var converged = sig._1 == 0
     var iter = 0
-    while (!converged && iter < maxIterations) {
+    while (!converged && sig._1 > driverFinishEdges && iter < maxIterations) {
       val t0 = System.nanoTime()
       // exactly ONE alternation per materialization: each star references
       // its input 2-3 times, so composing stars without a checkpoint
@@ -116,9 +157,22 @@ object Components {
         f"[cc] iter=$iter edges=${sig._1} ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
 
-    // Converged state is a star forest: u (member) -> v (root = min).
-    // Roots map to themselves; isolated original nodes map to themselves.
-    val member = e.select($"u".as("node"), $"v".as("component"))
+    val member =
+      if (converged)
+        // Converged star forest: u (member) -> v (root = min). Roots map to
+        // themselves via the left-join coalesce below.
+        e.select($"u".as("node"), $"v".as("component"))
+      else {
+        // Hybrid tail: the live edge set fits the driver — one union-find
+        // replaces the remaining O(log n) scheduling-bound rounds. Star
+        // rounds rewire edges among ORIGINAL node ids and only drop nodes
+        // once isolated, so components of the contracted set equal those of
+        // the original graph restricted to its remaining nodes.
+        val pairs = e.select($"u", $"v").as[(Long, Long)].collect()
+        if (debug) System.err.println(s"[cc] driver-finish edges=${pairs.length}")
+        spark.createDataset(unionFindMin(pairs.iterator).toSeq)
+          .toDF("node", "component")
+      }
     nodes.join(member, Seq("node"), "left")
       .select($"node", coalesce($"component", $"node").as("component"))
   }
@@ -143,11 +197,28 @@ object Components {
     * the 100 TB version), then maps back and picks the min *string* per
     * component as canonical.
     */
-  def connectedComponentsString(edges: DataFrame): DataFrame = {
+  def connectedComponentsString(edges: DataFrame,
+      driverFinishEdges: Long = 1000000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val cols = edges.columns
-    val e = edges.select(col(cols(0)).cast("string").as("a"), col(cols(1)).cast("string").as("b"))
+    val e0 = edges.select(col(cols(0)).cast("string").as("a"), col(cols(1)).cast("string").as("b"))
+    // Normalize once and materialize: the count below is then free, and the
+    // dict/join path reads the checkpoint instead of re-scanning the input.
+    val e = e0
+      .where($"a".isNotNull && $"b".isNotNull && $"a" =!= $"b")
+      .distinct()
+      .localCheckpoint(eager = true)
+    val edgeCount = e.count()
+    if (edgeCount == 0)
+      return Seq.empty[(String, String)].toDF("id", "canonical_id")
+    if (edgeCount <= driverFinishEdges) {
+      // Small graph: skip the dictionary hashing + three joins entirely —
+      // one collect + union-find, canonical = min string per component.
+      val pairs = e.as[(String, String)].collect()
+      return spark.createDataset(unionFindMin(pairs.iterator).toSeq)
+        .toDF("id", "canonical_id")
+    }
     val dict = e.select($"a".as("id")).union(e.select($"b".as("id")))
       .distinct()
       .withColumn("nid", xxhash64($"id"))
@@ -162,7 +233,11 @@ object Components {
     val cc = connectedComponents(le)
     val withId = cc.join(dict, cc("node") === dict("nid")).select($"id", $"component")
     val canon = withId.groupBy($"component").agg(min($"id").as("canonical_id"))
+    // Materialize before releasing the dictionary cache: the withId/canon
+    // joins are lazy and reference dict 3×; unpersisting first would make
+    // every downstream action recompute (and re-hash) the dictionary.
     val out = withId.join(canon, "component").select($"id", $"canonical_id")
+      .localCheckpoint(eager = true)
     dict.unpersist()
     out
   }

@@ -35,12 +35,12 @@ object JdbcSink {
     * `maxVarchar` is dialect-dependent: 65535 on Redshift, 32672 on Derby.
     */
   def sqlType(dt: DataType, maxVarchar: Int = 65535): String = dt match {
-    case LongType | IntegerType => "BIGINT"
+    case LongType | IntegerType | ShortType | ByteType => "BIGINT"
     case DoubleType | FloatType => "DOUBLE PRECISION"
     case BooleanType            => "BOOLEAN"
     case DateType               => "DATE"
     case _: TimestampType       => "TIMESTAMP"
-    case _: DecimalType         => "NUMERIC"
+    case d: DecimalType         => s"NUMERIC(${d.precision},${d.scale})"
     case _                      => s"VARCHAR($maxVarchar)"
   }
 
@@ -96,6 +96,11 @@ object JdbcSink {
         case l: Long                    => ps.setLong(i + 1, l)
         case n: Int                     => ps.setInt(i + 1, n)
         case d: Double                  => ps.setDouble(i + 1, d)
+        case f: Float                   => ps.setFloat(i + 1, f)
+        case s: Short                   => ps.setInt(i + 1, s.toInt)
+        case b: Byte                    => ps.setInt(i + 1, b.toInt)
+        case d: java.math.BigDecimal    => ps.setBigDecimal(i + 1, d)
+        case d: BigDecimal              => ps.setBigDecimal(i + 1, d.bigDecimal)
         case b: Boolean                 => ps.setBoolean(i + 1, b)
         case t: java.sql.Timestamp      => ps.setTimestamp(i + 1, t)
         case d: java.sql.Date           => ps.setDate(i + 1, d)

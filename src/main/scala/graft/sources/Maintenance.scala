@@ -26,20 +26,52 @@ object Maintenance {
     Files.walk(p).iterator().asScala
       .count(f => Files.isRegularFile(f) && f.toString.endsWith(".parquet"))
 
+  /** Hive-style partition columns of a parquet directory, outermost first:
+    * the chain of `name=value` subdirectory levels. A dataset written with
+    * `partitionBy("event_date")` yields `event_date=2024-01-01/...` dirs;
+    * compaction must re-apply that layout or partition pruning is lost.
+    */
+  def detectPartitionColumns(dir: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var cur = Paths.get(dir)
+    var descend = true
+    while (descend) {
+      val sub = Files.list(cur).iterator().asScala
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
+        .toList
+      sub.headOption match {
+        case Some(p) =>
+          out += p.getFileName.toString.split("=", 2)(0)
+          cur = p
+        case None => descend = false
+      }
+    }
+    out.toSeq
+  }
+
   /** Rewrite `dir` into ~targetBytes parquet files (write-aside then atomic
     * directory swap — readers either see the old or the new layout, never
-    * a partial one). Returns (filesBefore, filesAfter).
+    * a partial one). Hive partition layout (e.g. the Pipeline's
+    * `event_date=...` dirs) is detected and preserved, so partition pruning
+    * survives compaction. Returns (filesBefore, filesAfter).
     */
   def compact(spark: SparkSession, dir: String,
               targetBytes: Long = DefaultTargetBytes): (Int, Int) = {
     val path = Paths.get(dir)
     val before = parquetFileCount(path)
     val parts = math.max(1, math.ceil(dirSize(path).toDouble / targetBytes).toInt)
+    val partCols = detectPartitionColumns(dir)
 
     val tmp = dir.stripSuffix("/") + ".compacting"
     val old = dir.stripSuffix("/") + ".old"
-    spark.read.parquet(dir).repartition(parts)
-      .write.mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(dir)
+    val writer =
+      if (partCols.isEmpty) df.repartition(parts).write
+      else df
+        // co-locate rows of a partition, ~targetBytes output files within it
+        .repartition(parts, partCols.map(org.apache.spark.sql.functions.col): _*)
+        .write.partitionBy(partCols: _*)
+    writer.mode("overwrite").parquet(tmp)
 
     Files.move(path, Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(tmp), path, StandardCopyOption.ATOMIC_MOVE)

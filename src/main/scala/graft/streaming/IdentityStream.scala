@@ -16,24 +16,40 @@ import graft.identity.Components
   * against a single LIMIT-1 match and misses the merge).
   *
   * Per micro-batch: new (person, alias) edges ∪ previous assignments →
-  * closure (Components.mergeIncremental) → rewrite the assignments store.
-  * Assignments are themselves edges (node — canonical), so the union's
-  * closure is exact and the per-batch cost scales with the delta graph's
-  * diameter, not history size. The store is double-buffered (write new
-  * generation, then swap) so readers never see a half-written table.
+  * closure (Components.mergeIncremental) → write a NEW generation directory
+  * → atomically repoint a MANIFEST file at it. Assignments are themselves
+  * edges (node — canonical), so the union's closure is exact and the
+  * per-batch cost scales with the delta graph's diameter, not history size.
+  *
+  * The manifest is the single source of truth for the live generation:
+  * readers resolve MANIFEST → `gen-<n>/`, and the manifest swap is one
+  * atomic file move, so there is no window where the store "does not
+  * exist" (the flaw of moving data directories around). Data directories
+  * are immutable once written; the previous generation is retained one
+  * cycle so in-flight readers finish, older ones are garbage-collected.
+  * The store uses local-filesystem atomic moves (java.nio); for HDFS/S3 a
+  * production deployment would swap the same manifest via the FileSystem
+  * API's atomic rename / conditional put.
   */
 object IdentityStream {
 
-  /** Current assignments (alias_id, canonical_id), empty if none yet. */
-  def readAssignments(spark: SparkSession, storeDir: String): DataFrame = {
-    val cur = s"$storeDir/current"
-    if (Files.exists(Paths.get(cur)))
-      spark.read.parquet(cur)
-    else {
-      import spark.implicits._
-      Seq.empty[(String, String)].toDF("alias_id", "canonical_id")
-    }
+  private def manifest(storeDir: String) = Paths.get(storeDir, "MANIFEST")
+
+  /** Live generation directory name (e.g. "gen-3"), if any. */
+  private def liveGen(storeDir: String): Option[String] = {
+    val m = manifest(storeDir)
+    if (Files.exists(m)) Some(Files.readString(m).trim).filter(_.nonEmpty)
+    else None
   }
+
+  /** Current assignments (alias_id, canonical_id), empty if none yet. */
+  def readAssignments(spark: SparkSession, storeDir: String): DataFrame =
+    liveGen(storeDir) match {
+      case Some(gen) => spark.read.parquet(s"$storeDir/$gen")
+      case None =>
+        import spark.implicits._
+        Seq.empty[(String, String)].toDF("alias_id", "canonical_id")
+    }
 
   /** Fold one batch of alias edges into the store. Exposed for direct
     * testing and for batch callers (Pipeline incremental mode). */
@@ -44,22 +60,31 @@ object IdentityStream {
       .select(col("person"), col("alias"))
       .distinct()
     if (!newEdges.isEmpty) {
+      val prev = liveGen(storeDir)
       val existing = readAssignments(spark, storeDir)
         .select(col("alias_id").as("person"), col("canonical_id").as("alias"))
       val merged = Components
         .connectedComponentsString(existing.union(newEdges))
         .withColumnRenamed("id", "alias_id")
-      val next = s"$storeDir/next"
-      val cur = s"$storeDir/current"
-      merged.write.mode(SaveMode.Overwrite).parquet(next)
-      // swap generations; readers see old or new, never partial
-      val curPath = Paths.get(cur)
-      if (Files.exists(curPath)) {
-        val old = Paths.get(s"$storeDir/old")
-        if (Files.exists(old)) deleteRecursively(old)
-        Files.move(curPath, old)
-      }
-      Files.move(Paths.get(next), curPath)
+      val n = prev.map(_.stripPrefix("gen-").toLong + 1).getOrElse(0L)
+      val gen = s"gen-$n"
+      merged.write.mode(SaveMode.Overwrite).parquet(s"$storeDir/$gen")
+      // atomic pointer swap: write-aside then one atomic move
+      Files.createDirectories(Paths.get(storeDir))
+      val tmp = Paths.get(storeDir, "MANIFEST.tmp")
+      Files.writeString(tmp, gen)
+      Files.move(tmp, manifest(storeDir),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // GC generations older than the one we just superseded (kept one
+      // cycle for in-flight readers)
+      import scala.jdk.CollectionConverters._
+      val keep = Set(gen) ++ prev
+      Files.list(Paths.get(storeDir)).iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("gen-") &&
+          !keep(p.getFileName.toString))
+        .toList.foreach(deleteRecursively)
     }
   }
 

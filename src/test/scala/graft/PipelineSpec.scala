@@ -44,6 +44,31 @@ class PipelineSpec extends SparkSpec {
     val (n3, _) = Pipeline.run(spark, in, out, Some(wmf))
     assert(n3 == 1)
     assert(spark.read.parquet(s"$out/events").count() == 4)
+    // no alias edges in the delta -> identity table untouched
+    val ids3 = spark.read.parquet(s"$out/identity")
+      .select("alias_id", "canonical_id").as[(String, String)].collect().toMap
+    assert(ids3 == ids)
+
+    // delta with a NEW cluster {dave, anon-9}: prior assignments survive
+    put(in, "4.json",
+      """{"_p": "dave", "_p2": "anon-9", "_n": "alias", "_t": "1700000400"}""")
+    Pipeline.run(spark, in, out, Some(wmf))
+    val ids4 = spark.read.parquet(s"$out/identity")
+      .select("alias_id", "canonical_id").as[(String, String)].collect().toMap
+    assert(ids4("alice") == "alice" && ids4("anon-1") == "alice")
+    // canonical = min STRING of the component: "anon-9" < "dave"
+    assert(ids4("dave") == "anon-9" && ids4("anon-9") == "anon-9")
+
+    // delta with a BRIDGING edge: the two existing clusters merge
+    // (the reference's G2 LIMIT-1 resolve misses this)
+    put(in, "5.json",
+      """{"_p": "anon-1", "_p2": "anon-9", "_n": "alias", "_t": "1700000500"}""")
+    Pipeline.run(spark, in, out, Some(wmf))
+    val ids5 = spark.read.parquet(s"$out/identity")
+      .select("alias_id", "canonical_id").as[(String, String)].collect().toMap
+    assert(ids5.values.toSet == Set("alice"),
+      s"bridge must merge both clusters to min id, got $ids5")
+    assert(ids5.keySet == Set("alice", "anon-1", "dave", "anon-9"))
   }
 
   test("compaction reduces file count, preserves rows") {
@@ -54,5 +79,24 @@ class PipelineSpec extends SparkSpec {
     assert(nBefore == 16)
     assert(nAfter == 1)
     assert(spark.read.parquet(dir).count() == before)
+  }
+
+  test("compaction preserves hive partition layout (pruning survives)") {
+    import org.apache.spark.sql.functions.{col, pmod}
+    val dir = Files.createTempDirectory("compactp").toString + "/t"
+    spark.range(1000)
+      .withColumn("event_date", pmod(col("id"), org.apache.spark.sql.functions.lit(3)))
+      .repartition(8)
+      .write.partitionBy("event_date").parquet(dir)
+    assert(Maintenance.detectPartitionColumns(dir) == Seq("event_date"))
+    Maintenance.compact(spark, dir)
+    // partition dirs still exist -> scans with event_date filters prune
+    val partDirs = new java.io.File(dir).listFiles
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("event_date=")).sorted
+    assert(partDirs.toSeq == Seq("event_date=0", "event_date=1", "event_date=2"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1000)
+    assert(back.columns.contains("event_date"))
+    assert(back.filter(col("event_date") === 1).count() == 333)
   }
 }

@@ -30,11 +30,13 @@ class ComponentsSpec extends SparkSpec {
     roots.map { case (k, r) => k -> minOf(r) }
   }
 
-  private def sparkCC(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    Components.connectedComponents(edges.toDF("src", "dst"))
+  private def sparkCC(edges: Seq[(Long, Long)],
+      driverFinishEdges: Long = Components.DefaultDriverFinishEdges): Map[Long, Long] =
+    Components.connectedComponents(edges.toDF("src", "dst"),
+        driverFinishEdges = driverFinishEdges)
       .as[(Long, Long)].collect().toMap
 
-  test("matches union-find on random graphs (seeded)") {
+  test("matches union-find on random graphs (seeded) — driver-finish path") {
     val rnd = new Random(42)
     for (trial <- 1 to 8) {
       val n = 5 + rnd.nextInt(60)
@@ -47,6 +49,32 @@ class ComponentsSpec extends SparkSpec {
         assert(got == expected, s"trial $trial n=$n m=$m")
       }
     }
+  }
+
+  test("matches union-find on random graphs (seeded) — pure star path") {
+    val rnd = new Random(7)
+    for (trial <- 1 to 5) {
+      val n = 5 + rnd.nextInt(60)
+      val m = rnd.nextInt(3 * n)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // driverFinishEdges = 0 forces star rounds all the way to convergence
+        val got = sparkCC(edges, driverFinishEdges = 0L)
+        assert(got == unionFind(edges), s"trial $trial n=$n m=$m")
+      }
+    }
+  }
+
+  test("hybrid threshold mid-iteration agrees with both extremes") {
+    // a long chain takes several star rounds; a small threshold lets some
+    // rounds run distributed, then hands the contracted tail to the driver
+    val edges = (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val pure = sparkCC(edges, driverFinishEdges = 0L)
+    val mid = sparkCC(edges, driverFinishEdges = 10L)
+    val drv = sparkCC(edges)
+    assert(pure == drv && mid == drv)
+    assert(drv.values.toSet == Set(0L))
   }
 
   test("chain collapses to single component with min canonical") {
@@ -87,6 +115,10 @@ class ComponentsSpec extends SparkSpec {
     assert(got("anon-1") == "anon-1")
     assert(got("z") == "y")
     assert(got("y") == "y")
+    // the distributed dict path (hash-to-long + joins) must agree
+    val distributed = Components.connectedComponentsString(edges, driverFinishEdges = 0L)
+      .as[(String, String)].collect().toMap
+    assert(distributed == got)
   }
 
   test("self-loops and duplicate edges are harmless") {

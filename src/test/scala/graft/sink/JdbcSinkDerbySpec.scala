@@ -43,4 +43,32 @@ class JdbcSinkDerbySpec extends SparkSpec {
         ("carol", 3L, Some(9.5))))
     } finally conn.close()
   }
+
+  test("numeric bind types round-trip (Float, BigDecimal, Short, Byte)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val connect: () => java.sql.Connection = JdbcSinkDerbySpec.connect _
+    val schema = StructType(Seq(
+      StructField("k", StringType),
+      StructField("f", FloatType),
+      StructField("d", DecimalType(10, 2)),
+      StructField("s", ShortType),
+      StructField("b", ByteType)))
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        Row("x", 1.5f, new java.math.BigDecimal("12.34"), 7.toShort, 3.toByte)),
+      schema)
+    // Derby is strict: setString into DOUBLE/NUMERIC columns would throw —
+    // this test fails if bind() falls through to the string case.
+    JdbcSink.writeEvolving(df, "tb_types", connect, maxVarchar = 4000)
+    val conn = connect()
+    try {
+      val rs = conn.createStatement().executeQuery(
+        """SELECT "f", "d", "s", "b" FROM "tb_types"""")
+      assert(rs.next())
+      assert(rs.getDouble(1) == 1.5)
+      assert(rs.getBigDecimal(2) == new java.math.BigDecimal("12.34"))
+      assert(rs.getLong(3) == 7L && rs.getLong(4) == 3L)
+    } finally conn.close()
+  }
 }
