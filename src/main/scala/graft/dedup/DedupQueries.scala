@@ -263,6 +263,63 @@ object DedupQueries {
           FROM documents d LEFT JOIN comp c ON c.node = d.doc_id"""
     })
 
+  /** The C4-style corpus-cleaning pipeline, composed from the engine's own
+    * operators: keep documents that (1) pass the quality gate (>= 20
+    * tokens, >= 100 chars), (2) language-ID as English, and (3) are not
+    * the duplicate side of any LSH candidate pair (pair (a, b) with a < b
+    * keeps a, drops b — "first doc wins"). One left_anti join against the
+    * distinct b-side; at 100 TB the anti-join's build side is the pair
+    * list, orders of magnitude smaller than the corpus.
+    */
+  private val corpusClean = Q(
+    "corpus_clean",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def score(marker: String) =
+        ((length(col("text")) - length(regexp_replace(col("text"), marker, ""))) /
+          marker.length).cast("long")
+      val feat = docs
+        .withColumn("toks", expr("filter(split(lower(text), '[^a-z]+'), t -> t <> '')"))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("s_en", score(" the "))
+        .withColumn("s_de", score(" der "))
+        .withColumn("s_es", score(" el "))
+        .withColumn("s_fr", score(" le "))
+      val dupSide = minhashCandidatePairs(docs)
+        .select(col("b").as("doc_id")).distinct()
+      feat
+        .where(col("n_tokens") >= 20 && col("n_chars") >= 100)
+        .where(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+          col("s_en") >= col("s_fr") && col("s_en") > 0)
+        .join(dupSide, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("n_chars"), col("n_tokens"))
+    },
+    Some {
+      val bandUnion = (0 until NumHashes / BandSize)
+        .map(b => s"SELECT doc_id, band$b AS band_hash FROM sig")
+        .mkString(" UNION ALL ")
+      s"""WITH sig AS ($minhashOracle),
+          long AS ($bandUnion),
+          dup_side AS (
+            SELECT DISTINCT b.doc_id
+            FROM long a JOIN long b
+              ON a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+          feat AS (
+            SELECT doc_id, n_chars,
+                   CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     t -> t <> '')) AS BIGINT) AS n_tokens,
+                   CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT) AS s_en,
+                   CAST((length(text) - length(replace(text, ' der ', ''))) / 5 AS BIGINT) AS s_de,
+                   CAST((length(text) - length(replace(text, ' el ', ''))) / 4 AS BIGINT) AS s_es,
+                   CAST((length(text) - length(replace(text, ' le ', ''))) / 4 AS BIGINT) AS s_fr
+            FROM documents)
+          SELECT doc_id, n_chars, n_tokens
+          FROM feat
+          WHERE n_tokens >= 20 AND n_chars >= 100
+            AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0
+            AND doc_id NOT IN (SELECT doc_id FROM dup_side)"""
+    })
+
   val all: Seq[Q] = Seq(dedupMinhash, dedupMinhashPairs, dedupSimhash,
-    dedupNgramJaccard, dedupClusters)
+    dedupNgramJaccard, dedupClusters, corpusClean)
 }

@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Reshaping / OLAP operators the reference lacks entirely (SURVEY.md §2
+  * "Not present" row) — pivot, unpivot (melt), and value histograms —
+  * expressed with Spark's native operators so Catalyst keeps them inside
+  * whole-stage codegen:
+  *
+  *  - pivot: one hash aggregate over (user_id), conditional sums per
+  *    pivot value — a single shuffle regardless of pivot-domain size;
+  *  - unpivot: a generate-style expand (no shuffle at all);
+  *  - histogram: integer bucket math + one hash aggregate.
+  *
+  * Determinism (oracle hash-match): double sums are rounded to 2 decimals,
+  * integer outputs cast BIGINT on both engines, bucket math is identical
+  * IEEE `floor(value / width)` on both.
+  */
+object OlapQueries {
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  // Wide per-user metric matrix from the long event stream — pivot with an
+  // EXPLICIT value list: Spark then skips the extra distinct-values job and
+  // the aggregate stays one pass (the 100 TB shape; an unlisted pivot would
+  // first scan the corpus just to learn the domain).
+  private val pivotEventType = Q(
+    "pivot_event_type",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", EventTypes)
+        .agg(sum(col("value")))
+        .select(col("user_id") +:
+          EventTypes.map(t => round(coalesce(col(t), lit(0.0)), 2).as(s"v_$t")): _*),
+    Some {
+      val cols = EventTypes.map(t =>
+        s"round(coalesce(sum(CASE WHEN event_type = '$t' THEN value END), 0), 2) AS v_$t")
+        .mkString(",\n              ")
+      s"""SELECT user_id,
+              $cols
+          FROM events GROUP BY user_id"""
+    })
+
+  // Long metric stream from the wide lineitem row — Spark's native unpivot
+  // (an Expand node: zero shuffles, each input row fans out to 4).
+  private val unpivotMelt = Q(
+    "unpivot_melt",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "metric", "val"),
+    Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   'l_quantity' AS metric, l_quantity AS val FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'l_extendedprice', l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'l_discount', l_discount FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'l_tax', l_tax FROM lineitem"""))
+
+  // Fixed-width value histogram per event type; `floor(value / 10)` is the
+  // same IEEE double op on both engines, so buckets match bit-exactly.
+  private val histogramBins = Q(
+    "histogram_bins",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"), floor(col("value") / 10).cast("long").as("bin"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("n")),
+    Some("""SELECT event_type, CAST(floor(value / 10) AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type, CAST(floor(value / 10) AS BIGINT)"""))
+
+  val all: Seq[Q] = Seq(pivotEventType, unpivotMelt, histogramBins)
+}

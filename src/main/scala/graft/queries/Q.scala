@@ -16,6 +16,7 @@ final case class Q(
 object Registry {
   def all: Seq[Q] =
     CoreQueries.all ++
+      OlapQueries.all ++
       graft.identity.IdentityQueries.all ++
       graft.text.TextQueries.all ++
       graft.dedup.DedupQueries.all ++
