@@ -23,65 +23,46 @@ import graft.queries.{Q, Tables}
   */
 object DedupQueries {
 
-  private val NumHashes = 12
-  private val BandSize  = 3 // -> 4 bands
-  private val P         = 2038074743L // prime < 2^31
-  // fixed odd multipliers/offsets for the universal-hash family
-  private val A = Seq(1299709L, 15485863L, 32452843L, 49979687L, 67867967L,
-    86028121L, 104395301L, 122949823L, 141650939L, 160481183L, 179424673L,
-    198491317L)
-  private val B = Seq(977L, 1979L, 2971L, 3967L, 4969L, 5953L, 6959L, 7951L,
-    8963L, 9973L, 10979L, 11981L)
+  // hash-family constants shared with the native expression (the oracle
+  // SQL below is generated from the same values)
+  import graft.functions.MinHashSignature.{NumHashes, BandSize, P, A, B}
 
-  /** Char 5-gram shingle array (SQL expr, 1-based substring like DuckDB). */
-  private val shinglesExpr =
-    """CASE WHEN length(text) < 5 THEN array(text)
-       ELSE transform(sequence(1, length(text) - 4), i -> substring(text, i, 5)) END"""
-
-  /** 28-bit integer base hash from the first 7 hex digits of md5 — the SAME
-    * digit-by-digit formula on both engines (no conv() in DuckDB), so one
-    * md5 per shingle feeds all 12 minhash functions as pure integer math.
+  /** 28-bit integer base hash from the first 7 hex digits of md5, as
+    * DuckDB SQL — digit-by-digit (no conv() in DuckDB). The native Spark
+    * expression takes the same 28 bits straight off the digest bytes
+    * (graft.functions.MinHashSignature); a ScalaTest property pins the two
+    * formulations equal.
     */
-  private def baseHashExpr(h: String): String =
-    (0 until 7).map { i =>
-      val pow = 1L << (4 * (6 - i)) // 16^(6-i)
-      s"(instr('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * ${pow}L"
-    }.mkString("(", " + ", ")")
-
-  // DuckDB shares the formula, minus Spark's L suffix
   private def baseHashSql(h: String): String =
     (0 until 7).map { i =>
       val pow = 1L << (4 * (6 - i))
       s"(instr('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * $pow"
     }.mkString("(", " + ", ")")
 
-  /** MinHash signatures + LSH band hashes per document — SHUFFLE-FREE:
-    * shingles stay an array column, one md5 per shingle via `transform`,
-    * and each of the 12 universal-hash minima is an `array_min(transform)`
-    * over the materialized base hashes. No explode, no groupBy — the whole
-    * signature is one whole-stage-codegen projection, embarrassingly
-    * parallel per document (the shape that survives 100 TB: the former
-    * explode+hash-aggregate shuffled |doc|×|shingles| rows on doc_id).
+  /** MinHash signatures + LSH band hashes per document — SHUFFLE-FREE and
+    * allocation-free: the native one-pass `minhash_sig` expression slides
+    * the shingle window over the text inside whole-stage codegen (no
+    * shingle array, no interpreted lambda passes, no explode/groupBy),
+    * then the 4 band hashes are plain column math over its 12 outputs.
+    * Embarrassingly parallel per document — the shape that survives
+    * 100 TB (an explode+hash-aggregate would shuffle |doc|×|shingles|
+    * rows on doc_id).
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    // md5 once per shingle (inner transform), THEN the digit math: inlining
-    // baseHashExpr("md5(s)") would evaluate md5 7x per shingle — lambda
-    // bodies get no common-subexpression elimination. Measured 7x faster.
-    val withBases = Tables.spread(docs
+    // the native one-pass expression (graft.functions.MinHashSignature):
+    // no shingle array, no 12 interpreted array_min(transform(...)) passes,
+    // whole signature inside whole-stage codegen — bit-identical to the
+    // composable-SQL formulation the oracle uses.
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sig = Tables.spread(docs
       .where(col("text").isNotNull)
       .select(col("doc_id"), col("text")))
-      .select(col("doc_id"),
-        expr(s"transform(transform($shinglesExpr, s -> md5(s)), h -> ${baseHashExpr("h")})")
-          .as("xs"))
-    val mhs = (0 until NumHashes).map(j =>
-      expr(s"array_min(transform(xs, x -> (${A(j)}L * x + ${B(j)}L) % ${P}L))")
-        .as(s"mh$j"))
-    val agg = withBases.select(col("doc_id") +: mhs: _*)
+      .select(col("doc_id"), expr("minhash_sig(text)").as("mh"))
     val bands = (0 until NumHashes / BandSize).map { b =>
-      val cols = (0 until BandSize).map(r => col(s"mh${b * BandSize + r}"))
+      val cols = (0 until BandSize).map(r => element_at(col("mh"), b * BandSize + r + 1))
       md5(concat_ws("_", cols: _*)).as(s"band$b")
     }
-    agg.select(col("doc_id") +: bands: _*)
+    sig.select(col("doc_id") +: bands: _*)
   }
 
   private def minhashOracle: String = {

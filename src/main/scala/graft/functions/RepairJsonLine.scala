@@ -55,17 +55,32 @@ object GraftFunctions {
     "_FUNC_(line) - repairs unescaped quotes/backslashes inside flat-JSON string values",
     "")
 
-  def register(spark: SparkSession): Unit =
+  private val minhashInfo = new ExpressionInfo(
+    classOf[MinHashSignature].getName, null, "minhash_sig",
+    "_FUNC_(text) - 12 MinHash values over 5-char shingles, one pass, codegen'd",
+    "")
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("repair_json"), repairInfo,
       (exprs: Seq[Expression]) => RepairJsonLine(exprs.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("minhash_sig"), minhashInfo,
+      (exprs: Seq[Expression]) => MinHashSignature(exprs.head))
+  }
 }
 
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("repair_json"),
       new ExpressionInfo(classOf[RepairJsonLine].getName, null, "repair_json",
         "_FUNC_(line) - repairs unescaped quotes/backslashes inside flat-JSON string values", ""),
       (exprs: Seq[Expression]) => RepairJsonLine(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, null, "minhash_sig",
+        "_FUNC_(text) - 12 MinHash values over 5-char shingles, one pass, codegen'd", ""),
+      (exprs: Seq[Expression]) => MinHashSignature(exprs.head)))
+  }
 }
