@@ -124,22 +124,17 @@ object DedupQueries {
     })
 
   /** SimHash: 16 "bits", bit i = sign of Σ_tokens (±1 by parity of hex digit
-    * i of md5(token)). Multiplicity-weighted (raw token stream, not set). */
+    * i of md5(token)). Multiplicity-weighted (raw token stream, not set).
+    * One pass per document via the native `simhash16` expression — no
+    * explode, no shuffle; tokenless docs (NULL) are filtered to match the
+    * explode formulation, which emits no row for them. */
   private val dedupSimhash = Q(
     "dedup_simhash",
     (s, dir) => {
-      val toks = Tables.spread(Tables.documents(s, dir).select("doc_id", "text"))
-        .select(col("doc_id"),
-          explode(expr("filter(split(lower(text), '[^a-z]+'), t -> t <> '')"))
-            .as("token"))
-        .withColumn("h", md5(col("token")))
-      val sums = (1 to 16).map { i =>
-        sum(when(expr(s"(instr('0123456789abcdef', substring(h, $i, 1)) - 1) % 2") === 1,
-          1L).otherwise(-1L)).as(s"s$i")
-      }
-      val agg = toks.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
-      val bits = (1 to 16).map(i => when(col(s"s$i") > 0, "1").otherwise("0"))
-      agg.select(col("doc_id"), concat(bits: _*).as("simhash"))
+      graft.functions.GraftFunctions.register(s)
+      Tables.spread(Tables.documents(s, dir).select("doc_id", "text"))
+        .select(col("doc_id"), expr("simhash16(text)").as("simhash"))
+        .where(col("simhash").isNotNull)
     },
     Some {
       val sumDefs = (1 to 16).map { i =>

@@ -60,6 +60,16 @@ object GraftFunctions {
     "_FUNC_(text) - 12 MinHash values over 5-char shingles, one pass, codegen'd",
     "")
 
+  private val simhashInfo = new ExpressionInfo(
+    classOf[SimHash16].getName, null, "simhash16",
+    "_FUNC_(text) - 16-bit SimHash over word tokens, one pass; NULL if no tokens",
+    "")
+
+  private val dotInfo = new ExpressionInfo(
+    classOf[DotOrdered].getName, null, "dot_ordered",
+    "_FUNC_(a, b) - ordered-fold double dot product of two float arrays",
+    "")
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("repair_json"), repairInfo,
@@ -67,6 +77,12 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("minhash_sig"), minhashInfo,
       (exprs: Seq[Expression]) => MinHashSignature(exprs.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("simhash16"), simhashInfo,
+      (exprs: Seq[Expression]) => SimHash16(exprs.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("dot_ordered"), dotInfo,
+      (exprs: Seq[Expression]) => DotOrdered(exprs(0), exprs(1)))
   }
 }
 
@@ -82,5 +98,15 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[MinHashSignature].getName, null, "minhash_sig",
         "_FUNC_(text) - 12 MinHash values over 5-char shingles, one pass, codegen'd", ""),
       (exprs: Seq[Expression]) => MinHashSignature(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash16"),
+      new ExpressionInfo(classOf[SimHash16].getName, null, "simhash16",
+        "_FUNC_(text) - 16-bit SimHash over word tokens, one pass; NULL if no tokens", ""),
+      (exprs: Seq[Expression]) => SimHash16(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("dot_ordered"),
+      new ExpressionInfo(classOf[DotOrdered].getName, null, "dot_ordered",
+        "_FUNC_(a, b) - ordered-fold double dot product of two float arrays", ""),
+      (exprs: Seq[Expression]) => DotOrdered(exprs(0), exprs(1))))
   }
 }

@@ -27,9 +27,13 @@ object SimQueries {
   private val Dim = 64
   private val NumPlanes = 8
 
-  /** SQL expr: dot(a, b) as an ordered left fold in double. */
+  /** dot(a, b) as an ordered left fold in double — the native codegen'd
+    * expression (graft.functions.DotOrdered); bit-identical to the
+    * `aggregate(zip_with(...))` HOF formulation it replaced (same widen ×
+    * accumulate sequence), pinned by DotOrderedSpec. Callers must have run
+    * GraftFunctions.register first. */
   private def dotExpr(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    s"dot_ordered($a, $b)"
 
   /** ±1 pseudo-random hyperplane weight for (plane j, dim i), md5-derived so
     * the oracle reproduces it: parity of the first hex digit of md5("j_i"). */
@@ -75,6 +79,7 @@ object SimQueries {
 
   /** Exact cosine top-k for a query set against the full table. */
   def bruteForceTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val vecs = emb.select(col("vec_id"), col("embedding"),
       expr(dotExpr("embedding", "embedding")).as("norm2"))
     val queries = vecs.select(col("vec_id").as("q_id"),
@@ -112,6 +117,7 @@ object SimQueries {
   /** Bucketed ANN: top-k within the query's LSH bucket only — the plan that
     * survives scale (join key = bucket, candidates ~ n / 2^planes). */
   def bucketedTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     // checkpoint: bucket codes + norms feed both join sides; without it the
     // 8 × 64-term projections run twice
     val withBucket = lshBuckets(emb)
@@ -165,6 +171,7 @@ object SimQueries {
   private val dedupEmbedding = Q(
     "dedup_embedding",
     (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, dir)
       val withBucket = lshBuckets(emb)
         .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
