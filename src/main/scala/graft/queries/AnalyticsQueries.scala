@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** The product-analytics queries a Kissmetrics warehouse exists to serve
+  * (the reference ETLs events into Redshift precisely so analysts can run
+  * these): ordered funnel conversion and weekly cohort retention.
+  *
+  * Determinism: all comparisons use microsecond epoch keys
+  * (`unix_micros` / `epoch_ns // 1000`, the engine's cross-engine
+  * timestamp rule), week buckets are `date_trunc('week', ...)` (Monday
+  * start on both engines), and every count is BIGINT.
+  *
+  * Scale shape: each funnel step is one filtered aggregate joined to the
+  * previous step's (user, ts) — step tables shrink monotonically, so each
+  * join's build side is smaller than the last; retention is two hash
+  * aggregates and one equi-join on user_id.
+  */
+object AnalyticsQueries {
+
+  // Ordered 3-step funnel view -> click -> purchase: step N counts users
+  // whose earliest step-N event happens strictly AFTER their step-(N-1)
+  // time.
+  private val funnelSteps = Q(
+    "funnel_steps",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val t1 = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+      val t2 = ev.where(col("event_type") === "click")
+        .join(t1, "user_id").where(col("us") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+      val t3 = ev.where(col("event_type") === "purchase")
+        .join(t2, "user_id").where(col("us") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+      val mk = (step: Int, name: String, df: org.apache.spark.sql.DataFrame) =>
+        df.agg(count(lit(1)).as("users"))
+          .select(lit(step.toLong).as("step"), lit(name).as("step_name"), col("users"))
+      mk(1, "view", t1).union(mk(2, "click", t2)).union(mk(3, "purchase", t3))
+    },
+    Some("""WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+            t1 AS (SELECT user_id, min(us) AS t1 FROM ev
+                   WHERE event_type = 'view' GROUP BY user_id),
+            t2 AS (SELECT ev.user_id, min(us) AS t2 FROM ev JOIN t1 USING (user_id)
+                   WHERE event_type = 'click' AND us > t1 GROUP BY ev.user_id),
+            t3 AS (SELECT ev.user_id, min(us) AS t3 FROM ev JOIN t2 USING (user_id)
+                   WHERE event_type = 'purchase' AND us > t2 GROUP BY ev.user_id)
+            SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+                   CAST(count(*) AS BIGINT) AS users FROM t1
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), 'click', CAST(count(*) AS BIGINT) FROM t2
+            UNION ALL
+            SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT) FROM t3"""))
+
+  // Weekly cohort retention: cohort = week of a user's first event;
+  // (cohort, offset) counts distinct users active `offset` weeks later.
+  private val cohortRetention = Q(
+    "cohort_retention",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+        .distinct()
+      val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      ev.join(first, "user_id")
+        .groupBy(
+          date_format(col("cohort_wk"), "yyyy-MM-dd").as("cohort_week"),
+          (datediff(col("wk"), col("cohort_wk")) / 7).cast("long").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("users"))
+    },
+    Some("""WITH ev AS (SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+                 FROM events),
+            first AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id)
+            SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week,
+                   CAST((wk - cohort_wk) / 7 AS BIGINT) AS week_offset,
+                   CAST(count(DISTINCT ev.user_id) AS BIGINT) AS users
+            FROM ev JOIN first USING (user_id)
+            GROUP BY cohort_wk, CAST((wk - cohort_wk) / 7 AS BIGINT)"""))
+
+  val all: Seq[Q] = Seq(funnelSteps, cohortRetention)
+}
