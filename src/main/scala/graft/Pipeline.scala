@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.identity.Components
+import graft.identity.{Components, IdentityEdges}
 import graft.ingest.{NdjsonReader, WatermarkStore}
 
 /** The reference's `bin/ktd process-files` end-to-end, Spark-native
@@ -40,10 +40,9 @@ object Pipeline {
         .partitionBy("event_date")
         .parquet(s"$outDir/events")
 
-      val edges = events
-        .filter(col("alias").isNotNull && col("alias") =!= "")
-        .select(col("person"), col("alias"))
-        .distinct()
+      // alias events PLUS the reference's 'updated email' edge folding
+      // (person—new_email, new_email—previous_email)
+      val edges = IdentityEdges.fromEvents(events)
       if (!edges.isEmpty) {
         // Incremental merge: union the delta's edges with the EXISTING
         // assignments (themselves edges node—canonical) before closure —

@@ -71,6 +71,22 @@ class PipelineSpec extends SparkSpec {
     assert(ids5.keySet == Set("alice", "anon-1", "dave", "anon-9"))
   }
 
+  test("'updated email' events fold email edges into the closure") {
+    val in = Files.createTempDirectory("pipe-em-in").toString
+    val out = Files.createTempDirectory("pipe-em-out").toString
+    // the reference's full-rebuild folds (person—new_email) and
+    // (new_email—previous_email) edges (KissmetricsToDatabase.php:426-436)
+    put(in, "1.json",
+      """{"_p": "anon-7", "_p2": "user@x.com", "_n": "alias", "_t": "1700000000"}""",
+      """{"_p": "user@x.com", "_n": "updated email", "_t": "1700000100", "new_email": "u2@x.com", "previous_email": "user@x.com"}""")
+    Pipeline.run(spark, in, out, None)
+    val ids = spark.read.parquet(s"$out/identity")
+      .select("alias_id", "canonical_id").as[(String, String)].collect().toMap
+    // all four ids collapse to one cluster, canonical = min string
+    assert(ids.keySet == Set("anon-7", "user@x.com", "u2@x.com"))
+    assert(ids.values.toSet == Set("anon-7"))
+  }
+
   test("compaction reduces file count, preserves rows") {
     val dir = Files.createTempDirectory("compact").toString + "/t"
     spark.range(1000).repartition(16).write.parquet(dir)
