@@ -96,5 +96,41 @@ object MultimodalQueries {
             upper(substr(h, 1, 8)) AS thumb
             FROM (SELECT doc_id, n_chars, md5(text) AS h FROM documents)"""))
 
-  val all: Seq[Q] = Seq(multimodalDecode)
+  /** Frame sampling over the "video" payload: the 16-byte payload splits
+    * into 4 frames of 4 bytes (stride = frame size, no overlap); each row
+    * out is (doc_id, frame_no, luma, sig) — the one-row-in, k-frames-out
+    * explode shape a real video sampler has. Mean-byte "luma" stands in
+    * for decoded-pixel stats, hex window for the frame signature; a real
+    * decoder changes only the per-frame math, not the plumbing.
+    */
+  private val multimodalFrames = Q(
+    "multimodal_frames",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val media = Multimodal.attachPayload(Tables.documents(s, dir))
+        .select(col("doc_id"), lower(hex(col("payload"))).as("h"))
+      val hexVal = (c: String) => s"(instr('0123456789abcdef', $c) - 1)"
+      media
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, 3), f -> struct(CAST(f AS BIGINT) AS frame_no, substring(h, f * 8 + 1, 8) AS fh))"))
+          .as("fr"))
+        .select(col("doc_id"), col("fr.frame_no").as("frame_no"),
+          round(expr(
+            s"""aggregate(transform(sequence(1, 4),
+                  i -> ${hexVal("substr(fr.fh, 2*i - 1, 1)")} * 16
+                     + ${hexVal("substr(fr.fh, 2*i, 1)")}),
+                0L, (acc, v) -> acc + v) / 4.0"""), 4).as("luma"),
+          upper(col("fr.fh")).as("sig"))
+    },
+    Some("""SELECT doc_id, CAST(f AS BIGINT) AS frame_no,
+            round(list_sum(list_transform(range(1, 5),
+              i -> (instr('0123456789abcdef', substr(fh, 2*i - 1, 1)) - 1) * 16
+                 + (instr('0123456789abcdef', substr(fh, 2*i, 1)) - 1))) / 4.0, 4)
+              AS luma,
+            upper(fh) AS sig
+            FROM (SELECT doc_id, f, substr(h, f * 8 + 1, 8) AS fh
+                  FROM (SELECT doc_id, md5(text) AS h FROM documents),
+                       (SELECT unnest(range(0, 4)) AS f))"""))
+
+  val all: Seq[Q] = Seq(multimodalDecode, multimodalFrames)
 }

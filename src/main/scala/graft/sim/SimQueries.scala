@@ -218,6 +218,77 @@ object SimQueries {
           FROM embeddings e LEFT JOIN top1 t ON t.q_id = e.vec_id"""
     })
 
+  /** IVF (inverted-file) ANN: a coarse quantizer assigns every vector to
+    * its nearest centroid's cell; a query probes ONLY its own cell. The
+    * centroid set here is deterministic (every 50th vec_id) instead of
+    * k-means so the DuckDB oracle can reproduce the assignment exactly —
+    * swapping in trained centroids changes only the `cent` frame. At
+    * scale: centroids broadcast (K ≈ n/50 rows), the n×K assignment is
+    * embarrassingly parallel, and the probe join fans out only within
+    * cells (candidates ≈ n/K) — same O(n·cell) shape as production IVF.
+    * Assignment ties break on centroid id; cosine ordering is safe because
+    * dot_ordered is bit-exact on both engines.
+    */
+  private val simIvfTopk = Q(
+    "sim_ivf_topk",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val vecs = emb.select(col("vec_id"), col("embedding"),
+        expr(dotExpr("embedding", "embedding")).as("norm2"))
+      val cent = vecs.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          col("norm2").as("c_norm2"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("c_cos").desc, col("c_id"))
+      val assigned = vecs.crossJoin(broadcast(cent))
+        .withColumn("c_cos",
+          expr(dotExpr("embedding", "c_emb")) / sqrt(col("norm2") * col("c_norm2")))
+        .withColumn("arn", row_number().over(wAssign))
+        .where(col("arn") === 1)
+        .select(col("vec_id"), col("embedding"), col("norm2"), col("c_id").as("cell"))
+        .localCheckpoint(eager = true) // feeds both probe sides
+      val queries = assigned
+        .select(col("vec_id").as("q_id"), col("cell"),
+          col("embedding").as("q_emb"), col("norm2").as("q_norm2"))
+        .where(col("q_id") < 20)
+      val wTop = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      assigned.join(broadcast(queries), "cell")
+        .where(col("vec_id") =!= col("q_id"))
+        .withColumn("cos",
+          expr(dotExpr("embedding", "q_emb")) / sqrt(col("norm2") * col("q_norm2")))
+        .withColumn("rk", row_number().over(wTop).cast("long"))
+        .where(col("rk") <= 3)
+        .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rk"))
+    },
+    Some {
+      def dot(a: String, b: String) =
+        s"list_sum(list_transform(range(1, 65), i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)))"
+      def norm(a: String) = dot(a, a)
+      s"""WITH assigned AS (
+            SELECT vec_id, cell FROM (
+              SELECT v.vec_id, c.vec_id AS cell,
+                row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                  ${dot("v", "c")} / sqrt(${norm("v")} * ${norm("c")}) DESC,
+                  c.vec_id) AS arn
+              FROM embeddings v
+              JOIN embeddings c ON c.vec_id % 50 = 0)
+            WHERE arn = 1)
+          SELECT q_id, vec_id, round(cos, 6) AS cos, rk
+          FROM (SELECT q_id, vec_id, cos,
+                  CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos DESC, vec_id) AS BIGINT) AS rk
+                FROM (SELECT q.vec_id AS q_id, a.vec_id AS vec_id,
+                        ${dot("a", "q")} / sqrt(${norm("a")} * ${norm("q")}) AS cos
+                      FROM embeddings q
+                      JOIN assigned aq ON aq.vec_id = q.vec_id AND q.vec_id < 20
+                      JOIN assigned aa ON aa.cell = aq.cell
+                      JOIN embeddings a ON a.vec_id = aa.vec_id
+                      WHERE a.vec_id <> q.vec_id))
+          WHERE rk <= 3"""
+    })
+
   val all: Seq[Q] = Seq(simLshBuckets, simBruteforce, simAnnBucketed,
-    dedupEmbedding)
+    dedupEmbedding, simIvfTopk)
 }
