@@ -50,25 +50,21 @@ object RepairJsonLine {
   *    cluster-wide availability including pure-SQL users.
   */
 object GraftFunctions {
-  private val repairInfo = new ExpressionInfo(
-    classOf[RepairJsonLine].getName, null, "repair_json",
-    "_FUNC_(line) - repairs unescaped quotes/backslashes inside flat-JSON string values",
-    "")
+  private[functions] def extInfo(cls: String, name: String, usage: String) =
+    // the non-deprecated full constructor; empty docs fields
+    new ExpressionInfo(cls, null, name, usage, "", "", "", "", "", "", "built-in")
 
-  private val minhashInfo = new ExpressionInfo(
-    classOf[MinHashSignature].getName, null, "minhash_sig",
-    "_FUNC_(text) - 12 MinHash values over 5-char shingles, one pass, codegen'd",
-    "")
+  private val repairInfo = extInfo(classOf[RepairJsonLine].getName, "repair_json",
+    "_FUNC_(line) - repairs unescaped quotes/backslashes inside flat-JSON string values")
 
-  private val simhashInfo = new ExpressionInfo(
-    classOf[SimHash16].getName, null, "simhash16",
-    "_FUNC_(text) - 16-bit SimHash over word tokens, one pass; NULL if no tokens",
-    "")
+  private val minhashInfo = extInfo(classOf[MinHashSignature].getName, "minhash_sig",
+    "_FUNC_(text) - 12 MinHash values over 5-char shingles, one pass, codegen'd")
 
-  private val dotInfo = new ExpressionInfo(
-    classOf[DotOrdered].getName, null, "dot_ordered",
-    "_FUNC_(a, b) - ordered-fold double dot product of two float arrays",
-    "")
+  private val simhashInfo = extInfo(classOf[SimHash16].getName, "simhash16",
+    "_FUNC_(text) - 16-bit SimHash over word tokens, one pass; NULL if no tokens")
+
+  private val dotInfo = extInfo(classOf[DotOrdered].getName, "dot_ordered",
+    "_FUNC_(a, b) - ordered-fold double dot product of two float arrays")
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
@@ -90,23 +86,23 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("repair_json"),
-      new ExpressionInfo(classOf[RepairJsonLine].getName, null, "repair_json",
-        "_FUNC_(line) - repairs unescaped quotes/backslashes inside flat-JSON string values", ""),
+      GraftFunctions.extInfo(classOf[RepairJsonLine].getName, "repair_json",
+        "_FUNC_(line) - repairs unescaped quotes/backslashes inside flat-JSON string values"),
       (exprs: Seq[Expression]) => RepairJsonLine(exprs.head)))
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
-      new ExpressionInfo(classOf[MinHashSignature].getName, null, "minhash_sig",
-        "_FUNC_(text) - 12 MinHash values over 5-char shingles, one pass, codegen'd", ""),
+      GraftFunctions.extInfo(classOf[MinHashSignature].getName, "minhash_sig",
+        "_FUNC_(text) - 12 MinHash values over 5-char shingles, one pass, codegen'd"),
       (exprs: Seq[Expression]) => MinHashSignature(exprs.head)))
     ext.injectFunction((
       FunctionIdentifier("simhash16"),
-      new ExpressionInfo(classOf[SimHash16].getName, null, "simhash16",
-        "_FUNC_(text) - 16-bit SimHash over word tokens, one pass; NULL if no tokens", ""),
+      GraftFunctions.extInfo(classOf[SimHash16].getName, "simhash16",
+        "_FUNC_(text) - 16-bit SimHash over word tokens, one pass; NULL if no tokens"),
       (exprs: Seq[Expression]) => SimHash16(exprs.head)))
     ext.injectFunction((
       FunctionIdentifier("dot_ordered"),
-      new ExpressionInfo(classOf[DotOrdered].getName, null, "dot_ordered",
-        "_FUNC_(a, b) - ordered-fold double dot product of two float arrays", ""),
+      GraftFunctions.extInfo(classOf[DotOrdered].getName, "dot_ordered",
+        "_FUNC_(a, b) - ordered-fold double dot product of two float arrays"),
       (exprs: Seq[Expression]) => DotOrdered(exprs(0), exprs(1))))
   }
 }

@@ -43,7 +43,7 @@ object CsvReader {
   def readNormalized(spark: SparkSession, path: String, sep: String = ";",
                      schema: Option[StructType] = None): DataFrame = {
     val raw = read(spark, path, sep, schema)
-    val renamed = raw.toDF(raw.columns.map(graft.model.Sanitize.key): _*)
+    val renamed = raw.toDF(raw.columns.toIndexedSeq.map(graft.model.Sanitize.key): _*)
     renamed.columns.filter(_ != CorruptColumn).foldLeft(renamed) { (df, c) =>
       df.schema(c).dataType match {
         case org.apache.spark.sql.types.StringType =>

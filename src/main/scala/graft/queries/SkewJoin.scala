@@ -22,7 +22,7 @@ object SkewJoin {
     val salted = big.withColumn("__salt",
       // deterministic salt from a second column-independent hash of the
       // row: spreads rows of one hot key without RNG (replayable plans)
-      pmod(xxhash64(big.columns.map(col): _*), lit(saltBuckets)))
+      pmod(xxhash64(big.columns.toIndexedSeq.map(col): _*), lit(saltBuckets)))
     val exploded = small
       .withColumn("__salt", explode(expr(
         s"sequence(0, ${saltBuckets - 1})")))

@@ -45,5 +45,5 @@ object EventTransforms {
 
   /** O11: sanitize all column names; metadata-only, zero execution cost. */
   def sanitizeColumnNames(df: DataFrame): DataFrame =
-    df.toDF(df.columns.map(Sanitize.key): _*)
+    df.toDF(df.columns.toIndexedSeq.map(Sanitize.key): _*)
 }
