@@ -27,8 +27,16 @@ import graft.ingest.{NdjsonReader, WatermarkStore}
   */
 object Pipeline {
 
+  /** @param jdbcConnect when set, also load the warehouse the way the
+    *        reference does: append this batch's events to `tb_event` and
+    *        refresh `tb_identity` with the current closure snapshot
+    *        (truncate + reload — the closure REWRITES assignments when a
+    *        bridge merges clusters, so append-only rows would go stale).
+    */
   def run(spark: SparkSession, inDir: String, outDir: String,
-          watermarkFile: Option[String]): (Long, Long) = {
+          watermarkFile: Option[String],
+          jdbcConnect: Option[() => java.sql.Connection] = None,
+          jdbcMaxVarchar: Int = 65535): (Long, Long) = {
     val wm = watermarkFile.flatMap(WatermarkStore.read)
     val events = NdjsonReader.readEvents(spark, inDir, wm)
       .withColumn("event_date", to_date(col("ts")))
@@ -65,12 +73,46 @@ object Pipeline {
           .write.mode("overwrite").parquet(idDir)
       }
 
+      // optional warehouse load — the reference's actual sink
+      // (tb_event / tb_identity in Redshift): batched multi-row inserts
+      // with schema evolution, per partition in parallel.
+      jdbcConnect.foreach { connect =>
+        graft.sink.JdbcSink.writeEvolving(
+          events.drop("event_date"), "tb_event", connect,
+          maxVarchar = jdbcMaxVarchar)
+        if (Files.exists(Paths.get(s"$outDir/identity"))) {
+          truncateIfExists(connect, "tb_identity")
+          graft.sink.JdbcSink.writeEvolving(
+            spark.read.parquet(s"$outDir/identity")
+              .withColumnRenamed("canonical_id", "id")
+              .withColumnRenamed("alias_id", "alias"),
+            "tb_identity", connect, maxVarchar = jdbcMaxVarchar)
+        }
+      }
+
       watermarkFile.foreach { f =>
         val maxFile = events.agg(max(col("file_no"))).head().getLong(0)
         WatermarkStore.advance(f, maxFile)
       }
     }
     (nEvents, wm.getOrElse(-1L))
+  }
+
+  private def truncateIfExists(connect: () => java.sql.Connection,
+                               table: String): Unit = {
+    val conn = connect()
+    try {
+      val exists = {
+        val rs = conn.getMetaData.getTables(null, null, table, null)
+        try rs.next() finally rs.close()
+      }
+      if (exists) {
+        val st = conn.createStatement()
+        // DELETE, not TRUNCATE: universally supported (Derby has no
+        // TRUNCATE before 10.7) and transactional
+        try st.executeUpdate(s"""DELETE FROM "$table"""") finally st.close()
+      }
+    } finally conn.close()
   }
 
   def main(args: Array[String]): Unit = {

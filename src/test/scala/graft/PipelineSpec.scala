@@ -5,6 +5,13 @@ import java.nio.file.{Files, Paths}
 import graft.SparkSpec
 import graft.sources.Maintenance
 
+object PipelineSpec {
+  // separate in-memory Derby DB from JdbcSinkDerbySpec's; static so the
+  // connect closure shipped to executors captures nothing else
+  def connect(): java.sql.Connection =
+    java.sql.DriverManager.getConnection("jdbc:derby:memory:graftpipe;create=true")
+}
+
 class PipelineSpec extends SparkSpec {
   import spark.implicits._
 
@@ -85,6 +92,43 @@ class PipelineSpec extends SparkSpec {
     // all four ids collapse to one cluster, canonical = min string
     assert(ids.keySet == Set("anon-7", "user@x.com", "u2@x.com"))
     assert(ids.values.toSet == Set("anon-7"))
+  }
+
+  test("jdbc mode loads tb_event and refreshes tb_identity (Derby e2e)") {
+    val in = Files.createTempDirectory("pipe-jdbc-in").toString
+    val out = Files.createTempDirectory("pipe-jdbc-out").toString
+    val wmf = Files.createTempDirectory("pipe-jdbc-wm").resolve("last").toString
+    val connect: () => java.sql.Connection = PipelineSpec.connect _
+
+    def query[A](sql: String)(f: java.sql.ResultSet => A): List[A] = {
+      val conn = connect()
+      try {
+        val rs = conn.createStatement().executeQuery(sql)
+        try Iterator.continually(rs).takeWhile(_.next()).map(f).toList
+        finally rs.close()
+      } finally conn.close()
+    }
+
+    put(in, "1.json",
+      """{"_p": "alice", "_p2": "anon-1", "_n": "alias", "_t": "1700000000"}""",
+      """{"_p": "dave", "_p2": "anon-9", "_n": "alias", "_t": "1700000100"}""")
+    Pipeline.run(spark, in, out, Some(wmf), Some(connect), jdbcMaxVarchar = 4000)
+    assert(query("""SELECT count(*) FROM "tb_event"""")(_.getLong(1)) == List(2L))
+    val ids1 = query("""SELECT "alias", "id" FROM "tb_identity"""")(
+      r => r.getString(1) -> r.getString(2)).toMap
+    assert(ids1("alice") == "alice" && ids1("anon-1") == "alice")
+    assert(ids1("dave") == "anon-9")
+
+    // delta bridges the two clusters: events APPEND, identity REFRESHES
+    // (stale dave -> anon-9 must not survive)
+    put(in, "2.json",
+      """{"_p": "anon-1", "_p2": "anon-9", "_n": "alias", "_t": "1700000200"}""")
+    Pipeline.run(spark, in, out, Some(wmf), Some(connect), jdbcMaxVarchar = 4000)
+    assert(query("""SELECT count(*) FROM "tb_event"""")(_.getLong(1)) == List(3L))
+    val ids2 = query("""SELECT "alias", "id" FROM "tb_identity"""")(
+      r => r.getString(1) -> r.getString(2)).toMap
+    assert(ids2.values.toSet == Set("alice"), s"stale assignments: $ids2")
+    assert(ids2.keySet == Set("alice", "anon-1", "dave", "anon-9"))
   }
 
   test("compaction reduces file count, preserves rows") {
