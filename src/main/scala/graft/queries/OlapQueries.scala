@@ -76,5 +76,28 @@ object OlapQueries {
                    CAST(count(*) AS BIGINT) AS n
             FROM events GROUP BY event_type, CAST(floor(value / 10) AS BIGINT)"""))
 
-  val all: Seq[Q] = Seq(pivotEventType, unpivotMelt, histogramBins)
+  // Custom typed Aggregator through the official UDAF surface — exercises
+  // partial aggregation (reduce per partition, merge at the exchange); the
+  // shuffle carries one (sum, weight) buffer per group per partition.
+  // Aggregated doubles are rounded to 2 on output (the engine's
+  // cross-engine rule for non-ordered double sums).
+  private val udafWeightedMean = Q(
+    "udaf_weighted_mean",
+    (s, dir) => {
+      import org.apache.spark.sql.Encoders
+      val wm = udaf(graft.functions.WeightedMean,
+        Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+      Tables.events(s, dir)
+        .withColumn("w", (col("user_id") % 10 + 1).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(round(wm(col("value"), col("w")), 2).as("wavg"),
+          count(lit(1)).as("n"))
+    },
+    Some("""SELECT event_type, round(sum(value * w) / sum(w), 2) AS wavg,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT event_type, value, user_id % 10 + 1 AS w FROM events)
+            GROUP BY event_type"""))
+
+  val all: Seq[Q] = Seq(pivotEventType, unpivotMelt, histogramBins,
+    udafWeightedMean)
 }
