@@ -78,5 +78,37 @@ object AnalyticsQueries {
             FROM ev JOIN first USING (user_id)
             GROUP BY cohort_wk, CAST((wk - cohort_wk) / 7 AS BIGINT)"""))
 
-  val all: Seq[Q] = Seq(funnelSteps, cohortRetention)
+  // Spark's NATIVE session_window operator (vs the hand-rolled lag/cumsum
+  // in events_sessionize): one aggregate, no window-function sort pass.
+  // Session end = last event + gap, exactly what the oracle's
+  // max(us) + gap reproduces; all keys microsecond integers.
+  private val sessionWindowAgg = Q(
+    "session_window_agg",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("session_start_us"),
+          unix_micros(col("w.end")).as("session_end_us"),
+          col("n")),
+    Some("""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+            marked AS (
+              SELECT user_id, us,
+                CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM (SELECT user_id, us,
+                      lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev_us
+                    FROM e)),
+            sess AS (
+              SELECT user_id, us,
+                sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                  ROWS UNBOUNDED PRECEDING) AS sid
+              FROM marked)
+            SELECT user_id, min(us) AS session_start_us,
+                   max(us) + 1800000000 AS session_end_us,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM sess GROUP BY user_id, sid"""))
+
+  val all: Seq[Q] = Seq(funnelSteps, cohortRetention, sessionWindowAgg)
 }

@@ -46,8 +46,12 @@ object Tables {
     val df = load(spark, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        // nanosAsLong mode: ns since epoch -> microsecond timestamp (floor)
-        df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+        // nanosAsLong mode: ns since epoch -> microsecond timestamp.
+        // INTEGER division (`div`), not floor(ts / 1000): `/` on longs is
+        // DOUBLE division, and epoch-nanos (~1.7e18) exceed the 53-bit
+        // mantissa — some timestamps came out 1 us off vs DuckDB's exact
+        // `epoch_ns // 1000`.
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => df
     }
   }
