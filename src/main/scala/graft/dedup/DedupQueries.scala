@@ -211,7 +211,10 @@ object DedupQueries {
       import org.apache.spark.sql.functions.{coalesce, col}
       val docs = Tables.documents(s, dir)
       val pairs = minhashCandidatePairs(docs)
-      val cc = graft.identity.Components.connectedComponents(pairs)
+      // pairs are DISTINCT (a < b, non-null) by construction — skip the
+      // CC normalize distinct (a full edge-set shuffle)
+      val cc = graft.identity.Components.connectedComponents(pairs,
+        inputDistinct = true)
       docs.select(col("doc_id"))
         .join(cc, col("doc_id") === col("node"), "left")
         .select(col("doc_id"),

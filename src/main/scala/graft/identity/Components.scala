@@ -84,12 +84,18 @@ object Components {
   /** Connected components of an undirected edge list.
     *
     * @param edges DataFrame with two Long-compatible columns (src, dst).
+    * @param inputDistinct caller guarantees the edge list is already
+    *        DISTINCT with no nulls/self-loops (direction irrelevant) —
+    *        skips the normalize `distinct()`, which is a full shuffle of
+    *        the edge set (the LSH pair pipelines end in exactly such a
+    *        distinct, so re-distincting would double that cost at scale).
     * @return DataFrame `(node: Long, component: Long)` — every node that
     *         appears in any edge, with component = min node id of its
     *         component. Deterministic.
     */
   def connectedComponents(edges: DataFrame, maxIterations: Int = 50,
-      driverFinishEdges: Long = DefaultDriverFinishEdges): DataFrame = {
+      driverFinishEdges: Long = DefaultDriverFinishEdges,
+      inputDistinct: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -97,12 +103,14 @@ object Components {
     require(cols.length == 2, s"edges must have exactly 2 columns, got ${cols.mkString(",")}")
 
     // Normalize: Long pairs, no self-loops, undirected-canonical (big, small), distinct.
-    var e = edges
+    val typed = edges
       .select(col(cols(0)).cast("long").as("u"), col(cols(1)).cast("long").as("v"))
-      .where($"u".isNotNull && $"v".isNotNull && $"u" =!= $"v")
-      .select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
-      .distinct()
-      .localCheckpoint(eager = true)
+    val canonical = {
+      val c = typed.select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
+      if (inputDistinct) c
+      else c.where($"u".isNotNull && $"v".isNotNull && $"u" =!= $"v").distinct()
+    }
+    var e = canonical.localCheckpoint(eager = true)
 
     // All original nodes (star edges can drop isolated-after-contraction
     // nodes from intermediate edge sets; we re-attach at the end). Derived
@@ -248,7 +256,10 @@ object Components {
     val le = e.join(dict.withColumnRenamed("id", "a").withColumnRenamed("nid", "na"), "a")
       .join(dict.withColumnRenamed("id", "b").withColumnRenamed("nid", "nb"), "b")
       .select($"na", $"nb")
-    val cc = connectedComponents(le)
+    // le is distinct by construction (dict maps distinct string edges);
+    // a hash-collision self-loop or duplicate is harmless to the star
+    // iterations, so skip the redundant edge-set shuffle
+    val cc = connectedComponents(le, inputDistinct = true)
     val withId = cc.join(dict, cc("node") === dict("nid")).select($"id", $"component")
     val canon = withId.groupBy($"component").agg(min($"id").as("canonical_id"))
     // Materialize before releasing the dictionary cache: the withId/canon

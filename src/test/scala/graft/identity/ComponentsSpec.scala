@@ -77,6 +77,23 @@ class ComponentsSpec extends SparkSpec {
     assert(drv.values.toSet == Set(0L))
   }
 
+  test("inputDistinct fast path agrees with the normalizing default") {
+    val rnd = new Random(11)
+    for (trial <- 1 to 5) {
+      val n = 5 + rnd.nextInt(40)
+      val edges = Seq.fill(rnd.nextInt(2 * n) + 1)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .distinct
+      if (edges.nonEmpty) {
+        val fast = Components.connectedComponents(
+          edges.toDF("src", "dst"), inputDistinct = true)
+          .as[(Long, Long)].collect().toMap
+        assert(fast == sparkCC(edges), s"trial $trial")
+      }
+    }
+  }
+
   test("chain collapses to single component with min canonical") {
     val edges = (0L until 30L).sliding(2).map(s => (s(0), s(1))).toSeq
     val got = sparkCC(edges)
