@@ -12,14 +12,15 @@ import graft.queries.{Q, Tables}
   *  - MinHash + LSH banding over 5-char shingles (signatures per doc; same
   *    band hash ⇒ candidate pair);
   *  - SimHash (16-bit, token-md5 sign aggregation);
-  *  - blocked n-gram Jaccard (exact set similarity inside (lang, source)
-  *    blocks).
+  *  - exact n-gram Jaccard verification over the LSH candidate pairs
+  *    (generate-then-verify; the join fan-out is the candidate list, not
+  *    any block's square).
   *
   * All hashes are md5-derived so the DuckDB oracle reproduces them exactly;
   * at 100 TB the same plans hold: shingling/minhashing is embarrassingly
   * parallel per document, LSH banding turns O(n²) pair search into a
-  * groupBy on band hash, and the Jaccard join is blocked so the join fans
-  * out only within blocking keys.
+  * groupBy on band hash, and exact-Jaccard verification touches only the
+  * candidate pairs LSH surfaced.
   */
 object DedupQueries {
 
@@ -153,52 +154,68 @@ object DedupQueries {
                 GROUP BY doc_id)"""
     })
 
-  /** Blocked exact n-gram Jaccard: distinct word-3-gram sets, pairs within
-    * (lang, source) blocks, |∩| via relational join so both engines compute
-    * identical integers. */
+  /** Exact n-gram Jaccard over LSH candidate pairs: distinct word-3-gram
+    * sets, |∩| via `array_intersect` so both engines compute identical
+    * integers. The pair list comes from [[minhashCandidatePairs]] (banded
+    * LSH), NOT an all-pairs self-join inside coarse blocks — so the join
+    * fan-out is the candidate list (≈ linear in corpus size at a fixed
+    * near-dup rate), never block². This is the standard
+    * generate-candidates-then-verify shape that survives 100 TB; the
+    * verify step is two doc_id-keyed joins pulling gram sets onto the
+    * (small) pair list. */
   private val dedupNgramJaccard = Q(
     "dedup_ngram_jaccard",
     (s, dir) => {
-      val docs = Tables.spread(
-          Tables.documents(s, dir).select("doc_id", "lang", "source", "text"))
+      val docs = Tables.documents(s, dir)
+      val grams = Tables.spread(docs.select("doc_id", "text"))
         .withColumn("toks", expr("filter(split(lower(text), '[^a-z]+'), t -> t <> '')"))
         .withColumn("grams", expr(
           """CASE WHEN size(toks) < 3 THEN array()
              ELSE array_distinct(transform(sequence(1, size(toks) - 2),
                i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))) END"""))
-        .select(col("doc_id"), col("lang"), col("source"),
-          col("grams"), size(col("grams")).cast("long").as("n"))
-      val pairs = docs.as("x").join(docs.as("y"),
-          col("x.lang") === col("y.lang") &&
-            col("x.source") === col("y.source") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-          col("x.n").as("na"), col("y.n").as("nb"),
-          size(array_intersect(col("x.grams"), col("y.grams"))).cast("long")
-            .as("inter"))
-      pairs.select(col("a"), col("b"), col("inter"),
+        .select(col("doc_id"), col("grams"), size(col("grams")).cast("long").as("n"))
+      val verified = minhashCandidatePairs(docs)
+        .join(grams.select(col("doc_id").as("a"), col("grams").as("ga"),
+          col("n").as("na")), "a")
+        .join(grams.select(col("doc_id").as("b"), col("grams").as("gb"),
+          col("n").as("nb")), "b")
+        .select(col("a"), col("b"),
+          size(array_intersect(col("ga"), col("gb"))).cast("long").as("inter"),
+          col("na"), col("nb"))
+      verified.select(col("a"), col("b"), col("inter"),
         (col("na") + col("nb") - col("inter")).as("uni"),
         round(col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
+          nullif(col("na") + col("nb") - col("inter"), lit(0L)), 4).as("jaccard"))
     },
-    Some("""WITH g AS (
-              SELECT doc_id, lang, source, grams,
-                CAST(len(grams) AS BIGINT) AS n
-              FROM (SELECT doc_id, lang, source,
-                      CASE WHEN len(toks) < 3 THEN []
-                      ELSE list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
-                        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) END AS grams
-                    FROM (SELECT doc_id, lang, source,
-                            list_filter(string_split_regex(lower(text), '[^a-z]+'),
-                              t -> t <> '') AS toks
-                          FROM documents)))
-            SELECT a, b, inter, uni, round(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
-            FROM (SELECT x.doc_id AS a, y.doc_id AS b,
-                    CAST(len(list_intersect(x.grams, y.grams)) AS BIGINT) AS inter,
-                    x.n + y.n - CAST(len(list_intersect(x.grams, y.grams)) AS BIGINT) AS uni
-                  FROM g x JOIN g y
-                    ON x.lang = y.lang AND x.source = y.source
-                   AND x.doc_id < y.doc_id)"""))
+    Some {
+      val bandUnion = (0 until NumHashes / BandSize)
+        .map(b => s"SELECT doc_id, band$b AS band_hash FROM sig")
+        .mkString(" UNION ALL ")
+      s"""WITH sig AS ($minhashOracle),
+          long AS ($bandUnion),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+            FROM long a JOIN long b
+              ON a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+          g AS (
+            SELECT doc_id, grams, CAST(len(grams) AS BIGINT) AS n
+            FROM (SELECT doc_id,
+                    CASE WHEN len(toks) < 3 THEN []
+                    ELSE list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) END AS grams
+                  FROM (SELECT doc_id,
+                          list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                            t -> t <> '') AS toks
+                        FROM documents)))
+          SELECT a, b, inter, uni,
+            round(CAST(inter AS DOUBLE) / nullif(uni, 0), 4) AS jaccard
+          FROM (SELECT c.a, c.b,
+                  CAST(len(list_intersect(x.grams, y.grams)) AS BIGINT) AS inter,
+                  x.n + y.n - CAST(len(list_intersect(x.grams, y.grams)) AS BIGINT) AS uni
+                FROM cand c
+                JOIN g x ON x.doc_id = c.a
+                JOIN g y ON y.doc_id = c.b)"""
+    })
 
   /** Dedup clusters: connected components over the LSH candidate-pair
     * graph — "these documents are all versions of one another". Composes

@@ -66,16 +66,35 @@ object MinHashSignature {
     MessageDigest.getInstance("MD5"))
 
   /** Static entry point for generated code. One pass: slide the 5-char
-    * window, md5 each shingle, fold all 12 minima. */
+    * window, md5 each shingle, fold all 12 minima.
+    *
+    * Windows are CODE POINTS, not UTF-16 units — SQL substring/length (and
+    * the DuckDB oracle) count code points, so a supplementary-plane char
+    * (emoji, rare CJK) must occupy one window slot even though it is two
+    * Java chars. Strings without surrogate pairs (the overwhelming common
+    * case) take the allocation-free char-indexed path.
+    */
   def compute(text: UTF8String): ArrayData = {
     val s = text.toString
     val mins = Array.fill(NumHashes)(Long.MaxValue)
     val md = digest.get()
-    if (s.length < 5) update(mins, md, s)
-    else {
+    val cp = s.codePointCount(0, s.length)
+    if (cp < 5) update(mins, md, s)
+    else if (cp == s.length) {
+      // BMP-only: code-point index == char index
       var i = 0
       val last = s.length - 5
       while (i <= last) { update(mins, md, s.substring(i, i + 5)); i += 1 }
+    } else {
+      // surrogate pairs present: precompute char offsets per code point
+      val offs = new Array[Int](cp + 1)
+      var i = 0
+      var o = 0
+      while (i < cp) { offs(i) = o; o += Character.charCount(s.codePointAt(o)); i += 1 }
+      offs(cp) = s.length
+      var k = 0
+      val last = cp - 5
+      while (k <= last) { update(mins, md, s.substring(offs(k), offs(k + 5))); k += 1 }
     }
     new GenericArrayData(mins)
   }

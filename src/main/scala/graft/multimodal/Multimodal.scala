@@ -115,18 +115,20 @@ object MultimodalQueries {
           "transform(sequence(0, 3), f -> struct(CAST(f AS BIGINT) AS frame_no, substring(h, f * 8 + 1, 8) AS fh))"))
           .as("fr"))
         .select(col("doc_id"), col("fr.frame_no").as("frame_no"),
-          round(expr(
+          // luma_x4 = 4 * mean byte value, kept as the exact integer sum so
+          // the cross-engine hash compares BIGINTs, not float formatting.
+          expr(
             s"""aggregate(transform(sequence(1, 4),
                   i -> ${hexVal("substr(fr.fh, 2*i - 1, 1)")} * 16
                      + ${hexVal("substr(fr.fh, 2*i, 1)")}),
-                0L, (acc, v) -> acc + v) / 4.0"""), 4).as("luma"),
+                0L, (acc, v) -> acc + v)""").as("luma_x4"),
           upper(col("fr.fh")).as("sig"))
     },
     Some("""SELECT doc_id, CAST(f AS BIGINT) AS frame_no,
-            round(list_sum(list_transform(range(1, 5),
+            CAST(list_sum(list_transform(range(1, 5),
               i -> (instr('0123456789abcdef', substr(fh, 2*i - 1, 1)) - 1) * 16
-                 + (instr('0123456789abcdef', substr(fh, 2*i, 1)) - 1))) / 4.0, 4)
-              AS luma,
+                 + (instr('0123456789abcdef', substr(fh, 2*i, 1)) - 1))) AS BIGINT)
+              AS luma_x4,
             upper(fh) AS sig
             FROM (SELECT doc_id, f, substr(h, f * 8 + 1, 8) AS fh
                   FROM (SELECT doc_id, md5(text) AS h FROM documents),

@@ -354,16 +354,19 @@ object CoreQueries {
             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
             FROM events"""))
 
-  // Top-k by aggregate with rank window; rank on the exact double, output
-  // rounded, user_id tiebreak for determinism.
+  // Top-k by aggregate; rank on the exact double, output rounded, user_id
+  // tiebreak for determinism. sort+limit fuses to TakeOrderedAndProject
+  // (per-partition partial top-k, k rows to the driver-side reduce) — the
+  // rank window then runs over only the 10 survivors, never funneling the
+  // full aggregate through one task like a global row_number would.
   private val topkUsers = Q(
     "topk_users",
     (s, dir) => {
       val agg = events(s, dir).groupBy(col("user_id"))
         .agg(sum(col("value")).as("total_raw"), count(lit(1)).as("cnt"))
+      val top = agg.orderBy(col("total_raw").desc, col("user_id")).limit(10)
       val w = Window.orderBy(col("total_raw").desc, col("user_id"))
-      agg.withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= 10)
+      top.withColumn("rk", row_number().over(w).cast("long"))
         .select(col("user_id"), round(col("total_raw"), 2).as("total"),
           col("cnt"), col("rk"))
     },

@@ -147,21 +147,27 @@ object TextQueries {
   // TF-IDF: top-3 terms per document. Ranking uses the ROUNDED score
   // (then term) so a last-ulp ln() difference between engines cannot flip
   // the order; ties in (tf, df) produce bit-identical scores on both.
+  // Scale notes: the document-frequency side is vocabulary-sized (100M+
+  // distinct terms at web scale), so it is NOT hint-broadcast — AQE picks
+  // the join strategy from the observed size; and the corpus count enters
+  // the plan as a one-row cross join, not a driver-side .count() action,
+  // so the whole query stays a single job.
   private val textTfidf = Q(
     "text_tfidf",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, dir)
-      val n = docs.count().toDouble
+      val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
       val tf = docs
         .select(col("doc_id"), explode(expr(tokenizeExpr)).as("term"))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
       val df_ = tf.groupBy(col("term"))
         .agg(countDistinct(col("doc_id")).as("df"))
-      val scored = tf.join(broadcast(df_), "term")
+      val scored = tf.join(df_, "term")
+        .crossJoin(n)
         .withColumn("tfidf",
-          round(col("tf") * log(lit(n) / col("df")), 6))
+          round(col("tf") * log(col("n_docs") / col("df")), 6))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("term"))
       scored.withColumn("rk", row_number().over(w).cast("long"))
