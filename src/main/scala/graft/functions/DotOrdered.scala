@@ -19,7 +19,8 @@ import org.apache.spark.sql.types._
   * fused loop inside whole-stage codegen.
   *
   * Mismatched lengths return NULL (zip_with would pad with null, nulling
-  * the fold).
+  * the fold), and so does any NULL element on either side — the HOF
+  * formulation's `acc + null` nulls the whole fold, so this must too.
   */
 case class DotOrdered(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -48,6 +49,7 @@ case class DotOrdered(left: Expression, right: Expression) extends BinaryExpress
       var i = 0
       val n = x.numElements()
       while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
         i += 1
       }
@@ -67,9 +69,10 @@ case class DotOrdered(left: Expression, right: Expression) extends BinaryExpress
          |} else {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })

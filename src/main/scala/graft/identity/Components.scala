@@ -194,6 +194,14 @@ object Components {
         // rounds rewire edges among ORIGINAL node ids and only drop nodes
         // once isolated, so components of the contracted set equal those of
         // the original graph restricted to its remaining nodes.
+        // The collect is gated on the SAME bound that ended the loop: if we
+        // got here by exhausting maxIterations with the edge set still above
+        // driverFinishEdges, collecting would be unbounded — fail loudly
+        // instead of OOMing the driver.
+        if (sig._1 > driverFinishEdges) throw new IllegalStateException(
+          s"connectedComponents: not converged after $maxIterations star " +
+            s"rounds and ${sig._1} edges remain (> driverFinishEdges=" +
+            s"$driverFinishEdges); raise maxIterations or driverFinishEdges")
         val pairs = e.select($"u", $"v").as[(Long, Long)].collect()
         if (debug) System.err.println(s"[cc] driver-finish edges=${pairs.length}")
         spark.createDataset(unionFindMin(pairs.iterator).toSeq)

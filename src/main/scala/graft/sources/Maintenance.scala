@@ -17,13 +17,25 @@ object Maintenance {
 
   val DefaultTargetBytes: Long = 128L * 1024 * 1024
 
+  // Files.list/walk return open directory streams — drain them under
+  // try/finally or every call leaks a directory FD.
+  private def listDir(p: Path): List[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toList finally s.close()
+  }
+
+  private def walkFiles(p: Path): List[Path] = {
+    val s = Files.walk(p)
+    try s.iterator().asScala.toList finally s.close()
+  }
+
   private def dirSize(p: Path): Long =
-    Files.walk(p).iterator().asScala
+    walkFiles(p)
       .filter(f => Files.isRegularFile(f) && f.toString.endsWith(".parquet"))
       .map(Files.size).sum
 
   private def parquetFileCount(p: Path): Int =
-    Files.walk(p).iterator().asScala
+    walkFiles(p)
       .count(f => Files.isRegularFile(f) && f.toString.endsWith(".parquet"))
 
   /** Hive-style partition columns of a parquet directory, outermost first:
@@ -36,9 +48,8 @@ object Maintenance {
     var cur = Paths.get(dir)
     var descend = true
     while (descend) {
-      val sub = Files.list(cur).iterator().asScala
+      val sub = listDir(cur)
         .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
-        .toList
       sub.headOption match {
         case Some(p) =>
           out += p.getFileName.toString.split("=", 2)(0)
@@ -76,8 +87,7 @@ object Maintenance {
     Files.move(path, Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(tmp), path, StandardCopyOption.ATOMIC_MOVE)
     // best-effort cleanup of the displaced generation
-    Files.walk(Paths.get(old)).iterator().asScala.toSeq.reverse
-      .foreach(f => Files.deleteIfExists(f))
+    walkFiles(Paths.get(old)).reverse.foreach(f => Files.deleteIfExists(f))
 
     (before, parquetFileCount(path))
   }

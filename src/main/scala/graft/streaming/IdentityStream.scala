@@ -80,18 +80,24 @@ object IdentityStream {
       // cycle for in-flight readers)
       import scala.jdk.CollectionConverters._
       val keep = Set(gen) ++ prev
-      Files.list(Paths.get(storeDir)).iterator().asScala
-        .filter(p => Files.isDirectory(p) &&
-          p.getFileName.toString.startsWith("gen-") &&
-          !keep(p.getFileName.toString))
-        .toList.foreach(deleteRecursively)
+      // Files.list is an open directory stream — close it or leak an FD
+      val ls = Files.list(Paths.get(storeDir))
+      val stale =
+        try ls.iterator().asScala
+          .filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith("gen-") &&
+            !keep(p.getFileName.toString))
+          .toList
+        finally ls.close()
+      stale.foreach(deleteRecursively)
     }
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
-    Files.walk(p).iterator().asScala.toSeq.reverse
-      .foreach(f => Files.deleteIfExists(f))
+    val w = Files.walk(p)
+    val files = try w.iterator().asScala.toSeq.reverse finally w.close()
+    files.foreach(f => Files.deleteIfExists(f))
   }
 
   /** Streaming driver: drain the revisions directory, folding each batch's

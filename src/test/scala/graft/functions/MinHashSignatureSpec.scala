@@ -47,7 +47,12 @@ class MinHashSignatureSpec extends SparkSpec {
       "the quick brown fox jumps over the lazy dog",
       "aaaaaaaaaaaaaaaaaaaa",
       "exact exact exact exact",
-      "éèê ascii and accents mixed in"))
+      "éèê ascii and accents mixed in",
+      // supplementary-plane chars: one code point = two Java chars; SQL
+      // substring counts code points, so the native expression must too
+      "a😀b😁cdefg emoji in the stream",
+      "😀😁😂😃😄😅",
+      "😀ab"))
   }
 
   test("equals the SQL formulation on the documents corpus (sf0.001)") {

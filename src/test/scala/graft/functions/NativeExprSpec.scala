@@ -74,4 +74,19 @@ class NativeExprSpec extends SparkSpec {
       .head()
     assert(r.isNullAt(0))
   }
+
+  test("dot_ordered nulls the fold on a null element, like zip_with") {
+    GraftFunctions.register(spark)
+    // a null slot must null the whole result (the HOF fold's acc + null
+    // does), not read garbage and return a number
+    val r = spark.sql(
+      """SELECT dot_ordered(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)),
+                            array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS d,
+                aggregate(zip_with(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)),
+                                   array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+                            (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS hof""")
+      .head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
 }

@@ -66,6 +66,17 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("exhausted maxIterations above driverFinishEdges fails loudly, not collect") {
+    // a live edge set above the driver-finish bound when rounds run out
+    // must throw (collecting it would be unbounded at scale)
+    val edges = (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val ex = intercept[IllegalStateException] {
+      Components.connectedComponents(edges.toDF("src", "dst"),
+        maxIterations = 0, driverFinishEdges = 0L).collect()
+    }
+    assert(ex.getMessage.contains("not converged"))
+  }
+
   test("hybrid threshold mid-iteration agrees with both extremes") {
     // a long chain takes several star rounds; a small threshold lets some
     // rounds run distributed, then hands the contracted tail to the driver
