@@ -43,6 +43,37 @@ class PlanSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("topk_users is a partial top-k, not a global window") {
+    val p = plan("topk_users")
+    // sort+limit must fuse to TakeOrderedAndProject (per-partition partial
+    // top-k); the rank window then sees only the k survivors, so no Window
+    // node may appear below the TakeOrderedAndProject (i.e. over the full
+    // aggregate).
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    val windowIdx = p.indexOf("Window")
+    val topIdx = p.indexOf("TakeOrderedAndProject")
+    assert(windowIdx < topIdx,
+      "Window runs below TakeOrderedAndProject — global single-task sort")
+  }
+
+  test("ngram jaccard verifies LSH candidates, not all-pairs blocks") {
+    val p = plan("dedup_ngram_jaccard")
+    // candidate generation joins on band_hash; the all-pairs formulation
+    // joined on (lang, source) — a corpus-sized block join at scale
+    assert(p.contains("band_hash"), p.take(2000))
+    assert(!p.contains("lang"), "jaccard pair join regressed to lang/source blocking")
+  }
+
+  test("tfidf has no forced vocabulary broadcast") {
+    val q = graft.SparkEntry.queries("text_tfidf")(spark, dir)
+    // the logical plan must carry no broadcast hint on the vocabulary-sized
+    // document-frequency side (AQE may still choose broadcast from observed
+    // size at small SF — that's fine; a forced hint at 100 TB is not)
+    val logical = q.queryExecution.analyzed.toString
+    assert(!logical.contains("ResolvedHint"),
+      "text_tfidf carries a forced broadcast hint")
+  }
+
   test("minhash signatures plan has no aggregate (fused expression)") {
     val p = plan("dedup_minhash")
     assert(!p.contains("HashAggregate"),
