@@ -31,23 +31,29 @@ object JdbcSink {
     "\"" + Sanitize.key(name).replace("\"", "") + "\""
 
   /** Spark type → portable SQL type (reference stores everything VARCHAR;
-    * we keep real types and only fall back to VARCHAR for strings).
+    * we keep real types and only fall back to the default for strings).
     * `maxVarchar` is dialect-dependent: 65535 on Redshift, 32672 on Derby.
+    * `defaultType` is the reference's `DB_DEFAULT_FIELD_TYPE` knob
+    * (`/root/reference/src/KissmetricsToDatabase.php:250`): the SQL type
+    * used for dynamically-discovered (string) columns — e.g. `TEXT` on
+    * Postgres instead of a sized VARCHAR. None keeps `VARCHAR(maxVarchar)`.
     */
-  def sqlType(dt: DataType, maxVarchar: Int = 65535): String = dt match {
+  def sqlType(dt: DataType, maxVarchar: Int = 65535,
+              defaultType: Option[String] = None): String = dt match {
     case LongType | IntegerType | ShortType | ByteType => "BIGINT"
     case DoubleType | FloatType => "DOUBLE PRECISION"
     case BooleanType            => "BOOLEAN"
     case DateType               => "DATE"
     case _: TimestampType       => "TIMESTAMP"
     case d: DecimalType         => s"NUMERIC(${d.precision},${d.scale})"
-    case _                      => s"VARCHAR($maxVarchar)"
+    case _                      => defaultType.getOrElse(s"VARCHAR($maxVarchar)")
   }
 
   def createTableSql(table: String, schema: StructType,
-                     maxVarchar: Int = 65535): String =
+                     maxVarchar: Int = 65535,
+                     defaultType: Option[String] = None): String =
     schema.fields
-      .map(f => s"${ident(f.name)} ${sqlType(f.dataType, maxVarchar)}")
+      .map(f => s"${ident(f.name)} ${sqlType(f.dataType, maxVarchar, defaultType)}")
       .mkString(s"CREATE TABLE IF NOT EXISTS ${ident(table)} (", ", ", ")")
 
   /** Columns present in the frame but missing from the live table. */
@@ -57,9 +63,11 @@ object JdbcSink {
   }
 
   def alterTableSql(table: String, newCols: Seq[StructField],
-                    maxVarchar: Int = 65535): Seq[String] =
+                    maxVarchar: Int = 65535,
+                    defaultType: Option[String] = None): Seq[String] =
     newCols.map(f =>
-      s"ALTER TABLE ${ident(table)} ADD COLUMN ${ident(f.name)} ${sqlType(f.dataType, maxVarchar)}")
+      s"ALTER TABLE ${ident(table)} ADD COLUMN ${ident(f.name)} " +
+        sqlType(f.dataType, maxVarchar, defaultType))
 
   def insertSql(table: String, schema: StructType): String = {
     val cols = schema.fields.map(f => ident(f.name)).mkString(", ")
@@ -79,9 +87,10 @@ object JdbcSink {
   /** Driver-side, once-per-batch schema evolution (the reference re-ran the
     * diff per ROW). */
   def evolveSchema(conn: Connection, table: String, schema: StructType,
-                   maxVarchar: Int = 65535): Seq[String] = {
+                   maxVarchar: Int = 65535,
+                   defaultType: Option[String] = None): Seq[String] = {
     val stmts = alterTableSql(table,
-      diffColumns(schema, existingColumns(conn, table)), maxVarchar)
+      diffColumns(schema, existingColumns(conn, table)), maxVarchar, defaultType)
     val st = conn.createStatement()
     try stmts.foreach(st.execute) finally st.close()
     stmts
@@ -142,29 +151,96 @@ object JdbcSink {
     }
   }
 
+  private def tableExists(conn: Connection, table: String): Boolean = {
+    val rs = conn.getMetaData.getTables(null, null,
+      Sanitize.key(table).replace("\"", ""), null)
+    try rs.next() finally rs.close()
+  }
+
+  private def execute(conn: Connection, sql: String): Unit = {
+    val st = conn.createStatement()
+    try { st.execute(sql); () } finally st.close()
+  }
+
+  /** Ensure the table exists (no IF NOT EXISTS in every dialect — Derby
+    * lacks it, so probe first) and evolve its schema to cover `schema`. */
+  private def ensureAndEvolve(conn: Connection, table: String,
+      schema: StructType, maxVarchar: Int,
+      defaultType: Option[String] = None): Unit = {
+    if (!tableExists(conn, table))
+      execute(conn, createTableSql(table, schema, maxVarchar, defaultType)
+        .replace("CREATE TABLE IF NOT EXISTS", "CREATE TABLE"))
+    evolveSchema(conn, table, schema, maxVarchar, defaultType)
+  }
+
   /** Full evolving write: ensure table, diff + ALTER (driver, once), then
     * partition-parallel insert. The write is at-least-once per partition
-    * retry; pair with an `md5hash`-keyed dedup downstream for effective
-    * idempotence (reference T2 contract).
+    * retry; pair with an `md5hash`-keyed dedup downstream, or use
+    * [[writeIdempotent]] for the no-re-insert-on-replay contract.
     */
   def writeEvolving(df: DataFrame, table: String, connect: () => Connection,
-                    batchSize: Int = 1000, maxVarchar: Int = 65535): Unit = {
+                    batchSize: Int = 1000, maxVarchar: Int = 65535,
+                    defaultType: Option[String] = None): Unit = {
+    val conn = connect()
+    try ensureAndEvolve(conn, table, df.schema, maxVarchar, defaultType)
+    finally conn.close()
+    write(df, table, connect, batchSize)
+  }
+
+  /** Idempotent evolving write — the reference's T2 contract: replaying a
+    * file must not re-insert its rows
+    * (`/root/reference/src/Operations/FileImporter.php:142-163` commits per
+    * file and rolls the watermark back on failure, so a crashed run replays).
+    *
+    * Shape: stage the batch partition-parallel into `<table>_staging`, then
+    * ONE atomic `INSERT … SELECT … WHERE NOT EXISTS` keyed on `keyCol` (the
+    * O15 `md5hash` row fingerprint) moves only unseen rows into the target,
+    * and the staging table is dropped in the same transaction. The key
+    * anti-join runs in the database, so no key set ever transits the driver
+    * — this holds at a billion-row target where "SELECT all keys" cannot.
+    * A crash before the final statement leaves only a staging table that
+    * the next run drops; a crash after it is a completed load.
+    *
+    * Within-batch duplicates are the caller's concern
+    * (`dropDuplicates(keyCol)` upstream — `dedup_exact` semantics).
+    *
+    * @return rows actually inserted (replayed rows filtered out).
+    */
+  def writeIdempotent(df: DataFrame, table: String, connect: () => Connection,
+                      keyCol: String = "md5hash", batchSize: Int = 1000,
+                      maxVarchar: Int = 65535): Long = {
+    require(df.columns.map(Sanitize.key(_).toLowerCase)
+        .contains(Sanitize.key(keyCol).toLowerCase),
+      s"idempotent write needs key column '$keyCol' in the frame")
+    val staging = s"${table}_staging"
     val conn = connect()
     try {
-      val exists = {
-        val rs = conn.getMetaData.getTables(null, null,
-          graft.model.Sanitize.key(table).replace("\"", ""), null)
-        try rs.next() finally rs.close()
-      }
-      if (!exists) {
-        // no IF NOT EXISTS in every dialect (Derby lacks it) — probe first
-        val st = conn.createStatement()
-        try st.execute(createTableSql(table, df.schema, maxVarchar)
-          .replace("CREATE TABLE IF NOT EXISTS", "CREATE TABLE"))
-        finally st.close()
-      }
-      evolveSchema(conn, table, df.schema, maxVarchar)
+      ensureAndEvolve(conn, table, df.schema, maxVarchar)
+      if (tableExists(conn, staging)) execute(conn, s"DROP TABLE ${ident(staging)}")
+      execute(conn, createTableSql(staging, df.schema, maxVarchar)
+        .replace("CREATE TABLE IF NOT EXISTS", "CREATE TABLE"))
     } finally conn.close()
-    write(df, table, connect, batchSize)
+
+    write(df, staging, connect, batchSize)
+
+    val fin = connect()
+    try {
+      fin.setAutoCommit(false)
+      val cols = df.schema.fields.map(f => ident(f.name)).mkString(", ")
+      val k = ident(keyCol)
+      val st = fin.createStatement()
+      val inserted =
+        try st.executeUpdate(
+          s"""INSERT INTO ${ident(table)} ($cols)
+              SELECT $cols FROM ${ident(staging)} s
+              WHERE NOT EXISTS (
+                SELECT 1 FROM ${ident(table)} t WHERE t.$k = s.$k)""")
+        finally st.close()
+      execute(fin, s"DROP TABLE ${ident(staging)}")
+      fin.commit()
+      inserted.toLong
+    } catch {
+      case e: Throwable => fin.rollback(); throw e
+    } finally fin.close()
   }
 }

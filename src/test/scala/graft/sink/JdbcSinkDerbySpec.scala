@@ -44,6 +44,33 @@ class JdbcSinkDerbySpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("writeIdempotent: replaying the same batch inserts nothing (T2)") {
+    import org.apache.spark.sql.functions.{concat_ws, md5}
+    val connect: () => java.sql.Connection = JdbcSinkDerbySpec.connect _
+
+    def batch(rows: Seq[(String, Long)]) = rows.toDF("person", "n")
+      .withColumn("md5hash", md5(concat_ws("", $"person", $"n")))
+
+    val b1 = batch(Seq(("alice", 1L), ("bob", 2L)))
+    assert(JdbcSink.writeIdempotent(b1, "tb_idem", connect, maxVarchar = 4000) == 2L)
+    // full replay of the same batch: the no-re-insert-on-replay contract
+    assert(JdbcSink.writeIdempotent(b1, "tb_idem", connect, maxVarchar = 4000) == 0L)
+    // partial overlap: only the genuinely new row lands
+    val b2 = batch(Seq(("bob", 2L), ("carol", 3L)))
+    assert(JdbcSink.writeIdempotent(b2, "tb_idem", connect, maxVarchar = 4000) == 1L)
+
+    val conn = connect()
+    try {
+      val rs = conn.createStatement().executeQuery(
+        """SELECT count(*), count(DISTINCT "md5hash") FROM "tb_idem"""")
+      assert(rs.next())
+      assert(rs.getLong(1) == 3L && rs.getLong(2) == 3L)
+      // staging table dropped after the load
+      val meta = conn.getMetaData.getTables(null, null, "tb_idem_staging", null)
+      try assert(!meta.next(), "staging table left behind") finally meta.close()
+    } finally conn.close()
+  }
+
   test("numeric bind types round-trip (Float, BigDecimal, Short, Byte)") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

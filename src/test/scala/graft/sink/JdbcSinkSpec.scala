@@ -27,6 +27,17 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(stmts == Seq("""ALTER TABLE "t" ADD COLUMN "x_y" VARCHAR(65535)"""))
   }
 
+  test("defaultType overrides the dynamic-column type (DB_DEFAULT_FIELD_TYPE)") {
+    // the reference's env knob: discovered columns get this SQL type
+    // instead of a sized VARCHAR; typed columns are unaffected
+    val sql = JdbcSink.createTableSql("t", schema, defaultType = Some("TEXT"))
+    assert(sql ==
+      """CREATE TABLE IF NOT EXISTS "t" ("event_id" TEXT, "_t" TIMESTAMP, "n" BIGINT, "v" DOUBLE PRECISION)""")
+    val alter = JdbcSink.alterTableSql("t", Seq(StructField("x", StringType)),
+      defaultType = Some("CLOB"))
+    assert(alter == Seq("""ALTER TABLE "t" ADD COLUMN "x" CLOB"""))
+  }
+
   test("insertSql parameterizes every column") {
     assert(JdbcSink.insertSql("t", schema) ==
       """INSERT INTO "t" ("event_id", "_t", "n", "v") VALUES (?, ?, ?, ?)""")
