@@ -66,9 +66,48 @@ object NdjsonReader {
     sb.toString
   }
 
-  /** Natural-sort key of a revision file path: digits of the basename. */
+  /** Natural-sort key of a revision file path: digits of the basename.
+    * Long-typed — the watermark comparison key for the reference's numeric
+    * revision filenames (`1234.json`). For arbitrary names use
+    * [[natSortKey]]. */
   def fileNo(pathCol: Column): Column =
     regexp_extract(element_at(split(pathCol, "/"), -1), "(\\d+)", 1).cast("long")
+
+  /** Full natural-sort key: lexicographic order on the key equals PHP
+    * `strnatcmp` order on the name (`natsort`,
+    * `/root/reference/src/KissmetricsToDatabase.php:177`; `strnatcmp`
+    * comparator, `/root/reference/src/Commands/ProcessFilesCommand.php:43-44`)
+    * — segment-wise: digit runs compare numerically, alpha runs bytewise.
+    *
+    * strnatcmp's digit-run rules, and how the key encodes each run:
+    *  - both runs start non-zero → numeric compare ("longest run wins",
+    *    then digit-wise). Key: a length-prefix digit `chr(48+len)` before
+    *    the run — shorter numbers sort first, equal lengths compare
+    *    digit-wise. (Runs of 9+ digits share prefix '9' and are zero-padded
+    *    to 30 for numeric order within the group.)
+    *  - a run starting with '0' compares LEFT-aligned (the "fractional"
+    *    rule: `09 < 1`, `01 < 1`). Key: the run verbatim — it starts with
+    *    '0', which sorts below every length-prefix, matching "zero-start
+    *    runs sort below non-zero runs, lexicographically among themselves".
+    *  - digit-vs-alpha / digit-vs-end positions compare bytewise in
+    *    strnatcmp; every key variant starts with SOME digit, and all
+    *    digits sit on the same side of any non-digit byte, so the sign
+    *    agrees.
+    * Divergence kept deliberately: no whitespace skipping (PHP natsort
+    * skips spaces; filenames don't contain them). Pure column math
+    * (codegen'd), no UDF.
+    */
+  def natSortKey(c: Column): Column =
+    array_join(
+      transform(
+        // bracket each digit run with a sentinel and split on it:
+        // alternating non-digit / digit segments, delimiters preserved
+        split(regexp_replace(c, "([0-9]+)", "\u0001$1\u0001"), "\u0001"),
+        s => when(!s.rlike("^[0-9]+$"), s)
+          .when(s.startsWith("0"), s)
+          .when(length(s) < 9, concat(chr(length(s) + lit(48)), s))
+          .otherwise(concat(lit("9"), lpad(s, 30, "0")))),
+      "")
 
   /** Raw lines + file lineage, watermark-filtered and blank-filtered.
     * Batch analog of the reference's "process files after the high

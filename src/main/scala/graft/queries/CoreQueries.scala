@@ -218,19 +218,39 @@ object CoreQueries {
     Some("""SELECT c_custkey, c_name FROM customer c
             WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"""))
 
-  // S1/S2/S3 natural sort + limit (reference natsort file ordering).
+  // S1/S2/S3 natural sort + limit (reference natsort file ordering): the
+  // full strnatcmp-equivalent key (graft.ingest.NdjsonReader.natSortKey)
+  // over mixed alpha/numeric names — 'img2' < 'img10' where a plain string
+  // sort would invert them. sort+limit fuses to TakeOrderedAndProject
+  // (partial per-partition top-k).
   private val sortNaturalLimit = Q(
     "sort_natural_limit",
     (s, dir) =>
       orders(s, dir)
-        .select(concat(lit("rev_"), col("o_orderkey")).as("fname"))
-        .withColumn("natkey",
-          regexp_extract(col("fname"), "[0-9]+", 0).cast("long"))
+        .select(concat(
+          when(col("o_orderkey") % 3 === 0, lit("img"))
+            .when(col("o_orderkey") % 3 === 1, lit("rev"))
+            .otherwise(lit("file")),
+          col("o_orderkey").cast("string"), lit(".json")).as("fname"))
+        .withColumn("natkey", graft.ingest.NdjsonReader.natSortKey(col("fname")))
         .orderBy(col("natkey"))
         .limit(100),
-    Some("""SELECT concat('rev_', o_orderkey) AS fname,
-            CAST(regexp_extract(concat('rev_', o_orderkey), '[0-9]+') AS BIGINT) AS natkey
-            FROM orders ORDER BY natkey LIMIT 100"""))
+    Some("""SELECT fname, natkey
+            FROM (SELECT fname,
+                    array_to_string(list_transform(
+                      string_split(regexp_replace(fname, '([0-9]+)',
+                        chr(1) || '\1' || chr(1), 'g'), chr(1)),
+                      s -> CASE
+                        WHEN NOT regexp_matches(s, '^[0-9]+$') THEN s
+                        WHEN s LIKE '0%' THEN s
+                        WHEN length(s) < 9 THEN chr(CAST(48 + length(s) AS INTEGER)) || s
+                        ELSE '9' || lpad(s, 30, '0') END), '') AS natkey
+                  FROM (SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'img'
+                                    WHEN o_orderkey % 3 = 1 THEN 'rev'
+                                    ELSE 'file' END
+                          || CAST(o_orderkey AS VARCHAR) || '.json' AS fname
+                        FROM orders))
+            ORDER BY natkey LIMIT 100"""))
 
   // X1-X7 scalar string functions in one projection.
   private val stringFuncs = Q(

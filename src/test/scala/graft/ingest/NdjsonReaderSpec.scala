@@ -71,6 +71,34 @@ class NdjsonReaderSpec extends SparkSpec {
     assert(after.select("file_no").distinct().as[Long].collect().toSeq == Seq(10L))
   }
 
+  test("natSortKey reproduces PHP natsort ordering (strnatcmp)") {
+    import org.apache.spark.sql.functions.col
+    // expected orders verified against PHP natsort semantics: numeric runs
+    // compare numerically ('img2' < 'img10'), zero-led runs compare
+    // left-aligned ('09' < '1', '01' < '1'), digits before letters
+    val cases = Seq(
+      // the php.net natsort doc example
+      Seq("img12.png", "img10.png", "img2.png", "img1.png") ->
+        Seq("img1.png", "img2.png", "img10.png", "img12.png"),
+      // fractional (leading-zero) rule + digit/alpha/end interleavings
+      Seq("10", "9", "2", "1", "09", "02", "01") ->
+        Seq("01", "02", "09", "1", "2", "9", "10"),
+      Seq("a10", "a2", "a1", "a01", "a0", "a", "b") ->
+        Seq("a", "a0", "a01", "a1", "a2", "a10", "b"),
+      // separators below '0' keep their bytewise position
+      Seq("a.b", "a1b", "a_b") -> Seq("a.b", "a1b", "a_b"),
+      // long runs (>= 9 digits) stay numeric
+      Seq("f123456789123", "f123456789", "f99") ->
+        Seq("f99", "f123456789", "f123456789123"))
+    for ((in, want) <- cases) {
+      val got = in.toDF("name")
+        .select(col("name"), NdjsonReader.natSortKey(col("name")).as("k"))
+        .orderBy(col("k"))
+        .collect().map(_.getString(0)).toSeq
+      assert(got == want, s"input=$in got=$got want=$want")
+    }
+  }
+
   test("watermark store only advances forward") {
     val f = Files.createTempDirectory("wm").resolve("last").toString
     assert(WatermarkStore.read(f).isEmpty)
