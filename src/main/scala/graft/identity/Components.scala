@@ -95,7 +95,8 @@ object Components {
     */
   def connectedComponents(edges: DataFrame, maxIterations: Int = 50,
       driverFinishEdges: Long = DefaultDriverFinishEdges,
-      inputDistinct: Boolean = false): DataFrame = {
+      inputDistinct: Boolean = false,
+      roundListener: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -179,6 +180,7 @@ object Components {
       if (iter > 0) unpersistCheckpoint(e)
       e = next
       iter += 1
+      roundListener(iter, sig._1)
       if (debug) System.err.println(
         f"[cc] iter=$iter edges=${sig._1} ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }

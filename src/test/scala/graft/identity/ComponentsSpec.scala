@@ -66,6 +66,43 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("power-law skew: O(log n) rounds, monotone contraction, bounded checkpoints") {
+    import org.apache.spark.sql.functions.{lit, pow, rand}
+    // Zipf-ish generator: node = floor(N^r), r uniform — degree ∝ 1/node,
+    // so node 1 is a massive hub: one giant component plus a power-law
+    // tail. This is the skew shape that breaks naive label propagation
+    // (the hub's neighborhood re-shuffles every round).
+    val n = 50000.0
+    val edges = spark.range(100000).select(
+      pow(lit(n), rand(11)).cast("long").as("src"),
+      pow(lit(n), rand(12)).cast("long").as("dst"))
+    val local = edges.as[(Long, Long)].collect().toSeq.filter(p => p._1 != p._2)
+
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    var maxExtraPersisted = 0
+    val got = Components.connectedComponents(edges, driverFinishEdges = 0L,
+        roundListener = (i, e) => {
+          rounds += ((i, e))
+          maxExtraPersisted = math.max(maxExtraPersisted,
+            spark.sparkContext.getPersistentRDDs.size - persistedBefore)
+        })
+      .as[(Long, Long)].collect().toMap
+
+    assert(got == unionFind(local), "skewed-graph components wrong")
+    // star iteration halves component diameter per alternation: rounds must
+    // stay O(log n), not O(diameter) — for n=50k, comfortably under 12
+    assert(rounds.size <= 12, s"took ${rounds.size} rounds: $rounds")
+    // the live edge set must contract monotonically to the star forest
+    val sizes = rounds.map(_._2)
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => b <= a },
+      s"edge set grew between rounds: $rounds")
+    // superseded round checkpoints are released as we go: at most the
+    // input checkpoint + current round + in-flight next may be live
+    assert(maxExtraPersisted <= 3,
+      s"$maxExtraPersisted extra checkpoints live — superseded rounds leak")
+  }
+
   test("exhausted maxIterations above driverFinishEdges fails loudly, not collect") {
     // a live edge set above the driver-finish bound when rounds run out
     // must throw (collecting it would be unbounded at scale)
