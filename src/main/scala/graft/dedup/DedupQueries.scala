@@ -91,6 +91,22 @@ object DedupQueries {
     (s, dir) => minhashSignatures(Tables.documents(s, dir)),
     Some(minhashOracle))
 
+  /** Shared oracle CTE prefix for anything built on the LSH candidate
+    * pairs: `sig` (signatures+bands), `long` (unpivoted bands), `cand`
+    * (distinct a<b candidate pairs). Splice as `WITH $candPairsOracleCte,
+    * ...`. */
+  private[graft] def candPairsOracleCte: String = {
+    val bandUnion = (0 until NumHashes / BandSize)
+      .map(b => s"SELECT doc_id, band$b AS band_hash FROM sig")
+      .mkString(" UNION ALL ")
+    s"""sig AS ($minhashOracle),
+        long AS ($bandUnion),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          FROM long a JOIN long b
+            ON a.band_hash = b.band_hash AND a.doc_id < b.doc_id)"""
+  }
+
   /** LSH candidate pairs: documents sharing any band hash.
     * Signatures get a hash-exchange on doc_id first: both sides of the
     * self-join then hang off the SAME canonicalized Exchange, so

@@ -20,6 +20,7 @@ object Registry {
       AnalyticsQueries.all ++
       graft.identity.IdentityQueries.all ++
       graft.text.TextQueries.all ++
+      graft.text.CurationQueries.all ++
       graft.dedup.DedupQueries.all ++
       graft.sim.SimQueries.all ++
       graft.multimodal.MultimodalQueries.all

@@ -1,0 +1,178 @@
+package graft.text
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Q, Tables}
+
+/** Corpus-curation operators — the remaining ops a large-scale
+  * training-data pipeline runs between raw crawl and tokenizer, each
+  * designed for the 100 TB shape:
+  *
+  *  - deterministic hash sampling (reproducible splits, no RNG state, no
+  *    shuffle — a filter that pushes to the scan);
+  *  - PII scrubbing (regex redaction as codegen'd column math, one pass);
+  *  - edit-distance verification over LSH candidate pairs (the
+  *    generate-then-verify shape again — never all-pairs);
+  *  - fixed-budget sequence packing (assign docs to context-window bins by
+  *    streaming cumulative token count inside each shard — one window per
+  *    shard partition, no global sort);
+  *  - vocabulary top-k (partial-aggregated counts, TakeOrderedAndProject
+  *    instead of a global rank window).
+  *
+  * Every hash derives from md5 (the one digest both engines share) and all
+  * arithmetic is integer, so the DuckDB oracle hash-matches exactly.
+  */
+object CurationQueries {
+
+  private val tokenizeExpr = "filter(split(lower(text), '[^a-z]+'), t -> t <> '')"
+
+  /** First two md5 hex digits as 0..255 — same digit math on both engines. */
+  private def md5Byte(sqlExprStr: String): String =
+    s"""(instr('0123456789abcdef', substr(md5($sqlExprStr), 1, 1)) - 1) * 16 +
+        (instr('0123456789abcdef', substr(md5($sqlExprStr), 2, 1)) - 1)"""
+
+  /** Deterministic ~10% sample: hash the key, keep bucket < 26 of 256.
+    * Reproducible across runs, engines, and cluster sizes (no RNG, no
+    * seed-per-partition state); the predicate is pure column math, so at
+    * 100 TB it rides the scan (no shuffle, no sample() skew).
+    */
+  private val sampleHash = Q(
+    "sample_hash",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("bucket", expr(md5Byte("CAST(doc_id AS STRING)")).cast("long"))
+        .where(col("bucket") < 26)
+        .select(col("doc_id"), col("bucket")),
+    Some(s"""SELECT doc_id, CAST(${md5Byte("CAST(doc_id AS VARCHAR)")} AS BIGINT) AS bucket
+             FROM documents
+             WHERE ${md5Byte("CAST(doc_id AS VARCHAR)")} < 26"""))
+
+  /** PII scrubbing. The synthetic corpus is clean, so PII is INJECTED
+    * deterministically from doc_id (an email + a phone per row) before
+    * redaction — the scrub regexes are exercised positively on every row.
+    * Redaction is regexp_replace column math: one codegen'd pass, no UDF;
+    * counts are asserted alongside so a silently non-matching pattern
+    * cannot pass the oracle.
+    */
+  private val textPiiScrub = Q(
+    "text_pii_scrub",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("dirty", concat(
+          substring(col("text"), 1, 40),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" end")))
+        .select(
+          col("doc_id"),
+          regexp_count(col("dirty"), lit("[a-z0-9]+@[a-z.]+[a-z]"))
+            .cast("long").as("n_emails"),
+          regexp_count(col("dirty"), lit("[+]1-555-[0-9]{4}"))
+            .cast("long").as("n_phones"),
+          substring(
+            regexp_replace(
+              regexp_replace(col("dirty"), "[a-z0-9]+@[a-z.]+[a-z]", "<EMAIL>"),
+              "[+]1-555-[0-9]{4}", "<PHONE>"),
+            1, 80).as("scrubbed")),
+    Some("""SELECT doc_id,
+            CAST(len(regexp_extract_all(dirty, '[a-z0-9]+@[a-z.]+[a-z]')) AS BIGINT)
+              AS n_emails,
+            CAST(len(regexp_extract_all(dirty, '[+]1-555-[0-9]{4}')) AS BIGINT)
+              AS n_phones,
+            substr(regexp_replace(
+              regexp_replace(dirty, '[a-z0-9]+@[a-z.]+[a-z]', '<EMAIL>', 'g'),
+              '[+]1-555-[0-9]{4}', '<PHONE>', 'g'), 1, 80) AS scrubbed
+            FROM (SELECT doc_id,
+                    substr(text, 1, 40) || ' contact user' ||
+                    CAST(doc_id AS VARCHAR) || '@mail.example.com or +1-555-' ||
+                    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' end'
+                    AS dirty
+                  FROM documents)"""))
+
+  /** Edit-distance verification over the LSH candidate pairs — the third
+    * verifier (after Jaccard and embedding cosine) on the same
+    * generate-then-verify scaffold: candidates from banding, Levenshtein
+    * on a fixed 100-char prefix (bounded O(100²) per pair, independent of
+    * document length) joined on by doc_id. Fan-out = candidate list.
+    */
+  private val textEditDistance = Q(
+    "text_edit_distance",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val heads = docs.select(col("doc_id"), substring(col("text"), 1, 100).as("head"))
+      graft.dedup.DedupQueries.minhashCandidatePairs(docs)
+        .join(heads.select(col("doc_id").as("a"), col("head").as("ha")), "a")
+        .join(heads.select(col("doc_id").as("b"), col("head").as("hb")), "b")
+        .select(col("a"), col("b"),
+          levenshtein(col("ha"), col("hb")).cast("long").as("dist"),
+          greatest(length(col("ha")), length(col("hb"))).cast("long").as("max_len"))
+    },
+    Some(s"""WITH ${graft.dedup.DedupQueries.candPairsOracleCte},
+             heads AS (SELECT doc_id, substr(text, 1, 100) AS head FROM documents)
+             SELECT c.a, c.b,
+               CAST(levenshtein(x.head, y.head) AS BIGINT) AS dist,
+               CAST(greatest(length(x.head), length(y.head)) AS BIGINT) AS max_len
+             FROM cand c
+             JOIN heads x ON x.doc_id = c.a
+             JOIN heads y ON y.doc_id = c.b"""))
+
+  /** Fixed-budget sequence packing: stream each shard's documents in
+    * doc_id order, accumulate token counts, and assign every document to
+    * the 2048-token context-window bin its running offset lands in. The
+    * cumulative window runs PER SHARD (source), so at 100 TB each
+    * partition packs independently — no global sort, no single-reducer
+    * stream; shard count scales with the corpus.
+    */
+  private val packSequences = Q(
+    "pack_sequences",
+    (s, dir) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, dir)
+        .withColumn("n_tok", size(expr(tokenizeExpr)).cast("long"))
+        .withColumn("offset", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          (col("offset") % 2048).as("bin_offset"),
+          (col("offset") / 2048).cast("long").as("bin"))
+    },
+    Some("""SELECT doc_id, source, n_tok,
+            "offset" % 2048 AS bin_offset,
+            "offset" // 2048 AS bin
+            FROM (SELECT doc_id, source, n_tok,
+                    -- DuckDB sum() yields HUGEINT; pin to BIGINT for the hash
+                    CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                      AS "offset"
+                  FROM (SELECT doc_id, source,
+                          CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                            t -> t <> '')) AS BIGINT) AS n_tok
+                        FROM documents))"""))
+
+  /** Corpus vocabulary: top 200 tokens by frequency. Counts partial-agg
+    * map-side; the top-k is sort+limit (TakeOrderedAndProject — per
+    * partition partial top-k), NOT a global rank window, and the rank is
+    * computed over the 200 survivors.
+    */
+  private val vocabTopk = Q(
+    "vocab_topk",
+    (s, dir) => {
+      val counts = Tables.documents(s, dir)
+        .select(explode(expr(tokenizeExpr)).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      val top = counts.orderBy(col("cnt").desc, col("token")).limit(200)
+      val w = Window.orderBy(col("cnt").desc, col("token"))
+      top.withColumn("rk", row_number().over(w).cast("long"))
+    },
+    Some("""SELECT token, cnt, rk
+            FROM (SELECT token, cnt,
+                    CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rk
+                  FROM (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+                        FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+                              FROM documents)
+                        WHERE token <> '' GROUP BY token))
+            WHERE rk <= 200"""))
+
+  val all: Seq[Q] = Seq(sampleHash, textPiiScrub, textEditDistance,
+    packSequences, vocabTopk)
+}
