@@ -190,6 +190,11 @@ object DedupQueries {
              ELSE array_distinct(transform(sequence(1, size(toks) - 2),
                i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))) END"""))
         .select(col("doc_id"), col("grams"), size(col("grams")).cast("long").as("n"))
+      // NO spread here (unlike text_edit_distance): gram arrays are
+      // KB-fat, so the pair rows are too big for AQE to coalesce onto one
+      // task — the intersect already runs parallel inside the join stage,
+      // and an extra exchange would shuffle the gram payloads again
+      // (measured 1.7x slower at sf0.1).
       val verified = minhashCandidatePairs(docs)
         .join(grams.select(col("doc_id").as("a"), col("grams").as("ga"),
           col("n").as("na")), "a")

@@ -101,17 +101,25 @@ object CurationQueries {
     (s, dir) => {
       val docs = Tables.documents(s, dir)
       val heads = docs.select(col("doc_id"), substring(col("text"), 1, 100).as("head"))
-      graft.dedup.DedupQueries.minhashCandidatePairs(docs)
+      val joined = graft.dedup.DedupQueries.minhashCandidatePairs(docs)
         .join(heads.select(col("doc_id").as("a"), col("head").as("ha")), "a")
         .join(heads.select(col("doc_id").as("b"), col("head").as("hb")), "b")
+      // The joined pair list is BYTES-small but CPU-heavy (O(len²) DP per
+      // row) — AQE coalesces it to one partition by size and serializes
+      // the whole DP pass. Spread it first; and near-dup prefixes are
+      // usually identical, so equality short-circuits most rows to 0
+      // without running the DP at all.
+      Tables.spread(joined)
         .select(col("a"), col("b"),
-          levenshtein(col("ha"), col("hb")).cast("long").as("dist"),
+          when(col("ha") === col("hb"), lit(0L))
+            .otherwise(levenshtein(col("ha"), col("hb")).cast("long")).as("dist"),
           greatest(length(col("ha")), length(col("hb"))).cast("long").as("max_len"))
     },
     Some(s"""WITH ${graft.dedup.DedupQueries.candPairsOracleCte},
              heads AS (SELECT doc_id, substr(text, 1, 100) AS head FROM documents)
              SELECT c.a, c.b,
-               CAST(levenshtein(x.head, y.head) AS BIGINT) AS dist,
+               CAST(CASE WHEN x.head = y.head THEN 0
+                    ELSE levenshtein(x.head, y.head) END AS BIGINT) AS dist,
                CAST(greatest(length(x.head), length(y.head)) AS BIGINT) AS max_len
              FROM cand c
              JOIN heads x ON x.doc_id = c.a
