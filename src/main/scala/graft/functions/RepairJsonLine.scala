@@ -66,7 +66,13 @@ object GraftFunctions {
   private val dotInfo = extInfo(classOf[DotOrdered].getName, "dot_ordered",
     "_FUNC_(a, b) - ordered-fold double dot product of two float arrays")
 
+  private val bloomInfo = extInfo(classOf[BloomMightContain].getName, "bloom_might_contain",
+    "_FUNC_(bits, key) - membership test against a serialized BloomFilter literal")
+
   def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("bloom_might_contain"), bloomInfo,
+      (exprs: Seq[Expression]) => BloomMightContain(exprs(0), exprs(1)))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("repair_json"), repairInfo,
       (exprs: Seq[Expression]) => RepairJsonLine(exprs.head))

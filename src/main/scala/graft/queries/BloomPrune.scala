@@ -26,23 +26,29 @@ object BloomPrune {
 
   /** Filter `fact` to rows whose `factKey` might appear in `dim.dimKey`.
     *
+    * The membership test is the native `bloom_might_contain` expression
+    * (graft.functions.BloomMightContain): the serialized filter bits ride
+    * the plan as a BINARY literal, deserialize once per executor, and the
+    * per-row probe stays inside whole-stage codegen — no Scala UDF
+    * breaking the codegen span on the fact table's hot path.
+    *
     * @param expectedItems sizing for the filter (overestimate is safe)
     * @param fpp target false-positive rate — tune bits vs pass-through
     */
   def prune(fact: DataFrame, factKey: String, dim: DataFrame, dimKey: String,
             expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
-    val bf: BloomFilter = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
-    val bcast = fact.sparkSession.sparkContext.broadcast(bf)
     fact.schema(factKey).dataType match {
-      case LongType | IntegerType =>
-        val might = udf((k: java.lang.Long) =>
-          k != null && bcast.value.mightContainLong(k))
-        fact.where(might(col(factKey).cast("long")))
-      case StringType =>
-        val might = udf((k: String) => k != null && bcast.value.mightContainString(k))
-        fact.where(might(col(factKey)))
+      case LongType | IntegerType | StringType => ()
       case dt => throw new IllegalArgumentException(
         s"bloom prune supports long/int/string keys, got ${dt.catalogString}")
     }
+    val bf: BloomFilter = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
+    val bits = {
+      val out = new java.io.ByteArrayOutputStream()
+      bf.writeTo(out)
+      out.toByteArray
+    }
+    graft.functions.GraftFunctions.register(fact.sparkSession)
+    fact.where(call_function("bloom_might_contain", lit(bits), col(factKey)))
   }
 }

@@ -26,6 +26,22 @@ class BloomPruneSpec extends SparkSpec {
     assert(kept >= 100 && kept < 600, s"kept=$kept")
   }
 
+  test("membership test is a native expression inside codegen, not a UDF") {
+    val fact = spark.range(1000).toDF("k")
+    val dim = spark.range(10).toDF("k")
+    val plan = BloomPrune.prune(fact, "k", dim, "k", expectedItems = 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"), plan.take(1500))
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      "bloom probe fell out of codegen into a UDF")
+    // null keys prune cleanly (UDF guard semantics preserved)
+    import org.apache.spark.sql.functions.{col, when}
+    val withNulls = spark.range(100)
+      .select(when(col("id") % 2 === 0, col("id")).as("k"))
+    assert(BloomPrune.prune(withNulls, "k", dim, "k", expectedItems = 100)
+      .where(col("k").isNull).count() == 0)
+  }
+
   test("string keys work") {
     val fact = Seq("a", "b", "c", "d").toDF("k")
     val dim = Seq("b", "d").toDF("k")
