@@ -181,6 +181,31 @@ object CurationQueries {
                         WHERE token <> '' GROUP BY token))
             WHERE rk <= 200"""))
 
-  val all: Seq[Q] = Seq(sampleHash, textPiiScrub, textEditDistance,
-    packSequences, vocabTopk)
+  /** Stratified sampling: a fixed-size, reproducible subset PER STRATUM
+    * ((lang, source) cell) — the balanced-eval-set / per-domain-cap op.
+    * Rank within each stratum by md5(doc_id) (a deterministic uniform
+    * order, so the "first 20" are a uniform draw), keep 20. The window is
+    * partitioned by the stratum key, so at 100 TB every cell ranks
+    * independently — no global sort, parallelism = number of strata.
+    */
+  private val sampleStratified = Q(
+    "sample_stratified",
+    (s, dir) => {
+      val w = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(col("h"), col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("h", md5(col("doc_id").cast("string")))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 20)
+        .select(col("doc_id"), col("lang"), col("source"), col("rk"))
+    },
+    Some("""SELECT doc_id, lang, source, rk
+            FROM (SELECT doc_id, lang, source,
+                    CAST(row_number() OVER (PARTITION BY lang, source
+                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+                  FROM documents)
+            WHERE rk <= 20"""))
+
+  val all: Seq[Q] = Seq(sampleHash, sampleStratified, textPiiScrub,
+    textEditDistance, packSequences, vocabTopk)
 }

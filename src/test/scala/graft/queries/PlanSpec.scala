@@ -74,6 +74,31 @@ class PlanSpec extends SparkSpec {
       "text_tfidf carries a forced broadcast hint")
   }
 
+  test("vocab_topk is a partial top-k over partial-agg counts") {
+    val p = plan("vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.indexOf("Window") < p.indexOf("TakeOrderedAndProject"),
+      "rank window below the top-k — global single-task sort")
+  }
+
+  test("pack_sequences windows per shard, never globally") {
+    val q = graft.SparkEntry.queries("pack_sequences")(spark, dir)
+    // inspect the optimized logical plan: under AQE the executed plan is an
+    // AdaptiveSparkPlanExec wrapper whose collect() doesn't descend
+    val windows = q.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "unpartitioned window — the whole corpus would stream through one task")
+  }
+
+  test("sample_hash filter needs no shuffle") {
+    val p = plan("sample_hash")
+    assert(!p.contains("Exchange"),
+      "hash sampling introduced a shuffle — it must ride the scan")
+  }
+
   test("minhash signatures plan has no aggregate (fused expression)") {
     val p = plan("dedup_minhash")
     assert(!p.contains("HashAggregate"),
