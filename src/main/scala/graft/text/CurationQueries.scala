@@ -206,6 +206,162 @@ object CurationQueries {
                   FROM documents)
             WHERE rk <= 20"""))
 
+  /** Train/test contamination check: which corpus documents share word
+    * 5-grams with a benchmark (eval) set. The benchmark here is a
+    * deterministic fixed-size stand-in — the 100 docs with the smallest
+    * md5(doc_id) (`TakeOrderedAndProject`, a partial top-k) — because real
+    * eval sets are FIXED SIZE while the corpus grows; that is what makes
+    * the broadcast of the benchmark gram set legitimate at 100 TB (bounded
+    * by the benchmark, not the corpus). The corpus side explodes distinct
+    * grams and probes the broadcast set map-side, so only hits reach the
+    * per-doc aggregate; at even larger benchmark sizes the
+    * `bloom_might_contain` native expression (see
+    * [[graft.queries.BloomPrune]]) pre-filters the explode the same way.
+    */
+  private val contaminationCheck = Q(
+    "contamination_check",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val grams = Tables.spread(docs.select("doc_id", "text"))
+        .withColumn("toks", expr(tokenizeExpr))
+        .withColumn("grams", expr(
+          """CASE WHEN size(toks) < 5 THEN array()
+             ELSE array_distinct(transform(sequence(1, size(toks) - 4),
+               i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1],
+                              toks[i+2], toks[i+3]))) END"""))
+        .select(col("doc_id"), col("grams"))
+      val benchIds = docs
+        .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+        .orderBy(col("h"), col("doc_id")).limit(100)
+        .select(col("doc_id"))
+      val benchGrams = grams.join(broadcast(benchIds), "doc_id")
+        .select(explode(col("grams")).as("gram")).distinct()
+      val corpus = grams.join(broadcast(benchIds), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
+          explode(col("grams")).as("gram"))
+      corpus.join(broadcast(benchGrams), "gram")
+        .groupBy(col("doc_id"), col("n_grams"))
+        .agg(count(lit(1)).as("n_hit"))
+        .select(col("doc_id"), col("n_grams"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_grams"), 4)
+            .as("contamination"))
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                  t -> t <> '') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                CASE WHEN len(toks) < 5 THEN []
+                ELSE list_distinct(list_transform(range(1, greatest(len(toks) - 3, 1)),
+                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                                 toks[i+3], toks[i+4]))) END AS grams
+              FROM toks),
+            bench_ids AS (
+              SELECT doc_id FROM documents
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100),
+            bench AS (
+              SELECT DISTINCT unnest(grams) AS gram FROM g
+              WHERE doc_id IN (SELECT doc_id FROM bench_ids)),
+            corpus AS (
+              SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+                unnest(grams) AS gram
+              FROM g WHERE doc_id NOT IN (SELECT doc_id FROM bench_ids))
+            SELECT c.doc_id, c.n_grams, CAST(count(*) AS BIGINT) AS n_hit,
+              round(CAST(count(*) AS DOUBLE) / c.n_grams, 4) AS contamination
+            FROM corpus c JOIN bench b ON b.gram = c.gram
+            GROUP BY c.doc_id, c.n_grams"""))
+
+  /** Repetition detection (Gopher-style quality rule): the fraction of a
+    * document's word bigrams that are duplicates — high values flag
+    * boilerplate / machine-generated loops. Pure per-row column math (no
+    * join, no shuffle, rides the scan); the flag compares the ROUNDED
+    * fraction so the 0.2 boundary is engine-stable.
+    */
+  private val textRepetition = Q(
+    "text_repetition",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("toks", expr(tokenizeExpr))
+        .withColumn("bigrams", expr(
+          """CASE WHEN size(toks) < 2 THEN array()
+             ELSE transform(sequence(1, size(toks) - 1),
+               i -> concat_ws(' ', toks[i-1], toks[i])) END"""))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tok"),
+          size(col("bigrams")).cast("long").as("n_bigrams"),
+          size(array_distinct(col("bigrams"))).cast("long").as("n_distinct"))
+        .withColumn("dup_frac", round(
+          when(col("n_bigrams") === 0, lit(0.0))
+            .otherwise(lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams")),
+          4))
+        .withColumn("repetitive", (col("dup_frac") > 0.2).cast("long")),
+    Some("""SELECT doc_id, n_tok, n_bigrams, n_distinct, dup_frac,
+              CAST(dup_frac > 0.2 AS BIGINT) AS repetitive
+            FROM (SELECT doc_id, n_tok, n_bigrams, n_distinct,
+                    round(CASE WHEN n_bigrams = 0 THEN 0
+                          ELSE 1 - CAST(n_distinct AS DOUBLE) / n_bigrams END, 4)
+                      AS dup_frac
+                  FROM (SELECT doc_id,
+                          CAST(len(toks) AS BIGINT) AS n_tok,
+                          CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+                          CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct
+                        FROM (SELECT doc_id, toks,
+                                CASE WHEN len(toks) < 2 THEN []
+                                ELSE list_transform(range(1, greatest(len(toks), 1)),
+                                  i -> concat_ws(' ', toks[i], toks[i+1])) END AS bigrams
+                              FROM (SELECT doc_id,
+                                      list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                        t -> t <> '') AS toks
+                                    FROM documents))))"""))
+
+  /** Domain-mixture rebalancing: deterministic sampling toward an EQUAL
+    * per-language mixture at ~50% overall keep rate — the "data mixing"
+    * step before tokenization. Per-lang keep thresholds are computed from
+    * the lang histogram with pure integer math
+    * (`total*256 div (2*n_langs*n_lang)`, capped at 256) so both engines
+    * agree exactly; a doc survives iff its md5 bucket clears its lang's
+    * threshold. At 100 TB: the histogram is a partial agg over a
+    * handful of langs, thresholds broadcast back, and the keep predicate
+    * is per-row math — no corpus shuffle anywhere.
+    */
+  private val sampleDomainMix = Q(
+    "sample_domain_mix",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val stats = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      val tot = stats.agg(sum(col("n_lang")).as("total"),
+        count(lit(1)).as("n_langs"))
+      val thresholds = stats.crossJoin(broadcast(tot))
+        .select(col("lang"),
+          least(lit(256L), expr("(total * 256) div (2 * n_langs * n_lang)"))
+            .as("thr"))
+      docs
+        .withColumn("bucket", expr(md5Byte("CAST(doc_id AS STRING)")).cast("long"))
+        .join(broadcast(thresholds), "lang")
+        .where(col("bucket") < col("thr"))
+        .select(col("doc_id"), col("lang"), col("bucket"), col("thr"))
+    },
+    Some(s"""WITH stats AS (
+               SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+               FROM documents GROUP BY lang),
+             tot AS (
+               SELECT CAST(sum(n_lang) AS BIGINT) AS total,
+                 CAST(count(*) AS BIGINT) AS n_langs
+               FROM stats),
+             thr AS (
+               SELECT lang,
+                 least(CAST(256 AS BIGINT),
+                   (total * 256) // (2 * n_langs * n_lang)) AS thr
+               FROM stats, tot)
+             SELECT d.doc_id, d.lang,
+               CAST(${md5Byte("CAST(d.doc_id AS VARCHAR)")} AS BIGINT) AS bucket,
+               t.thr
+             FROM documents d JOIN thr t USING (lang)
+             WHERE ${md5Byte("CAST(d.doc_id AS VARCHAR)")} < t.thr"""))
+
   val all: Seq[Q] = Seq(sampleHash, sampleStratified, textPiiScrub,
-    textEditDistance, packSequences, vocabTopk)
+    textEditDistance, packSequences, vocabTopk, contaminationCheck,
+    textRepetition, sampleDomainMix)
 }
