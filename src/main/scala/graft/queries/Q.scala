@@ -23,6 +23,7 @@ object Registry {
       graft.text.CurationQueries.all ++
       graft.dedup.DedupQueries.all ++
       graft.sim.SimQueries.all ++
+      graft.sim.ClusterQueries.all ++
       graft.multimodal.MultimodalQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,105 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Q, Tables}
+
+/** Embedding clustering: deterministic fixed-iteration k-means (Lloyd's)
+  * — the trained coarse quantizer that `sim_ivf_topk` documents as the
+  * swap-in for its modulo quantizer.
+  *
+  * Exact-oracle determinism comes from doing ALL arithmetic in integers:
+  * components are quantized to 1e-6 (`round(x * 1e6)` as BIGINT — float
+  * →double conversion is exact and double math is IEEE-identical on both
+  * engines), distances are integer sums of squares, and centroid updates
+  * are integer `div` means, so no float accumulation order can diverge
+  * between Spark and DuckDB. Ties in the argmin break on centroid id via
+  * lexicographic `min(struct(dist, cid))`.
+  *
+  * Scale shape (100 TB): centroids are k rows — always broadcast; each
+  * assignment pass is a per-row map against the broadcast set followed by
+  * a partial-aggregated `min(struct(...))` groupBy (map-side combine
+  * collapses the k candidate rows per vector BEFORE the exchange, unlike
+  * a row_number window which would shuffle k·n rows); the centroid
+  * update is a (cid, pos) partial agg — k·dim cells regardless of corpus
+  * size. Two unrolled Lloyd iterations; production would loop with a
+  * convergence test like [[graft.identity.Components]] does.
+  */
+object ClusterQueries {
+
+  private val K = 8
+
+  /** Integer squared-L2 between the quantized vector and centroid. The
+    * per-row HOF lambda is interpreted (not codegen'd) but runs against
+    * only k broadcast centroids per row — the corpus pass stays one scan.
+    */
+  private val distExpr =
+    "aggregate(zip_with(qe, ce, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
+
+  private def assign(qf: DataFrame, cent: DataFrame): DataFrame =
+    qf.crossJoin(broadcast(cent))
+      .withColumn("dist", expr(distExpr))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
+
+  private val clusterKmeans = Q(
+    "cluster_kmeans",
+    (s, dir) => {
+      val qf = Tables.embeddings(s, dir)
+        .select(col("vec_id"), expr(
+          "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT))")
+          .as("qe"))
+      val c0 = qf.where(col("vec_id") < K)
+        .select(col("vec_id").as("cid"), col("qe").as("ce"))
+      val a1 = assign(qf, c0)
+      // Lloyd update: integer mean per (cluster, dimension) — k·dim cells,
+      // partial-aggregated map-side; rebuilt into ordered centroid arrays.
+      val c1 = a1.join(qf, "vec_id")
+        .select(col("cid"), posexplode(col("qe")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(expr("sum(v) div count(1)").as("cv"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)")
+          .as("ce"))
+      assign(qf, c1)
+        .select(col("vec_id"), col("cid").as("cluster"), col("dist"))
+    },
+    Some(s"""WITH q AS (
+               SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT)) AS qe
+               FROM embeddings),
+             c0 AS (SELECT vec_id AS cid, qe AS ce FROM q WHERE vec_id < $K),
+             d1 AS (
+               SELECT q.vec_id, c.cid,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   i -> (q.qe[i] - c.ce[i]) * (q.qe[i] - c.ce[i]))) AS BIGINT) AS dist
+               FROM q, c0 c),
+             a1 AS (
+               SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                 FROM d1)
+               WHERE rn = 1),
+             s1 AS (
+               SELECT a1.cid, t.i AS pos,
+                 CAST(sum(q.qe[t.i]) AS BIGINT) // count(*) AS cv
+               FROM a1 JOIN q USING (vec_id), generate_series(1, 64) AS t(i)
+               GROUP BY a1.cid, t.i),
+             c1 AS (SELECT cid, list(cv ORDER BY pos) AS ce FROM s1 GROUP BY cid),
+             d2 AS (
+               SELECT q.vec_id, c.cid,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   i -> (q.qe[i] - c.ce[i]) * (q.qe[i] - c.ce[i]))) AS BIGINT) AS dist
+               FROM q, c1 c)
+             SELECT vec_id, cid AS cluster, dist
+             FROM (
+               SELECT vec_id, cid, dist,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+               FROM d2)
+             WHERE rn = 1"""))
+
+  val all: Seq[Q] = Seq(clusterKmeans)
+}
