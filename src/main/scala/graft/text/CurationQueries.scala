@@ -222,6 +222,13 @@ object CurationQueries {
     "contamination_check",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
+      // checkpoint: the gram table feeds BOTH the benchmark side and the
+      // corpus side — one materialized pass instead of two. It also keeps
+      // InferFiltersFromGenerate's size(grams)>0 pruning predicate above
+      // the repartition: without the cut, that inferred filter inlines the
+      // whole interpreted tokenize→5-gram chain below the round-robin
+      // exchange, onto the raw single-file scan — the entire corpus gram
+      // pass on ONE core, ~3x per row (measured 33 s vs 2 s at sf0.1).
       val grams = Tables.spread(docs.select("doc_id", "text"))
         .withColumn("toks", expr(tokenizeExpr))
         .withColumn("grams", expr(
@@ -230,6 +237,7 @@ object CurationQueries {
                i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1],
                               toks[i+2], toks[i+3]))) END"""))
         .select(col("doc_id"), col("grams"))
+        .localCheckpoint(eager = true)
       val benchIds = docs
         .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
         .orderBy(col("h"), col("doc_id")).limit(100)
