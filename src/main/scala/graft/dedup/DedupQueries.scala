@@ -190,6 +190,9 @@ object DedupQueries {
              ELSE array_distinct(transform(sequence(1, size(toks) - 2),
                i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))) END"""))
         .select(col("doc_id"), col("grams"), size(col("grams")).cast("long").as("n"))
+        // one materialized gram pass feeding BOTH pair sides, instead of
+        // re-tokenizing the corpus per side (measured 2.9 s → 2.1 s at sf0.1)
+        .localCheckpoint(eager = true)
       // NO spread here (unlike text_edit_distance): gram arrays are
       // KB-fat, so the pair rows are too big for AQE to coalesce onto one
       // task — the intersect already runs parallel inside the join stage,
