@@ -246,41 +246,86 @@ object DedupQueries {
     * the MinHash pipeline with the identity CC operator; docs with no
     * candidate pair form singleton clusters. Cluster id = min doc_id.
     */
+  /** doc_id → near-dup cluster id (min doc_id of the component; singleton
+    * docs are their own cluster). Shared by `dedup_clusters` and the
+    * leakage-safe split. */
+  private[graft] def clusterAssignments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col}
+    val docs = Tables.documents(s, dir)
+    val pairs = minhashCandidatePairs(docs)
+    // pairs are DISTINCT (a < b, non-null) by construction — skip the
+    // CC normalize distinct (a full edge-set shuffle)
+    val cc = graft.identity.Components.connectedComponents(pairs,
+      inputDistinct = true)
+    docs.select(col("doc_id"))
+      .join(cc, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster"))
+  }
+
+  /** CTE chain ending in `clusters(doc_id, cluster)`; splice after a
+    * `WITH RECURSIVE` prefix. */
+  private[graft] def clustersOracleCte: String = {
+    val bandUnion = (0 until NumHashes / BandSize)
+      .map(b => s"SELECT doc_id, band$b AS band_hash FROM sig")
+      .mkString(" UNION ALL ")
+    s"""sig AS ($minhashOracle),
+        long AS ($bandUnion),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+          FROM long a JOIN long b
+            ON a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+        und AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        nodes AS (SELECT DISTINCT u AS node FROM und),
+        reach(node, r) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT reach.node, und.v FROM reach JOIN und ON reach.r = und.u),
+        comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+        clusters AS (
+          SELECT d.doc_id, CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS cluster
+          FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)"""
+  }
+
   private val dedupClusters = Q(
     "dedup_clusters",
+    (s, dir) => clusterAssignments(s, dir),
+    Some(s"""WITH RECURSIVE $clustersOracleCte
+             SELECT doc_id, cluster FROM clusters"""))
+
+  /** Leakage-safe train/val/test split: the split is a deterministic
+    * function of the near-dup CLUSTER id, not the document id — so two
+    * near-duplicate documents can never straddle train and test (the
+    * eval-contamination failure mode of naive per-doc hash splits).
+    * ~80/10/10 via md5 buckets of the cluster id. Scale: one md5 + two
+    * compares on top of the CC output; SplitLeakageSpec asserts the
+    * invariant pair-by-pair.
+    */
+  private val splitLeakageSafe = Q(
+    "split_leakage_safe",
     (s, dir) => {
-      import org.apache.spark.sql.functions.{coalesce, col}
-      val docs = Tables.documents(s, dir)
-      val pairs = minhashCandidatePairs(docs)
-      // pairs are DISTINCT (a < b, non-null) by construction — skip the
-      // CC normalize distinct (a full edge-set shuffle)
-      val cc = graft.identity.Components.connectedComponents(pairs,
-        inputDistinct = true)
-      docs.select(col("doc_id"))
-        .join(cc, col("doc_id") === col("node"), "left")
-        .select(col("doc_id"),
-          coalesce(col("component"), col("doc_id")).as("cluster"))
+      import org.apache.spark.sql.functions.{col, expr, when}
+      val byte =
+        """(instr('0123456789abcdef', substr(md5(CAST(cluster AS STRING)), 1, 1)) - 1) * 16 +
+           (instr('0123456789abcdef', substr(md5(CAST(cluster AS STRING)), 2, 1)) - 1)"""
+      clusterAssignments(s, dir)
+        .withColumn("bucket", expr(byte).cast("long"))
+        .withColumn("split",
+          when(col("bucket") < 205, "train")
+            .when(col("bucket") < 230, "val")
+            .otherwise("test"))
+        .select(col("doc_id"), col("cluster"), col("split"))
     },
     Some {
-      val bandUnion = (0 until NumHashes / BandSize)
-        .map(b => s"SELECT doc_id, band$b AS band_hash FROM sig")
-        .mkString(" UNION ALL ")
-      s"""WITH RECURSIVE
-          sig AS ($minhashOracle),
-          long AS ($bandUnion),
-          pairs AS (
-            SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
-            FROM long a JOIN long b
-              ON a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
-          und AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
-          nodes AS (SELECT DISTINCT u AS node FROM und),
-          reach(node, r) AS (
-            SELECT node, node FROM nodes
-            UNION
-            SELECT reach.node, und.v FROM reach JOIN und ON reach.r = und.u),
-          comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
-          SELECT d.doc_id, CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS cluster
-          FROM documents d LEFT JOIN comp c ON c.node = d.doc_id"""
+      val byte =
+        """(instr('0123456789abcdef', substr(md5(CAST(cluster AS VARCHAR)), 1, 1)) - 1) * 16 +
+           (instr('0123456789abcdef', substr(md5(CAST(cluster AS VARCHAR)), 2, 1)) - 1)"""
+      s"""WITH RECURSIVE $clustersOracleCte
+          SELECT doc_id, cluster,
+            CASE WHEN b < 205 THEN 'train'
+                 WHEN b < 230 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM (SELECT doc_id, cluster, $byte AS b FROM clusters)"""
     })
 
   /** The C4-style corpus-cleaning pipeline, composed from the engine's own
@@ -341,5 +386,5 @@ object DedupQueries {
     })
 
   val all: Seq[Q] = Seq(dedupMinhash, dedupMinhashPairs, dedupSimhash,
-    dedupNgramJaccard, dedupClusters, corpusClean)
+    dedupNgramJaccard, dedupClusters, splitLeakageSafe, corpusClean)
 }

@@ -369,7 +369,79 @@ object CurationQueries {
              FROM documents d JOIN thr t USING (lang)
              WHERE ${md5Byte("CAST(d.doc_id AS VARCHAR)")} < t.thr"""))
 
+  /** Line-level exact dedup (the CCNet/RefinedWeb pass that strips
+    * boilerplate shared across pages): split every document into
+    * fixed-width token chunks (this corpus has no newlines, so 4-token
+    * windows stand in for lines), count each chunk's document frequency
+    * corpus-wide, drop chunks appearing in ≥ 3 documents, and reassemble
+    * the surviving text in position order.
+    *
+    * Scale shape: the df count is one linear hash-aggregate over chunk
+    * strings; the removal is a left_anti against ONLY the over-threshold
+    * chunk list — which is tiny relative to the corpus (duplication is the
+    * exception), so AQE broadcasts it and the corpus never reshuffles on
+    * chunk. Docs shorter than one chunk have nothing to dedup and are
+    * absent by construction.
+    */
+  private val dedupLines = Q(
+    "dedup_lines",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val chunks = Tables.spread(docs.select("doc_id", "text"))
+        .withColumn("toks", expr(tokenizeExpr))
+        .select(col("doc_id"), posexplode(expr(
+          """CASE WHEN size(toks) < 4 THEN array()
+             ELSE transform(sequence(1, size(toks) div 4),
+               i -> concat_ws(' ', slice(toks, (i-1)*4+1, 4))) END"""))
+          .as(Seq("pos", "chunk")))
+        .localCheckpoint(eager = true) // feeds df-count, totals, and kept
+      val dup = chunks.groupBy(col("chunk"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .where(col("df") >= 3).select(col("chunk"))
+      val kept = chunks.join(dup, Seq("chunk"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          expr("concat_ws(' ', transform(array_sort(collect_list(struct(pos, chunk))), s -> s.chunk))")
+            .as("clean_text"))
+      chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                  t -> t <> '') AS toks
+              FROM documents),
+            cl AS (
+              SELECT doc_id,
+                CASE WHEN len(toks) < 4 THEN []
+                ELSE list_transform(range(1, len(toks) // 4 + 1),
+                  i -> array_to_string(list_slice(toks, (i-1)*4+1, i*4), ' ')) END AS cs
+              FROM toks),
+            flat AS (
+              SELECT doc_id, generate_subscripts(cs, 1) AS pos, unnest(cs) AS chunk
+              FROM cl),
+            dup AS (
+              SELECT chunk FROM flat GROUP BY chunk
+              HAVING count(DISTINCT doc_id) >= 3),
+            kept AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+              FROM flat WHERE chunk NOT IN (SELECT chunk FROM dup)
+              GROUP BY doc_id),
+            tot AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+              FROM flat GROUP BY doc_id)
+            SELECT t.doc_id, t.n_chunks,
+              coalesce(k.n_kept, 0) AS n_kept,
+              t.n_chunks - coalesce(k.n_kept, 0) AS n_dropped,
+              coalesce(k.clean_text, '') AS clean_text
+            FROM tot t LEFT JOIN kept k USING (doc_id)"""))
+
   val all: Seq[Q] = Seq(sampleHash, sampleStratified, textPiiScrub,
     textEditDistance, packSequences, vocabTopk, contaminationCheck,
-    textRepetition, sampleDomainMix)
+    textRepetition, sampleDomainMix, dedupLines)
 }
