@@ -99,6 +99,51 @@ class PlanSpec extends SparkSpec {
       "hash sampling introduced a shuffle — it must ride the scan")
   }
 
+  test("contamination_check: interpreted gram chain stays behind the checkpoint") {
+    val p = plan("contamination_check")
+    // the tokenize→5-gram transform must be materialized once (LogicalRDD),
+    // never inlined into scan-level DataFilters by InferFiltersFromGenerate
+    // (measured 46x slower: the whole corpus gram pass on one core)
+    assert(p.contains("LogicalRDD") || p.contains("Scan ExistingRDD"), p.take(1000))
+    assert(!p.contains("transform("),
+      "gram transform re-inlined above/below the checkpoint")
+  }
+
+  test("cluster_kmeans assigns via partial agg, not a window") {
+    val q = graft.SparkEntry.queries("cluster_kmeans")(spark, dir)
+    val windows = q.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty,
+      "k-means argmin regressed to a row_number window (shuffles k*n rows)")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "centroids are not broadcast")
+  }
+
+  test("sim_ann_multiprobe explodes probes only on the query side") {
+    val q = graft.SparkEntry.queries("sim_ann_multiprobe")(spark, dir)
+    val gens = q.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(gens.size == 1,
+      s"expected exactly one probe explode (query side), got ${gens.size}")
+  }
+
+  test("sample_domain_mix joins thresholds via broadcast") {
+    val p = plan("sample_domain_mix")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "per-lang threshold join fell back to sort-merge (corpus reshuffle)")
+  }
+
+  test("dedup_lines: dup list removed via anti join over materialized chunks") {
+    val p = plan("dedup_lines")
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(!p.contains("transform("),
+      "chunking re-inlined instead of using the checkpointed chunk table")
+  }
+
   test("minhash signatures plan has no aggregate (fused expression)") {
     val p = plan("dedup_minhash")
     assert(!p.contains("HashAggregate"),
