@@ -385,6 +385,66 @@ object DedupQueries {
             AND doc_id NOT IN (SELECT doc_id FROM dup_side)"""
     })
 
+  /** Incremental crawl dedup: flag documents of an incoming batch that
+    * LSH-collide with the EXISTING corpus — the production "is today's
+    * crawl already in the lake" pass, which never re-pairs the corpus
+    * against itself. The batch/corpus boundary here is a deterministic
+    * md5 bucket of doc_id (~20% "new") so the oracle reproduces it; in
+    * production the corpus band table is precomputed and stored, the
+    * daily batch is orders of magnitude smaller, and this join reads the
+    * batch's bands against the band table keyed by band_hash — work
+    * scales with the batch, not the corpus. Emits every new-batch doc
+    * with its distinct-existing-collider count.
+    */
+  private val dedupIncremental = Q(
+    "dedup_incremental",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val long = minhashSignatures(docs).selectExpr("doc_id",
+        s"stack(${NumHashes / BandSize}, " +
+          (0 until NumHashes / BandSize)
+            .map(b => s"$b, band$b").mkString(", ") + ") AS (band_no, band_hash)")
+      val bucketExpr = expr(
+        """(instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1)) - 1) * 16 +
+           (instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 2, 1)) - 1)""")
+      val withB = long.withColumn("bucket", bucketExpr.cast("long"))
+      val newBands = withB.where(col("bucket") < 51)
+        .select(col("doc_id"), col("band_hash"))
+      val oldBands = withB.where(col("bucket") >= 51)
+        .select(col("doc_id").as("src"), col("band_hash"))
+      val hits = newBands.join(oldBands, "band_hash")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("src")).as("n_src"))
+      docs.select(col("doc_id"))
+        .withColumn("bucket", bucketExpr.cast("long"))
+        .where(col("bucket") < 51).select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_src"), lit(0L)).as("n_src"),
+          (coalesce(col("n_src"), lit(0L)) > 0).cast("long").as("is_dup"))
+    },
+    Some {
+      val bandUnion = (0 until NumHashes / BandSize)
+        .map(b => s"SELECT doc_id, band$b AS band_hash FROM sig")
+        .mkString(" UNION ALL ")
+      def byte(c: String) =
+        s"""(instr('0123456789abcdef', substr(md5(CAST($c AS VARCHAR)), 1, 1)) - 1) * 16 +
+            (instr('0123456789abcdef', substr(md5(CAST($c AS VARCHAR)), 2, 1)) - 1)"""
+      s"""WITH sig AS ($minhashOracle),
+          long AS ($bandUnion),
+          wb AS (SELECT doc_id, band_hash, ${byte("doc_id")} AS bucket FROM long),
+          hits AS (
+            SELECT n.doc_id, CAST(count(DISTINCT o.doc_id) AS BIGINT) AS n_src
+            FROM wb n JOIN wb o
+              ON n.band_hash = o.band_hash AND n.bucket < 51 AND o.bucket >= 51
+            GROUP BY n.doc_id)
+          SELECT d.doc_id, coalesce(h.n_src, 0) AS n_src,
+            CAST(coalesce(h.n_src, 0) > 0 AS BIGINT) AS is_dup
+          FROM (SELECT doc_id FROM documents WHERE ${byte("doc_id")} < 51) d
+          LEFT JOIN hits h ON h.doc_id = d.doc_id"""
+    })
+
   val all: Seq[Q] = Seq(dedupMinhash, dedupMinhashPairs, dedupSimhash,
-    dedupNgramJaccard, dedupClusters, splitLeakageSafe, corpusClean)
+    dedupNgramJaccard, dedupClusters, splitLeakageSafe, corpusClean,
+    dedupIncremental)
 }

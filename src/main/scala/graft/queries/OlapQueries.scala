@@ -98,6 +98,45 @@ object OlapQueries {
             FROM (SELECT event_type, value, user_id % 10 + 1 AS w FROM events)
             GROUP BY event_type"""))
 
+  // Shuffle-skew diagnostics: the keys a 100 TB groupBy/join would
+  // stall on, with the integer salt factor that would rebalance them
+  // (cnt div avg-per-key). One partial-aggregated count pass, a
+  // broadcast scalar for totals, and a TakeOrderedAndProject top-10 —
+  // the rank window runs over the 10 survivors only (the topk_users
+  // lesson). share uses round(cnt/total, 4): IEEE double division of
+  // exact longs, identical on both engines.
+  private val skewDiagnose = Q(
+    "skew_diagnose",
+    (s, dir) => {
+      val counts = Tables.events(s, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      val tot = counts.agg(sum(col("cnt")).as("total"),
+        count(lit(1)).as("n_keys"))
+      val top = counts.crossJoin(broadcast(tot))
+        .select(col("user_id"), col("cnt"),
+          round(col("cnt") / col("total"), 4).as("share"),
+          greatest(lit(1L),
+            expr("cnt div greatest(total div n_keys, 1)")).as("salt"))
+        .orderBy(col("cnt").desc, col("user_id")).limit(10)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("user_id"))
+      top.withColumn("rk", row_number().over(w).cast("long"))
+    },
+    Some("""WITH counts AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+              FROM events GROUP BY user_id),
+            tot AS (
+              SELECT CAST(sum(cnt) AS BIGINT) AS total,
+                CAST(count(*) AS BIGINT) AS n_keys
+              FROM counts),
+            top AS (
+              SELECT user_id, cnt, round(cnt / total, 4) AS share,
+                CAST(greatest(1, cnt // greatest(total // n_keys, 1)) AS BIGINT) AS salt
+              FROM counts, tot ORDER BY cnt DESC, user_id LIMIT 10)
+            SELECT user_id, cnt, share, salt,
+              CAST(row_number() OVER (ORDER BY cnt DESC, user_id) AS BIGINT) AS rk
+            FROM top"""))
+
   val all: Seq[Q] = Seq(pivotEventType, unpivotMelt, histogramBins,
-    udafWeightedMean)
+    udafWeightedMean, skewDiagnose)
 }
