@@ -49,15 +49,18 @@ object DedupQueries {
     * 100 TB (an explode+hash-aggregate would shuffle |doc|×|shingles|
     * rows on doc_id).
     */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
+  def minhashSignatures(docs: DataFrame, spreadInput: Boolean = true): DataFrame = {
     // the native one-pass expression (graft.functions.MinHashSignature):
     // no shingle array, no 12 interpreted array_min(transform(...)) passes,
     // whole signature inside whole-stage codegen — bit-identical to the
     // composable-SQL formulation the oracle uses.
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val sig = Tables.spread(docs
+    val base = docs
       .where(col("text").isNotNull)
-      .select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("text"))
+    // spread probes .rdd partition counts — batch-only; streaming callers
+    // pass spreadInput = false (micro-batch parallelism comes from the source)
+    val sig = (if (spreadInput) Tables.spread(base) else base)
       .select(col("doc_id"), expr("minhash_sig(text)").as("mh"))
     val bands = (0 until NumHashes / BandSize).map { b =>
       val cols = (0 until BandSize).map(r => element_at(col("mh"), b * BandSize + r + 1))
@@ -114,12 +117,17 @@ object DedupQueries {
     * no driver-side materialization barrier, and the reused exchange holds
     * signatures (tiny) rather than text (huge), which is the right
     * trade at 100 TB too. */
-  def minhashCandidatePairs(docs: DataFrame): DataFrame = {
-    val sig = minhashSignatures(docs).repartition(col("doc_id"))
-    val long = sig.selectExpr("doc_id",
+  /** Unpivot a signature frame's band0..bandN columns into
+    * (doc_id, band_no, band_hash) rows. */
+  private[graft] def stackBands(sig: DataFrame): DataFrame =
+    sig.selectExpr("doc_id",
       s"stack(${NumHashes / BandSize}, " +
         (0 until NumHashes / BandSize)
           .map(b => s"$b, band$b").mkString(", ") + ") AS (band_no, band_hash)")
+
+  def minhashCandidatePairs(docs: DataFrame): DataFrame = {
+    val sig = minhashSignatures(docs).repartition(col("doc_id"))
+    val long = stackBands(sig)
     val a = long.select(col("band_hash"), col("doc_id").as("a"))
     val b = long.select(col("band_hash"), col("doc_id").as("b"))
     a.join(b, "band_hash").where(col("a") < col("b"))
@@ -400,10 +408,7 @@ object DedupQueries {
     "dedup_incremental",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val long = minhashSignatures(docs).selectExpr("doc_id",
-        s"stack(${NumHashes / BandSize}, " +
-          (0 until NumHashes / BandSize)
-            .map(b => s"$b, band$b").mkString(", ") + ") AS (band_no, band_hash)")
+      val long = stackBands(minhashSignatures(docs))
       val bucketExpr = expr(
         """(instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1)) - 1) * 16 +
            (instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 2, 1)) - 1)""")
