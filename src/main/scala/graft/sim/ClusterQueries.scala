@@ -1,6 +1,7 @@
 package graft.sim
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.queries.{Q, Tables}
@@ -28,7 +29,7 @@ import graft.queries.{Q, Tables}
   */
 object ClusterQueries {
 
-  private val K = 8
+  private[graft] val K = 8
 
   /** Integer squared-L2 between the quantized vector and centroid. The
     * per-row HOF lambda is interpreted (not codegen'd) but runs against
@@ -37,69 +38,140 @@ object ClusterQueries {
   private val distExpr =
     "aggregate(zip_with(qe, ce, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
 
-  private def assign(qf: DataFrame, cent: DataFrame): DataFrame =
+  /** vec_id → 1e-6-quantized BIGINT component array. */
+  private[graft] def quantized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT))")
+      .as("qe"))
+
+  private[graft] def assign(qf: DataFrame, cent: DataFrame): DataFrame =
     qf.crossJoin(broadcast(cent))
       .withColumn("dist", expr(distExpr))
       .groupBy(col("vec_id"))
       .agg(min(struct(col("dist"), col("cid"))).as("m"))
       .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
 
+  /** Lloyd update: integer mean per (cluster, dimension) — k·dim cells,
+    * partial-aggregated map-side; rebuilt into ordered centroid arrays. */
+  private[graft] def lloydStep(a: DataFrame, qf: DataFrame): DataFrame =
+    a.join(qf, "vec_id")
+      .select(col("cid"), posexplode(col("qe")).as(Seq("pos", "v")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(expr("sum(v) div count(1)").as("cv"))
+      .groupBy(col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)")
+        .as("ce"))
+
+  /** Centroids after one Lloyd iteration from the deterministic seed. */
+  private[graft] def trainedCentroids(emb: DataFrame): DataFrame = {
+    val qf = quantized(emb)
+    val c0 = qf.where(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("qe").as("ce"))
+    lloydStep(assign(qf, c0), qf)
+  }
+
   private val clusterKmeans = Q(
     "cluster_kmeans",
     (s, dir) => {
-      val qf = Tables.embeddings(s, dir)
-        .select(col("vec_id"), expr(
-          "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT))")
-          .as("qe"))
-      val c0 = qf.where(col("vec_id") < K)
-        .select(col("vec_id").as("cid"), col("qe").as("ce"))
-      val a1 = assign(qf, c0)
-      // Lloyd update: integer mean per (cluster, dimension) — k·dim cells,
-      // partial-aggregated map-side; rebuilt into ordered centroid arrays.
-      val c1 = a1.join(qf, "vec_id")
-        .select(col("cid"), posexplode(col("qe")).as(Seq("pos", "v")))
-        .groupBy(col("cid"), col("pos"))
-        .agg(expr("sum(v) div count(1)").as("cv"))
-        .groupBy(col("cid"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)")
-          .as("ce"))
-      assign(qf, c1)
+      val emb = Tables.embeddings(s, dir)
+      assign(quantized(emb), trainedCentroids(emb))
         .select(col("vec_id"), col("cid").as("cluster"), col("dist"))
     },
-    Some(s"""WITH q AS (
-               SELECT vec_id,
-                 list_transform(embedding,
-                   x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT)) AS qe
-               FROM embeddings),
-             c0 AS (SELECT vec_id AS cid, qe AS ce FROM q WHERE vec_id < $K),
-             d1 AS (
-               SELECT q.vec_id, c.cid,
-                 CAST(list_sum(list_transform(range(1, 65),
-                   i -> (q.qe[i] - c.ce[i]) * (q.qe[i] - c.ce[i]))) AS BIGINT) AS dist
-               FROM q, c0 c),
-             a1 AS (
-               SELECT vec_id, cid FROM (
-                 SELECT vec_id, cid,
-                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-                 FROM d1)
-               WHERE rn = 1),
-             s1 AS (
-               SELECT a1.cid, t.i AS pos,
-                 CAST(sum(q.qe[t.i]) AS BIGINT) // count(*) AS cv
-               FROM a1 JOIN q USING (vec_id), generate_series(1, 64) AS t(i)
-               GROUP BY a1.cid, t.i),
-             c1 AS (SELECT cid, list(cv ORDER BY pos) AS ce FROM s1 GROUP BY cid),
-             d2 AS (
-               SELECT q.vec_id, c.cid,
-                 CAST(list_sum(list_transform(range(1, 65),
-                   i -> (q.qe[i] - c.ce[i]) * (q.qe[i] - c.ce[i]))) AS BIGINT) AS dist
-               FROM q, c1 c)
-             SELECT vec_id, cid AS cluster, dist
-             FROM (
-               SELECT vec_id, cid, dist,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-               FROM d2)
-             WHERE rn = 1"""))
+    Some(s"""WITH $kmeansOracleCte
+             SELECT vec_id, cid AS cluster, dist FROM cells"""))
 
-  val all: Seq[Q] = Seq(clusterKmeans)
+  /** CTE chain ending in `cells(vec_id, cid, dist)` — the 2-iteration
+    * Lloyd assignment; splice after `WITH`. */
+  private[graft] def kmeansOracleCte: String =
+    s"""q AS (
+          SELECT vec_id,
+            list_transform(embedding,
+              x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT)) AS qe
+          FROM embeddings),
+        c0 AS (SELECT vec_id AS cid, qe AS ce FROM q WHERE vec_id < $K),
+        d1 AS (
+          SELECT q.vec_id, c.cid,
+            CAST(list_sum(list_transform(range(1, 65),
+              i -> (q.qe[i] - c.ce[i]) * (q.qe[i] - c.ce[i]))) AS BIGINT) AS dist
+          FROM q, c0 c),
+        a1 AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+              row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM d1)
+          WHERE rn = 1),
+        s1 AS (
+          SELECT a1.cid, t.i AS pos,
+            CAST(sum(q.qe[t.i]) AS BIGINT) // count(*) AS cv
+          FROM a1 JOIN q USING (vec_id), generate_series(1, 64) AS t(i)
+          GROUP BY a1.cid, t.i),
+        c1 AS (SELECT cid, list(cv ORDER BY pos) AS ce FROM s1 GROUP BY cid),
+        d2 AS (
+          SELECT q.vec_id, c.cid,
+            CAST(list_sum(list_transform(range(1, 65),
+              i -> (q.qe[i] - c.ce[i]) * (q.qe[i] - c.ce[i]))) AS BIGINT) AS dist
+          FROM q, c1 c),
+        cells AS (
+          SELECT vec_id, cid, dist
+          FROM (
+            SELECT vec_id, cid, dist,
+              row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM d2)
+          WHERE rn = 1)"""
+
+  /** IVF ANN with the TRAINED coarse quantizer — the swap `sim_ivf_topk`
+    * documents: cells come from the k-means assignment above instead of
+    * the modulo stand-in, and a query probes only its own cell. Same
+    * 100 TB shape as `sim_ivf_topk` (k centroid rows broadcast for the
+    * assignment, probe fan-out = cell population ≈ n/k); cell membership
+    * is integer-exact so both engines probe identical candidate sets, and
+    * the in-cell cosine ranking is the bit-exact ordered double fold.
+    */
+  private val simIvfTrained = Q(
+    "sim_ivf_trained",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val cells = assign(quantized(emb), trainedCentroids(emb))
+        .select(col("vec_id"), col("cid").as("cell"))
+      val vecs = emb.select(col("vec_id"), col("embedding"),
+        expr("dot_ordered(embedding, embedding)").as("norm2"))
+        .join(cells, "vec_id")
+        .localCheckpoint(eager = true) // assignment feeds both probe sides
+      val queries = vecs
+        .select(col("vec_id").as("q_id"), col("cell"),
+          col("embedding").as("q_emb"), col("norm2").as("q_norm2"))
+        .where(col("q_id") < 20)
+      val wTop = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      vecs.join(broadcast(queries), "cell")
+        .where(col("vec_id") =!= col("q_id"))
+        .withColumn("cos",
+          expr("dot_ordered(embedding, q_emb)") /
+            sqrt(col("norm2") * col("q_norm2")))
+        .withColumn("rk", row_number().over(wTop).cast("long"))
+        .where(col("rk") <= 3)
+        .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos"),
+          col("rk"))
+    },
+    Some {
+      val dot = "list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
+      val na  = "list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))"
+      val nq  = "list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
+      s"""WITH $kmeansOracleCte
+          SELECT q_id, vec_id, round(cos, 6) AS cos, rk
+          FROM (SELECT q_id, vec_id, cos,
+                  CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos DESC, vec_id) AS BIGINT) AS rk
+                FROM (SELECT q.vec_id AS q_id, a.vec_id AS vec_id,
+                        $dot / sqrt($na * $nq) AS cos
+                      FROM embeddings q
+                      JOIN cells cq ON cq.vec_id = q.vec_id AND q.vec_id < 20
+                      JOIN cells ca ON ca.cid = cq.cid
+                      JOIN embeddings a ON a.vec_id = ca.vec_id
+                      WHERE a.vec_id <> q.vec_id))
+          WHERE rk <= 3"""
+    })
+
+  val all: Seq[Q] = Seq(clusterKmeans, simIvfTrained)
 }

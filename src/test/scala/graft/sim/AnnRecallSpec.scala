@@ -43,5 +43,29 @@ class AnnRecallSpec extends SparkSpec {
       f"multiprobe ($rMulti%.2f) must beat single-bucket ($rSingle%.2f)")
     assert(rMulti >= 0.20, f"multiprobe recall floor: $rMulti%.2f < 0.20")
     assert(rIvf >= 0.15, f"ivf recall floor: $rIvf%.2f < 0.15")
+
+    // training the coarse quantizer (k-means cells instead of modulo) is
+    // what IVF recall actually buys: measured 0.52 vs 0.20 at equal
+    // probe-1 cost — the cells follow the data's directions
+    val trained = pairs(graft.SparkEntry.queries("sim_ivf_trained")(spark, dir))
+    val rTrained = recall(trained)
+    info(f"recall@3: ivf_trained=$rTrained%.2f")
+    assert(rTrained > rIvf,
+      f"trained quantizer ($rTrained%.2f) must beat modulo cells ($rIvf%.2f)")
+    assert(rTrained >= 0.45, f"trained-ivf recall floor: $rTrained%.2f < 0.45")
+  }
+
+  test("Lloyd iteration is monotone: total within-cell distance never rises") {
+    val emb = Tables.embeddings(spark, dir)
+    val qf = ClusterQueries.quantized(emb)
+    val c0 = qf.where(col("vec_id") < ClusterQueries.K)
+      .select(col("vec_id").as("cid"), col("qe").as("ce"))
+    val a1 = ClusterQueries.assign(qf, c0)
+    val a2 = ClusterQueries.assign(qf, ClusterQueries.lloydStep(a1, qf))
+    def total(a: org.apache.spark.sql.DataFrame): Long =
+      a.agg(sum(col("dist"))).collect()(0).getLong(0)
+    val (t1, t2) = (total(a1), total(a2))
+    info(s"within-cell squared distance: seed=$t1 after-update=$t2")
+    assert(t2 <= t1, s"Lloyd objective rose: $t1 -> $t2")
   }
 }
