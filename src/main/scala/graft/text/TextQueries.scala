@@ -195,6 +195,51 @@ object TextQueries {
                         FROM tf JOIN df ON tf.term = df.term))
             WHERE rk <= 3"""))
 
+  // Unigram negative-log-likelihood quality score — the KenLM-style
+  // "perplexity filter" of production pipelines, with a corpus-fit unigram
+  // model standing in for the external LM. Determinism: a per-doc AVERAGE
+  // of doubles would be accumulation-order-dependent across engines, so
+  // each token's log-prob is quantized per ROW to integer micro-nats
+  // (deterministic IEEE ln + half-away round on both engines), the per-doc
+  // sum is then exact BIGINT math in any order, and one double division at
+  // the end is exact-input. Scale: the frequency side is vocabulary-sized
+  // → NOT hint-broadcast (the tfidf rule); the corpus total enters as a
+  // one-row cross join, keeping the query a single job.
+  private val textUnigramNll = Q(
+    "text_unigram_nll",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(expr(tokenizeExpr)).as("token"))
+      val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      val tot = freq.agg(sum(col("cnt")).as("total"))
+      toks.join(freq, "token")
+        .crossJoin(broadcast(tot))
+        .withColumn("q", expr(
+          "CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000.0, 0) AS BIGINT)"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("q")).as("sq"))
+        .select(col("doc_id"), col("n_tok"),
+          round(-col("sq").cast("double") /
+            (col("n_tok").cast("double") * lit(1000000.0)), 4).as("nll"))
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, unnest(list_filter(
+                string_split_regex(lower(text), '[^a-z]+'),
+                t -> t <> '')) AS token
+              FROM documents),
+            freq AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS cnt
+              FROM toks GROUP BY token),
+            tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM freq),
+            scored AS (
+              SELECT doc_id,
+                CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+                  * 1000000.0, 0) AS BIGINT) AS q
+              FROM toks JOIN freq USING (token), tot)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+              round(-CAST(sum(q) AS DOUBLE) / (count(*) * 1000000.0), 4) AS nll
+            FROM scored GROUP BY doc_id"""))
+
   val all: Seq[Q] = Seq(textTokens, textQuality, textLangid, textFingerprint,
-    tokenCount, textTfidf)
+    tokenCount, textTfidf, textUnigramNll)
 }
