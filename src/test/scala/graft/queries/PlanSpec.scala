@@ -144,6 +144,17 @@ class PlanSpec extends SparkSpec {
       "chunking re-inlined instead of using the checkpointed chunk table")
   }
 
+  test("text_unigram_nll has no forced vocabulary broadcast") {
+    val q = graft.SparkEntry.queries("text_unigram_nll")(spark, dir)
+    // the token-frequency side is vocabulary-sized at web scale — only the
+    // one-row total may carry a broadcast hint (same rule as text_tfidf)
+    val hinted = q.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hinted.forall(_.child.maxRows.exists(_ <= 1L)),
+      "a vocabulary-sized side carries a forced broadcast hint")
+  }
+
   test("minhash signatures plan has no aggregate (fused expression)") {
     val p = plan("dedup_minhash")
     assert(!p.contains("HashAggregate"),
