@@ -441,7 +441,36 @@ object CurationQueries {
               coalesce(k.clean_text, '') AS clean_text
             FROM tot t LEFT JOIN kept k USING (doc_id)"""))
 
+  /** Deterministic global shuffle + sharding — the last step before the
+    * tokenizer: give every document a pseudo-random but REPRODUCIBLE
+    * position (md5 order, no RNG state), bucketed into 16 output shards.
+    * Within-shard positions come from a window PARTITIONED by shard, so at
+    * 100 TB each shard ranks independently (parallelism = shard count,
+    * shards ≫ cores in production) — there is no global sort anywhere,
+    * yet the concatenation of shards in (shard, pos) order is a uniform
+    * permutation of the corpus: exactly what sequential training readers
+    * need.
+    */
+  private val shardShuffle = Q(
+    "shard_shuffle",
+    (s, dir) => {
+      val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("h", md5(col("doc_id").cast("string")))
+        .withColumn("shard",
+          expr("(instr('0123456789abcdef', substr(h, 32, 1)) - 1) % 16").cast("long"))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+    },
+    Some("""SELECT doc_id, shard, pos
+            FROM (SELECT doc_id, shard,
+                    CAST(row_number() OVER (PARTITION BY shard
+                      ORDER BY h, doc_id) AS BIGINT) AS pos
+                  FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+                          CAST((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1) % 16 AS BIGINT) AS shard
+                        FROM documents))"""))
+
   val all: Seq[Q] = Seq(sampleHash, sampleStratified, textPiiScrub,
     textEditDistance, packSequences, vocabTopk, contaminationCheck,
-    textRepetition, sampleDomainMix, dedupLines)
+    textRepetition, sampleDomainMix, dedupLines, shardShuffle)
 }
