@@ -69,6 +69,9 @@ object GraftFunctions {
   private val bloomInfo = extInfo(classOf[BloomMightContain].getName, "bloom_might_contain",
     "_FUNC_(bits, key) - membership test against a serialized BloomFilter literal")
 
+  private val ngramsInfo = extInfo(classOf[WordNgrams].getName, "word_ngrams",
+    "_FUNC_(text, n, distinct) - lowercase [a-z]+ word n-grams in one codegen'd pass")
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("bloom_might_contain"), bloomInfo,
@@ -85,6 +88,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("dot_ordered"), dotInfo,
       (exprs: Seq[Expression]) => DotOrdered(exprs(0), exprs(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("word_ngrams"), ngramsInfo,
+      (exprs: Seq[Expression]) => WordNgrams(exprs(0), exprs(1), exprs(2)))
   }
 }
 

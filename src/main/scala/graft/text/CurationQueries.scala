@@ -25,7 +25,10 @@ import graft.queries.{Q, Tables}
   */
 object CurationQueries {
 
-  private val tokenizeExpr = "filter(split(lower(text), '[^a-z]+'), t -> t <> '')"
+  /** Native one-pass tokenizer, bit-identical to
+    * `filter(split(lower(text), '[^a-z]+'), t -> t <> '')` (WordNgramsSpec);
+    * every lambda using it registers GraftFunctions first. */
+  private val tokenizeExpr = "word_ngrams(text, 1, false)"
 
   /** First two md5 hex digits as 0..255 — same digit math on both engines. */
   private def md5Byte(sqlExprStr: String): String =
@@ -135,6 +138,7 @@ object CurationQueries {
   private val packSequences = Q(
     "pack_sequences",
     (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
       Tables.documents(s, dir)
@@ -165,6 +169,7 @@ object CurationQueries {
   private val vocabTopk = Q(
     "vocab_topk",
     (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val counts = Tables.documents(s, dir)
         .select(explode(expr(tokenizeExpr)).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
@@ -221,22 +226,19 @@ object CurationQueries {
   private val contaminationCheck = Q(
     "contamination_check",
     (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val docs = Tables.documents(s, dir)
       // checkpoint: the gram table feeds BOTH the benchmark side and the
       // corpus side — one materialized pass instead of two. It also keeps
       // InferFiltersFromGenerate's size(grams)>0 pruning predicate above
       // the repartition: without the cut, that inferred filter inlines the
-      // whole interpreted tokenize→5-gram chain below the round-robin
-      // exchange, onto the raw single-file scan — the entire corpus gram
-      // pass on ONE core, ~3x per row (measured 33 s vs 2 s at sf0.1).
+      // whole gram computation below the round-robin exchange, onto the
+      // raw single-file scan — the entire corpus gram pass on ONE core,
+      // ~3x per row (measured 33 s vs 2 s at sf0.1 with the interpreted
+      // chain; word_ngrams is the native one-pass replacement).
       val grams = Tables.spread(docs.select("doc_id", "text"))
-        .withColumn("toks", expr(tokenizeExpr))
-        .withColumn("grams", expr(
-          """CASE WHEN size(toks) < 5 THEN array()
-             ELSE array_distinct(transform(sequence(1, size(toks) - 4),
-               i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1],
-                              toks[i+2], toks[i+3]))) END"""))
-        .select(col("doc_id"), col("grams"))
+        .select(col("doc_id"),
+          expr("word_ngrams(text, 5, true)").as("grams"))
         .localCheckpoint(eager = true)
       val benchIds = docs
         .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
@@ -289,22 +291,19 @@ object CurationQueries {
     */
   private val textRepetition = Q(
     "text_repetition",
-    (s, dir) =>
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       Tables.documents(s, dir)
-        .withColumn("toks", expr(tokenizeExpr))
-        .withColumn("bigrams", expr(
-          """CASE WHEN size(toks) < 2 THEN array()
-             ELSE transform(sequence(1, size(toks) - 1),
-               i -> concat_ws(' ', toks[i-1], toks[i])) END"""))
         .select(col("doc_id"),
-          size(col("toks")).cast("long").as("n_tok"),
-          size(col("bigrams")).cast("long").as("n_bigrams"),
-          size(array_distinct(col("bigrams"))).cast("long").as("n_distinct"))
+          size(expr(tokenizeExpr)).cast("long").as("n_tok"),
+          size(expr("word_ngrams(text, 2, false)")).cast("long").as("n_bigrams"),
+          size(expr("word_ngrams(text, 2, true)")).cast("long").as("n_distinct"))
         .withColumn("dup_frac", round(
           when(col("n_bigrams") === 0, lit(0.0))
             .otherwise(lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams")),
           4))
-        .withColumn("repetitive", (col("dup_frac") > 0.2).cast("long")),
+        .withColumn("repetitive", (col("dup_frac") > 0.2).cast("long"))
+    },
     Some("""SELECT doc_id, n_tok, n_bigrams, n_distinct, dup_frac,
               CAST(dup_frac > 0.2 AS BIGINT) AS repetitive
             FROM (SELECT doc_id, n_tok, n_bigrams, n_distinct,
@@ -386,6 +385,7 @@ object CurationQueries {
   private val dedupLines = Q(
     "dedup_lines",
     (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val docs = Tables.documents(s, dir)
       val chunks = Tables.spread(docs.select("doc_id", "text"))
         .withColumn("toks", expr(tokenizeExpr))

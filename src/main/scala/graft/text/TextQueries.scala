@@ -12,17 +12,21 @@ import graft.queries.{Q, Tables}
   */
 object TextQueries {
 
-  /** Word-token pipeline: lowercase, split on non-letters, drop empties. */
-  private val tokenizeExpr = "filter(split(lower(text), '[^a-z]+'), t -> t <> '')"
+  /** Word-token pipeline — the native one-pass expression, bit-identical
+    * to `filter(split(lower(text), '[^a-z]+'), t -> t <> '')` (pinned by
+    * WordNgramsSpec; the DuckDB oracles keep the SQL formulation). */
+  private val tokenizeExpr = "word_ngrams(text, 1, false)"
 
   // Global token frequency — explode + count, the canonical text op.
   private val textTokens = Q(
     "text_tokens",
-    (s, dir) =>
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       Tables.documents(s, dir)
         .select(explode(expr(tokenizeExpr)).as("token"))
         .groupBy(col("token"))
-        .agg(count(lit(1)).as("cnt")),
+        .agg(count(lit(1)).as("cnt"))
+    },
     Some("""SELECT token, CAST(count(*) AS BIGINT) AS cnt
             FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
                   FROM documents)
@@ -33,7 +37,8 @@ object TextQueries {
   // engines before rounding.
   private val textQuality = Q(
     "text_quality",
-    (s, dir) =>
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       Tables.documents(s, dir)
         .withColumn("toks", expr(tokenizeExpr))
         .withColumn("n_tokens", size(col("toks")).cast("long"))
@@ -45,7 +50,8 @@ object TextQueries {
           col("n_tokens"),
           round(col("n_chars").cast("double") / col("n_tokens"), 4).as("chars_per_token"),
           round(col("n_stop").cast("double") / col("n_tokens"), 4).as("stop_ratio"),
-          (col("n_tokens") >= 20 && col("n_chars") >= 100).as("quality_ok")),
+          (col("n_tokens") >= 20 && col("n_chars") >= 100).as("quality_ok"))
+    },
     Some("""SELECT doc_id, n_chars, n_tokens,
             round(CAST(n_chars AS DOUBLE) / n_tokens, 4) AS chars_per_token,
             round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stop_ratio,
@@ -102,19 +108,17 @@ object TextQueries {
   // is engine-independent.
   private val textFingerprint = Q(
     "text_fingerprint",
-    (s, dir) =>
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       Tables.documents(s, dir)
-        .withColumn("toks", expr(tokenizeExpr))
-        .withColumn("grams", expr(
-          // guard: sequence(1, 0) would generate a DESCENDING [1, 0] range
-          """CASE WHEN size(toks) < 3 THEN array()
-             ELSE transform(sequence(1, size(toks) - 2),
-               i -> md5(concat_ws(' ', toks[i-1], toks[i], toks[i+1]))) END"""))
+        .withColumn("grams",
+          expr("transform(word_ngrams(text, 3, false), g -> md5(g))"))
         .select(
           col("doc_id"),
           size(col("grams")).cast("long").as("n_grams"),
           coalesce(array_min(col("grams")), lit("")).as("fp_min"),
-          coalesce(array_max(col("grams")), lit("")).as("fp_max")),
+          coalesce(array_max(col("grams")), lit("")).as("fp_max"))
+    },
     Some("""SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
             coalesce(list_aggregate(grams, 'min'), '') AS fp_min,
             coalesce(list_aggregate(grams, 'max'), '') AS fp_max
@@ -156,6 +160,7 @@ object TextQueries {
     "text_tfidf",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      graft.functions.GraftFunctions.register(s)
       val docs = Tables.documents(s, dir)
       val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
       val tf = docs
@@ -208,6 +213,7 @@ object TextQueries {
   private val textUnigramNll = Q(
     "text_unigram_nll",
     (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val toks = Tables.documents(s, dir)
         .select(col("doc_id"), explode(expr(tokenizeExpr)).as("token"))
       val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
