@@ -25,6 +25,13 @@ final case class MediaFeatures(
     brightness_raw: Double,
     thumb: String)
 
+final case class MediaResized(
+    doc_id: Long,
+    new_w: Long,
+    new_h: Long,
+    resized_len: Long,
+    resized_hex: String)
+
 /** Multimodal-column plumbing. The image/audio decode libraries are not in
   * this container, so the DECODE step is a deterministic stand-in (declared
   * stub): it derives "pixels" from the payload bytes themselves. Everything
@@ -68,6 +75,31 @@ object Multimodal {
   def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions(decodePartition)
+  }
+
+  /** STUB resize (real impl would decode, bilinear-downsample, re-encode).
+    * The stand-in keeps every contract a real resizer has: dimensions
+    * halve with ceiling rounding, the payload shrinks by the same factor
+    * (here: stride-2 byte sampling), and the transform runs lazily per
+    * partition next to the data — one record in, one smaller record out.
+    */
+  def resizePartition(it: Iterator[MediaRecord]): Iterator[MediaResized] =
+    it.map { r =>
+      val sampled = r.payload.indices.collect {
+        case i if i % 2 == 0 => r.payload(i)
+      }.toArray
+      MediaResized(
+        doc_id = r.doc_id,
+        new_w = (r.width + 1) / 2,
+        new_h = (r.height + 1) / 2,
+        resized_len = sampled.length.toLong,
+        resized_hex = sampled.map(b => "%02X".format(b & 0xFF)).mkString)
+    }
+
+  def resizedFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    attachPayload(Tables.documents(spark, dir))
+      .as[MediaRecord].mapPartitions(resizePartition).toDF()
   }
 
   def featureFrame(spark: SparkSession, dir: String): DataFrame =
@@ -134,5 +166,22 @@ object MultimodalQueries {
                   FROM (SELECT doc_id, md5(text) AS h FROM documents),
                        (SELECT unnest(range(0, 4)) AS f))"""))
 
-  val all: Seq[Q] = Seq(multimodalDecode, multimodalFrames)
+  /** Resize plumbing: halve dimensions (ceiling), stride-2 byte sampling
+    * as the stand-in downsample. Oracle reproduces the even-index byte
+    * selection from the md5 hex string — byte i (0-based) occupies hex
+    * chars 2i+1..2i+2, so the 8 kept bytes are the chars at 4j+1..4j+2.
+    */
+  private val multimodalResize = Q(
+    "multimodal_resize",
+    (s, dir) => Multimodal.resizedFrame(s, dir),
+    Some("""SELECT doc_id,
+            CAST((64 + doc_id % 64 + 1) // 2 AS BIGINT) AS new_w,
+            CAST((64 + n_chars % 64 + 1) // 2 AS BIGINT) AS new_h,
+            CAST(8 AS BIGINT) AS resized_len,
+            upper(substr(h, 1, 2) || substr(h, 5, 2) || substr(h, 9, 2) ||
+                  substr(h, 13, 2) || substr(h, 17, 2) || substr(h, 21, 2) ||
+                  substr(h, 25, 2) || substr(h, 29, 2)) AS resized_hex
+            FROM (SELECT doc_id, n_chars, md5(text) AS h FROM documents)"""))
+
+  val all: Seq[Q] = Seq(multimodalDecode, multimodalFrames, multimodalResize)
 }

@@ -246,6 +246,132 @@ object TextQueries {
               round(-CAST(sum(q) AS DOUBLE) / (count(*) * 1000000.0), 4) AS nll
             FROM scored GROUP BY doc_id"""))
 
+  // BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed query term set —
+  // the sparse-retrieval ranking used to mine training data by relevance.
+  // Scale: the IN-list filter on query terms rides the token explode, so
+  // every aggregate after it is bounded by |query| × docs-that-match, not
+  // the vocabulary; df and corpus stats are then tiny broadcasts (the
+  // contamination_check rule: broadcast bounded by the QUERY, never the
+  // corpus). Determinism: idf/tf-norm doubles come from identical integer
+  // inputs through the textually identical expression tree on both
+  // engines, each per-term score is quantized to integer micro-units per
+  // ROW, per-doc totals are order-free BIGINT sums, and the top-10 ranks
+  // on the BIGINT total (doc_id tiebreak) via orderBy+limit — a
+  // TakeOrderedAndProject, not a global single-reducer window.
+  private val textBm25 = Q(
+    "text_bm25",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, dir)
+      val dl = docs.select(col("doc_id"),
+        size(expr(tokenizeExpr)).cast("long").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      val tf = docs
+        .select(col("doc_id"), explode(expr(tokenizeExpr)).as("term"))
+        .where(col("term").isin("spark", "dup", "window"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      tf.join(broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("q", expr(
+          """CAST(round(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                              / (CAST(df AS DOUBLE) + 0.5))
+                 * (CAST(tf AS DOUBLE) * 2.2)
+                 / (CAST(tf AS DOUBLE)
+                    + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                                    / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+                 * 1000000.0, 0) AS BIGINT)"""))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_match"), sum(col("q")).as("sq"))
+        .orderBy(col("sq").desc, col("doc_id"))
+        .limit(10)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("sq").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("n_match"),
+          round(col("sq").cast("double") / 1000000.0, 4).as("bm25"), col("rk"))
+    },
+    Some("""WITH dl AS (
+              SELECT doc_id, CAST(len(list_filter(
+                string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS BIGINT) AS dl
+              FROM documents),
+            stats AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+            tf AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, unnest(list_filter(
+                      string_split_regex(lower(text), '[^a-z]+'),
+                      t -> t <> '')) AS term
+                    FROM documents)
+              WHERE term IN ('spark', 'dup', 'window')
+              GROUP BY doc_id, term),
+            df AS (
+              SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM tf GROUP BY term),
+            scored AS (
+              SELECT tf.doc_id,
+                CAST(round(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                                / (CAST(df AS DOUBLE) + 0.5))
+                   * (CAST(tf AS DOUBLE) * 2.2)
+                   / (CAST(tf AS DOUBLE)
+                      + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                                      / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+                   * 1000000.0, 0) AS BIGINT) AS q
+              FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats),
+            totals AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_match,
+                     CAST(sum(q) AS BIGINT) AS sq
+              FROM scored GROUP BY doc_id)
+            SELECT doc_id, n_match, round(CAST(sq AS DOUBLE) / 1000000.0, 4) AS bm25,
+              CAST(row_number() OVER (ORDER BY sq DESC, doc_id) AS BIGINT) AS rk
+            FROM totals ORDER BY sq DESC, doc_id LIMIT 10"""))
+
+  // Character-entropy quality signal (Gopher-style symbol statistics):
+  // Shannon entropy in nats over the [a-z] letter distribution per doc.
+  // H = ln(n) - (Σ n_c·ln(n_c))/n; each letter's n_c·ln(n_c) is quantized
+  // per ROW to integer micro-nats so the per-doc sum is order-free BIGINT
+  // math (the unigram-NLL rule), and the alphabet bounds the per-doc group
+  // at 26 rows — pure scan + bounded agg at any corpus size.
+  private val textEntropy = Q(
+    "text_entropy",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(expr("regexp_extract_all(lower(text), '[a-z]', 0)")).as("ch"))
+        .groupBy(col("doc_id"), col("ch"))
+        .agg(count(lit(1)).as("nc"))
+        .withColumn("q", expr(
+          "CAST(round(CAST(nc AS DOUBLE) * ln(CAST(nc AS DOUBLE)) * 1000000.0, 0) AS BIGINT)"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("nc")).as("n_letters"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("q")).as("sq"))
+        .select(col("doc_id"), col("n_letters"), col("n_distinct"),
+          round(expr(
+            """ln(CAST(n_letters AS DOUBLE))
+               - CAST(sq AS DOUBLE) / (CAST(n_letters AS DOUBLE) * 1000000.0)"""), 4)
+            .as("entropy")),
+    Some("""WITH counts AS (
+              SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS nc
+              FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]')) AS ch
+                    FROM documents)
+              GROUP BY doc_id, ch),
+            quantized AS (
+              SELECT doc_id, nc,
+                CAST(round(CAST(nc AS DOUBLE) * ln(CAST(nc AS DOUBLE)) * 1000000.0, 0)
+                  AS BIGINT) AS q
+              FROM counts)
+            SELECT doc_id, n_letters, n_distinct,
+              round(ln(CAST(n_letters AS DOUBLE))
+                - CAST(sq AS DOUBLE) / (CAST(n_letters AS DOUBLE) * 1000000.0), 4) AS entropy
+            FROM (SELECT doc_id, CAST(sum(nc) AS BIGINT) AS n_letters,
+                    CAST(count(*) AS BIGINT) AS n_distinct,
+                    CAST(sum(q) AS BIGINT) AS sq
+                  FROM quantized GROUP BY doc_id)"""))
+
   val all: Seq[Q] = Seq(textTokens, textQuality, textLangid, textFingerprint,
-    tokenCount, textTfidf, textUnigramNll)
+    tokenCount, textTfidf, textUnigramNll, textBm25, textEntropy)
 }
