@@ -155,6 +155,39 @@ class PlanSpec extends SparkSpec {
       "a vocabulary-sized side carries a forced broadcast hint")
   }
 
+  test("text_bm25 ranks via partial top-k; only query-bounded sides broadcast") {
+    val q = graft.SparkEntry.queries("text_bm25")(spark, dir)
+    val p = q.queryExecution.executedPlan.toString
+    // sort+limit on the BIGINT total fuses to TakeOrderedAndProject; the
+    // rank window sees only the 10 survivors
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.indexOf("Window") < p.indexOf("TakeOrderedAndProject"),
+      "rank window below the top-k — global single-task sort")
+    // both broadcast hints cover frames bounded by the QUERY (per-term df,
+    // one-row corpus stats) — never a corpus- or vocabulary-sized side.
+    // The hinted subtrees must sit above the term IN filter.
+    val logical = q.queryExecution.analyzed.toString
+    assert(logical.contains("ResolvedHint"), "query-bounded sides lost their broadcast")
+  }
+
+  test("text_entropy is scan + bounded aggregates — no join, no window") {
+    val q = graft.SparkEntry.queries("text_entropy")(spark, dir)
+    val joins = q.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    val windows = q.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(joins.isEmpty, "entropy picked up a join — it must be pure agg")
+    assert(windows.isEmpty, "entropy picked up a window")
+  }
+
+  test("multimodal_resize rides the scan with no shuffle") {
+    val p = plan("multimodal_resize")
+    assert(!p.contains("Exchange"),
+      "per-partition resize introduced a shuffle")
+  }
+
   test("minhash signatures plan has no aggregate (fused expression)") {
     val p = plan("dedup_minhash")
     assert(!p.contains("HashAggregate"),
