@@ -173,5 +173,75 @@ object ClusterQueries {
           WHERE rk <= 3"""
     })
 
-  val all: Seq[Q] = Seq(clusterKmeans, simIvfTrained)
+  /** Trained IVF with nprobe=2 — the production recall/cost dial: each
+    * query probes its TWO nearest k-means cells instead of one. The probe
+    * list is (queries × nprobe) rows — bounded by the query set, so the
+    * top-2-cells window and the probe broadcast both stay tiny no matter
+    * the corpus size; the scan side still reads only the probed cells
+    * (≈ 2n/k rows). Candidates are a strict superset of `sim_ivf_trained`
+    * (each corpus vector lives in exactly one cell, the two probe cells
+    * are distinct), so recall can only rise — AnnRecallSpec pins it.
+    */
+  private val simIvfNprobe = Q(
+    "sim_ivf_nprobe",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val qf = quantized(emb)
+      val cent = trainedCentroids(emb)
+      val cells = assign(qf, cent).select(col("vec_id"), col("cid").as("cell"))
+      val vecs = emb.select(col("vec_id"), col("embedding"),
+        expr("dot_ordered(embedding, embedding)").as("norm2"))
+        .join(cells, "vec_id")
+        .localCheckpoint(eager = true) // assignment feeds corpus side + probe ranking
+      val wProbe = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("cid"))
+      val probes = qf.where(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("qe"))
+        .crossJoin(broadcast(cent))
+        .withColumn("dist", expr(distExpr))
+        .withColumn("rn", row_number().over(wProbe))
+        .where(col("rn") <= 2)
+        .select(col("q_id"), col("cid").as("cell"))
+      val queries = emb.where(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          expr("dot_ordered(embedding, embedding)").as("q_norm2"))
+      val probeSet = probes.join(queries, "q_id")
+      val wTop = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      vecs.join(broadcast(probeSet), "cell")
+        .where(col("vec_id") =!= col("q_id"))
+        .withColumn("cos",
+          expr("dot_ordered(embedding, q_emb)") /
+            sqrt(col("norm2") * col("q_norm2")))
+        .withColumn("rk", row_number().over(wTop).cast("long"))
+        .where(col("rk") <= 3)
+        .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos"),
+          col("rk"))
+    },
+    Some {
+      val dot = "list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
+      val na  = "list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))"
+      val nq  = "list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
+      s"""WITH $kmeansOracleCte,
+          probes AS (
+            SELECT vec_id AS q_id, cid AS cell
+            FROM (SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                  FROM d2 WHERE vec_id < 20)
+            WHERE rn <= 2)
+          SELECT q_id, vec_id, round(cos, 6) AS cos, rk
+          FROM (SELECT q_id, vec_id, cos,
+                  CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos DESC, vec_id) AS BIGINT) AS rk
+                FROM (SELECT p.q_id, a.vec_id,
+                        $dot / sqrt($na * $nq) AS cos
+                      FROM probes p
+                      JOIN embeddings q ON q.vec_id = p.q_id
+                      JOIN cells ca ON ca.cid = p.cell
+                      JOIN embeddings a ON a.vec_id = ca.vec_id
+                      WHERE a.vec_id <> p.q_id))
+          WHERE rk <= 3"""
+    })
+
+  val all: Seq[Q] = Seq(clusterKmeans, simIvfTrained, simIvfNprobe)
 }

@@ -53,6 +53,15 @@ class AnnRecallSpec extends SparkSpec {
     assert(rTrained > rIvf,
       f"trained quantizer ($rTrained%.2f) must beat modulo cells ($rIvf%.2f)")
     assert(rTrained >= 0.45, f"trained-ivf recall floor: $rTrained%.2f < 0.45")
+
+    // nprobe=2 candidates are a strict superset of probe-1 (each corpus
+    // vector lives in exactly one cell), so recall is monotone in nprobe
+    val nprobe = pairs(graft.SparkEntry.queries("sim_ivf_nprobe")(spark, dir))
+    val rNprobe = recall(nprobe)
+    info(f"recall@3: ivf_nprobe2=$rNprobe%.2f")
+    assert(rNprobe >= rTrained,
+      f"nprobe=2 ($rNprobe%.2f) fell below probe-1 ($rTrained%.2f) — candidate superset broken")
+    assert(rNprobe >= 0.60, f"nprobe-2 recall floor: $rNprobe%.2f < 0.60 (measured 0.67)")
   }
 
   test("Lloyd iteration is monotone: total within-cell distance never rises") {
