@@ -243,5 +243,64 @@ object ClusterQueries {
           WHERE rk <= 3"""
     })
 
-  val all: Seq[Q] = Seq(clusterKmeans, simIvfTrained, simIvfNprobe)
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    * embeddings with the trained coarse quantizer, then within each
+    * cluster drop every vector that has a higher-priority (lower vec_id)
+    * neighbor above the cosine threshold. The within-cell comparison IS
+    * the SemDeDup algorithm — its scale story is that k grows with the
+    * corpus so cell population (≈ n/k) stays bounded, and cells compare
+    * independently in parallel; no cross-cell pair is ever formed.
+    * Threshold 0.3 suits this corpus (random vectors, nearest cos ≈0.47,
+    * no planted duplicates); production prose uses ~0.95+. Cosines are
+    * bit-exact ordered double folds, so the threshold comparison and the
+    * oracle agree exactly.
+    */
+  private val dedupSemantic = Q(
+    "dedup_semantic",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val cells = assign(quantized(emb), trainedCentroids(emb))
+        .select(col("vec_id"), col("cid").as("cell"))
+      val vecs = emb.select(col("vec_id"), col("embedding"),
+        expr("dot_ordered(embedding, embedding)").as("norm2"))
+        .join(cells, "vec_id")
+        .localCheckpoint(eager = true) // one assignment pass feeds both join sides
+      val a = vecs.select(col("cell"), col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"), col("norm2").as("a_norm2"))
+      val b = vecs.select(col("cell"), col("vec_id").as("b_id"),
+        col("embedding").as("b_emb"), col("norm2").as("b_norm2"))
+      val sim = a.join(b, "cell")
+        .where(col("a_id") < col("b_id"))
+        .withColumn("cos",
+          expr("dot_ordered(a_emb, b_emb)") /
+            sqrt(col("a_norm2") * col("b_norm2")))
+        .where(col("cos") > 0.3)
+        .groupBy(col("b_id"))
+        .agg(count(lit(1)).as("n_similar"))
+      vecs.select(col("vec_id"), col("cell"))
+        .join(sim.withColumnRenamed("b_id", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("n_similar"), lit(0L)).as("n_similar"),
+          (coalesce(col("n_similar"), lit(0L)) === 0L).as("keep"))
+    },
+    Some {
+      val dot = "list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+      val na  = "list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))"
+      val nb  = "list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+      s"""WITH $kmeansOracleCte,
+          sim AS (
+            SELECT cb.vec_id, CAST(count(*) AS BIGINT) AS n_similar
+            FROM cells ca JOIN cells cb ON ca.cid = cb.cid AND ca.vec_id < cb.vec_id
+            JOIN embeddings a ON a.vec_id = ca.vec_id
+            JOIN embeddings b ON b.vec_id = cb.vec_id
+            WHERE $dot / sqrt($na * $nb) > 0.3
+            GROUP BY cb.vec_id)
+          SELECT c.vec_id, c.cid AS cell,
+            coalesce(s.n_similar, 0) AS n_similar,
+            coalesce(s.n_similar, 0) = 0 AS keep
+          FROM cells c LEFT JOIN sim s ON s.vec_id = c.vec_id"""
+    })
+
+  val all: Seq[Q] = Seq(clusterKmeans, simIvfTrained, simIvfNprobe, dedupSemantic)
 }

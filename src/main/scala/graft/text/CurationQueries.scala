@@ -35,6 +35,14 @@ object CurationQueries {
     s"""(instr('0123456789abcdef', substr(md5($sqlExprStr), 1, 1)) - 1) * 16 +
         (instr('0123456789abcdef', substr(md5($sqlExprStr), 2, 1)) - 1)"""
 
+  /** First four md5 hex digits as 0..65535 — finer-grained bucket space
+    * for per-mille-accurate sampling thresholds. */
+  private def md5Hex4(sqlExprStr: String): String =
+    (0 until 4).map { i =>
+      val pow = 1L << (4 * (3 - i))
+      s"(instr('0123456789abcdef', substr(md5($sqlExprStr), ${i + 1}, 1)) - 1) * $pow"
+    }.mkString("(", " + ", ")")
+
   /** Deterministic ~10% sample: hash the key, keep bucket < 26 of 256.
     * Reproducible across runs, engines, and cluster sizes (no RNG, no
     * seed-per-partition state); the predicate is pure column math, so at
@@ -368,6 +376,56 @@ object CurationQueries {
              FROM documents d JOIN thr t USING (lang)
              WHERE ${md5Byte("CAST(d.doc_id AS VARCHAR)")} < t.thr"""))
 
+  /** Temperature-flattened language mixture (the multilingual resampling
+    * rule of mBERT/XLM-R/mT5): sample langs proportional to n_l^(1/T)
+    * with T=2, upweighting tail languages relative to their raw share.
+    * α = 1/2 makes the weight `sqrt(n_l)` — correctly-rounded IEEE on
+    * both engines (general `pow` is NOT, so T is fixed at 2 rather than
+    * configurable) — and it is quantized to integer micro-units
+    * immediately, so the weight total, per-lang target counts
+    * (budget = half the corpus), and 16-bit keep thresholds are all
+    * exact BIGINT arithmetic. At 100 TB: lang histogram = partial agg
+    * over ~hundreds of langs, thresholds broadcast, keep predicate is
+    * per-row md5 math riding the scan — the sample_domain_mix shape.
+    */
+  private val sampleTemperature = Q(
+    "sample_temperature",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val stats = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+        .withColumn("q", expr(
+          "CAST(round(sqrt(CAST(n_lang AS DOUBLE)) * 1000000.0, 0) AS BIGINT)"))
+      val tot = stats.agg(sum(col("n_lang")).as("total"), sum(col("q")).as("total_q"))
+      val thresholds = stats.crossJoin(broadcast(tot))
+        .select(col("lang"),
+          least(lit(65536L),
+            expr("(65536 * (((total div 2) * q) div total_q)) div n_lang"))
+            .as("thr"))
+      docs
+        .withColumn("bucket", expr(md5Hex4("CAST(doc_id AS STRING)")).cast("long"))
+        .join(broadcast(thresholds), "lang")
+        .select(col("doc_id"), col("lang"), col("bucket"), col("thr"),
+          (col("bucket") < col("thr")).as("keep"))
+    },
+    Some(s"""WITH stats AS (
+               SELECT lang, CAST(count(*) AS BIGINT) AS n_lang,
+                 CAST(round(sqrt(CAST(count(*) AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS q
+               FROM documents GROUP BY lang),
+             tot AS (
+               SELECT CAST(sum(n_lang) AS BIGINT) AS total,
+                 CAST(sum(q) AS BIGINT) AS total_q
+               FROM stats),
+             thr AS (
+               SELECT lang,
+                 least(CAST(65536 AS BIGINT),
+                   (65536 * (((total // 2) * q) // total_q)) // n_lang) AS thr
+               FROM stats, tot)
+             SELECT d.doc_id, d.lang,
+               CAST(${md5Hex4("CAST(d.doc_id AS VARCHAR)")} AS BIGINT) AS bucket,
+               t.thr,
+               ${md5Hex4("CAST(d.doc_id AS VARCHAR)")} < t.thr AS keep
+             FROM documents d JOIN thr t USING (lang)"""))
+
   /** Line-level exact dedup (the CCNet/RefinedWeb pass that strips
     * boilerplate shared across pages): split every document into
     * fixed-width token chunks (this corpus has no newlines, so 4-token
@@ -472,5 +530,6 @@ object CurationQueries {
 
   val all: Seq[Q] = Seq(sampleHash, sampleStratified, textPiiScrub,
     textEditDistance, packSequences, vocabTopk, contaminationCheck,
-    textRepetition, sampleDomainMix, dedupLines, shardShuffle)
+    textRepetition, sampleDomainMix, sampleTemperature, dedupLines,
+    shardShuffle)
 }

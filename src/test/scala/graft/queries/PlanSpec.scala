@@ -188,6 +188,13 @@ class PlanSpec extends SparkSpec {
       "per-partition resize introduced a shuffle")
   }
 
+  test("sample_temperature joins thresholds via broadcast, no corpus shuffle") {
+    val p = plan("sample_temperature")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "per-lang temperature-threshold join fell back to sort-merge")
+  }
+
   test("minhash signatures plan has no aggregate (fused expression)") {
     val p = plan("dedup_minhash")
     assert(!p.contains("HashAggregate"),
