@@ -426,6 +426,91 @@ object CurationQueries {
                ${md5Hex4("CAST(d.doc_id AS VARCHAR)")} < t.thr AS keep
              FROM documents d JOIN thr t USING (lang)"""))
 
+  /** DSIR-style importance resampling (Xie et al. 2023): fit a unigram
+    * model on a small benchmark-like target set and one on the rest of
+    * the corpus, score every non-benchmark document by its summed token
+    * log-likelihood ratio (add-one smoothing over the shared vocabulary),
+    * and keep the top-50 — selecting the data most "like" the target
+    * distribution. Scale shape: the benchmark is FIXED-SIZE (the
+    * contamination_check rule — top-100 by md5 order, a bounded
+    * TakeOrdered), so its broadcast never grows with the corpus; the two
+    * models come out of ONE token aggregate (conditional sums), which is
+    * vocabulary-sized and therefore NOT hint-broadcast (the tfidf rule);
+    * totals enter as a one-row cross join; per-token log-ratios are
+    * quantized to integer micro-nats per ROW so per-doc sums are
+    * order-free BIGINT math; and the top-50 rides a TakeOrderedAndProject
+    * on the BIGINT sum, never a global window.
+    */
+  private val sampleImportance = Q(
+    "sample_importance",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, dir)
+      val toks = Tables.spread(docs.select("doc_id", "text"))
+        .select(col("doc_id"), explode(expr(tokenizeExpr)).as("token"))
+        .localCheckpoint(eager = true) // one tokenize pass feeds model fit AND scoring
+      val benchIds = docs
+        .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+        .orderBy(col("h"), col("doc_id")).limit(100)
+        .select(col("doc_id"), lit(1L).as("is_bench"))
+      val flagged = toks.join(broadcast(benchIds), Seq("doc_id"), "left")
+        .withColumn("is_bench", coalesce(col("is_bench"), lit(0L)))
+      val freq = flagged.groupBy(col("token"))
+        .agg(sum(col("is_bench")).as("ct"),
+          sum(lit(1L) - col("is_bench")).as("cs"))
+      val tot = freq.agg(count(lit(1)).as("v"), sum(col("ct")).as("t"),
+        sum(col("cs")).as("ss"))
+      val totals = flagged.where(col("is_bench") === 0L)
+        .join(freq, "token")
+        .crossJoin(broadcast(tot))
+        .withColumn("q", expr(
+          """CAST(round(ln((CAST(ct + 1 AS DOUBLE) / CAST(t + v AS DOUBLE))
+                         / (CAST(cs + 1 AS DOUBLE) / CAST(ss + v AS DOUBLE)))
+                 * 1000000.0, 0) AS BIGINT)"""))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("q")).as("sq"))
+      totals.orderBy(col("sq").desc, col("doc_id")).limit(50)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("sq").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("n_tok"),
+          round(col("sq").cast("double") / 1000000.0, 4).as("logratio"), col("rk"))
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, unnest(list_filter(
+                string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS token
+              FROM documents),
+            bench AS (
+              SELECT doc_id FROM (
+                SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+                FROM documents ORDER BY h, doc_id LIMIT 100)),
+            flagged AS (
+              SELECT t.doc_id, t.token,
+                CASE WHEN b.doc_id IS NULL THEN 0 ELSE 1 END AS is_bench
+              FROM toks t LEFT JOIN bench b ON b.doc_id = t.doc_id),
+            freq AS (
+              SELECT token, CAST(sum(is_bench) AS BIGINT) AS ct,
+                CAST(sum(1 - is_bench) AS BIGINT) AS cs
+              FROM flagged GROUP BY token),
+            tot AS (
+              SELECT CAST(count(*) AS BIGINT) AS v, CAST(sum(ct) AS BIGINT) AS t,
+                CAST(sum(cs) AS BIGINT) AS ss
+              FROM freq),
+            scored AS (
+              SELECT doc_id,
+                CAST(round(ln((CAST(ct + 1 AS DOUBLE) / CAST(t + v AS DOUBLE))
+                            / (CAST(cs + 1 AS DOUBLE) / CAST(ss + v AS DOUBLE)))
+                    * 1000000.0, 0) AS BIGINT) AS q
+              FROM flagged JOIN freq USING (token), tot
+              WHERE is_bench = 0),
+            totals AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+                CAST(sum(q) AS BIGINT) AS sq
+              FROM scored GROUP BY doc_id)
+            SELECT doc_id, n_tok,
+              round(CAST(sq AS DOUBLE) / 1000000.0, 4) AS logratio,
+              CAST(row_number() OVER (ORDER BY sq DESC, doc_id) AS BIGINT) AS rk
+            FROM totals ORDER BY sq DESC, doc_id LIMIT 50"""))
+
   /** Line-level exact dedup (the CCNet/RefinedWeb pass that strips
     * boilerplate shared across pages): split every document into
     * fixed-width token chunks (this corpus has no newlines, so 4-token
@@ -530,6 +615,6 @@ object CurationQueries {
 
   val all: Seq[Q] = Seq(sampleHash, sampleStratified, textPiiScrub,
     textEditDistance, packSequences, vocabTopk, contaminationCheck,
-    textRepetition, sampleDomainMix, sampleTemperature, dedupLines,
-    shardShuffle)
+    textRepetition, sampleDomainMix, sampleTemperature, sampleImportance,
+    dedupLines, shardShuffle)
 }

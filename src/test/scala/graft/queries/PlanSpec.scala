@@ -195,6 +195,21 @@ class PlanSpec extends SparkSpec {
       "per-lang temperature-threshold join fell back to sort-merge")
   }
 
+  test("sample_importance: only bounded sides broadcast; top-50 is a partial top-k") {
+    val q = graft.SparkEntry.queries("sample_importance")(spark, dir)
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.indexOf("Window") < p.indexOf("TakeOrderedAndProject"),
+      "rank window below the top-k — global single-task sort")
+    // broadcast hints must cover only provably bounded frames (the 100-doc
+    // benchmark, the one-row totals) — never the vocabulary-sized model
+    val hinted = q.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hinted.nonEmpty && hinted.forall(_.child.maxRows.exists(_ <= 100L)),
+      "a vocabulary-sized side carries a forced broadcast hint")
+  }
+
   test("minhash signatures plan has no aggregate (fused expression)") {
     val p = plan("dedup_minhash")
     assert(!p.contains("HashAggregate"),
