@@ -72,6 +72,9 @@ object GraftFunctions {
   private val ngramsInfo = extInfo(classOf[WordNgrams].getName, "word_ngrams",
     "_FUNC_(text, n, distinct) - lowercase [a-z]+ word n-grams in one codegen'd pass")
 
+  private val sqdistInfo = extInfo(classOf[SqDistOrdered].getName, "sqdist_ordered",
+    "_FUNC_(a, b) - integer squared-L2 over two BIGINT arrays in one codegen'd loop")
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("bloom_might_contain"), bloomInfo,
@@ -91,6 +94,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("word_ngrams"), ngramsInfo,
       (exprs: Seq[Expression]) => WordNgrams(exprs(0), exprs(1), exprs(2)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("sqdist_ordered"), sqdistInfo,
+      (exprs: Seq[Expression]) => SqDistOrdered(exprs(0), exprs(1)))
   }
 }
 

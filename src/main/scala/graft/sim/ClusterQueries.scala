@@ -31,12 +31,13 @@ object ClusterQueries {
 
   private[graft] val K = 8
 
-  /** Integer squared-L2 between the quantized vector and centroid. The
-    * per-row HOF lambda is interpreted (not codegen'd) but runs against
-    * only k broadcast centroids per row — the corpus pass stays one scan.
-    */
-  private val distExpr =
-    "aggregate(zip_with(qe, ce, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
+  /** Integer squared-L2 between the quantized vector and centroid — the
+    * native codegen'd kernel (graft.functions.SqDistOrdered); exact
+    * integer math, identical to the interpreted
+    * `aggregate(zip_with(...))` HOF it replaced (SqDistOrderedSpec) but
+    * one fused loop instead of a zipped intermediate array per
+    * (vector, centroid) pair. */
+  private val distExpr = "sqdist_ordered(qe, ce)"
 
   /** vec_id → 1e-6-quantized BIGINT component array. */
   private[graft] def quantized(emb: DataFrame): DataFrame =
@@ -44,12 +45,14 @@ object ClusterQueries {
       "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT))")
       .as("qe"))
 
-  private[graft] def assign(qf: DataFrame, cent: DataFrame): DataFrame =
+  private[graft] def assign(qf: DataFrame, cent: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(qf.sparkSession)
     qf.crossJoin(broadcast(cent))
       .withColumn("dist", expr(distExpr))
       .groupBy(col("vec_id"))
       .agg(min(struct(col("dist"), col("cid"))).as("m"))
       .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
+  }
 
   /** Lloyd update: integer mean per (cluster, dimension) — k·dim cells,
     * partial-aggregated map-side; rebuilt into ordered centroid arrays. */
