@@ -1,0 +1,61 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Scale evidence for the LSH dedup pipeline, in the spirit of the
+  * ComponentsSpec power-law harness: on a synthetic corpus with PLANTED
+  * near-duplicates, the candidate-pair count must track the planted-dup
+  * count (linear in corpus size), never the corpus square — that is the
+  * whole value of banding at 100 TB — and banding must actually surface
+  * the planted pairs (recall), not vacuously return nothing.
+  *
+  * The corpus is fully deterministic (md5-derived "text", no RNG): base
+  * docs are 96 random-looking hex chars; each planted dup shares its
+  * base's first 92 chars (shingle Jaccard ≈ 0.9, so ≥1 of the 4 bands
+  * collides with high probability); distinct base docs share almost no
+  * 5-char shingles, so cross-base band collisions are rare.
+  */
+class LshScaleSpec extends SparkSpec {
+
+  /** nBase base docs + nBase/10 planted near-dups of the first nBase/10. */
+  private def corpus(nBase: Long): DataFrame = {
+    def block(tag: String) = md5(concat(lit(tag), col("id").cast("string")))
+    val base = spark.range(nBase).select(col("id").as("doc_id"),
+      concat(block("a"), block("b"), block("c")).as("text"))
+    val dups = spark.range(nBase / 10).select((col("id") + nBase).as("doc_id"),
+      concat(block("a"), block("b"),
+        substring(block("c"), 1, 28), substring(block("t"), 1, 4)).as("text"))
+    base.union(dups)
+  }
+
+  private def run(nBase: Long): (Long, Long) = {
+    val got = DedupQueries.minhashCandidatePairs(corpus(nBase))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0L until nBase / 10).map(i => (i, i + nBase)).toSet
+    ((got & planted).size.toLong, got.size.toLong)
+  }
+
+  test("candidate pairs scale with planted dups, not corpus²; planted pairs found") {
+    val (found1, total1) = run(3000)
+    val (found2, total2) = run(6000)
+    info(s"n=3000: $found1/300 planted found, $total1 total pairs")
+    info(s"n=6000: $found2/600 planted found, $total2 total pairs")
+
+    // recall: banding must surface the planted near-dups
+    assert(found1 >= 240, s"recall at n=3000: $found1/300 < 0.8")
+    assert(found2 >= 480, s"recall at n=6000: $found2/600 < 0.8")
+
+    // precision: cross-base collisions must stay marginal — the candidate
+    // list is the planted pairs plus noise, never a block square
+    assert(total1 <= 450, s"n=3000 produced $total1 pairs for 300 planted")
+    assert(total2 <= 900, s"n=6000 produced $total2 pairs for 600 planted")
+
+    // linearity: doubling the corpus (and dups) at most ~doubles the pair
+    // list; a quadratic blow-up would quadruple it
+    assert(total2 <= 3 * total1,
+      s"pair count superlinear: $total1 -> $total2 on 2x corpus")
+  }
+}
