@@ -212,10 +212,17 @@ object DedupQueries {
         .select(col("a"), col("b"),
           size(array_intersect(col("ga"), col("gb"))).cast("long").as("inter"),
           col("na"), col("nb"))
+      // containment (|∩|/|A|, |∩|/|B|) rides the same verified frame for
+      // free — the asymmetric signal that catches a short doc quoted
+      // wholesale inside a long one, which symmetric Jaccard dilutes
       verified.select(col("a"), col("b"), col("inter"),
         (col("na") + col("nb") - col("inter")).as("uni"),
         round(col("inter").cast("double") /
-          nullif(col("na") + col("nb") - col("inter"), lit(0L)), 4).as("jaccard"))
+          nullif(col("na") + col("nb") - col("inter"), lit(0L)), 4).as("jaccard"),
+        round(col("inter").cast("double") / nullif(col("na"), lit(0L)), 4)
+          .as("contain_a"),
+        round(col("inter").cast("double") / nullif(col("nb"), lit(0L)), 4)
+          .as("contain_b"))
     },
     Some {
       val bandUnion = (0 until NumHashes / BandSize)
@@ -238,10 +245,13 @@ object DedupQueries {
                             t -> t <> '') AS toks
                         FROM documents)))
           SELECT a, b, inter, uni,
-            round(CAST(inter AS DOUBLE) / nullif(uni, 0), 4) AS jaccard
+            round(CAST(inter AS DOUBLE) / nullif(uni, 0), 4) AS jaccard,
+            round(CAST(inter AS DOUBLE) / nullif(na, 0), 4) AS contain_a,
+            round(CAST(inter AS DOUBLE) / nullif(nb, 0), 4) AS contain_b
           FROM (SELECT c.a, c.b,
                   CAST(len(list_intersect(x.grams, y.grams)) AS BIGINT) AS inter,
-                  x.n + y.n - CAST(len(list_intersect(x.grams, y.grams)) AS BIGINT) AS uni
+                  x.n + y.n - CAST(len(list_intersect(x.grams, y.grams)) AS BIGINT) AS uni,
+                  x.n AS na, y.n AS nb
                 FROM cand c
                 JOIN g x ON x.doc_id = c.a
                 JOIN g y ON y.doc_id = c.b)"""

@@ -372,6 +372,41 @@ object TextQueries {
                     CAST(sum(q) AS BIGINT) AS sq
                   FROM quantized GROUP BY doc_id)"""))
 
+  // Corpus health dashboard: per-(lang, source) doc/token volumes and
+  // quality-pass rate with rollup subtotals — the report a curation run
+  // ends with. One pass: per-row token count (native word_ngrams) into a
+  // partial-aggregated ROLLUP; grouping-null placeholders match the
+  // cube_event_day convention.
+  private val corpusStats = Q(
+    "corpus_stats",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, dir)
+        .withColumn("n_tokens", size(expr(tokenizeExpr)).cast("long"))
+        .withColumn("ok",
+          (col("n_tokens") >= 20 && col("n_chars") >= 100).cast("long"))
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"),
+          round(sum(col("ok")).cast("double") / count(lit(1)), 4).as("ok_rate"))
+        .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+          coalesce(col("source"), lit("ALL")).as("source"),
+          col("n_docs"), col("tokens"), col("ok_rate"))
+    },
+    Some("""SELECT coalesce(lang, 'ALL') AS lang,
+              coalesce(source, 'ALL') AS source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_tokens) AS BIGINT) AS tokens,
+              round(CAST(sum(ok) AS DOUBLE) / count(*), 4) AS ok_rate
+            FROM (SELECT lang, source, n_tokens,
+                    CASE WHEN n_tokens >= 20 AND n_chars >= 100
+                         THEN 1 ELSE 0 END AS ok
+                  FROM (SELECT lang, source, n_chars,
+                          CAST(len(list_filter(
+                            string_split_regex(lower(text), '[^a-z]+'),
+                            t -> t <> '')) AS BIGINT) AS n_tokens
+                        FROM documents))
+            GROUP BY ROLLUP(lang, source)"""))
+
   val all: Seq[Q] = Seq(textTokens, textQuality, textLangid, textFingerprint,
-    tokenCount, textTfidf, textUnigramNll, textBm25, textEntropy)
+    tokenCount, textTfidf, textUnigramNll, textBm25, textEntropy, corpusStats)
 }
