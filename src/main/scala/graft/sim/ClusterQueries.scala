@@ -73,6 +73,45 @@ object ClusterQueries {
     lloydStep(assign(qf, c0), qf)
   }
 
+  /** Production Lloyd loop: iterate assign→update until the within-cell
+    * objective improves by less than `tol` (relative) or `maxIters` runs
+    * out. Convergence is tested with two scalar aggregates per round (no
+    * data collect), each round's assignment is checkpointed and the
+    * superseded checkpoint released — the [[graft.identity.Components]]
+    * iteration discipline. The oracle-checked queries keep the fixed
+    * 2-iteration unroll (cross-engine-deterministic); this loop is the
+    * path a real training job runs, pinned by AnnRecallSpec's
+    * convergence test.
+    *
+    * @return (final centroids, iterations run, objective per round)
+    */
+  private[graft] def lloydConverge(
+      qf: DataFrame,
+      c0: DataFrame,
+      maxIters: Int = 10,
+      tol: Double = 0.01): (DataFrame, Int, Seq[Long]) = {
+    var cent = c0
+    var assigned = assign(qf, cent).localCheckpoint(eager = true)
+    def objective(a: DataFrame): Long =
+      a.agg(sum(col("dist"))).collect()(0).getLong(0)
+    var obj = objective(assigned)
+    val objs = scala.collection.mutable.ArrayBuffer(obj)
+    var it = 0
+    var done = false
+    while (it < maxIters && !done) {
+      cent = lloydStep(assigned, qf)
+      val next = assign(qf, cent).localCheckpoint(eager = true)
+      val nextObj = objective(next)
+      done = nextObj >= obj - math.abs(tol * obj)
+      assigned.unpersist() // release the superseded round's checkpoint
+      assigned = next
+      obj = nextObj
+      objs += obj
+      it += 1
+    }
+    (cent, it, objs.toSeq)
+  }
+
   private val clusterKmeans = Q(
     "cluster_kmeans",
     (s, dir) => {

@@ -64,6 +64,18 @@ class AnnRecallSpec extends SparkSpec {
     assert(rNprobe >= 0.60, f"nprobe-2 recall floor: $rNprobe%.2f < 0.60 (measured 0.67)")
   }
 
+  test("Lloyd loop converges: monotone objective, stops before maxIters") {
+    val emb = Tables.embeddings(spark, dir)
+    val qf = ClusterQueries.quantized(emb)
+    val c0 = qf.where(col("vec_id") < ClusterQueries.K)
+      .select(col("vec_id").as("cid"), col("qe").as("ce"))
+    val (_, iters, objs) = ClusterQueries.lloydConverge(qf, c0, maxIters = 10)
+    info(s"converged after $iters iterations: ${objs.mkString(" -> ")}")
+    assert(objs.zip(objs.tail).forall { case (a, b) => b <= a },
+      s"objective rose: $objs")
+    assert(iters < 10, s"did not converge within 10 iterations: $objs")
+  }
+
   test("Lloyd iteration is monotone: total within-cell distance never rises") {
     val emb = Tables.embeddings(spark, dir)
     val qf = ClusterQueries.quantized(emb)
