@@ -398,6 +398,40 @@ object CoreQueries {
                         FROM events GROUP BY user_id))
             WHERE rk <= 10"""))
 
+  /** Salted skew join — the hot-key mitigation as a first-class,
+    * result-invariant operator: the fact side gets a deterministic salt
+    * in [0, 8), the (small) dimension side is replicated across all 8
+    * salt values, and the join keys on (user_id, salt) — a hot user's
+    * rows now spread over 8 reducers instead of one. The ORACLE is the
+    * PLAIN UNSALTED JOIN: salting must never change results, so the
+    * DuckDB twin knows nothing about salt. (AQE's skew-join handles
+    * mid-shuffle skew at runtime; explicit salting is the plan-level
+    * tool when a hot key is known in advance — e.g. the null/default
+    * user every clickstream has.)
+    */
+  private val joinSkewSalted = Q(
+    "join_skew_salted",
+    (s, dir) => {
+      val S = 8L
+      val ev = events(s, dir).select(col("user_id"), col("value"))
+      val dim = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      val salted = ev.withColumn("salt",
+        pmod(xxhash64(col("user_id"), col("value")), lit(S)))
+      val dimSalted = dim.crossJoin(
+        s.range(S).withColumnRenamed("id", "salt"))
+      salted.join(dimSalted, Seq("user_id", "salt"))
+        .groupBy(col("user_id"))
+        .agg(round(sum(col("value")), 2).as("total"),
+          max(col("n_events")).as("n_events"))
+    },
+    Some("""SELECT e.user_id, round(sum(e.value), 2) AS total,
+              max(d.n_events) AS n_events
+            FROM events e
+            JOIN (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+                  FROM events GROUP BY user_id) d
+              ON d.user_id = e.user_id
+            GROUP BY e.user_id"""))
+
   // ROLLUP grouping-sets extension (absent from the reference; §2 gap fill).
   private val cubeEventDay = Q(
     "cube_event_day",
@@ -539,6 +573,6 @@ object CoreQueries {
     schemaKeysUnion, dedupExact, dedupWindow, joinAliasLookup, joinAntiNew,
     joinSemi, sortNaturalLimit, stringFuncs, dateFuncs, etaRate,
     incrementalWatermark, eventsSessionize, jsonPropsExtract, topkUsers,
-    cubeEventDay, setOps, asofJoin, rangeJoin, windowFuncs,
+    joinSkewSalted, cubeEventDay, setOps, asofJoin, rangeJoin, windowFuncs,
     exactPercentiles, approxStats)
 }
