@@ -407,6 +407,68 @@ object TextQueries {
                         FROM documents))
             GROUP BY ROLLUP(lang, source)"""))
 
+  // Bigram-LM perplexity proxy — the KenLM-style filter one order up from
+  // text_unigram_nll: score each document by the add-one-smoothed
+  // conditional bigram likelihood p(w2|w1) = (c(w1 w2)+1)/(c(w1)+V) of a
+  // corpus-fit model. Same determinism discipline (per-row quantized ln →
+  // order-free BIGINT sums → one division) and same scale shape: both
+  // count tables are vocabulary-sized → NOT hint-broadcast; V enters as a
+  // one-row cross join; the native word_ngrams expression produces the
+  // bigram stream in one codegen'd pass.
+  private val textBigramNll = Q(
+    "text_bigram_nll",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, dir)
+      val bigrams = docs
+        .select(col("doc_id"), explode(expr("word_ngrams(text, 2, false)")).as("bg"))
+        .withColumn("w1", expr("substring_index(bg, ' ', 1)"))
+      val cnt2 = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      val toks = docs.select(explode(expr(tokenizeExpr)).as("token"))
+      val cnt1 = toks.groupBy(col("token")).agg(count(lit(1)).as("c1"))
+      val v = cnt1.agg(count(lit(1)).as("v"))
+      bigrams
+        .join(cnt2, "bg")
+        .join(cnt1.withColumnRenamed("token", "w1"), "w1")
+        .crossJoin(broadcast(v))
+        .withColumn("q", expr(
+          """CAST(round(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE))
+                 * 1000000.0, 0) AS BIGINT)"""))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sq"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(-col("sq").cast("double") /
+            (col("n_bigrams").cast("double") * lit(1000000.0)), 4).as("nll"))
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, list_filter(
+                string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS ts
+              FROM documents),
+            bigrams AS (
+              SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1
+              FROM (SELECT doc_id, unnest(
+                      CASE WHEN len(ts) < 2 THEN []
+                      ELSE list_transform(range(1, len(ts)),
+                        i -> ts[i] || ' ' || ts[i+1]) END) AS bg
+                    FROM toks)),
+            cnt2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2
+                     FROM bigrams GROUP BY bg),
+            cnt1 AS (SELECT token, CAST(count(*) AS BIGINT) AS c1
+                     FROM (SELECT unnest(ts) AS token FROM toks)
+                     GROUP BY token),
+            vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM cnt1),
+            scored AS (
+              SELECT doc_id,
+                CAST(round(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE))
+                    * 1000000.0, 0) AS BIGINT) AS q
+              FROM bigrams
+              JOIN cnt2 USING (bg)
+              JOIN cnt1 ON cnt1.token = bigrams.w1, vv)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              round(-CAST(sum(q) AS DOUBLE) / (count(*) * 1000000.0), 4) AS nll
+            FROM scored GROUP BY doc_id"""))
+
   val all: Seq[Q] = Seq(textTokens, textQuality, textLangid, textFingerprint,
-    tokenCount, textTfidf, textUnigramNll, textBm25, textEntropy, corpusStats)
+    tokenCount, textTfidf, textUnigramNll, textBm25, textEntropy, corpusStats,
+    textBigramNll)
 }

@@ -18,7 +18,7 @@ class RegistrySpec extends AnyFunSuite {
     assert(Registry.oracleSql.keySet.subsetOf(Registry.queries.keySet))
     // SURVEY §2.1 declares the registered/oracle-checked counts; keep the
     // registry and the document in lockstep
-    assert(Registry.all.size == 83, s"registered=${Registry.all.size}")
-    assert(Registry.oracleSql.size == 82, s"oracle-checked=${Registry.oracleSql.size}")
+    assert(Registry.all.size == 84, s"registered=${Registry.all.size}")
+    assert(Registry.oracleSql.size == 83, s"oracle-checked=${Registry.oracleSql.size}")
   }
 }
