@@ -1,12 +1,22 @@
 package graft.queries
 
-import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
 
-/** Contract hygiene on the driver surface: the registry is the single
-  * source of truth for SparkEntry.queries/oracleSql, so name collisions
-  * or dangling oracle keys would silently drop queries from the
-  * correctness gate. */
-class RegistrySpec extends AnyFunSuite {
+/** Smoke every registered query at sf0.001 (runs, returns rows, unique
+  * columns) plus contract hygiene on the driver surface: the registry is
+  * the single source of truth for SparkEntry.queries/oracleSql, so name
+  * collisions or dangling oracle keys would silently drop queries from
+  * the correctness gate. The exact value check is the driver's DuckDB
+  * gate (tools/compare_oracle.py locally).
+  */
+class RegistrySpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("every oracle key has a matching query") {
+    val missing = Registry.oracleSql.keySet -- Registry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
 
   test("query names are unique — a collision would shadow a query in the Map") {
     val names = Registry.all.map(_.name)
@@ -14,11 +24,24 @@ class RegistrySpec extends AnyFunSuite {
     assert(dupes.isEmpty, s"duplicate query names: ${dupes.mkString(", ")}")
   }
 
-  test("every oracle key has a query, and the surface is the declared size") {
-    assert(Registry.oracleSql.keySet.subsetOf(Registry.queries.keySet))
-    // SURVEY §2.1 declares the registered/oracle-checked counts; keep the
-    // registry and the document in lockstep
+  test("the surface is the declared size (SURVEY §2.1 stays in lockstep)") {
     assert(Registry.all.size == 84, s"registered=${Registry.all.size}")
     assert(Registry.oracleSql.size == 83, s"oracle-checked=${Registry.oracleSql.size}")
+  }
+
+  Registry.all.foreach { q =>
+    test(s"${q.name} runs at sf0.001 and returns rows") {
+      val df = q.run(spark, sfDir)
+      val n = df.count()
+      // anti-join legitimately may be large; every query must be non-empty
+      assert(n > 0, s"${q.name} returned 0 rows")
+      // column names must be unique (driver sorts by name before hashing)
+      val cols = df.columns.toSeq
+      assert(cols.distinct.size == cols.size, s"duplicate columns in $cols")
+    }
+  }
+
+  test("entry returns rows on sf0.001") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
   }
 }
