@@ -432,6 +432,53 @@ object CoreQueries {
               ON d.user_id = e.user_id
             GROUP BY e.user_id"""))
 
+  /** Per-user outlier detection — z-score each event's value against its
+    * user's own distribution, the anomaly flag a metrics warehouse runs
+    * nightly. Determinism: values are quantized to integer cents per ROW
+    * (exact), so n/Σ/Σ² are exact BIGINT partial aggregates in any order;
+    * mean, variance, and z then come from identical integer inputs
+    * through the textually identical expression on both engines, and a
+    * zero-variance user's z is defined 0 (nullif guard). Scale: one
+    * partial-agg groupBy + a broadcast-or-shuffle join back on user_id —
+    * no window, no sort.
+    */
+  private val anomalyZscore = Q(
+    "anomaly_zscore",
+    (s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("event_type"),
+        expr("CAST(round(value * 100.0, 0) AS BIGINT)").as("vq"))
+      val stats = ev.groupBy(col("user_id")).agg(
+        count(lit(1)).as("n"), sum(col("vq")).as("sv"),
+        sum(expr("vq * vq")).as("svv"))
+      ev.join(stats, "user_id")
+        .withColumn("z", expr(
+          """round((CAST(vq AS DOUBLE) - CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+               / nullif(sqrt((CAST(svv AS DOUBLE)
+                   - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+                 / CAST(n AS DOUBLE)), 0.0), 4)"""))
+        .select(col("user_id"), col("event_type"), col("vq"),
+          coalesce(col("z"), lit(0.0)).as("z"),
+          (abs(coalesce(col("z"), lit(0.0))) > 2.0).as("anomaly"))
+    },
+    Some("""WITH ev AS (
+              SELECT user_id, event_type,
+                CAST(round(value * 100.0, 0) AS BIGINT) AS vq
+              FROM events),
+            stats AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(vq) AS BIGINT) AS sv,
+                CAST(sum(vq * vq) AS BIGINT) AS svv
+              FROM ev GROUP BY user_id)
+            SELECT user_id, event_type, vq,
+              coalesce(z, 0.0) AS z,
+              abs(coalesce(z, 0.0)) > 2.0 AS anomaly
+            FROM (SELECT e.user_id, e.event_type, e.vq,
+                    round((CAST(vq AS DOUBLE) - CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+                      / nullif(sqrt((CAST(svv AS DOUBLE)
+                          - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+                        / CAST(n AS DOUBLE)), 0.0), 4) AS z
+                  FROM ev e JOIN stats USING (user_id))"""))
+
   // ROLLUP grouping-sets extension (absent from the reference; §2 gap fill).
   private val cubeEventDay = Q(
     "cube_event_day",
@@ -573,6 +620,6 @@ object CoreQueries {
     schemaKeysUnion, dedupExact, dedupWindow, joinAliasLookup, joinAntiNew,
     joinSemi, sortNaturalLimit, stringFuncs, dateFuncs, etaRate,
     incrementalWatermark, eventsSessionize, jsonPropsExtract, topkUsers,
-    joinSkewSalted, cubeEventDay, setOps, asofJoin, rangeJoin, windowFuncs,
-    exactPercentiles, approxStats)
+    joinSkewSalted, anomalyZscore, cubeEventDay, setOps, asofJoin, rangeJoin,
+    windowFuncs, exactPercentiles, approxStats)
 }
