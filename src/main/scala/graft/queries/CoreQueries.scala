@@ -412,14 +412,9 @@ object CoreQueries {
   private val joinSkewSalted = Q(
     "join_skew_salted",
     (s, dir) => {
-      val S = 8L
       val ev = events(s, dir).select(col("user_id"), col("value"))
       val dim = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
-      val salted = ev.withColumn("salt",
-        pmod(xxhash64(col("user_id"), col("value")), lit(S)))
-      val dimSalted = dim.crossJoin(
-        s.range(S).withColumnRenamed("id", "salt"))
-      salted.join(dimSalted, Seq("user_id", "salt"))
+      SkewJoin.saltedEquiJoin(ev, dim, "user_id", saltBuckets = 8)
         .groupBy(col("user_id"))
         .agg(round(sum(col("value")), 2).as("total"),
           max(col("n_events")).as("n_events"))
