@@ -19,6 +19,36 @@ class WordNgramsSpec extends SparkSpec {
     if (distinct) s"array_distinct($grams)" else grams
   }
 
+  test("property: equals the SQL formulation on random unicode strings") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // mix of letters, separators, digits, accents, and non-BMP; fixed
+    // seed so the corpus is reproducible across runs
+    val fragGen = Gen.frequency(
+      (6, Gen.alphaChar.map(_.toString)), (2, Gen.const(" ")),
+      (1, Gen.numChar.map(_.toString)),
+      (1, Gen.oneOf("é", "ß", "Ä", "中", "😀", "-", ".", "\n", "\t")))
+    val strGen = Gen.listOf(fragGen).map(_.mkString)
+    val texts = (0 until 200).flatMap { i =>
+      strGen.apply(Gen.Parameters.default.withSize(1 + i % 60),
+        Seed(i.toLong)): Option[String]
+    }
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    for (n <- Seq(1, 2, 4); distinct <- Seq(true, false)) {
+      val rows = texts.toDF("text")
+        .selectExpr("text",
+          s"word_ngrams(text, $n, $distinct) AS fast",
+          "filter(split(lower(text), '[^a-z]+'), t -> t <> '') AS toks")
+        .selectExpr("text", "fast", s"${slowSql(n, distinct)} AS slow")
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"n=$n distinct=$distinct text=${r.getString(0).take(60)}")
+      }
+    }
+  }
+
   test("word_ngrams equals the split/transform formulation for n=1,2,3,5") {
     import spark.implicits._
     GraftFunctions.register(spark)
