@@ -197,7 +197,11 @@ object DedupQueries {
           expr("word_ngrams(text, 3, true)").as("grams"))
         .select(col("doc_id"), col("grams"), size(col("grams")).cast("long").as("n"))
         // one materialized gram pass feeding BOTH pair sides, instead of
-        // re-tokenizing the corpus per side (measured 2.9 s → 2.1 s at sf0.1)
+        // re-tokenizing the corpus per side (measured 2.9 s → 2.1 s at
+        // sf0.1; a repartition+ReuseExchange alternative re-measured 0.4 s
+        // SLOWER even with the native word_ngrams — the reused exchange
+        // shuffles the KB-fat gram arrays where the checkpoint keeps them
+        // node-local)
         .localCheckpoint(eager = true)
       // NO spread here (unlike text_edit_distance): gram arrays are
       // KB-fat, so the pair rows are too big for AQE to coalesce onto one
