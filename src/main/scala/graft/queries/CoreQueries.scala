@@ -445,12 +445,15 @@ object CoreQueries {
       val stats = ev.groupBy(col("user_id")).agg(
         count(lit(1)).as("n"), sum(col("vq")).as("sv"),
         sum(expr("vq * vq")).as("svv"))
+      // the trailing `+ 0.0` folds IEEE negative zero into +0.0: a tiny
+      // negative residual rounds to -0.0, which one engine may render as
+      // 0.0 and the other as -0.0 (caught by the sf0.1 oracle run)
       ev.join(stats, "user_id")
         .withColumn("z", expr(
           """round((CAST(vq AS DOUBLE) - CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
                / nullif(sqrt((CAST(svv AS DOUBLE)
                    - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
-                 / CAST(n AS DOUBLE)), 0.0), 4)"""))
+                 / CAST(n AS DOUBLE)), 0.0), 4) + 0.0"""))
         .select(col("user_id"), col("event_type"), col("vq"),
           coalesce(col("z"), lit(0.0)).as("z"),
           (abs(coalesce(col("z"), lit(0.0))) > 2.0).as("anomaly"))
@@ -471,7 +474,7 @@ object CoreQueries {
                     round((CAST(vq AS DOUBLE) - CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
                       / nullif(sqrt((CAST(svv AS DOUBLE)
                           - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
-                        / CAST(n AS DOUBLE)), 0.0), 4) AS z
+                        / CAST(n AS DOUBLE)), 0.0), 4) + 0.0 AS z
                   FROM ev e JOIN stats USING (user_id))"""))
 
   // ROLLUP grouping-sets extension (absent from the reference; §2 gap fill).
