@@ -462,7 +462,74 @@ object DedupQueries {
           LEFT JOIN hits h ON h.doc_id = d.doc_id"""
     })
 
+  /** Exact duplicated-span detection (the ExactSubstr half of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"): an
+    * 8-word span that appears verbatim in ≥2 documents is memorization
+    * fuel; per doc we report how much of it is covered by such spans.
+    *
+    * Scale shape: the corpus-wide frequency pass groups on
+    * `xxhash64(gram)` — an 8-byte integer — so the shuffle ships fixed
+    * 16-byte rows, never the ~50-byte gram text (a 64-bit hash over the
+    * ~10¹¹ distinct grams of a 100 TB corpus has ~10⁻⁴ collision odds for
+    * the WHOLE corpus; a collision inflates one doc's count by one — the
+    * DuckDB oracle groups the gram strings themselves and stays exact, so
+    * the correctness gate would catch any collision at test scale). The
+    * gram frame is materialized once (`localCheckpoint`) because it feeds
+    * both the frequency aggregate and the per-doc rollup — the
+    * dedup_ngram_jaccard lesson, and here the checkpoint holds hashes,
+    * not text.
+    */
+  private val dedupSubstring = Q(
+    "dedup_substring",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, dir)
+      val g = Tables.spread(docs.select("doc_id", "text"))
+        .select(col("doc_id"),
+          explode(expr("word_ngrams(text, 8, true)")).as("gram"))
+        .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+        .localCheckpoint(eager = true)
+      // grams are per-doc distinct, so count(*) per hash = document
+      // frequency; df ≥ 2 marks the span duplicated
+      val dup = g.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+        .where(col("df") >= 2).select(col("gh"))
+      val perDoc = g.join(dup, Seq("gh"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_grams"))
+      docs.select(col("doc_id"),
+          size(expr("word_ngrams(text, 8, true)")).cast("long").as("n_grams"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
+          round(coalesce(col("dup_grams"), lit(0L)).cast("double") /
+            nullif(col("n_grams"), lit(0L)), 4).as("dup_frac"))
+    },
+    Some {
+      val gram8 = (0 until 8).map(j => s"toks[i+$j]").mkString("concat_ws(' ', ", ", ", ")")
+      s"""WITH t AS (
+            SELECT doc_id,
+              list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                x -> x <> '') AS toks
+            FROM documents),
+          g AS (
+            SELECT doc_id,
+              CASE WHEN len(toks) < 8 THEN []
+              ELSE list_distinct(list_transform(range(1, greatest(len(toks) - 6, 1)),
+                i -> $gram8)) END AS grams
+            FROM t),
+          long AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+          dup AS (SELECT gram FROM long GROUP BY gram HAVING count(*) >= 2),
+          per AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_grams
+            FROM long WHERE gram IN (SELECT gram FROM dup)
+            GROUP BY doc_id)
+          SELECT g.doc_id, CAST(len(g.grams) AS BIGINT) AS n_grams,
+            coalesce(per.dup_grams, 0) AS dup_grams,
+            round(CAST(coalesce(per.dup_grams, 0) AS DOUBLE) /
+              nullif(len(g.grams), 0), 4) AS dup_frac
+          FROM g LEFT JOIN per ON per.doc_id = g.doc_id"""
+    })
+
   val all: Seq[Q] = Seq(dedupMinhash, dedupMinhashPairs, dedupSimhash,
     dedupNgramJaccard, dedupClusters, splitLeakageSafe, corpusClean,
-    dedupIncremental)
+    dedupIncremental, dedupSubstring)
 }

@@ -29,8 +29,15 @@ object IdentityQueries {
         .distinct()
       Components.connectedComponents(edges)
     },
-    Some(s"""WITH RECURSIVE
-      edges AS (SELECT DISTINCT user_id AS u,
+    Some(s"""WITH RECURSIVE $componentsOracleCte
+      SELECT node, component FROM comp"""))
+
+  /** Reachability closure ending in `comp(node, component)` — shared by
+    * both oracles; splice after `WITH RECURSIVE`. O(Σ|C|²), oracle-scale
+    * only; the Spark side is the O(E log N) star iteration.
+    */
+  private def componentsOracleCte: String =
+    s"""edges AS (SELECT DISTINCT user_id AS u,
                   $Offset + CAST(json_extract_string(props, '$$.k') AS BIGINT) AS v
                 FROM events WHERE event_type = 'signup'),
       und AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
@@ -38,9 +45,27 @@ object IdentityQueries {
       reach(node, r) AS (
         SELECT node, node FROM nodes
         UNION
-        SELECT reach.node, und.v FROM reach JOIN und ON reach.r = und.u)
-      SELECT node, CAST(min(r) AS BIGINT) AS component
-      FROM reach GROUP BY node"""))
+        SELECT reach.node, und.v FROM reach JOIN und ON reach.r = und.u),
+      comp AS (SELECT node, CAST(min(r) AS BIGINT) AS component
+               FROM reach GROUP BY node)"""
 
-  val all: Seq[Q] = Seq(identityComponents)
+  // Graph-health telemetry over the identity graph: how many clusters of
+  // each size exist. Two hash aggregates over the components frame — the
+  // first groups |V| rows on component, the second groups |components|
+  // rows on size; output is O(max cluster size) rows. The skew-resilience
+  // story of the star iteration (ComponentsSpec's power-law stress) is
+  // what makes the first aggregate safe at 100 TB.
+  private val identityGraphStats = Q(
+    "identity_graph_stats",
+    (s, dir) =>
+      identityComponents.run(s, dir)
+        .groupBy(col("component")).agg(count(lit(1)).as("csize"))
+        .groupBy(col("csize")).agg(count(lit(1)).as("n_components")),
+    Some(s"""WITH RECURSIVE $componentsOracleCte,
+      sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS csize
+                FROM comp GROUP BY component)
+      SELECT csize, CAST(count(*) AS BIGINT) AS n_components
+      FROM sizes GROUP BY csize"""))
+
+  val all: Seq[Q] = Seq(identityComponents, identityGraphStats)
 }

@@ -110,5 +110,37 @@ object AnalyticsQueries {
                    CAST(count(*) AS BIGINT) AS n
             FROM sess GROUP BY user_id, sid"""))
 
-  val all: Seq[Q] = Seq(funnelSteps, cohortRetention, sessionWindowAgg)
+  // Markov path analysis: per-user time-ordered event stream -> lag(1)
+  // transition pairs -> global (prev, next) counts. The lag window is
+  // partitioned by user_id (per-user sort, never a global one) and the
+  // final aggregate's cardinality is |event_type|² — a handful of rows no
+  // matter the corpus size. Ties in ts break on event_id so the lag is a
+  // total order on both engines.
+  private val eventTransitions = Q(
+    "event_transitions",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      ev.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .where(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("prev_type"), col("event_type").as("next_type"), col("cnt"))
+    },
+    Some("""WITH seq AS (
+              SELECT user_id, event_type,
+                lag(event_type) OVER (PARTITION BY user_id
+                  ORDER BY epoch_ns(ts) // 1000, event_id) AS prev_type
+              FROM events)
+            SELECT prev_type, event_type AS next_type,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type"""))
+
+  val all: Seq[Q] =
+    Seq(funnelSteps, cohortRetention, sessionWindowAgg, eventTransitions)
 }

@@ -217,4 +217,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("minhash_sig") || p.contains("minhashsignature") ||
       p.toLowerCase.contains("minhash"), p.take(2000))
   }
+
+  test("event_transitions window is per-user, never a global sort") {
+    val p = plan("event_transitions")
+    val windowLine = p.linesIterator.find(_.contains("Window ")).getOrElse("")
+    assert(windowLine.nonEmpty, p.take(2000))
+    assert(windowLine.contains("user_id"),
+      s"lag window lost its user_id partitioning: $windowLine")
+  }
+
+  test("dedup_substring shuffles 8-byte gram hashes, not gram text") {
+    val p = plan("dedup_substring")
+    // the corpus-wide frequency exchange must partition on the xxhash64
+    // key `gh` — a text-keyed exchange would ship ~50-byte grams instead
+    assert(p.contains("hashpartitioning(gh"),
+      "frequency shuffle no longer keyed on the gram hash")
+    // the checkpointed gram frame must carry only (doc_id, gh) — hashing
+    // after the checkpoint would materialize and ship the gram text
+    val rdd = p.linesIterator.find(_.contains("Scan ExistingRDD")).getOrElse("")
+    assert(rdd.contains("doc_id") && rdd.contains("gh") && !rdd.contains("gram"),
+      s"checkpoint no longer hash-only: $rdd")
+    assert(p.contains("LeftSemi"), "duplicated-span filter lost its semi join")
+  }
 }
