@@ -479,30 +479,38 @@ object DedupQueries {
     * dedup_ngram_jaccard lesson, and here the checkpoint holds hashes,
     * not text.
     */
+  /** Core of `dedup_substring` on any (doc_id, text) frame — separated so
+    * DedupSubstringSpec can plant shared spans in a synthetic corpus. */
+  private[graft] def substringDupStats(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val g = Tables.spread(docs.select("doc_id", "text"))
+      .select(col("doc_id"),
+        explode(expr("word_ngrams(text, 8, true)")).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+      .localCheckpoint(eager = true)
+    // grams are per-doc distinct, so count(*) per hash = document
+    // frequency; df ≥ 2 marks the span duplicated
+    val dup = g.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2).select(col("gh"))
+    // both per-doc measures come from the checkpointed hash frame — no
+    // second tokenize pass over the corpus: total windows = the doc's
+    // (distinct) gram count, duplicated windows = a conditional count over
+    // the semi-join mark
+    val perDoc = g.join(dup.withColumn("is_dup", lit(1L)), Seq("gh"), "left")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"),
+        count(col("is_dup")).as("dup_grams"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
+        round(coalesce(col("dup_grams"), lit(0L)).cast("double") /
+          nullif(col("n_grams"), lit(0L)), 4).as("dup_frac"))
+  }
+
   private val dedupSubstring = Q(
     "dedup_substring",
-    (s, dir) => {
-      graft.functions.GraftFunctions.register(s)
-      val docs = Tables.documents(s, dir)
-      val g = Tables.spread(docs.select("doc_id", "text"))
-        .select(col("doc_id"),
-          explode(expr("word_ngrams(text, 8, true)")).as("gram"))
-        .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
-        .localCheckpoint(eager = true)
-      // grams are per-doc distinct, so count(*) per hash = document
-      // frequency; df ≥ 2 marks the span duplicated
-      val dup = g.groupBy(col("gh")).agg(count(lit(1)).as("df"))
-        .where(col("df") >= 2).select(col("gh"))
-      val perDoc = g.join(dup, Seq("gh"), "left_semi")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_grams"))
-      docs.select(col("doc_id"),
-          size(expr("word_ngrams(text, 8, true)")).cast("long").as("n_grams"))
-        .join(perDoc, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_grams"),
-          coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
-          round(coalesce(col("dup_grams"), lit(0L)).cast("double") /
-            nullif(col("n_grams"), lit(0L)), 4).as("dup_frac"))
-    },
+    (s, dir) => substringDupStats(Tables.documents(s, dir)),
     Some {
       val gram8 = (0 until 8).map(j => s"toks[i+$j]").mkString("concat_ws(' ', ", ", ", ")")
       s"""WITH t AS (
