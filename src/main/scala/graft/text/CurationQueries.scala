@@ -518,12 +518,15 @@ object CurationQueries {
     * corpus-wide, drop chunks appearing in ≥ 3 documents, and reassemble
     * the surviving text in position order.
     *
-    * Scale shape: the df count is one linear hash-aggregate over chunk
-    * strings; the removal is a left_anti against ONLY the over-threshold
-    * chunk list — which is tiny relative to the corpus (duplication is the
-    * exception), so AQE broadcasts it and the corpus never reshuffles on
-    * chunk. Docs shorter than one chunk have nothing to dedup and are
-    * absent by construction.
+    * Scale shape: the df count and the removal anti-join key on
+    * `xxhash64(chunk)` — 8-byte integers — so the only shuffle carrying
+    * chunk TEXT is the doc_id-keyed reassembly, which must ship it anyway
+    * (the output contains the cleaned text); the over-threshold list is
+    * tiny relative to the corpus (duplication is the exception), so AQE
+    * broadcasts it and the corpus never reshuffles on chunk. Same
+    * collision stance as dedup_substring: the exact-text DuckDB oracle
+    * would flag a 64-bit collision at test scale. Docs shorter than one
+    * chunk have nothing to dedup and are absent by construction.
     */
   private val dedupLines = Q(
     "dedup_lines",
@@ -537,11 +540,12 @@ object CurationQueries {
              ELSE transform(sequence(1, size(toks) div 4),
                i -> concat_ws(' ', slice(toks, (i-1)*4+1, 4))) END"""))
           .as(Seq("pos", "chunk")))
+        .withColumn("ch", xxhash64(col("chunk")))
         .localCheckpoint(eager = true) // feeds df-count, totals, and kept
-      val dup = chunks.groupBy(col("chunk"))
+      val dup = chunks.groupBy(col("ch"))
         .agg(countDistinct(col("doc_id")).as("df"))
-        .where(col("df") >= 3).select(col("chunk"))
-      val kept = chunks.join(dup, Seq("chunk"), "left_anti")
+        .where(col("df") >= 3).select(col("ch"))
+      val kept = chunks.join(dup, Seq("ch"), "left_anti")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_kept"),
           expr("concat_ws(' ', transform(array_sort(collect_list(struct(pos, chunk))), s -> s.chunk))")
