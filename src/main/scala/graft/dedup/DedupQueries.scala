@@ -193,8 +193,13 @@ object DedupQueries {
       graft.functions.GraftFunctions.register(s)
       val docs = Tables.documents(s, dir)
       val grams = Tables.spread(docs.select("doc_id", "text"))
+        // hash each gram to a LONG before the checkpoint: the intersect
+        // only needs equality, so 8-byte elements replace ~25-byte strings
+        // in the checkpointed arrays and in both pair-side joins (~3×
+        // smaller payload, integer compares in array_intersect); the
+        // string-exact DuckDB oracle would flag a 64-bit collision
         .select(col("doc_id"),
-          expr("word_ngrams(text, 3, true)").as("grams"))
+          expr("transform(word_ngrams(text, 3, true), g -> xxhash64(g))").as("grams"))
         .select(col("doc_id"), col("grams"), size(col("grams")).cast("long").as("n"))
         // one materialized gram pass feeding BOTH pair sides, instead of
         // re-tokenizing the corpus per side (measured 2.9 s → 2.1 s at
