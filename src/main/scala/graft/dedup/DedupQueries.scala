@@ -542,7 +542,130 @@ object DedupQueries {
           FROM g LEFT JOIN per ON per.doc_id = g.doc_id"""
     })
 
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03 — the MOSS
+    * algorithm): hash every word-4-gram, slide a window of 4 consecutive
+    * gram hashes, keep each window's MINIMUM. Guarantees any shared run
+    * of ≥ 7 words contributes at least one COMMON fingerprint to both
+    * documents, at ~1/4 the density of full substring hashing
+    * (`dedup_substring` keeps every 8-gram; winnowing samples them
+    * content-deterministically, so the index is 4× smaller for the same
+    * detection floor).
+    *
+    * Scale shape: grams never shuffle — the only window runs PER DOC
+    * (partitionBy doc_id over positions; a document always fits a task),
+    * and what leaves the map side is the winnowed (doc_id, fp) set.
+    * Hashes are md5 hex strings, minimum = lexicographic min — identical
+    * on both engines, no tie ambiguity (min of a set, not argmin).
+    */
+  private[graft] def winnowFingerprints(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val g = Tables.spread(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        posexplode(expr("word_ngrams(text, 4, false)")).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"), md5(col("gram")).as("h"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val slide = byDoc.orderBy(col("pos")).rowsBetween(Window.currentRow, 3)
+    g.withColumn("n_grams", count(lit(1)).over(byDoc))
+      .withColumn("fp", min(col("h")).over(slide))
+      .where(col("pos") <= col("n_grams") - 4) // full windows only
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+  }
+
+  // Per-doc winnowing rollup. Docs too short for one full window keep a
+  // row with n_fp = 0 (left join), like dedup_substring.
+  private val dedupWinnowFp = Q(
+    "dedup_winnow_fp",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val per = winnowFingerprints(docs)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fp"),
+          min(col("fp")).as("fp_lo"), max(col("fp")).as("fp_hi"))
+      docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+          coalesce(col("fp_lo"), lit("")).as("fp_lo"),
+          coalesce(col("fp_hi"), lit("")).as("fp_hi"))
+    },
+    Some {
+      val gram4 = (0 until 4).map(j => s"toks[i+$j]").mkString("concat_ws(' ', ", ", ", ")")
+      s"""WITH t AS (
+            SELECT doc_id,
+              list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                x -> x <> '') AS toks
+            FROM documents),
+          g AS (
+            SELECT doc_id, i, md5($gram4) AS h,
+              greatest(len(toks) - 3, 0) AS n_grams
+            FROM t, unnest(range(1, greatest(len(toks) - 2, 1))) AS u(i)),
+          win AS (
+            SELECT doc_id, i, n_grams,
+              min(h) OVER (PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+            FROM g),
+          fps AS (
+            SELECT DISTINCT doc_id, fp FROM win WHERE i <= n_grams - 3),
+          per AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+              min(fp) AS fp_lo, max(fp) AS fp_hi
+            FROM fps GROUP BY doc_id)
+          SELECT d.doc_id, coalesce(per.n_fp, 0) AS n_fp,
+            coalesce(per.fp_lo, '') AS fp_lo, coalesce(per.fp_hi, '') AS fp_hi
+          FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id"""
+    })
+
+  // MOSS-style match pairs: documents sharing ≥ 2 winnowing fingerprints,
+  // ranked by how many they share. The inverted index (groupBy fp) is the
+  // join; fingerprints appearing in > 50 docs are dropped as
+  // stop-fingerprints BEFORE the self-join — the posting-list cap that
+  // keeps a boilerplate phrase from exploding one bucket quadratically
+  // (same guard as LSH band caps). Count per pair is partial-aggregable.
+  private val dedupWinnowPairs = Q(
+    "dedup_winnow_pairs",
+    (s, dir) => {
+      val fps = winnowFingerprints(Tables.documents(s, dir))
+        .localCheckpoint(eager = true) // one tokenize pass feeds both join sides
+      val df = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .where(col("df").between(2, 50)).select(col("fp"))
+      val keep = fps.join(df, Seq("fp"))
+      val a = keep.select(col("fp"), col("doc_id").as("doc_a"))
+      val b = keep.select(col("fp"), col("doc_id").as("doc_b"))
+      a.join(b, Seq("fp")).where(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+        .where(col("shared") >= 2)
+    },
+    Some {
+      val gram4 = (0 until 4).map(j => s"toks[i+$j]").mkString("concat_ws(' ', ", ", ", ")")
+      s"""WITH t AS (
+            SELECT doc_id,
+              list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                x -> x <> '') AS toks
+            FROM documents),
+          g AS (
+            SELECT doc_id, i, md5($gram4) AS h,
+              greatest(len(toks) - 3, 0) AS n_grams
+            FROM t, unnest(range(1, greatest(len(toks) - 2, 1))) AS u(i)),
+          win AS (
+            SELECT doc_id, i, n_grams,
+              min(h) OVER (PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+            FROM g),
+          fps AS (
+            SELECT DISTINCT doc_id, fp FROM win WHERE i <= n_grams - 3),
+          keep AS (
+            SELECT fp FROM fps GROUP BY fp
+            HAVING count(*) BETWEEN 2 AND 50)
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(count(*) AS BIGINT) AS shared
+          FROM fps a JOIN keep USING (fp) JOIN fps b USING (fp)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+          HAVING count(*) >= 2"""
+    })
+
   val all: Seq[Q] = Seq(dedupMinhash, dedupMinhashPairs, dedupSimhash,
     dedupNgramJaccard, dedupClusters, splitLeakageSafe, corpusClean,
-    dedupIncremental, dedupSubstring)
+    dedupIncremental, dedupSubstring, dedupWinnowFp, dedupWinnowPairs)
 }

@@ -137,6 +137,76 @@ object OlapQueries {
               CAST(row_number() OVER (ORDER BY cnt DESC, user_id) AS BIGINT) AS rk
             FROM top"""))
 
+  // Arg-max/arg-min battery (first/last-touch attribution): per event
+  // type, the value and user of the FIRST and LAST event. `max_by`/
+  // `min_by` keep partial aggregation — each partition reduces to one
+  // (ord, val) candidate, merges at the exchange — so the shuffle carries
+  // one row per (group × partition), never the event stream. Ordering key
+  // is event_id (unique), so the arg picked is total-order deterministic
+  // on both engines; ts would tie.
+  private val aggMinmaxBy = Q(
+    "agg_minmax_by",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          min_by(col("value"), col("event_id")).as("first_value"),
+          max_by(col("value"), col("event_id")).as("last_value"),
+          max_by(col("user_id"), col("event_id")).as("last_user"),
+          count(lit(1)).as("n")),
+    Some("""SELECT event_type,
+                   arg_min(value, event_id) AS first_value,
+                   arg_max(value, event_id) AS last_value,
+                   arg_max(user_id, event_id) AS last_user,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type"""))
+
+  // Equi-depth histogram, scale-shaped: exact quartile BOUNDARIES come
+  // from one percentile aggregate (5 rows — one per event type), which
+  // then broadcast back onto the stream for integer bucket assignment +
+  // one hash aggregate. The corpus itself never sorts: the only
+  // per-group ordered pass is inside percentile() over each group, and
+  // the row->bucket mapping is a broadcast-join predicate chain that
+  // rides the scan. (An ntile() window would funnel every group through
+  // one task — the topk_users lesson.) Boundaries are interpolated
+  // doubles; comparisons against them are exact IEEE on both engines.
+  private val histogramEquidepth = Q(
+    "histogram_equidepth",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val bounds = ev.groupBy(col("event_type"))
+        .agg(
+          expr("percentile(value, 0.25)").as("q1"),
+          expr("percentile(value, 0.50)").as("q2"),
+          expr("percentile(value, 0.75)").as("q3"))
+      ev.join(broadcast(bounds), Seq("event_type"))
+        .select(col("event_type"), col("value"),
+          when(col("value") <= col("q1"), lit(1L))
+            .when(col("value") <= col("q2"), lit(2L))
+            .when(col("value") <= col("q3"), lit(3L))
+            .otherwise(lit(4L)).as("bucket"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 2).as("lo"),
+          round(max(col("value")), 2).as("hi"))
+    },
+    Some("""WITH bounds AS (
+              SELECT event_type,
+                quantile_cont(value, 0.25) AS q1,
+                quantile_cont(value, 0.50) AS q2,
+                quantile_cont(value, 0.75) AS q3
+              FROM events GROUP BY event_type)
+            SELECT e.event_type,
+                   CAST(CASE WHEN value <= q1 THEN 1
+                             WHEN value <= q2 THEN 2
+                             WHEN value <= q3 THEN 3
+                             ELSE 4 END AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(min(value), 2) AS lo,
+                   round(max(value), 2) AS hi
+            FROM events e JOIN bounds b USING (event_type)
+            GROUP BY 1, 2"""))
+
   val all: Seq[Q] = Seq(pivotEventType, unpivotMelt, histogramBins,
-    udafWeightedMean, skewDiagnose)
+    udafWeightedMean, skewDiagnose, aggMinmaxBy, histogramEquidepth)
 }

@@ -17,6 +17,7 @@ object Registry {
   def all: Seq[Q] =
     CoreQueries.all ++
       OlapQueries.all ++
+      LayoutQueries.all ++
       AnalyticsQueries.all ++
       graft.identity.IdentityQueries.all ++
       graft.text.TextQueries.all ++
