@@ -243,4 +243,49 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("word_ngrams"),
       "totals re-tokenize the corpus instead of counting checkpointed hashes")
   }
+
+  test("join_bloom_pruned probes the bloom bits before the join shuffle") {
+    val p = plan("join_bloom_pruned")
+    // the native membership probe must sit in a Filter on the fact scan
+    // side — below the join — so non-matching rows die pre-shuffle
+    val filterIdx = p.indexOf("bloom_might_contain")
+    val joinIdx = p.indexOf("Join")
+    assert(filterIdx >= 0, "bloom probe missing from the physical plan")
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      "bloom filter is not below the join in the plan tree")
+  }
+
+  test("zorder_layout is projection + one partial aggregate — no sort, no window") {
+    val p = plan("zorder_layout")
+    assert(!p.contains("Sort"), "zorder audit sorts — the layout key needs none")
+    assert(!p.contains("Window"), "zorder audit grew a window")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      p.take(2000))
+  }
+
+  test("histogram_equidepth broadcasts boundaries, never sorts the stream") {
+    val p = plan("histogram_equidepth")
+    assert(p.contains("BroadcastHashJoin"),
+      "quartile boundaries no longer broadcast back onto the stream")
+    assert(!p.contains("Window"),
+      "equi-depth bucketing regressed to an ntile window (single task per group)")
+  }
+
+  test("winnowing windows partition per doc, never globally") {
+    val p = plan("dedup_winnow_fp")
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.nonEmpty, p.take(1000))
+    assert(winLines.forall(_.contains("doc_id")),
+      s"winnowing window lost its doc_id partitioning (global sort): $winLines")
+  }
+
+  test("dedup_winnow_pairs joins off the checkpointed fingerprints (one tokenize pass)") {
+    val p = plan("dedup_winnow_pairs")
+    // both self-join sides and the df keep-list read the checkpoint — a
+    // word_ngrams node in the executed plan means the corpus tokenizes
+    // again per side
+    assert(!p.contains("word_ngrams"),
+      "pair-join sides re-tokenize instead of reusing the checkpoint")
+    assert(p.contains("Scan ExistingRDD"), p.take(1000))
+  }
 }
