@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Three capability families the engine was still missing as REGISTERED
+  * queries: a multi-way star-schema join (the TPC-H shape every
+  * warehouse query reduces to), an iterative link-analysis pass
+  * (PageRank over the identity graph), and the counting step at the
+  * heart of distributed BPE tokenizer training.
+  */
+object GraphBpeQueries {
+
+  // TPC-H Q5-shaped revenue rollup: lineitem ⋈ orders ⋈ customer ⋈
+  // nation ⋈ region, region + date filtered. The scale shape Catalyst
+  // picks and PlanSpec pins: the two BIG sides (lineitem, orders) meet
+  // in ONE shuffle join on orderkey; every dimension hop — customer,
+  // nation, region — broadcasts, and the date/region filters push into
+  // the scans so the join sees only qualifying years. At 100 TB
+  // bucketing both fact tables on orderkey would delete the last
+  // exchange too (sink/BucketedTables does exactly that).
+  private val joinMultiwayRevenue = Q(
+    "join_multiway_revenue",
+    (s, dir) => {
+      val lineitem = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val orders = Tables.orders(s, dir)
+        .where(col("o_orderdate").between("1996-01-01", "1997-12-31"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val customer = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val nation = Tables.nation(s, dir)
+      val region = Tables.region(s, dir).where(col("r_name") === "ASIA")
+      lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    Some("""SELECT n_name,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate BETWEEN '1996-01-01' AND '1997-12-31'
+            GROUP BY n_name"""))
+
+  // Two Jacobi iterations of PageRank (d = 0.85) over the undirected
+  // identity graph — the iterative join-aggregate pattern (Pregel's
+  // inner loop) as a declarative query. Each iteration is one shuffle:
+  // contributions group on the edge head. At 100 TB you'd hash-partition
+  // the edge list on src ONCE and every iteration reuses that exchange
+  // (the Components loop in identity/ does exactly this); two fixed
+  // iterations keep the query a finite plan the oracle can mirror
+  // non-recursively. Ranks are double sums — round(4) on output, the
+  // engine's aggregated-double rule.
+  private val graphPagerank = Q(
+    "graph_pagerank",
+    (s, dir) => {
+      val Offset = 1000000L
+      val fwd = Tables.events(s, dir)
+        .filter(col("event_type") === "signup")
+        .select(col("user_id").as("src"),
+          (get_json_object(col("props"), "$.k").cast("long") + Offset).as("dst"))
+        .distinct()
+      val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(eager = true) // both iterations read this edge list
+      val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val withDeg = und.join(deg, "src")
+      // r0 = 1 for every node, so the first round's contribution is 1/deg
+      val r1 = withDeg
+        .groupBy(col("dst")).agg(sum(lit(1.0) / col("deg")).as("contrib"))
+        .select(col("dst").as("node"), (lit(0.15) + lit(0.85) * col("contrib")).as("r1"))
+      val r2 = withDeg
+        .join(r1, col("src") === col("node"))
+        .groupBy(col("dst")).agg(sum(col("r1") / col("deg")).as("contrib"))
+        .select(col("dst").as("node"), (lit(0.15) + lit(0.85) * col("contrib")).as("r2"))
+      r2.select(col("node"), round(col("r2"), 4).as("rank"))
+    },
+    Some("""WITH fwd AS (SELECT DISTINCT user_id AS src,
+                  1000000 + CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
+                FROM events WHERE event_type = 'signup'),
+            und AS (SELECT src, dst FROM fwd
+                    UNION ALL SELECT dst, src FROM fwd),
+            deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+                    FROM und GROUP BY src),
+            wd AS (SELECT und.src, und.dst, deg.deg
+                   FROM und JOIN deg ON und.src = deg.src),
+            r1 AS (SELECT dst AS node, 0.15 + 0.85 * sum(1.0 / deg) AS r1
+                   FROM wd GROUP BY dst),
+            r2 AS (SELECT wd.dst AS node, 0.15 + 0.85 * sum(r1.r1 / wd.deg) AS r2
+                   FROM wd JOIN r1 ON wd.src = r1.node
+                   GROUP BY wd.dst)
+            SELECT node, round(r2, 4) AS rank FROM r2"""))
+
+  // The counting step of BPE tokenizer training, distributed: adjacent
+  // symbol-pair frequencies over the corpus, weighted by word frequency.
+  // The expensive explode runs over the DISTINCT-WORD table (vocabulary-
+  // sized — millions of rows at 100 TB, not trillions), because pair
+  // count per word × word frequency is exactly the corpus pair count;
+  // that factoring is how real distributed BPE trainers stay feasible.
+  // Top-20 merges via TakeOrderedAndProject with the (count desc, pair)
+  // total order; rk derived over the 20 survivors.
+  private val bpeMergeTopk = Q(
+    "bpe_merge_topk",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val vocab = Tables.spread(Tables.documents(s, dir).select(col("text")))
+        .select(explode(expr("word_ngrams(text, 1, false)")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      val pairs = vocab
+        .select(col("freq"), explode(expr(
+          """CASE WHEN length(w) < 2 THEN array()
+             ELSE transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))
+             END""")).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+      val top = pairs.orderBy(col("cnt").desc, col("pair")).limit(20)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("pair"))
+      top.withColumn("rk", row_number().over(w).cast("long"))
+    },
+    Some("""WITH words AS (
+              SELECT unnest(list_filter(
+                string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS w
+              FROM documents),
+            vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
+                      FROM words GROUP BY w),
+            pairs AS (
+              SELECT substr(w, i, 2) AS pair, freq
+              FROM vocab, unnest(range(1, len(w))) AS u(i)
+              WHERE len(w) >= 2),
+            agg AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+                    FROM pairs GROUP BY pair),
+            top AS (SELECT pair, cnt FROM agg
+                    ORDER BY cnt DESC, pair LIMIT 20)
+            SELECT pair, cnt,
+              CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rk
+            FROM top"""))
+
+  val all: Seq[Q] = Seq(joinMultiwayRevenue, graphPagerank, bpeMergeTopk)
+}
