@@ -141,6 +141,87 @@ object AnalyticsQueries {
             FROM seq WHERE prev_type IS NOT NULL
             GROUP BY prev_type, event_type"""))
 
+  // Trailing-7-day rolling stats per user — the RANGE window frame
+  // (time-interval peers, not row counts), the one window shape the
+  // battery in window_funcs doesn't cover. Scale: the window partitions
+  // by user_id, so the sort is per-user within hash partitions — no
+  // global sort, no single-reducer funnel; state per task is one frame's
+  // peers. Determinism: values are quantized to integer cents per ROW
+  // before the frame sum (§7.4.1 — a rolling double sum re-associates),
+  // divided back once on output.
+  private val windowRollingStats = Q(
+    "window_rolling_stats",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val SevenDaysUs = 7L * 86400L * 1000000L
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"),
+          expr("CAST(round(value * 100.0, 0) AS BIGINT)").as("vc"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-(SevenDaysUs - 1L), Window.currentRow)
+      ev.select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_7d"),
+        round(sum(col("vc")).over(w).cast("double") / 100.0, 2).as("sum_7d"))
+    },
+    Some("""SELECT event_id, user_id,
+              CAST(count(*) OVER w AS BIGINT) AS n_7d,
+              round(CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)) OVER w
+                AS DOUBLE) / 100.0, 2) AS sum_7d
+            FROM (SELECT event_id, user_id, value, epoch_ns(ts) // 1000 AS us
+                  FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY us
+              RANGE BETWEEN 604799999999 PRECEDING AND CURRENT ROW)"""))
+
+  // Type-2 slowly-changing dimension built from the event stream: each
+  // user's purchase-value tier over time, one row per tier CHANGE with
+  // [valid_from, valid_to) microsecond bounds and a current flag — the
+  // CDC materialization every warehouse dimension load performs.
+  // Scale: both windows partition by user_id (per-user sorts inside hash
+  // partitions); the change filter drops consecutive repeats BEFORE the
+  // lead() that assigns validity, so the second window runs over the
+  // (much smaller) change table, not the raw stream.
+  private val cdcScd2 = Q(
+    "cdc_scd2",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val src = Tables.events(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          expr("CASE WHEN value < 50.0 THEN 'low' WHEN value < 150.0 THEN 'mid' " +
+            "ELSE 'high' END").as("tier"))
+      val wAll = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val changes = src
+        .withColumn("prev_tier", lag(col("tier"), 1).over(wAll))
+        .where(col("prev_tier").isNull || col("prev_tier") =!= col("tier"))
+      val wChg = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      changes
+        .withColumn("valid_to", lead(col("us"), 1).over(wChg) - lit(1L))
+        .select(col("user_id"), col("tier"), col("us").as("valid_from"),
+          col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+    },
+    Some("""WITH src AS (
+              SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+                CASE WHEN value < 50.0 THEN 'low' WHEN value < 150.0 THEN 'mid'
+                     ELSE 'high' END AS tier
+              FROM events WHERE event_type = 'purchase'),
+            chg AS (
+              SELECT * FROM (
+                SELECT user_id, event_id, us, tier,
+                  lag(tier) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                    AS prev_tier
+                FROM src)
+              WHERE prev_tier IS NULL OR prev_tier <> tier)
+            SELECT user_id, tier, us AS valid_from,
+              lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - 1
+                AS valid_to,
+              (lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - 1)
+                IS NULL AS is_current
+            FROM chg"""))
+
   val all: Seq[Q] =
-    Seq(funnelSteps, cohortRetention, sessionWindowAgg, eventTransitions)
+    Seq(funnelSteps, cohortRetention, sessionWindowAgg, eventTransitions,
+      windowRollingStats, cdcScd2)
 }

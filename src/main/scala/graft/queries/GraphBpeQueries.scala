@@ -18,6 +18,9 @@ object GraphBpeQueries {
   // the scans so the join sees only qualifying years. At 100 TB
   // bucketing both fact tables on orderkey would delete the last
   // exchange too (sink/BucketedTables does exactly that).
+  // Determinism: the per-item revenue double is quantized to integer
+  // cents per ROW (§7.4.1 — a raw sum(double) is addition-order
+  // sensitive), summed exactly, divided back once on output.
   private val joinMultiwayRevenue = Q(
     "join_multiway_revenue",
     (s, dir) => {
@@ -36,12 +39,14 @@ object GraphBpeQueries {
         .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("revenue"),
+        .agg(round(expr(
+          "CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0, 0) AS BIGINT)) AS DOUBLE) / 100.0"),
+          2).as("revenue"),
           count(lit(1)).as("n_items"))
     },
     Some("""SELECT n_name,
-                   round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+                   round(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0, 0)
+                     AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue,
                    CAST(count(*) AS BIGINT) AS n_items
             FROM lineitem
             JOIN orders   ON l_orderkey = o_orderkey
@@ -59,8 +64,11 @@ object GraphBpeQueries {
   // the edge list on src ONCE and every iteration reuses that exchange
   // (the Components loop in identity/ does exactly this); two fixed
   // iterations keep the query a finite plan the oracle can mirror
-  // non-recursively. Ranks are double sums — round(4) on output, the
-  // engine's aggregated-double rule.
+  // non-recursively. Determinism: per-edge contributions are quantized
+  // to integer pico-units per ROW (the §7.4.1 cross-row-double rule —
+  // a raw sum(1.0/deg) is order-sensitive in the last ulp), so the
+  // per-node sums are exact BIGINTs on both engines; the damping affine
+  // is then a single identical expression over exact integer input.
   private val graphPagerank = Q(
     "graph_pagerank",
     (s, dir) => {
@@ -74,14 +82,21 @@ object GraphBpeQueries {
         .localCheckpoint(eager = true) // both iterations read this edge list
       val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       val withDeg = und.join(deg, "src")
-      // r0 = 1 for every node, so the first round's contribution is 1/deg
+      // r0 = 1 for every node, so round 1's per-edge contribution is
+      // 1/deg — quantized per row, summed exactly.
       val r1 = withDeg
-        .groupBy(col("dst")).agg(sum(lit(1.0) / col("deg")).as("contrib"))
-        .select(col("dst").as("node"), (lit(0.15) + lit(0.85) * col("contrib")).as("r1"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("CAST(round(1000000000000.0 / CAST(deg AS DOUBLE), 0) AS BIGINT)"))
+          .as("c1"))
+        .select(col("dst").as("node"),
+          expr("0.15 + 0.85 * (CAST(c1 AS DOUBLE) / 1000000000000.0)").as("r1"))
       val r2 = withDeg
         .join(r1, col("src") === col("node"))
-        .groupBy(col("dst")).agg(sum(col("r1") / col("deg")).as("contrib"))
-        .select(col("dst").as("node"), (lit(0.15) + lit(0.85) * col("contrib")).as("r2"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("CAST(round(r1 / CAST(deg AS DOUBLE) * 1000000000000.0, 0) AS BIGINT)"))
+          .as("c2"))
+        .select(col("dst").as("node"),
+          expr("0.15 + 0.85 * (CAST(c2 AS DOUBLE) / 1000000000000.0)").as("r2"))
       r2.select(col("node"), round(col("r2"), 4).as("rank"))
     },
     Some("""WITH fwd AS (SELECT DISTINCT user_id AS src,
@@ -93,9 +108,15 @@ object GraphBpeQueries {
                     FROM und GROUP BY src),
             wd AS (SELECT und.src, und.dst, deg.deg
                    FROM und JOIN deg ON und.src = deg.src),
-            r1 AS (SELECT dst AS node, 0.15 + 0.85 * sum(1.0 / deg) AS r1
+            r1 AS (SELECT dst AS node,
+                     0.15 + 0.85 * (CAST(sum(CAST(round(1000000000000.0
+                         / CAST(deg AS DOUBLE), 0) AS BIGINT)) AS DOUBLE)
+                       / 1000000000000.0) AS r1
                    FROM wd GROUP BY dst),
-            r2 AS (SELECT wd.dst AS node, 0.15 + 0.85 * sum(r1.r1 / wd.deg) AS r2
+            r2 AS (SELECT wd.dst AS node,
+                     0.15 + 0.85 * (CAST(sum(CAST(round(r1.r1
+                         / CAST(wd.deg AS DOUBLE) * 1000000000000.0, 0) AS BIGINT)) AS DOUBLE)
+                       / 1000000000000.0) AS r2
                    FROM wd JOIN r1 ON wd.src = r1.node
                    GROUP BY wd.dst)
             SELECT node, round(r2, 4) AS rank FROM r2"""))

@@ -617,8 +617,61 @@ object CurationQueries {
                           CAST((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1) % 16 AS BIGINT) AS shard
                         FROM documents))"""))
 
+  /** Classifier-based quality filtering — the "does this look like a
+    * reference page" linear model gate (the fastText-style filter LLaMA /
+    * CCNet pipelines run after rule-based cleaning). Inference over
+    * hashed unigram features: token → md5 bucket (256 features), fixed
+    * per-bucket weight, logit = Σ w[bucket] / n_tokens, keep = logit > 0.
+    *
+    * The weight vector here is a deterministic stand-in (Knuth
+    * multiplicative scramble of the bucket id → milli-units in
+    * [-1000, 1000]) documented as swappable for trained coefficients —
+    * what the engine contributes is the INFERENCE shape: weights live in
+    * the expression (no model-table join, nothing broadcast), features
+    * hash per token on the explode, and the per-doc score is one partial
+    * aggregate. At 100 TB this is scan → explode → agg with map-side
+    * combine; no shuffle carries text.
+    *
+    * Determinism: weights and counts are exact integers; the score is an
+    * integer micro-logit via floor(exact/exact) — floor is safe because
+    * the quotient is either exactly integral (then the double division is
+    * exact) or at least 1/n_tok ≈ 1e-4 away from any integer, far above
+    * double error. A round(…, 4) here hash-failed on a .00005 boundary
+    * (BigDecimal HALF_UP vs binary-double rounding).
+    */
+  private val qualityLogreg = Q(
+    "quality_logreg",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val bucket = md5Byte("term")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(expr(tokenizeExpr)).as("term"))
+        .withColumn("w_milli",
+          expr(s"CAST(($bucket) AS BIGINT) * 2654435761 % 2001 - 1000"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("w_milli")).as("sw"))
+        .select(col("doc_id"), col("n_tok"),
+          expr("CAST(floor(CAST(sw AS DOUBLE) * 1000.0 / CAST(n_tok AS DOUBLE)) AS BIGINT)")
+            .as("logit_micro"),
+          (col("sw") > 0L).as("keep"))
+    },
+    Some(s"""WITH toks AS (
+               SELECT doc_id, unnest(list_filter(
+                 string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS term
+               FROM documents),
+             feat AS (
+               SELECT doc_id,
+                 CAST(${md5Byte("term")} AS BIGINT) * 2654435761 % 2001 - 1000
+                   AS w_milli
+               FROM toks)
+             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+               CAST(floor(CAST(sum(w_milli) AS DOUBLE) * 1000.0
+                 / CAST(count(*) AS DOUBLE)) AS BIGINT) AS logit_micro,
+               sum(w_milli) > 0 AS keep
+             FROM feat GROUP BY doc_id"""))
+
   val all: Seq[Q] = Seq(sampleHash, sampleStratified, textPiiScrub,
     textEditDistance, packSequences, vocabTopk, contaminationCheck,
     textRepetition, sampleDomainMix, sampleTemperature, sampleImportance,
-    dedupLines, shardShuffle)
+    dedupLines, shardShuffle, qualityLogreg)
 }

@@ -279,6 +279,32 @@ class PlanSpec extends SparkSpec {
       s"winnowing window lost its doc_id partitioning (global sort): $winLines")
   }
 
+  test("join_multiway_revenue: every dimension hop broadcasts; facts meet at most once off-broadcast") {
+    val p = plan("join_multiway_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    val offBroadcast = p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+    assert(offBroadcast <= 1,
+      s"$offBroadcast shuffle-side joins — dimension hop fell off broadcast")
+  }
+
+  test("graph_pagerank iterates over the materialized edge list, not re-scanned events") {
+    val p = plan("graph_pagerank")
+    // both Jacobi rounds read the localCheckpoint; a parquet events scan
+    // in the executed plan means an iteration re-derives the edge list
+    assert(!p.contains("Scan parquet"),
+      "an iteration re-scans events instead of reusing the checkpointed edges")
+    assert(p.contains("Scan ExistingRDD"), p.take(1000))
+    assert(!p.contains("Window"), "pagerank picked up a window — ranks are pure aggregates")
+  }
+
+  test("bpe_merge_topk ranks via partial top-k over the vocabulary") {
+    val p = plan("bpe_merge_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.indexOf("Window") < p.indexOf("TakeOrderedAndProject"),
+      "rank window below the top-k — global sort of the pair table")
+  }
+
   test("dedup_winnow_pairs joins off the checkpointed fingerprints (one tokenize pass)") {
     val p = plan("dedup_winnow_pairs")
     // both self-join sides and the df keep-list read the checkpoint — a
