@@ -207,6 +207,60 @@ object OlapQueries {
             FROM events e JOIN bounds b USING (event_type)
             GROUP BY 1, 2"""))
 
+  // Interval-overlap join WITHOUT a shared equi key, made scalable by
+  // day-bucketing: per-user daily activity intervals × the 10 busiest
+  // days' 48-hour promo windows. A naive engine plans interval overlap
+  // as a cross product (n×m predicate evaluations); here each promo
+  // window explodes to the epoch-days it covers (bounded fan-out: a
+  // 48h window spans ≤ 3 day buckets) and the join is EQUI on day_no —
+  // it shuffles on the bucket and the overlap predicate filters inside.
+  // Each activity interval lives in exactly one bucket, so bucket
+  // matches are already distinct pairs (no post-join dedup shuffle). At
+  // 100 TB a hot bucket (everyone active on launch day) composes with
+  // SkewJoin.saltedEquiJoin. All arithmetic is integer microseconds.
+  private val joinIntervalOverlap = Q(
+    "join_interval_overlap",
+    (s, dir) => {
+      val DayUs = 86400000000L
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      val act = ev
+        .groupBy(col("user_id"), expr(s"us div $DayUs").as("day_no"))
+        .agg(min(col("us")).as("a_start"), max(col("us")).as("a_end"))
+      val busy = ev
+        .groupBy(expr(s"us div $DayUs").as("day_no"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("day_no")).limit(10)
+        .select(col("day_no").as("promo_day"),
+          (col("day_no") * DayUs - 12L * 3600000000L).as("b_start"),
+          (col("day_no") * DayUs + 36L * 3600000000L - 1L).as("b_end"))
+      val buckets = busy.select(col("promo_day"), col("b_start"), col("b_end"),
+        explode(expr(s"sequence(b_start div $DayUs, b_end div $DayUs)")).as("day_no"))
+      act.join(broadcast(buckets), "day_no")
+        .where(col("a_start") <= col("b_end") && col("b_start") <= col("a_end"))
+        .select(col("user_id"), col("day_no").as("a_day"), col("promo_day"),
+          (least(col("a_end"), col("b_end")) -
+            greatest(col("a_start"), col("b_start")) + 1L).as("overlap_us"))
+    },
+    Some("""WITH ev AS (
+              SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+            act AS (
+              SELECT user_id, us // 86400000000 AS day_no,
+                min(us) AS a_start, max(us) AS a_end
+              FROM ev GROUP BY 1, 2),
+            busy AS (
+              SELECT day_no AS promo_day,
+                day_no * 86400000000 - 12 * 3600000000 AS b_start,
+                day_no * 86400000000 + 36 * 3600000000 - 1 AS b_end
+              FROM (SELECT us // 86400000000 AS day_no, count(*) AS cnt
+                    FROM ev GROUP BY 1
+                    ORDER BY cnt DESC, day_no LIMIT 10))
+            SELECT user_id, act.day_no AS a_day, promo_day,
+              least(a_end, b_end) - greatest(a_start, b_start) + 1 AS overlap_us
+            FROM act JOIN busy
+              ON act.a_start <= busy.b_end AND busy.b_start <= act.a_end"""))
+
   val all: Seq[Q] = Seq(pivotEventType, unpivotMelt, histogramBins,
-    udafWeightedMean, skewDiagnose, aggMinmaxBy, histogramEquidepth)
+    udafWeightedMean, skewDiagnose, aggMinmaxBy, histogramEquidepth,
+    joinIntervalOverlap)
 }

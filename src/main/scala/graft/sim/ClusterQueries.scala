@@ -344,5 +344,125 @@ object ClusterQueries {
           FROM cells c LEFT JOIN sim s ON s.vec_id = c.vec_id"""
     })
 
-  val all: Seq[Q] = Seq(clusterKmeans, simIvfTrained, simIvfNprobe, dedupSemantic)
+  /** Product-quantization ANN (Jégou et al., FAISS's IndexPQ): the
+    * 64-dim space splits into M=4 subspaces of 16 dims, each with its own
+    * 8-code codebook (seeded from the first 8 vectors, one Lloyd step —
+    * the same deterministic training as [[trainedCentroids]], per
+    * subspace); every corpus vector compresses to 4 single-byte codes,
+    * and query-time asymmetric distance is a LOOKUP-TABLE sum — the
+    * query computes 4×8 = 32 real subdistances once, then every corpus
+    * vector costs 4 table hits + 3 adds instead of a 64-dim scan.
+    *
+    * Scale shape: codebooks (M×8 rows) and the per-query distance table
+    * (queries×M×8) broadcast; the corpus side carries only (vec_id, sub,
+    * code) — 4 small ints per vector, the 16× compression that lets a
+    * 100 TB embedding corpus fit a memory-resident scan. The ADC sum is
+    * a partial aggregate on (q_id, vec_id); the per-query rank window
+    * sees scored candidates only. Production composes this with the IVF
+    * cell filter (IVFADC) — both halves exist here independently.
+    * Recall floor vs exact brute force is pinned by AnnRecallSpec.
+    *
+    * Determinism: micro-quantized integers end-to-end (distances,
+    * codebook means via truncating div, LUT sums), argmin ties break on
+    * code id via min(struct), so both engines assign identical codes.
+    */
+  private val simPqTopk = Q(
+    "sim_pq_topk",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      // (vec_id, sub 0..3, 16-dim micro-quantized subvector); feeds the
+      // seed, both assignment passes, the update, and the query side —
+      // materialize once instead of re-deriving per consumer.
+      val sv = quantized(emb).select(col("vec_id"), explode(expr(
+        "transform(sequence(0, 3), m -> named_struct('sub', m, 'sqe', slice(qe, m * 16 + 1, 16)))"))
+        .as("x"))
+        .select(col("vec_id"), col("x.sub").as("sub"), col("x.sqe").as("sqe"))
+        .localCheckpoint(eager = true)
+      val c0 = sv.where(col("vec_id") < K)
+        .select(col("sub"), col("vec_id").as("cid"), col("sqe").as("ce"))
+      def encode(cb: DataFrame): DataFrame =
+        sv.join(broadcast(cb), "sub")
+          .withColumn("dist", expr("sqdist_ordered(sqe, ce)"))
+          .groupBy(col("vec_id"), col("sub"))
+          .agg(min(struct(col("dist"), col("cid"))).as("m"))
+          .select(col("vec_id"), col("sub"), col("m.cid").as("cid"))
+      val cb = encode(c0).join(sv, Seq("vec_id", "sub"))
+        .select(col("sub"), col("cid"), posexplode(col("sqe")).as(Seq("pos", "v")))
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        .agg(expr("sum(v) div count(1)").as("cv"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)")
+          .as("ce"))
+      val codes = encode(cb)
+      val dtab = sv.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("sub"), col("sqe").as("q_sqe"))
+        .join(broadcast(cb), "sub")
+        .select(col("q_id"), col("sub"), col("cid"),
+          expr("sqdist_ordered(q_sqe, ce)").as("d"))
+      val wTop = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
+      codes.join(broadcast(dtab), Seq("sub", "cid"))
+        .where(col("vec_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("d")).as("adist"))
+        .withColumn("rk", row_number().over(wTop).cast("long"))
+        .where(col("rk") <= 3)
+        .select(col("q_id"), col("vec_id"), col("adist"), col("rk"))
+    },
+    Some {
+      val sq = "list_sum(list_transform(range(1, 17), i -> (a.sqe[i] - c.ce[i]) * (a.sqe[i] - c.ce[i])))"
+      val sqQ = "list_sum(list_transform(range(1, 17), i -> (q.sqe[i] - c.ce[i]) * (q.sqe[i] - c.ce[i])))"
+      s"""WITH qv AS (
+            SELECT vec_id, list_transform(embedding,
+              x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT)) AS qe
+            FROM embeddings),
+          sv AS (
+            SELECT vec_id, s.sub,
+              list_slice(qe, s.sub * 16 + 1, s.sub * 16 + 16) AS sqe
+            FROM qv, (SELECT unnest(range(0, 4)) AS sub) s),
+          c0 AS (SELECT sub, vec_id AS cid, sqe AS ce FROM sv WHERE vec_id < $K),
+          d0 AS (
+            SELECT a.vec_id, a.sub, c.cid, CAST($sq AS BIGINT) AS dist
+            FROM sv a JOIN c0 c ON a.sub = c.sub),
+          a0 AS (
+            SELECT vec_id, sub, cid FROM (
+              SELECT vec_id, sub, cid, row_number() OVER (
+                PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+              FROM d0)
+            WHERE rn = 1),
+          s1 AS (
+            SELECT a0.sub, a0.cid, t.i AS pos,
+              CAST(sum(sv.sqe[t.i]) AS BIGINT) // count(*) AS cv
+            FROM a0 JOIN sv ON a0.vec_id = sv.vec_id AND a0.sub = sv.sub,
+                 generate_series(1, 16) AS t(i)
+            GROUP BY a0.sub, a0.cid, t.i),
+          cb AS (SELECT sub, cid, list(cv ORDER BY pos) AS ce
+                 FROM s1 GROUP BY sub, cid),
+          d1 AS (
+            SELECT a.vec_id, a.sub, c.cid, CAST($sq AS BIGINT) AS dist
+            FROM sv a JOIN cb c ON a.sub = c.sub),
+          codes AS (
+            SELECT vec_id, sub, cid FROM (
+              SELECT vec_id, sub, cid, row_number() OVER (
+                PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+              FROM d1)
+            WHERE rn = 1),
+          dtab AS (
+            SELECT q.vec_id AS q_id, c.sub, c.cid, CAST($sqQ AS BIGINT) AS d
+            FROM sv q JOIN cb c ON q.sub = c.sub
+            WHERE q.vec_id < 5),
+          ad AS (
+            SELECT dtab.q_id, codes.vec_id, CAST(sum(dtab.d) AS BIGINT) AS adist
+            FROM codes JOIN dtab ON codes.sub = dtab.sub AND codes.cid = dtab.cid
+            WHERE codes.vec_id <> dtab.q_id
+            GROUP BY 1, 2)
+          SELECT q_id, vec_id, adist, rk FROM (
+            SELECT q_id, vec_id, adist, CAST(row_number() OVER (
+              PARTITION BY q_id ORDER BY adist, vec_id) AS BIGINT) AS rk
+            FROM ad)
+          WHERE rk <= 3"""
+    })
+
+  val all: Seq[Q] = Seq(clusterKmeans, simIvfTrained, simIvfNprobe, dedupSemantic,
+    simPqTopk)
 }

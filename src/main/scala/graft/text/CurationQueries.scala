@@ -670,8 +670,40 @@ object CurationQueries {
                sum(w_milli) > 0 AS keep
              FROM feat GROUP BY doc_id"""))
 
+  /** RAG-style document chunking: fixed 200-char windows on a 150-char
+    * stride (25% overlap), each chunk carrying its offset, length, and
+    * md5 fingerprint — the retrieval-index preprocessing shape (distinct
+    * from pack_sequences, which BINS whole docs; this SPLITS docs with
+    * overlap). Scale: pure per-row generate — `sequence` fan-out is
+    * ⌈n_chars/150⌉ per doc, the substring+md5 ride the explode, and
+    * nothing shuffles (chunks land partition-local, exactly what a
+    * chunk-embed-index pipeline wants before its embed stage).
+    */
+  private val docChunking = Q(
+    "doc_chunking",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .where(col("n_chars") > 0L)
+        .select(col("doc_id"),
+          explode(expr("sequence(1L, CAST(n_chars AS BIGINT), 150L)")).as("start"),
+          col("text"))
+        .select(col("doc_id"),
+          expr("(start - 1L) div 150L").as("chunk_no"),
+          col("start"),
+          length(expr("substring(text, CAST(start AS INT), 200)")).cast("long")
+            .as("chunk_len"),
+          md5(expr("substring(text, CAST(start AS INT), 200)")).as("chunk_md5")),
+    Some("""SELECT doc_id, (start - 1) // 150 AS chunk_no, start,
+              CAST(len(substr(text, CAST(start AS INTEGER), 200)) AS BIGINT)
+                AS chunk_len,
+              md5(substr(text, CAST(start AS INTEGER), 200)) AS chunk_md5
+            FROM (SELECT doc_id, text,
+                    unnest(generate_series(1, CAST(n_chars AS BIGINT), 150))
+                      AS start
+                  FROM documents WHERE n_chars > 0)"""))
+
   val all: Seq[Q] = Seq(sampleHash, sampleStratified, textPiiScrub,
     textEditDistance, packSequences, vocabTopk, contaminationCheck,
     textRepetition, sampleDomainMix, sampleTemperature, sampleImportance,
-    dedupLines, shardShuffle, qualityLogreg)
+    dedupLines, shardShuffle, qualityLogreg, docChunking)
 }

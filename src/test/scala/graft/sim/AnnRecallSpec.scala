@@ -64,6 +64,27 @@ class AnnRecallSpec extends SparkSpec {
     assert(rNprobe >= 0.60, f"nprobe-2 recall floor: $rNprobe%.2f < 0.60 (measured 0.67)")
   }
 
+  test("PQ asymmetric-distance recall@3 vs exact L2 (16x compression)") {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val qf = ClusterQueries.quantized(emb)
+    // ground truth in PQ's own metric: exact integer squared-L2 top-3
+    val qs = qf.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("qe").as("q_qe"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("vec_id"))
+    val truth = pairs(qf.crossJoin(broadcast(qs))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("dist", expr("sqdist_ordered(qe, q_qe)"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3))
+    assert(truth.size == 15, s"5 queries x top-3 expected, got ${truth.size}")
+    val pq = pairs(graft.SparkEntry.queries("sim_pq_topk")(spark, dir))
+    val r = (pq & truth).size.toDouble / truth.size
+    info(f"recall@3: pq-adc=$r%.2f (4 subspaces x 8 codes, 4 bytes/vector)")
+    assert(r >= 0.2, f"PQ recall floor: $r%.2f < 0.2")
+  }
+
   test("Lloyd loop converges: monotone objective, stops before maxIters") {
     val emb = Tables.embeddings(spark, dir)
     val qf = ClusterQueries.quantized(emb)
