@@ -463,6 +463,134 @@ object ClusterQueries {
           WHERE rk <= 3"""
     })
 
+  /** IVFADC (Jégou et al.; FAISS IndexIVFPQ) — the composition the two
+    * halves above exist for: the trained IVF coarse quantizer restricts
+    * the scan to the query's cell, and PQ codes of the RESIDUAL
+    * (vector − cell centroid) give the in-cell asymmetric distances from
+    * a lookup table. Residual encoding is what makes shared codebooks
+    * work: residuals from every cell live near the origin, so one 8-code
+    * codebook per subspace covers them all.
+    *
+    * Scale: this is the billion-vector production shape — the corpus
+    * carries (cell, 4 codes) per vector ≈ 5 bytes; a query touches
+    * n/k vectors (its cell) at 4 LUT hits each; centroids, codebooks,
+    * and per-(query, cell) LUTs all broadcast. Residuals are integer
+    * differences of micro-quantized values, so codes and distances stay
+    * engine-exact end-to-end.
+    */
+  private val simIvfadcTopk = Q(
+    "sim_ivfadc_topk",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val qf = quantized(emb)
+      val cent = trainedCentroids(emb)
+      // (vec_id, cid, rv): cell assignment + integer residual vector;
+      // feeds PQ training, corpus encoding, and the query side.
+      val resid = assign(qf, cent)
+        .join(qf, "vec_id").join(broadcast(cent), "cid")
+        .select(col("vec_id"), col("cid"),
+          expr("zip_with(qe, ce, (a, b) -> a - b)").as("rv"))
+        .localCheckpoint(eager = true)
+      val sv = resid.select(col("vec_id"), col("cid"), explode(expr(
+        "transform(sequence(0, 3), m -> named_struct('sub', m, 'sqe', slice(rv, m * 16 + 1, 16)))"))
+        .as("x"))
+        .select(col("vec_id"), col("cid"), col("x.sub").as("sub"), col("x.sqe").as("sqe"))
+      val c0 = sv.where(col("vec_id") < K)
+        .select(col("sub"), col("vec_id").as("pqc"), col("sqe").as("pce"))
+      def encode(cb: DataFrame): DataFrame =
+        sv.join(broadcast(cb), "sub")
+          .withColumn("dist", expr("sqdist_ordered(sqe, pce)"))
+          .groupBy(col("vec_id"), col("cid"), col("sub"))
+          .agg(min(struct(col("dist"), col("pqc"))).as("m"))
+          .select(col("vec_id"), col("cid"), col("sub"), col("m.pqc").as("pqc"))
+      val cb = encode(c0).join(sv, Seq("vec_id", "sub"))
+        .select(col("sub"), col("pqc"), posexplode(col("sqe")).as(Seq("pos", "v")))
+        .groupBy(col("sub"), col("pqc"), col("pos"))
+        .agg(expr("sum(v) div count(1)").as("cv"))
+        .groupBy(col("sub"), col("pqc"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)")
+          .as("pce"))
+      val codes = encode(cb)
+      // query side: probe own cell; the query's residual vs that cell
+      // splits into subvectors and meets the shared codebook → LUT rows
+      // (queries × 4 × 8), broadcast to the corpus codes.
+      val dtab = resid.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("cid"), explode(expr(
+          "transform(sequence(0, 3), m -> named_struct('sub', m, 'q_sqe', slice(rv, m * 16 + 1, 16)))"))
+          .as("x"))
+        .select(col("q_id"), col("cid"), col("x.sub").as("sub"), col("x.q_sqe").as("q_sqe"))
+        .join(broadcast(cb), "sub")
+        .select(col("q_id"), col("cid"), col("sub"), col("pqc"),
+          expr("sqdist_ordered(q_sqe, pce)").as("d"))
+      val wTop = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
+      codes.join(broadcast(dtab), Seq("cid", "sub", "pqc"))
+        .where(col("vec_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("d")).as("adist"))
+        .withColumn("rk", row_number().over(wTop).cast("long"))
+        .where(col("rk") <= 3)
+        .select(col("q_id"), col("vec_id"), col("adist"), col("rk"))
+    },
+    Some {
+      val sq = "list_sum(list_transform(range(1, 17), i -> (a.sqe[i] - c.pce[i]) * (a.sqe[i] - c.pce[i])))"
+      val sqQ = "list_sum(list_transform(range(1, 17), i -> (q.q_sqe[i] - c.pce[i]) * (q.q_sqe[i] - c.pce[i])))"
+      s"""WITH $kmeansOracleCte,
+          cent AS (SELECT cid, ce FROM c1),
+          resid AS (
+            SELECT q.vec_id, cells.cid,
+              list_transform(range(1, 65), i -> q.qe[i] - cent.ce[i]) AS rv
+            FROM q JOIN cells ON cells.vec_id = q.vec_id
+            JOIN cent ON cent.cid = cells.cid),
+          sv AS (
+            SELECT vec_id, cid, s.sub,
+              list_slice(rv, s.sub * 16 + 1, s.sub * 16 + 16) AS sqe
+            FROM resid, (SELECT unnest(range(0, 4)) AS sub) s),
+          pc0 AS (SELECT sub, vec_id AS pqc, sqe AS pce FROM sv WHERE vec_id < $K),
+          pd0 AS (
+            SELECT a.vec_id, a.cid, a.sub, c.pqc, CAST($sq AS BIGINT) AS dist
+            FROM sv a JOIN pc0 c ON a.sub = c.sub),
+          pa0 AS (
+            SELECT vec_id, cid, sub, pqc FROM (
+              SELECT vec_id, cid, sub, pqc, row_number() OVER (
+                PARTITION BY vec_id, sub ORDER BY dist, pqc) AS rn
+              FROM pd0)
+            WHERE rn = 1),
+          ps1 AS (
+            SELECT pa0.sub, pa0.pqc, t.i AS pos,
+              CAST(sum(sv.sqe[t.i]) AS BIGINT) // count(*) AS cv
+            FROM pa0 JOIN sv ON pa0.vec_id = sv.vec_id AND pa0.sub = sv.sub,
+                 generate_series(1, 16) AS t(i)
+            GROUP BY pa0.sub, pa0.pqc, t.i),
+          pcb AS (SELECT sub, pqc, list(cv ORDER BY pos) AS pce
+                  FROM ps1 GROUP BY sub, pqc),
+          pd1 AS (
+            SELECT a.vec_id, a.cid, a.sub, c.pqc, CAST($sq AS BIGINT) AS dist
+            FROM sv a JOIN pcb c ON a.sub = c.sub),
+          codes AS (
+            SELECT vec_id, cid, sub, pqc FROM (
+              SELECT vec_id, cid, sub, pqc, row_number() OVER (
+                PARTITION BY vec_id, sub ORDER BY dist, pqc) AS rn
+              FROM pd1)
+            WHERE rn = 1),
+          dtab AS (
+            SELECT q.vec_id AS q_id, q.cid, q.sub, c.pqc, CAST($sqQ AS BIGINT) AS d
+            FROM (SELECT vec_id, cid, sub, sqe AS q_sqe FROM sv WHERE vec_id < 5) q
+            JOIN pcb c ON q.sub = c.sub),
+          ad AS (
+            SELECT dtab.q_id, codes.vec_id, CAST(sum(dtab.d) AS BIGINT) AS adist
+            FROM codes
+            JOIN dtab ON codes.cid = dtab.cid AND codes.sub = dtab.sub
+                     AND codes.pqc = dtab.pqc
+            WHERE codes.vec_id <> dtab.q_id
+            GROUP BY 1, 2)
+          SELECT q_id, vec_id, adist, rk FROM (
+            SELECT q_id, vec_id, adist, CAST(row_number() OVER (
+              PARTITION BY q_id ORDER BY adist, vec_id) AS BIGINT) AS rk
+            FROM ad)
+          WHERE rk <= 3"""
+    })
+
   val all: Seq[Q] = Seq(clusterKmeans, simIvfTrained, simIvfNprobe, dedupSemantic,
-    simPqTopk)
+    simPqTopk, simIvfadcTopk)
 }

@@ -83,6 +83,14 @@ class AnnRecallSpec extends SparkSpec {
     val r = (pq & truth).size.toDouble / truth.size
     info(f"recall@3: pq-adc=$r%.2f (4 subspaces x 8 codes, 4 bytes/vector)")
     assert(r >= 0.2, f"PQ recall floor: $r%.2f < 0.2")
+
+    // IVFADC reads only the query's cell (~1/8 of the corpus) at the
+    // same 4-bytes-per-vector cost; residual encoding keeps the shared
+    // codebook tight, so the probe cut costs little recall vs full-scan PQ
+    val ivfadc = pairs(graft.SparkEntry.queries("sim_ivfadc_topk")(spark, dir))
+    val rAdc = (ivfadc & truth).size.toDouble / truth.size
+    info(f"recall@3: ivfadc=$rAdc%.2f (cell probe + residual PQ)")
+    assert(rAdc >= 0.13, f"IVFADC recall floor: $rAdc%.2f < 0.13")
   }
 
   test("Lloyd loop converges: monotone objective, stops before maxIters") {
