@@ -702,8 +702,83 @@ object CurationQueries {
                       AS start
                   FROM documents WHERE n_chars > 0)"""))
 
+  /** Gopher rule gate (Rae et al. Table A1, the subset our synthetic
+    * corpus exercises): word-count bounds, mean-word-length bounds,
+    * symbol-to-word ratio, minimum distinct stop words, and
+    * alpha-word ratio over raw whitespace tokens — the composite
+    * rule-based filter that runs BEFORE any classifier or dedup pass.
+    * Every ratio check is cross-multiplied into pure integer comparisons
+    * (3·n ≤ Σlen ≤ 10·n, 10·sym ≤ n, 10·alpha ≥ 8·ws), so there is no
+    * floating point anywhere — the strongest cross-engine determinism
+    * class this engine has. Per-row codegen math; rides the scan.
+    */
+  private val qualityGopherRules = Q(
+    "quality_gopher_rules",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, dir)
+        .withColumn("toks", expr(tokenizeExpr))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .withColumn("sum_len", expr(
+          "aggregate(toks, CAST(0 AS BIGINT), (a, t) -> a + length(t))"))
+        .withColumn("n_sym", regexp_count(col("text"), lit("#|\\.\\.\\.")).cast("long"))
+        .withColumn("n_stop", expr(
+          // distinct-stop-word count as explicit contains (intersect
+          // dedup semantics differ between engines)
+          """CAST(IF(array_contains(toks, 'the'), 1, 0)
+               + IF(array_contains(toks, 'a'), 1, 0)
+               + IF(array_contains(toks, 'of'), 1, 0)
+               + IF(array_contains(toks, 'and'), 1, 0)
+               + IF(array_contains(toks, 'to'), 1, 0) AS BIGINT)"""))
+        .withColumn("ws", expr("filter(split(text, '\\\\s+'), t -> t <> '')"))
+        .withColumn("n_ws", size(col("ws")).cast("long"))
+        .withColumn("n_alpha", expr(
+          "CAST(size(filter(ws, t -> t rlike '[A-Za-z]')) AS BIGINT)"))
+        .select(col("doc_id"), col("n_tok"), col("sum_len"),
+          (col("n_tok") >= 50L && col("n_tok") <= 100000L).as("ok_count"),
+          (lit(3L) * col("n_tok") <= col("sum_len") &&
+            col("sum_len") <= lit(10L) * col("n_tok")).as("ok_wordlen"),
+          (lit(10L) * col("n_sym") <= col("n_tok")).as("ok_symbols"),
+          (col("n_stop") >= 2L).as("ok_stopwords"),
+          (lit(10L) * col("n_alpha") >= lit(8L) * col("n_ws")).as("ok_alpha"))
+        .withColumn("pass",
+          col("ok_count") && col("ok_wordlen") && col("ok_symbols") &&
+            col("ok_stopwords") && col("ok_alpha"))
+    },
+    Some("""SELECT doc_id, n_tok, sum_len,
+              (n_tok >= 50 AND n_tok <= 100000) AS ok_count,
+              (3 * n_tok <= sum_len AND sum_len <= 10 * n_tok) AS ok_wordlen,
+              (10 * n_sym <= n_tok) AS ok_symbols,
+              (n_stop >= 2) AS ok_stopwords,
+              (10 * n_alpha >= 8 * n_ws) AS ok_alpha,
+              (n_tok >= 50 AND n_tok <= 100000
+                AND 3 * n_tok <= sum_len AND sum_len <= 10 * n_tok
+                AND 10 * n_sym <= n_tok AND n_stop >= 2
+                AND 10 * n_alpha >= 8 * n_ws) AS pass
+            FROM (SELECT doc_id,
+                    CAST(len(toks) AS BIGINT) AS n_tok,
+                    CAST(list_sum(list_transform(toks, t -> len(t))) AS BIGINT)
+                      AS sum_len,
+                    CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT)
+                      AS n_sym,
+                    CAST(CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+                       + CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END
+                       + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
+                       + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
+                       + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END
+                      AS BIGINT) AS n_stop,
+                    CAST(len(ws) AS BIGINT) AS n_ws,
+                    CAST(len(list_filter(ws, t -> regexp_matches(t, '[A-Za-z]')))
+                      AS BIGINT) AS n_alpha
+                  FROM (SELECT doc_id, text,
+                          list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                            t -> t <> '') AS toks,
+                          list_filter(string_split_regex(text, '\s+'),
+                            t -> t <> '') AS ws
+                        FROM documents))"""))
+
   val all: Seq[Q] = Seq(sampleHash, sampleStratified, textPiiScrub,
     textEditDistance, packSequences, vocabTopk, contaminationCheck,
     textRepetition, sampleDomainMix, sampleTemperature, sampleImportance,
-    dedupLines, shardShuffle, qualityLogreg, docChunking)
+    dedupLines, shardShuffle, qualityLogreg, docChunking, qualityGopherRules)
 }

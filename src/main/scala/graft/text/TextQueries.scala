@@ -468,7 +468,47 @@ object TextQueries {
               round(-CAST(sum(q) AS DOUBLE) / (count(*) * 1000000.0), 4) AS nll
             FROM scored GROUP BY doc_id"""))
 
+  // Flesch-Kincaid grade proxy: sentence count from terminal-punctuation
+  // runs, syllables from vowel groups — the classic readability quality
+  // signal, per-row codegen'd regexp_count math that rides the scan.
+  // Determinism: the three counts are exact integers; the FK affine is
+  // one identical expression tree over them on both engines, and the
+  // output is floor(micro-units) — floor of an identical double is
+  // identical (no BigDecimal-vs-binary round-half divergence, the trap
+  // quality_logreg hit).
+  private val textReadability = Q(
+    "text_readability",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, dir)
+        .withColumn("n_words", size(expr(tokenizeExpr)).cast("long"))
+        .withColumn("n_sent",
+          greatest(regexp_count(col("text"), lit("[.!?]+")).cast("long"), lit(1L)))
+        .withColumn("n_syl",
+          greatest(regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long"),
+            col("n_words")))
+        .where(col("n_words") > 0L)
+        .select(col("doc_id"), col("n_words"), col("n_sent"), col("n_syl"),
+          expr("""CAST(floor((0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sent AS DOUBLE))
+                  + 11.8 * (CAST(n_syl AS DOUBLE) / CAST(n_words AS DOUBLE))
+                  - 15.59) * 1000000.0) AS BIGINT)""").as("fk_micro"))
+    },
+    Some("""SELECT doc_id, n_words, n_sent, n_syl,
+              CAST(floor((0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sent AS DOUBLE))
+                + 11.8 * (CAST(n_syl AS DOUBLE) / CAST(n_words AS DOUBLE))
+                - 15.59) * 1000000.0) AS BIGINT) AS fk_micro
+            FROM (SELECT doc_id,
+                    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                      t -> t <> '')) AS BIGINT) AS n_words,
+                    greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1)
+                      AS n_sent,
+                    greatest(CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT),
+                      CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                        t -> t <> '')) AS BIGINT)) AS n_syl
+                  FROM documents)
+            WHERE n_words > 0"""))
+
   val all: Seq[Q] = Seq(textTokens, textQuality, textLangid, textFingerprint,
     tokenCount, textTfidf, textUnigramNll, textBm25, textEntropy, corpusStats,
-    textBigramNll)
+    textBigramNll, textReadability)
 }
