@@ -305,6 +305,14 @@ class PlanSpec extends SparkSpec {
       "rank window below the top-k — global sort of the pair table")
   }
 
+  test("multimodal_phash bands join off the checkpointed hashes (one hash pass)") {
+    val p = plan("multimodal_phash")
+    // both band-join sides and the verify read the checkpoint; an md5 in
+    // the executed plan means a side re-derives the perceptual hash
+    assert(!p.contains("md5"), "a band side re-derives the payload hash")
+    assert(p.contains("Scan ExistingRDD"), p.take(1000))
+  }
+
   test("dedup_winnow_pairs joins off the checkpointed fingerprints (one tokenize pass)") {
     val p = plan("dedup_winnow_pairs")
     // both self-join sides and the df keep-list read the checkpoint — a
