@@ -544,18 +544,19 @@ object CurationQueries {
         .localCheckpoint(eager = true) // feeds df-count, totals, and kept
       val dup = chunks.groupBy(col("ch"))
         .agg(countDistinct(col("doc_id")).as("df"))
-        .where(col("df") >= 3).select(col("ch"))
-      val kept = chunks.join(dup, Seq("ch"), "left_anti")
+        .where(col("df") >= 3).select(col("ch"), lit(true).as("is_dup"))
+      // One doc-level aggregation computes totals, kept-counts, and the
+      // reassembly together (collect_list skips the NULLed dup chunks) —
+      // the previous two-groupBy-plus-join shape shuffled the chunk
+      // table twice more for the same answer.
+      chunks.join(dup, Seq("ch"), "left")
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_kept"),
-          expr("concat_ws(' ', transform(array_sort(collect_list(struct(pos, chunk))), s -> s.chunk))")
-            .as("clean_text"))
-      chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
-        .join(kept, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_chunks"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-          (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
-          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .agg(count(lit(1)).as("n_chunks"),
+          count(when(col("is_dup").isNull, 1)).as("n_kept"),
+          (count(lit(1)) - count(when(col("is_dup").isNull, 1))).as("n_dropped"),
+          expr("""concat_ws(' ', transform(array_sort(collect_list(
+                    CASE WHEN is_dup IS NULL THEN struct(pos, chunk) END)),
+                  s -> s.chunk))""").as("clean_text"))
     },
     Some("""WITH toks AS (
               SELECT doc_id,

@@ -137,11 +137,16 @@ class PlanSpec extends SparkSpec {
       "per-lang threshold join fell back to sort-merge (corpus reshuffle)")
   }
 
-  test("dedup_lines: dup list removed via anti join over materialized chunks") {
+  test("dedup_lines: one doc-level aggregation over flagged, materialized chunks") {
     val p = plan("dedup_lines")
-    assert(p.contains("LeftAnti"), p.take(2000))
     assert(!p.contains("transform("),
       "chunking re-inlined instead of using the checkpointed chunk table")
+    // totals + kept + reassembly fuse into ONE doc_id aggregation after
+    // the dup-flag join; a second doc_id exchange means the old
+    // two-groupBy-plus-join shape crept back
+    val docAggs = p.linesIterator.count(l =>
+      l.contains("hashpartitioning(doc_id") || l.contains("hashpartitioning(doc_id#"))
+    assert(docAggs <= 1, s"$docAggs doc_id exchanges — totals/kept split again:\n${p.take(2000)}")
   }
 
   test("text_unigram_nll has no forced vocabulary broadcast") {
