@@ -427,6 +427,28 @@ object CoreQueries {
               ON d.user_id = e.user_id
             GROUP BY e.user_id"""))
 
+  /** Exact COUNT(DISTINCT) under key skew — the two-stage salted
+    * rewrite: stage 1 groups on (key, salt) where salt is a hash OF THE
+    * VALUE (so one user lands in exactly one salt bucket and partial
+    * distinct sets are disjoint by construction), stage 2 sums the
+    * partials. A hot key's distinct set splits across 8 reducers instead
+    * of funnelling one; the sum stage sees 8 rows per key. Like
+    * join_skew_salted, the ORACLE is the plain unsalted COUNT(DISTINCT)
+    * — salting must never change the answer, so the DuckDB twin knows
+    * nothing about salt.
+    */
+  private val aggDistinctSalted = Q(
+    "agg_distinct_salted",
+    (s, dir) =>
+      events(s, dir).select(col("event_type"), col("user_id"))
+        .groupBy(col("event_type"), pmod(xxhash64(col("user_id")), lit(8)).as("salt"))
+        .agg(countDistinct(col("user_id")).as("pd"), count(lit(1)).as("pc"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("pd")).as("n_users"), sum(col("pc")).as("n_events")),
+    Some("""SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+              CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY event_type"""))
+
   /** Per-user outlier detection — z-score each event's value against its
     * user's own distribution, the anomaly flag a metrics warehouse runs
     * nightly. Determinism: values are quantized to integer cents per ROW
@@ -618,6 +640,6 @@ object CoreQueries {
     schemaKeysUnion, dedupExact, dedupWindow, joinAliasLookup, joinAntiNew,
     joinSemi, sortNaturalLimit, stringFuncs, dateFuncs, etaRate,
     incrementalWatermark, eventsSessionize, jsonPropsExtract, topkUsers,
-    joinSkewSalted, anomalyZscore, cubeEventDay, setOps, asofJoin, rangeJoin,
-    windowFuncs, exactPercentiles, approxStats)
+    joinSkewSalted, aggDistinctSalted, anomalyZscore, cubeEventDay, setOps,
+    asofJoin, rangeJoin, windowFuncs, exactPercentiles, approxStats)
 }

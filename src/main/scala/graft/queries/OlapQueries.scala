@@ -260,7 +260,75 @@ object OlapQueries {
             FROM act JOIN busy
               ON act.a_start <= busy.b_end AND busy.b_start <= act.a_end"""))
 
+  // Data profiling: per-column row/null/distinct counts and min/max — the
+  // health check every ingest pipeline runs before trusting a table. ONE
+  // aggregation pass computes every column's stats (the distinct counts
+  // expand map-side; still a single scan + single exchange), then a
+  // 4-row explode reshapes wide → long. At 100 TB the exact distincts
+  // swap for approx_count_distinct — same plan shape, sketch merge
+  // instead of expand (approx_stats demonstrates that path).
+  private val profileTable = Q(
+    "profile_table",
+    (s, dir) => {
+      val stats = Tables.events(s, dir).agg(
+        count(lit(1)).as("n"),
+        count(when(col("event_id").isNull, 1)).as("nn_event_id"),
+        countDistinct(col("event_id")).as("nd_event_id"),
+        min(col("event_id")).cast("string").as("mn_event_id"),
+        max(col("event_id")).cast("string").as("mx_event_id"),
+        count(when(col("user_id").isNull, 1)).as("nn_user_id"),
+        countDistinct(col("user_id")).as("nd_user_id"),
+        min(col("user_id")).cast("string").as("mn_user_id"),
+        max(col("user_id")).cast("string").as("mx_user_id"),
+        count(when(col("event_type").isNull, 1)).as("nn_event_type"),
+        countDistinct(col("event_type")).as("nd_event_type"),
+        min(col("event_type")).as("mn_event_type"),
+        max(col("event_type")).as("mx_event_type"),
+        count(when(col("value").isNull, 1)).as("nn_value"),
+        countDistinct(col("value")).as("nd_value"),
+        expr("printf('%.2f', min(value))").as("mn_value"),
+        expr("printf('%.2f', max(value))").as("mx_value"))
+      stats.select(explode(expr(
+        """array(
+             named_struct('column', 'event_id', 'n_rows', n, 'n_null', nn_event_id,
+               'n_distinct', nd_event_id, 'min_s', mn_event_id, 'max_s', mx_event_id),
+             named_struct('column', 'user_id', 'n_rows', n, 'n_null', nn_user_id,
+               'n_distinct', nd_user_id, 'min_s', mn_user_id, 'max_s', mx_user_id),
+             named_struct('column', 'event_type', 'n_rows', n, 'n_null', nn_event_type,
+               'n_distinct', nd_event_type, 'min_s', mn_event_type, 'max_s', mx_event_type),
+             named_struct('column', 'value', 'n_rows', n, 'n_null', nn_value,
+               'n_distinct', nd_value, 'min_s', mn_value, 'max_s', mx_value))"""))
+        .as("p"))
+        .select(col("p.column").as("column"), col("p.n_rows").as("n_rows"),
+          col("p.n_null").as("n_null"), col("p.n_distinct").as("n_distinct"),
+          col("p.min_s").as("min_s"), col("p.max_s").as("max_s"))
+    },
+    Some("""SELECT 'event_id' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(count(*) FILTER (event_id IS NULL) AS BIGINT) AS n_null,
+              CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+              CAST(min(event_id) AS VARCHAR) AS min_s,
+              CAST(max(event_id) AS VARCHAR) AS max_s
+            FROM events
+            UNION ALL
+            SELECT 'user_id', CAST(count(*) AS BIGINT),
+              CAST(count(*) FILTER (user_id IS NULL) AS BIGINT),
+              CAST(count(DISTINCT user_id) AS BIGINT),
+              CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+            FROM events
+            UNION ALL
+            SELECT 'event_type', CAST(count(*) AS BIGINT),
+              CAST(count(*) FILTER (event_type IS NULL) AS BIGINT),
+              CAST(count(DISTINCT event_type) AS BIGINT),
+              min(event_type), max(event_type)
+            FROM events
+            UNION ALL
+            SELECT 'value', CAST(count(*) AS BIGINT),
+              CAST(count(*) FILTER (value IS NULL) AS BIGINT),
+              CAST(count(DISTINCT value) AS BIGINT),
+              printf('%.2f', min(value)), printf('%.2f', max(value))
+            FROM events"""))
+
   val all: Seq[Q] = Seq(pivotEventType, unpivotMelt, histogramBins,
     udafWeightedMean, skewDiagnose, aggMinmaxBy, histogramEquidepth,
-    joinIntervalOverlap)
+    joinIntervalOverlap, profileTable)
 }

@@ -310,6 +310,43 @@ class PlanSpec extends SparkSpec {
       "rank window below the top-k — global sort of the pair table")
   }
 
+  test("window_rolling_stats RANGE frame partitions per user, never globally") {
+    val p = plan("window_rolling_stats")
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.nonEmpty, p.take(1000))
+    assert(winLines.forall(_.contains("user_id")),
+      s"rolling window lost its user_id partitioning (global sort): $winLines")
+  }
+
+  test("cdc_scd2 windows partition per user; change filter precedes the lead window") {
+    val p = plan("cdc_scd2")
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.nonEmpty, p.take(1000))
+    assert(winLines.forall(_.contains("user_id")),
+      s"SCD2 window lost its user_id partitioning: $winLines")
+  }
+
+  test("join_interval_overlap: exploded promo buckets broadcast to the activity side") {
+    val p = plan("join_interval_overlap")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "interval overlap planned as a cross product — bucketing broke")
+  }
+
+  test("gopher rules and readability ride the scan (no exchange at all)") {
+    for (name <- Seq("quality_gopher_rules", "text_readability")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"),
+        s"$name shuffles — per-row rule math should ride the scan:\n${p.take(1000)}")
+    }
+  }
+
+  test("quality_logreg is explode + one partial aggregate, no model-table join") {
+    val p = plan("quality_logreg")
+    assert(!p.contains("Join"), "logreg picked up a model join — weights left the expression")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p.take(1000))
+  }
+
   test("multimodal_phash bands join off the checkpointed hashes (one hash pass)") {
     val p = plan("multimodal_phash")
     // both band-join sides and the verify read the checkpoint; an md5 in
