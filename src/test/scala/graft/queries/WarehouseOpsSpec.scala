@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantic invariants the DuckDB oracle CANNOT check: the oracle mirrors
+  * the same formulation, so a bug shared by both engines passes the
+  * hash gate. These specs assert what the OPERATOR means instead —
+  * SCD2's interval algebra, and bucketized-overlap ≡ direct-predicate
+  * equivalence on adversarial random intervals.
+  */
+class WarehouseOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("cdc_scd2: per-user validity intervals partition time — no overlap, no gap, one current") {
+    val rows = graft.SparkEntry.queries("cdc_scd2")(spark, dir)
+      .select(col("user_id"), col("tier"), col("valid_from"), col("valid_to"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), if (r.isNullAt(3)) Long.MaxValue else r.getLong(3)))
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (user, ivs) =>
+      val sorted = ivs.toList.sortBy(_._3)
+      // exactly one open (current) interval, and it is the last
+      assert(sorted.count(_._4 == Long.MaxValue) == 1, s"user $user current-count != 1")
+      assert(sorted.last._4 == Long.MaxValue, s"user $user current interval not last")
+      // adjacent intervals: next.valid_from == prev.valid_to + 1 (no gap, no overlap)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b._3 == a._4 + 1L,
+            s"user $user: interval [${b._3},...] does not abut [${a._3},${a._4}]")
+        case _ => ()
+      }
+      // consecutive intervals always change tier (else the row is redundant)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._2 != b._2, s"user $user: consecutive equal tiers")
+        case _ => ()
+      }
+    }
+  }
+
+  test("join_interval_overlap: bucketized join ≡ direct overlap predicate on random intervals") {
+    import spark.implicits._
+    val DayUs = 86400000000L
+    val rnd = new scala.util.Random(42)
+    // adversarial intervals: some inside one day, some straddling
+    // midnight, some exactly bucket-aligned, some zero-length
+    val as = (0 until 400).map { i =>
+      val start = rnd.nextInt(30).toLong * DayUs + rnd.nextInt(86400) * 1000000L
+      val len = rnd.nextInt(3) match {
+        case 0 => 0L
+        case 1 => rnd.nextInt(3600) * 1000000L
+        case _ => DayUs - 1L
+      }
+      (i.toLong, start, start + len)
+    }.toDF("a_id", "a_start", "a_end")
+    val bs = (0 until 40).map { j =>
+      val day = rnd.nextInt(30).toLong
+      val start = day * DayUs - 12L * 3600000000L
+      (j.toLong, start, start + 48L * 3600000000L - 1L)
+    }.toDF("b_id", "b_start", "b_end")
+
+    val direct = as.join(bs,
+        col("a_start") <= col("b_end") && col("b_start") <= col("a_end"))
+      .select(col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val aDays = as.withColumn("day_no",
+      explode(expr(s"sequence(a_start div $DayUs, a_end div $DayUs)")))
+    val bDays = bs.withColumn("day_no",
+      explode(expr(s"sequence(b_start div $DayUs, b_end div $DayUs)")))
+    val bucketized = aDays.join(bDays, "day_no")
+      .where(col("a_start") <= col("b_end") && col("b_start") <= col("a_end"))
+      .select(col("a_id"), col("b_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(bucketized == direct,
+      s"bucketized overlap diverges: missing=${(direct -- bucketized).take(5)} " +
+        s"extra=${(bucketized -- direct).take(5)}")
+    assert(direct.nonEmpty, "degenerate test: no overlapping pairs generated")
+  }
+}
