@@ -221,7 +221,61 @@ object AnalyticsQueries {
                 IS NULL AS is_current
             FROM chg"""))
 
+  // Time-series resampling onto an hourly grid with forward-fill — the
+  // gap-filling feature-engineering op (resample + LOCF): each user's
+  // observed hours aggregate to integer cents, the user's own
+  // [first, last] hour range explodes into a dense grid, and empty hours
+  // carry the last observed sum forward. Scale: the grid explode is
+  // bounded per user (span hours), the fill is a per-user running
+  // last() — user-partitioned window, no global sort; everything before
+  // it is partial-aggregated. The user_id < 100 gate bounds the DENSE
+  // output (grids materialize rows; a production run would write
+  // per-user shards), not the technique.
+  private val resampleFfill = Q(
+    "resample_ffill",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val HourUs = 3600000000L
+      val ev = Tables.events(s, dir)
+        .where(col("user_id") < 100L)
+        .select(col("user_id"),
+          expr(s"unix_micros(ts) div $HourUs").as("hr"),
+          expr("CAST(round(value * 100.0, 0) AS BIGINT)").as("vc"))
+      val hourly = ev.groupBy(col("user_id"), col("hr"))
+        .agg(count(lit(1)).as("n_events"), sum(col("vc")).as("sum_cents"))
+      val grid = ev.groupBy(col("user_id"))
+        .agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
+        .select(col("user_id"), explode(expr("sequence(mn, mx)")).as("hr"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "hr"), "left")
+        .select(col("user_id"), col("hr"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          last(col("sum_cents"), ignoreNulls = true).over(w).as("filled_cents"),
+          col("sum_cents").isNull.as("gap_filled"))
+    },
+    Some("""WITH ev AS (
+              SELECT user_id, epoch_ns(ts) // 1000 // 3600000000 AS hr,
+                CAST(round(value * 100.0, 0) AS BIGINT) AS vc
+              FROM events WHERE user_id < 100),
+            hourly AS (
+              SELECT user_id, hr, CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(vc) AS BIGINT) AS sum_cents
+              FROM ev GROUP BY 1, 2),
+            grid AS (
+              SELECT user_id, unnest(generate_series(mn, mx)) AS hr
+              FROM (SELECT user_id, min(hr) AS mn, max(hr) AS mx
+                    FROM ev GROUP BY user_id))
+            SELECT g.user_id, g.hr,
+              coalesce(h.n_events, 0) AS n_events,
+              last_value(h.sum_cents IGNORE NULLS) OVER (
+                PARTITION BY g.user_id ORDER BY g.hr
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents,
+              h.sum_cents IS NULL AS gap_filled
+            FROM grid g LEFT JOIN hourly h
+              ON h.user_id = g.user_id AND h.hr = g.hr"""))
+
   val all: Seq[Q] =
     Seq(funnelSteps, cohortRetention, sessionWindowAgg, eventTransitions,
-      windowRollingStats, cdcScd2)
+      windowRollingStats, cdcScd2, resampleFfill)
 }

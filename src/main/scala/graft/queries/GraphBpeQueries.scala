@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Three capability families the engine was still missing as REGISTERED
@@ -165,5 +166,63 @@ object GraphBpeQueries {
               CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rk
             FROM top"""))
 
-  val all: Seq[Q] = Seq(joinMultiwayRevenue, graphPagerank, bpeMergeTopk)
+  // Two synchronous rounds of label propagation (community detection):
+  // every node starts labeled by its own id, then repeatedly adopts the
+  // most frequent label among its neighbors — the Raghavan et al. LPA
+  // inner loop as a declarative query. Vote = one (dst, label) count
+  // aggregate + one argmax via min(struct(-cnt, label)) partial
+  // aggregate per round (ties break to the SMALLEST label, making the
+  // sync rounds deterministic — vanilla LPA tie-breaks randomly). Same
+  // shapes as the CC iteration: every step shuffles on a node id, the
+  // edge list materializes once and feeds both rounds. Fixed 2-round
+  // unroll keeps the plan finite for the oracle; a production run loops
+  // with the Components convergence discipline.
+  private val graphLabelProp = Q(
+    "graph_label_propagation",
+    (s, dir) => {
+      val Offset = 1000000L
+      val fwd = Tables.events(s, dir)
+        .filter(col("event_type") === "signup")
+        .select(col("user_id").as("src"),
+          (get_json_object(col("props"), "$.k").cast("long") + Offset).as("dst"))
+        .distinct()
+      val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(eager = true) // both vote rounds read this edge list
+      def vote(labels: DataFrame): DataFrame =
+        und.join(labels, col("src") === col("node"))
+          .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("dst"))
+          .agg(min(struct(-col("cnt"), col("label"))).as("m"))
+          .select(col("dst").as("node"), col("m.label").as("label"))
+      val l0 = und.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+      val l2 = vote(vote(l0))
+      l2.select(col("node"), col("label"))
+    },
+    Some("""WITH fwd AS (SELECT DISTINCT user_id AS src,
+                  1000000 + CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
+                FROM events WHERE event_type = 'signup'),
+            und AS (SELECT src, dst FROM fwd
+                    UNION ALL SELECT dst, src FROM fwd),
+            l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+            v1 AS (
+              SELECT dst AS node, label FROM (
+                SELECT dst, label,
+                  row_number() OVER (PARTITION BY dst
+                    ORDER BY count(*) DESC, label) AS rn
+                FROM und JOIN l0 ON und.src = l0.node
+                GROUP BY dst, label)
+              WHERE rn = 1),
+            v2 AS (
+              SELECT dst AS node, label FROM (
+                SELECT dst, label,
+                  row_number() OVER (PARTITION BY dst
+                    ORDER BY count(*) DESC, label) AS rn
+                FROM und JOIN v1 ON und.src = v1.node
+                GROUP BY dst, label)
+              WHERE rn = 1)
+            SELECT node, label FROM v2"""))
+
+  val all: Seq[Q] = Seq(joinMultiwayRevenue, graphPagerank, bpeMergeTopk,
+    graphLabelProp)
 }
