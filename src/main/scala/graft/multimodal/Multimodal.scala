@@ -204,61 +204,119 @@ object MultimodalQueries {
     * buckets) — more bands·buckets, same pigeonhole bound, linear pair
     * density on real clustered images. All arithmetic integer.
     */
+  /** (a, b, hamming) over the perceptual-hash band-bucketed candidate
+    * pairs — the reusable generator [[multimodalPhash]] reports and the
+    * cross-modal cluster composition consumes. */
+  private[graft] def phashPairs(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val hv = (c: String) => s"(instr('0123456789abcdef', $c) - 1)"
+    val ph = Multimodal.attachPayload(docs)
+      .select(col("doc_id"), lower(hex(col("payload"))).as("h"))
+      // 32 half-byte samples — the 8x4 "pixel grid" of the stub decode
+      .withColumn("b", expr(
+        s"transform(sequence(1, 32), i -> ${hv("substr(h, i, 1)")})"))
+      .withColumn("s", expr("aggregate(b, 0, (acc, v) -> acc + v)"))
+      .select(col("doc_id"), expr(
+        """CAST(aggregate(transform(sequence(1, 32),
+             i -> IF(32 * element_at(b, i) > s, shiftleft(CAST(1 AS BIGINT), 32 - i), CAST(0 AS BIGINT))),
+           CAST(0 AS BIGINT), (acc, v) -> acc + v) AS BIGINT)""").as("ph"))
+      .localCheckpoint(eager = true) // feeds the band explode AND both verify sides
+    val bands = ph.select(col("doc_id"), col("ph"), explode(expr(
+      "transform(sequence(0, 3), j -> named_struct('band_no', j, 'band_val', (ph div shiftleft(CAST(1 AS BIGINT), 8 * j)) % 256))"))
+      .as("x"))
+      .select(col("doc_id"), col("ph"), col("x.band_no").as("band_no"),
+        col("x.band_val").as("band_val"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_no") === col("y.band_no") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.ph").as("pa"), col("y.ph").as("pb"))
+      .distinct()
+    cand.select(col("a"), col("b"),
+      expr("CAST(bit_count(pa ^ pb) AS BIGINT)").as("hamming"))
+  }
+
   private val multimodalPhash = Q(
     "multimodal_phash",
-    (s, dir) => {
-      import org.apache.spark.sql.functions._
-      val hv = (c: String) => s"(instr('0123456789abcdef', $c) - 1)"
-      val ph = Multimodal.attachPayload(Tables.documents(s, dir))
-        .select(col("doc_id"), lower(hex(col("payload"))).as("h"))
-        // 32 half-byte samples — the 8x4 "pixel grid" of the stub decode
-        .withColumn("b", expr(
-          s"transform(sequence(1, 32), i -> ${hv("substr(h, i, 1)")})"))
-        .withColumn("s", expr("aggregate(b, 0, (acc, v) -> acc + v)"))
-        .select(col("doc_id"), expr(
-          """CAST(aggregate(transform(sequence(1, 32),
-               i -> IF(32 * element_at(b, i) > s, shiftleft(CAST(1 AS BIGINT), 32 - i), CAST(0 AS BIGINT))),
-             CAST(0 AS BIGINT), (acc, v) -> acc + v) AS BIGINT)""").as("ph"))
-        .localCheckpoint(eager = true) // feeds the band explode AND both verify sides
-      val bands = ph.select(col("doc_id"), col("ph"), explode(expr(
-        "transform(sequence(0, 3), j -> named_struct('band_no', j, 'band_val', (ph div shiftleft(CAST(1 AS BIGINT), 8 * j)) % 256))"))
-        .as("x"))
-        .select(col("doc_id"), col("ph"), col("x.band_no").as("band_no"),
-          col("x.band_val").as("band_val"))
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band_no") === col("y.band_no") &&
-            col("x.band_val") === col("y.band_val") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-          col("x.ph").as("pa"), col("y.ph").as("pb"))
-        .distinct()
-      cand.select(col("a"), col("b"),
-        expr("CAST(bit_count(pa ^ pb) AS BIGINT)").as("hamming"))
-        .withColumn("is_dup", col("hamming") <= 3L)
-    },
-    Some("""WITH ph AS (
-              SELECT doc_id,
-                CAST(list_sum(list_transform(range(1, 33),
-                  i -> CASE WHEN 32 * b[i] > s
-                       THEN (CAST(1 AS BIGINT) << (32 - i)) ELSE 0 END))
-                  AS BIGINT) AS ph
-              FROM (SELECT doc_id, b, list_sum(b) AS s
-                    FROM (SELECT doc_id, list_transform(range(1, 33),
-                            i -> instr('0123456789abcdef', substr(h, i, 1)) - 1) AS b
-                          FROM (SELECT doc_id, md5(text) AS h FROM documents)))),
-            bands AS (
-              SELECT doc_id, ph, j.j AS band_no,
-                (ph // (CAST(1 AS BIGINT) << (8 * j.j))) % 256 AS band_val
-              FROM ph, (SELECT unnest(range(0, 4)) AS j) j),
-            cand AS (
-              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.ph AS pa, y.ph AS pb
-              FROM bands x JOIN bands y
-                ON x.band_no = y.band_no AND x.band_val = y.band_val
-               AND x.doc_id < y.doc_id)
+    (s, dir) =>
+      phashPairs(Tables.documents(s, dir))
+        .withColumn("is_dup", col("hamming") <= 3L),
+    Some(s"""WITH $phashOracleCte
             SELECT a, b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming,
                    bit_count(xor(pa, pb)) <= 3 AS is_dup
-            FROM cand"""))
+            FROM pcand"""))
+
+  /** CTE chain ending in `pcand(a, b, pa, pb)` — the perceptual-hash
+    * candidate pairs; splice after `WITH`. Names are p-prefixed so they
+    * compose with DedupQueries.candPairsOracleCte in one statement. */
+  private[graft] def phashOracleCte: String =
+    """ph AS (
+         SELECT doc_id,
+           CAST(list_sum(list_transform(range(1, 33),
+             i -> CASE WHEN 32 * b[i] > s
+                  THEN (CAST(1 AS BIGINT) << (32 - i)) ELSE 0 END))
+             AS BIGINT) AS ph
+         FROM (SELECT doc_id, b, list_sum(b) AS s
+               FROM (SELECT doc_id, list_transform(range(1, 33),
+                       i -> instr('0123456789abcdef', substr(h, i, 1)) - 1) AS b
+                     FROM (SELECT doc_id, md5(text) AS h FROM documents)))),
+       pbands AS (
+         SELECT doc_id, ph, j.j AS band_no,
+           (ph // (CAST(1 AS BIGINT) << (8 * j.j))) % 256 AS band_val
+         FROM ph, (SELECT unnest(range(0, 4)) AS j) j),
+       pcand AS (
+         SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.ph AS pa, y.ph AS pb
+         FROM pbands x JOIN pbands y
+           ON x.band_no = y.band_no AND x.band_val = y.band_val
+          AND x.doc_id < y.doc_id)"""
+
+  /** Cross-modal near-dup clustering — the composition a multimodal
+    * pipeline actually runs: TEXT candidates (MinHash-LSH bands) and
+    * IMAGE candidates (perceptual-hash Hamming bands, verified ≤ 3 bits)
+    * union into ONE edge set, and connected components assigns each
+    * document a cluster spanning both modalities (a re-encoded image
+    * with paraphrased alt text still lands in the same cluster through
+    * either edge type). Scale: both generators are the banded
+    * never-all-pairs shapes proven above; the union is pair-list-sized;
+    * the CC is the star-iteration engine with its driver-finish tail.
+    */
+  private val dedupMultimodalClusters = Q(
+    "dedup_multimodal_clusters",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, dir)
+      val textPairs = graft.dedup.DedupQueries.minhashCandidatePairs(docs)
+        .select(col("a"), col("b"))
+      val imgPairs = phashPairs(docs)
+        .where(col("hamming") <= 3L).select(col("a"), col("b"))
+      val edges = textPairs.union(imgPairs).distinct()
+      val cc = graft.identity.Components.connectedComponents(edges,
+        inputDistinct = true)
+      docs.select(col("doc_id"))
+        .join(cc, col("doc_id") === col("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster"))
+    },
+    Some(s"""WITH RECURSIVE ${graft.dedup.DedupQueries.candPairsOracleCte},
+             $phashOracleCte,
+             pairs AS (
+               SELECT a AS u, b AS v FROM cand
+               UNION
+               SELECT a, b FROM pcand WHERE bit_count(xor(pa, pb)) <= 3),
+             und AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+             nodes AS (SELECT DISTINCT u AS node FROM und),
+             reach(node, r) AS (
+               SELECT node, node FROM nodes
+               UNION
+               SELECT reach.node, und.v FROM reach JOIN und ON reach.r = und.u),
+             comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+             clusters AS (
+               SELECT d.doc_id,
+                 CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS cluster
+               FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+             SELECT doc_id, cluster FROM clusters"""))
 
   val all: Seq[Q] = Seq(multimodalDecode, multimodalFrames, multimodalResize,
-    multimodalPhash)
+    multimodalPhash, dedupMultimodalClusters)
 }
