@@ -42,6 +42,27 @@ class WarehouseOpsSpec extends SparkSpec {
     }
   }
 
+  test("window_rolling_stats: RANGE frame equals brute-force trailing-7d recompute") {
+    val SevenDaysUs = 7L * 86400L * 1000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts)").as("us"),
+        expr("CAST(round(value * 100.0, 0) AS BIGINT)").as("vc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byUser = ev.groupBy(_._2)
+    val got = graft.SparkEntry.queries("window_rolling_stats")(spark, dir)
+      .collect().map(r => (r.getLong(0), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.size == ev.length)
+    // brute force: for every event, scan the user's events in [t-7d+1, t]
+    ev.foreach { case (eid, user, us, _) =>
+      val peers = byUser(user).filter(e => e._3 > us - SevenDaysUs && e._3 <= us)
+      val (n, sum) = (peers.length.toLong, peers.map(_._4).sum)
+      val (gn, gs) = got(eid)
+      assert(gn == n, s"event $eid: n_7d $gn != brute $n")
+      assert(math.abs(gs - sum / 100.0) < 1e-9, s"event $eid: sum_7d $gs != brute ${sum / 100.0}")
+    }
+  }
+
   test("join_interval_overlap: bucketized join ≡ direct overlap predicate on random intervals") {
     import spark.implicits._
     val DayUs = 86400000000L
