@@ -275,7 +275,76 @@ object AnalyticsQueries {
             FROM grid g LEFT JOIN hourly h
               ON h.user_id = g.user_id AND h.hr = g.hr"""))
 
+  // RFM customer segmentation: per-user recency (hours since last event,
+  // vs the corpus max), frequency (events), monetary (integer-cent
+  // revenue), each cut at its exact median into a binary score — the
+  // classic marketing segmentation as a warehouse query. Scale: the
+  // naive formulation is ntile() over ALL users — a global single-task
+  // sort (the topk_users trap); here the 3 medians compute once on the
+  // user-aggregate table and broadcast as one row, so scoring is a
+  // per-row compare. Median halves (not quartiles) keep the threshold
+  // count at 3 scalars; percentile_cont interpolation is
+  // engine-identical (exact_percentiles proves it), and thresholds are
+  // floored to integers so the compares are integer-exact.
+  private val rfmSegments = Q(
+    "rfm_segments",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          expr("CAST(round(value * 100.0, 0) AS BIGINT)").as("vc"))
+      val agg = ev.groupBy(col("user_id"))
+        .agg(max(col("us")).as("last_us"),
+          count(lit(1)).as("frequency"),
+          sum(col("vc")).as("monetary"))
+        .crossJoin(broadcast(ev.agg(max(col("us")).as("now_us"))))
+        .select(col("user_id"),
+          expr("(now_us - last_us) div 3600000000").as("recency_h"),
+          col("frequency"), col("monetary"))
+      val cuts = agg.agg(
+        expr("CAST(floor(percentile_cont(0.5) WITHIN GROUP (ORDER BY recency_h)) AS BIGINT)").as("r_med"),
+        expr("CAST(floor(percentile_cont(0.5) WITHIN GROUP (ORDER BY frequency)) AS BIGINT)").as("f_med"),
+        expr("CAST(floor(percentile_cont(0.5) WITHIN GROUP (ORDER BY monetary)) AS BIGINT)").as("m_med"))
+      agg.crossJoin(broadcast(cuts))
+        .select(col("user_id"), col("recency_h"), col("frequency"), col("monetary"),
+          (col("recency_h") <= col("r_med")).as("r_hi"),
+          (col("frequency") > col("f_med")).as("f_hi"),
+          (col("monetary") > col("m_med")).as("m_hi"))
+        .withColumn("segment",
+          concat(
+            when(col("r_hi"), lit("R")).otherwise(lit("r")),
+            when(col("f_hi"), lit("F")).otherwise(lit("f")),
+            when(col("m_hi"), lit("M")).otherwise(lit("m"))))
+    },
+    Some("""WITH ev AS (
+              SELECT user_id, epoch_ns(ts) // 1000 AS us,
+                CAST(round(value * 100.0, 0) AS BIGINT) AS vc
+              FROM events),
+            agg AS (
+              SELECT user_id,
+                (SELECT max(us) FROM ev) - max(us) AS diff_us,
+                CAST(count(*) AS BIGINT) AS frequency,
+                CAST(sum(vc) AS BIGINT) AS monetary
+              FROM ev GROUP BY user_id),
+            agg2 AS (
+              SELECT user_id, diff_us // 3600000000 AS recency_h,
+                frequency, monetary
+              FROM agg),
+            cuts AS (
+              SELECT
+                CAST(floor(percentile_cont(0.5) WITHIN GROUP (ORDER BY recency_h)) AS BIGINT) AS r_med,
+                CAST(floor(percentile_cont(0.5) WITHIN GROUP (ORDER BY frequency)) AS BIGINT) AS f_med,
+                CAST(floor(percentile_cont(0.5) WITHIN GROUP (ORDER BY monetary)) AS BIGINT) AS m_med
+              FROM agg2)
+            SELECT user_id, recency_h, frequency, monetary,
+              recency_h <= r_med AS r_hi,
+              frequency > f_med AS f_hi,
+              monetary > m_med AS m_hi,
+              concat(CASE WHEN recency_h <= r_med THEN 'R' ELSE 'r' END,
+                     CASE WHEN frequency > f_med THEN 'F' ELSE 'f' END,
+                     CASE WHEN monetary > m_med THEN 'M' ELSE 'm' END) AS segment
+            FROM agg2, cuts"""))
+
   val all: Seq[Q] =
     Seq(funnelSteps, cohortRetention, sessionWindowAgg, eventTransitions,
-      windowRollingStats, cdcScd2, resampleFfill)
+      windowRollingStats, cdcScd2, resampleFfill, rfmSegments)
 }
