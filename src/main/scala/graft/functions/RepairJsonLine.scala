@@ -122,5 +122,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       GraftFunctions.extInfo(classOf[DotOrdered].getName, "dot_ordered",
         "_FUNC_(a, b) - ordered-fold double dot product of two float arrays"),
       (exprs: Seq[Expression]) => DotOrdered(exprs(0), exprs(1))))
+    // Whole-operator extension: the native as-of join's planner strategy
+    // (graft.plans.AsOfJoinStrategy). AsOf.joinBackward also self-injects
+    // via experimental.extraStrategies for sessions built without extensions.
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

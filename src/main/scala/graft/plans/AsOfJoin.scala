@@ -1,0 +1,244 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.graftshim.GraftBridge
+
+/** Native as-of join — the whole-operator Catalyst extension (SURVEY §2
+  * gap: Spark has no ASOF JOIN; the composed `asof_join` query emulates
+  * the single-table case with an IGNORE NULLS running last, but the
+  * general two-relation case — match each left row with the latest
+  * earlier right row per key, think trades↔quotes — has no efficient
+  * DataFrame expression: an inequality join explodes to the per-key
+  * cross product and a union+window trick forces both schemas through
+  * one padded shuffle).
+  *
+  * Architecture (the (c) ladder of the build rules): a resolved
+  * [[AsOfJoinPlan]] logical node, planned by [[AsOfJoinStrategy]]
+  * (runtime-injectable via `spark.experimental.extraStrategies`, or
+  * through `GraftExtensions`) into [[AsOfJoinExec]], whose contract does
+  * the heavy lifting declaratively: `requiredChildDistribution` clusters
+  * both sides on the join keys and `requiredChildOrdering` sorts them by
+  * (keys, time), so EnsureRequirements plans the exchanges/sorts (and AQE
+  * still re-plans them); the exec itself is then a single zipPartitions
+  * merge — O(n+m) per partition with O(1) state: one buffered candidate
+  * row, never a per-key group in memory.
+  *
+  * 100 TB shape: exactly two shuffles (one per side, same as any shuffled
+  * equi-join), sorts spill via Spark's external sorter, the merge itself
+  * streams. Matches pandas `merge_asof` backward semantics: strict
+  * (`t_r < t_l`) or inclusive (`t_r <= t_l`); right-side ties on the
+  * timestamp are broken deterministically by `rightTiebreak` (the last
+  * row in (time, tiebreak) sort order wins, i.e. the max).
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    strict: Boolean,
+    rightTiebreak: Seq[Expression]) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, strict, tb) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, strict, tb) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    strict: Boolean,
+    rightTiebreak: Seq[Expression]) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  private def leftOrder: Seq[SortOrder] =
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(leftOrder, ((rightKeys :+ rightTime) ++ rightTiebreak).map(SortOrder(_, Ascending)))
+
+  // One left row in, one row out, in left order — both properties pass through.
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = leftOrder
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
+    val keyTypes = leftKeys.map(_.dataType)
+    val timeType = leftTime.dataType
+    val lOut = left.output
+    val rOut = right.output
+    val lKeysB = leftKeys
+    val rKeysB = rightKeys
+    val lTimeB = leftTime
+    val rTimeB = rightTime
+    val strictB = strict
+    val rightWidth = rOut.size
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeysB, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeysB, rOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTimeB), lOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTimeB), rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
+      // Downstream exchanges require UnsafeRow; project the JoinedRow out.
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val nullRight = new GenericInternalRow(rightWidth)
+      val joined = new JoinedRow
+
+      new Iterator[InternalRow] {
+        // Cursor into the right side. rKey/rTime are the projections'
+        // REUSED buffers — valid only until the next advance; the one
+        // buffered candidate (`matched`/`matchedKey`) is copied out.
+        private var rRow: InternalRow = _
+        private var rKey: InternalRow = _
+        private var rTime: InternalRow = _
+        private var matched: InternalRow = _
+        private var matchedKey: InternalRow = _
+        advanceRight()
+
+        private def advanceRight(): Unit =
+          if (rIter.hasNext) {
+            rRow = rIter.next()
+            rKey = rKeyProj(rRow)
+            rTime = rTimeProj(rRow)
+          } else rRow = null
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lKey = lKeyProj(l)
+          val lTime = lTimeProj(l)
+          val lNull = lKey.anyNull || lTime.isNullAt(0)
+          // Merge forward: consume right rows that are unmatchable (null
+          // key/time — they sort first) or at/before this left position.
+          var scan = rRow != null
+          while (scan) {
+            if (rKey.anyNull || rTime.isNullAt(0)) advanceRight()
+            else {
+              val kc = keyOrd.compare(rKey, lKey)
+              if (kc < 0) advanceRight() // key passed; candidate gate below invalidates
+              else if (kc == 0 && !lNull && {
+                  val tc = timeOrd.compare(rTime, lTime)
+                  if (strictB) tc < 0 else tc <= 0
+                }) {
+                // Latest-so-far for this key; right order makes the last
+                // buffered copy the (time, tiebreak) max.
+                matched = rRow.copy()
+                matchedKey = rKey.copy()
+                advanceRight()
+              } else scan = false
+            }
+            if (rRow == null) scan = false
+          }
+          numOutputRows += 1
+          val hit = !lNull && matched != null && keyOrd.compare(matchedKey, lKey) == 0
+          if (hit) numMatched += 1
+          resultProj(joined(l, if (hit) matched else nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Public entry point: `AsOf.joinBackward(trades, quotes, Seq("sym"), "t", "qt")`. */
+object AsOf {
+
+  /** Idempotently make the planner aware of the operator on any session —
+    * `experimental.extraStrategies` is the runtime-settable injection
+    * point; `GraftExtensions` wires the same strategy at session build. */
+  def ensureStrategy(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+
+  /** Backward as-of join: each left row pairs with the latest right row of
+    * the same key whose time is earlier (`strict`) or earlier-or-equal;
+    * unmatched left rows keep null right columns (left-outer semantics).
+    *
+    * Column names must be fully disjoint between the two sides (the output
+    * carries both schemas; rename before joining) — which is also why the
+    * key columns are named per side.
+    *
+    * @param leftKeyCols   equi-key column names on the left side
+    * @param rightKeyCols  matching key column names on the right side
+    * @param leftTimeCol   left ordering column (any orderable atomic type)
+    * @param rightTimeCol  right ordering column (same type as left's)
+    * @param strict        true → `t_right < t_left` (no exact matches)
+    * @param rightTiebreak extra right columns that break timestamp ties
+    *                      deterministically (max in ascending sort wins)
+    */
+  def joinBackward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeyCols: Seq[String],
+      rightKeyCols: Seq[String],
+      leftTimeCol: String,
+      rightTimeCol: String,
+      strict: Boolean = true,
+      rightTiebreak: Seq[String] = Nil): DataFrame = {
+    require(leftKeyCols.size == rightKeyCols.size, "key lists must align")
+    val spark = left.sparkSession
+    ensureStrategy(spark)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    val dup = lPlan.output.map(_.name).toSet.intersect(rPlan.output.map(_.name).toSet)
+    require(dup.isEmpty,
+      s"as-of join sides must have disjoint column names, both have: ${dup.mkString(", ")}")
+    def attr(plan: LogicalPlan, name: String, side: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"$side side has no column '$name' (has: ${plan.output.map(_.name).mkString(", ")})"))
+    val lk = leftKeyCols.map(attr(lPlan, _, "left"))
+    val rk = rightKeyCols.map(attr(rPlan, _, "right"))
+    lk.zip(rk).foreach { case (a, b) =>
+      require(a.dataType == b.dataType,
+        s"key type mismatch: ${a.name} ${a.dataType} vs ${b.name} ${b.dataType}")
+    }
+    val lt = attr(lPlan, leftTimeCol, "left")
+    val rt = attr(rPlan, rightTimeCol, "right")
+    require(lt.dataType == rt.dataType && RowOrdering.isOrderable(lt.dataType),
+      s"time columns must share an orderable type, got ${lt.dataType} vs ${rt.dataType}")
+    GraftBridge.ofRows(spark,
+      AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt, strict,
+        rightTiebreak.map(attr(rPlan, _, "right"))))
+  }
+}

@@ -560,6 +560,44 @@ object CoreQueries {
                   FROM events)
             WHERE event_type = 'purchase'"""))
 
+  // The NATIVE as-of join — the same "latest earlier click per purchase"
+  // semantics as `asof_join`, but over TWO relations through the custom
+  // whole-operator extension (graft.plans.AsOfJoinExec): logical node →
+  // planner strategy → sort-merge exec with O(1) merge state. The
+  // composed single-table trick above can't express the two-relation
+  // case without an exploding inequality join or a schema-padded union;
+  // this one shuffles each side once on user_id and streams the merge.
+  // Strict (<) time semantics; timestamp ties among clicks break on the
+  // larger event_id (rightTiebreak), mirrored by the oracle's ORDER BY.
+  private val asofJoinNative = Q(
+    "asof_join_native",
+    (s, dir) => {
+      val ev = events(s, dir).withColumn("us", unix_micros(col("ts")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user_id"), col("us").as("c_us"),
+          col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us"))
+      graft.plans.AsOf.joinBackward(purchases, clicks,
+          Seq("user_id"), Seq("c_user_id"), "us", "c_us",
+          strict = true, rightTiebreak = Seq("click_id"))
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("click_id"), lit(-1L)).as("last_click_id"),
+          coalesce(col("us") - col("c_us"), lit(-1L)).as("gap_us"))
+    },
+    Some("""WITH c AS (SELECT user_id AS c_user_id, epoch_ns(ts) // 1000 AS c_us,
+                         event_id AS click_id
+                       FROM events WHERE event_type = 'click'),
+                 p AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id
+                       FROM events WHERE event_type = 'purchase')
+            SELECT p.event_id, p.user_id,
+                   coalesce(t.click_id, -1) AS last_click_id,
+                   coalesce(p.us - t.c_us, -1) AS gap_us
+            FROM p LEFT JOIN LATERAL (
+              SELECT c.click_id, c.c_us FROM c
+              WHERE c.c_user_id = p.user_id AND c.c_us < p.us
+              ORDER BY c.c_us DESC, c.click_id DESC LIMIT 1) t ON TRUE"""))
+
   // Equi + range join: lineitems shipped within 60 days of their order.
   private val rangeJoin = Q(
     "range_join",
@@ -641,5 +679,5 @@ object CoreQueries {
     joinSemi, sortNaturalLimit, stringFuncs, dateFuncs, etaRate,
     incrementalWatermark, eventsSessionize, jsonPropsExtract, topkUsers,
     joinSkewSalted, aggDistinctSalted, anomalyZscore, cubeEventDay, setOps,
-    asofJoin, rangeJoin, windowFuncs, exactPercentiles, approxStats)
+    asofJoin, asofJoinNative, rangeJoin, windowFuncs, exactPercentiles, approxStats)
 }

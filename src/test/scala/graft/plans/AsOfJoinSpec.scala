@@ -1,0 +1,136 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantics + plan-shape pins for the native as-of join
+  * (graft.plans.AsOfJoinExec). The semantic tests verify against a
+  * brute-force per-row maximum computed with an (exploding) inequality
+  * join — the formulation the operator exists to avoid, safe at spec
+  * scale and independent of the operator's own merge logic.
+  */
+class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  /** (id, key, t, payload) left rows. */
+  private def leftDf(rows: Seq[(Long, String, Long, String)]): DataFrame =
+    rows.toDF("l_id", "l_key", "l_t", "l_pay")
+
+  /** (id, key, t) right rows. */
+  private def rightDf(rows: Seq[(Long, String, Long)]): DataFrame =
+    rows.toDF("r_id", "r_key", "r_t")
+
+  /** Brute-force expected: latest strictly-earlier right (ties → max r_id). */
+  private def bruteBackward(l: DataFrame, r: DataFrame, strict: Boolean): DataFrame = {
+    val cond = if (strict) col("r_t") < col("l_t") else col("r_t") <= col("l_t")
+    l.join(r, col("l_key") === col("r_key") && cond, "left")
+      .groupBy(col("l_id"))
+      .agg(max(struct(col("r_t"), col("r_id"))).as("m"))
+      .select(col("l_id"), col("m.r_id").as("exp_r_id"))
+  }
+
+  private def native(l: DataFrame, r: DataFrame, strict: Boolean): DataFrame =
+    AsOf.joinBackward(l, r, Seq("l_key"), Seq("r_key"), "l_t", "r_t",
+      strict = strict, rightTiebreak = Seq("r_id"))
+
+  private def assertMatchesBrute(l: DataFrame, r: DataFrame, strict: Boolean): Unit = {
+    val got = native(l, r, strict)
+      .select(col("l_id"), col("r_id"))
+      .collect().map(x => (x.getLong(0), Option(x.get(1)))).toMap
+    val exp = bruteBackward(l, r, strict)
+      .collect().map(x => (x.getLong(0), Option(x.get(1)))).toMap
+    assert(got == exp)
+  }
+
+  private def randCase(seed: Long): (DataFrame, DataFrame) = {
+    val rnd = new scala.util.Random(seed)
+    val keys = Vector("a", "b", "c", "d")
+    val l = (1L to 200L).map(i =>
+      (i, keys(rnd.nextInt(keys.size)), rnd.nextInt(50).toLong, s"p$i"))
+    val r = (1L to 300L).map(i =>
+      (i, keys(rnd.nextInt(keys.size + 1) % keys.size), rnd.nextInt(50).toLong))
+    (leftDf(l), rightDf(r))
+  }
+
+  test("matches the brute-force inequality join on random data (strict)") {
+    for (seed <- 1L to 3L) {
+      val (l, r) = randCase(seed)
+      assertMatchesBrute(l, r, strict = true)
+    }
+  }
+
+  test("matches the brute-force inequality join on random data (inclusive)") {
+    for (seed <- 4L to 6L) {
+      val (l, r) = randCase(seed)
+      assertMatchesBrute(l, r, strict = false)
+    }
+  }
+
+  test("strict excludes the exact-timestamp row, inclusive takes it") {
+    val l = leftDf(Seq((1L, "k", 10L, "x")))
+    val r = rightDf(Seq((7L, "k", 10L), (5L, "k", 9L)))
+    val s = native(l, r, strict = true).select("r_id").collect()(0).getLong(0)
+    val i = native(l, r, strict = false).select("r_id").collect()(0).getLong(0)
+    assert(s == 5L && i == 7L)
+  }
+
+  test("timestamp ties on the right break to the tiebreak maximum") {
+    val l = leftDf(Seq((1L, "k", 10L, "x")))
+    val r = rightDf(Seq((3L, "k", 9L), (9L, "k", 9L), (6L, "k", 9L)))
+    assert(native(l, r, strict = true).select("r_id").collect()(0).getLong(0) == 9L)
+  }
+
+  test("unmatched left rows keep null right columns (left-outer)") {
+    val l = leftDf(Seq((1L, "k", 10L, "x"), (2L, "nope", 10L, "y"), (3L, "k", 1L, "z")))
+    val r = rightDf(Seq((5L, "k", 5L)))
+    val got = native(l, r, strict = true).select(col("l_id"), col("r_id"))
+      .collect().map(x => (x.getLong(0), Option(x.get(1)))).toMap
+    assert(got == Map(1L -> Some(5L), 2L -> None, 3L -> None))
+  }
+
+  test("null keys and null times never match, on either side") {
+    val l = Seq((1L, Some("k"), Some(10L)), (2L, None, Some(10L)), (3L, Some("k"), None))
+      .toDF("l_id", "l_key", "l_t")
+    val r = Seq((5L, Some("k"), Some(5L)), (6L, None, Some(1L)), (7L, Some("k"), None))
+      .toDF("r_id", "r_key", "r_t")
+    val got = AsOf.joinBackward(l, r, Seq("l_key"), Seq("r_key"), "l_t", "r_t",
+        rightTiebreak = Seq("r_id"))
+      .select(col("l_id"), col("r_id"))
+      .collect().map(x => (x.getLong(0), Option(x.get(1)))).toMap
+    assert(got == Map(1L -> Some(5L), 2L -> None, 3L -> None))
+  }
+
+  test("empty right side yields all-null matches, not a crash") {
+    val l = leftDf(Seq((1L, "k", 10L, "x")))
+    val r = rightDf(Seq.empty)
+    val got = native(l, r, strict = true).select("r_id").collect()
+    assert(got.length == 1 && got(0).isNullAt(0))
+  }
+
+  test("plan shape: AsOfJoin exec, one exchange per side, no Window/CartesianProduct") {
+    val (l, r) = randCase(42L)
+    val df = native(l, r, strict = true)
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan
+    assert(collectWithSubqueries(plan) { case e: AsOfJoinExec => e }.size == 1)
+    val s = plan.toString
+    assert(!s.contains("Window") && !s.contains("CartesianProduct"))
+    assert(collectWithSubqueries(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.size == 2)
+  }
+
+  test("disjoint-name and type-mismatch guards reject bad inputs") {
+    val l = leftDf(Seq((1L, "k", 10L, "x")))
+    intercept[IllegalArgumentException] {
+      AsOf.joinBackward(l, l, Seq("l_key"), Seq("l_key"), "l_t", "l_t")
+    }
+    val r = Seq((5L, "k", "not-a-long")).toDF("r_id", "r_key", "r_t")
+    intercept[IllegalArgumentException] {
+      AsOf.joinBackward(l, r, Seq("l_key"), Seq("r_key"), "l_t", "r_t")
+    }
+  }
+}
