@@ -12,6 +12,7 @@ object Bench {
       // read below aborts a job and spews task-failure stacks into the
       // driver's captured output.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -123,8 +123,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         "_FUNC_(a, b) - ordered-fold double dot product of two float arrays"),
       (exprs: Seq[Expression]) => DotOrdered(exprs(0), exprs(1))))
     // Whole-operator extension: the native as-of join's planner strategy
-    // (graft.plans.AsOfJoinStrategy). AsOf.joinBackward also self-injects
-    // via experimental.extraStrategies for sessions built without extensions.
+    // and its pushdown/pruning optimizer rule (graft.plans). AsOf
+    // .joinBackward also self-injects both via the runtime experimental
+    // hooks for sessions built without extensions.
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.AsOfJoinRules)
   }
 }

@@ -32,10 +32,11 @@ import org.apache.spark.sql.graftshim.GraftBridge
   *
   * 100 TB shape: exactly two shuffles (one per side, same as any shuffled
   * equi-join), sorts spill via Spark's external sorter, the merge itself
-  * streams. Matches pandas `merge_asof` backward semantics: strict
-  * (`t_r < t_l`) or inclusive (`t_r <= t_l`); right-side ties on the
-  * timestamp are broken deterministically by `rightTiebreak` (the last
-  * row in (time, tiebreak) sort order wins, i.e. the max).
+  * streams. Matches pandas `merge_asof` semantics: backward (latest
+  * earlier right row; tiebreak max) or `forward` (earliest later row;
+  * tiebreak min), each strict (`<`/`>`) or inclusive (`<=`/`>=`).
+  * [[AsOfJoinRules]] adds left-side predicate pushdown and two-sided
+  * column pruning through the node.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan,
@@ -45,6 +46,7 @@ case class AsOfJoinPlan(
     leftTime: Expression,
     rightTime: Expression,
     strict: Boolean,
+    forward: Boolean,
     rightTiebreak: Seq[Expression]) extends BinaryNode {
 
   override def output: Seq[Attribute] =
@@ -57,8 +59,8 @@ case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, strict, tb) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, strict, tb) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, strict, fwd, tb) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, strict, fwd, tb) :: Nil
     case _ => Nil
   }
 }
@@ -71,6 +73,7 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     strict: Boolean,
+    forward: Boolean,
     rightTiebreak: Seq[Expression]) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -105,6 +108,7 @@ case class AsOfJoinExec(
     val lTimeB = leftTime
     val rTimeB = rightTime
     val strictB = strict
+    val forwardB = forward
     val rightWidth = rOut.size
     val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -144,8 +148,12 @@ case class AsOfJoinExec(
           val lKey = lKeyProj(l)
           val lTime = lTimeProj(l)
           val lNull = lKey.anyNull || lTime.isNullAt(0)
-          // Merge forward: consume right rows that are unmatchable (null
-          // key/time — they sort first) or at/before this left position.
+          // Merge: consume right rows that are unmatchable (null key/time
+          // — they sort first) or behind this left position. Backward
+          // buffers the latest-so-far candidate as it passes (last copy =
+          // the (time, tiebreak) max); forward buffers nothing — after
+          // the advance, the cursor row itself is the earliest-later
+          // match (first in (time, tiebreak) order = the min).
           var scan = rRow != null
           while (scan) {
             if (rKey.anyNull || rTime.isNullAt(0)) advanceRight()
@@ -154,21 +162,28 @@ case class AsOfJoinExec(
               if (kc < 0) advanceRight() // key passed; candidate gate below invalidates
               else if (kc == 0 && !lNull && {
                   val tc = timeOrd.compare(rTime, lTime)
-                  if (strictB) tc < 0 else tc <= 0
+                  if (forwardB) { if (strictB) tc <= 0 else tc < 0 }
+                  else { if (strictB) tc < 0 else tc <= 0 }
                 }) {
-                // Latest-so-far for this key; right order makes the last
-                // buffered copy the (time, tiebreak) max.
-                matched = rRow.copy()
-                matchedKey = rKey.copy()
+                if (!forwardB) {
+                  matched = rRow.copy()
+                  matchedKey = rKey.copy()
+                }
                 advanceRight()
               } else scan = false
             }
             if (rRow == null) scan = false
           }
           numOutputRows += 1
-          val hit = !lNull && matched != null && keyOrd.compare(matchedKey, lKey) == 0
+          val hit =
+            if (forwardB)
+              !lNull && rRow != null && !rKey.anyNull && !rTime.isNullAt(0) &&
+                keyOrd.compare(rKey, lKey) == 0
+            else
+              !lNull && matched != null && keyOrd.compare(matchedKey, lKey) == 0
           if (hit) numMatched += 1
-          resultProj(joined(l, if (hit) matched else nullRight))
+          resultProj(joined(l,
+            if (!hit) nullRight else if (forwardB) rRow else matched))
         }
       }
     }
@@ -183,12 +198,18 @@ case class AsOfJoinExec(
 object AsOf {
 
   /** Idempotently make the planner aware of the operator on any session —
-    * `experimental.extraStrategies` is the runtime-settable injection
-    * point; `GraftExtensions` wires the same strategy at session build. */
-  def ensureStrategy(spark: SparkSession): Unit =
+    * the `experimental` hooks are the runtime-settable injection points;
+    * `GraftExtensions` wires the same strategy + rule at session build
+    * (where the rule joins the fixed-point batch and follow-on rules
+    * finish the pushdown into the scan). */
+  def ensureStrategy(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(AsOfJoinRules))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsOfJoinRules
+  }
 
   /** Backward as-of join: each left row pairs with the latest right row of
     * the same key whose time is earlier (`strict`) or earlier-or-equal;
@@ -214,7 +235,36 @@ object AsOf {
       leftTimeCol: String,
       rightTimeCol: String,
       strict: Boolean = true,
-      rightTiebreak: Seq[String] = Nil): DataFrame = {
+      rightTiebreak: Seq[String] = Nil): DataFrame =
+    join(left, right, leftKeyCols, rightKeyCols, leftTimeCol, rightTimeCol,
+      strict, forward = false, rightTiebreak)
+
+  /** Forward as-of join: the earliest LATER right row per key instead of
+    * the latest earlier one (`strict` → `t_right > t_left`); timestamp
+    * ties break to the tiebreak MINIMUM (first in ascending order).
+    * Same contract as [[joinBackward]] otherwise. */
+  def joinForward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeyCols: Seq[String],
+      rightKeyCols: Seq[String],
+      leftTimeCol: String,
+      rightTimeCol: String,
+      strict: Boolean = true,
+      rightTiebreak: Seq[String] = Nil): DataFrame =
+    join(left, right, leftKeyCols, rightKeyCols, leftTimeCol, rightTimeCol,
+      strict, forward = true, rightTiebreak)
+
+  private def join(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeyCols: Seq[String],
+      rightKeyCols: Seq[String],
+      leftTimeCol: String,
+      rightTimeCol: String,
+      strict: Boolean,
+      forward: Boolean,
+      rightTiebreak: Seq[String]): DataFrame = {
     require(leftKeyCols.size == rightKeyCols.size, "key lists must align")
     val spark = left.sparkSession
     ensureStrategy(spark)
@@ -238,7 +288,7 @@ object AsOf {
     require(lt.dataType == rt.dataType && RowOrdering.isOrderable(lt.dataType),
       s"time columns must share an orderable type, got ${lt.dataType} vs ${rt.dataType}")
     GraftBridge.ofRows(spark,
-      AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt, strict,
+      AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt, strict, forward,
         rightTiebreak.map(attr(rPlan, _, "right"))))
   }
 }

@@ -598,6 +598,39 @@ object CoreQueries {
               WHERE c.c_user_id = p.user_id AND c.c_us < p.us
               ORDER BY c.c_us DESC, c.click_id DESC LIMIT 1) t ON TRUE"""))
 
+  // The forward direction of the same operator: for each click, the
+  // EARLIEST later purchase of the same user — click→conversion
+  // attribution with time-to-convert. Ties break to the smaller
+  // purchase id (forward tiebreak = ascending minimum).
+  private val asofJoinForward = Q(
+    "asof_join_forward",
+    (s, dir) => {
+      val ev = events(s, dir).withColumn("us", unix_micros(col("ts")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"), col("us").as("p_us"),
+          col("event_id").as("purchase_id"))
+      graft.plans.AsOf.joinForward(clicks, purchases,
+          Seq("user_id"), Seq("p_user_id"), "us", "p_us",
+          strict = true, rightTiebreak = Seq("purchase_id"))
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("purchase_id"), lit(-1L)).as("next_purchase_id"),
+          coalesce(col("p_us") - col("us"), lit(-1L)).as("wait_us"))
+    },
+    Some("""WITH p AS (SELECT user_id AS p_user_id, epoch_ns(ts) // 1000 AS p_us,
+                         event_id AS purchase_id
+                       FROM events WHERE event_type = 'purchase'),
+                 c AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id
+                       FROM events WHERE event_type = 'click')
+            SELECT c.event_id, c.user_id,
+                   coalesce(t.purchase_id, -1) AS next_purchase_id,
+                   coalesce(t.p_us - c.us, -1) AS wait_us
+            FROM c LEFT JOIN LATERAL (
+              SELECT p.purchase_id, p.p_us FROM p
+              WHERE p.p_user_id = c.user_id AND p.p_us > c.us
+              ORDER BY p.p_us ASC, p.purchase_id ASC LIMIT 1) t ON TRUE"""))
+
   // Equi + range join: lineitems shipped within 60 days of their order.
   private val rangeJoin = Q(
     "range_join",
@@ -679,5 +712,6 @@ object CoreQueries {
     joinSemi, sortNaturalLimit, stringFuncs, dateFuncs, etaRate,
     incrementalWatermark, eventsSessionize, jsonPropsExtract, topkUsers,
     joinSkewSalted, aggDistinctSalted, anomalyZscore, cubeEventDay, setOps,
-    asofJoin, asofJoinNative, rangeJoin, windowFuncs, exactPercentiles, approxStats)
+    asofJoin, asofJoinNative, asofJoinForward, rangeJoin, windowFuncs,
+    exactPercentiles, approxStats)
 }

@@ -32,8 +32,21 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       .select(col("l_id"), col("m.r_id").as("exp_r_id"))
   }
 
+  /** Brute-force expected, forward: earliest strictly-later (ties → min r_id). */
+  private def bruteForward(l: DataFrame, r: DataFrame, strict: Boolean): DataFrame = {
+    val cond = if (strict) col("r_t") > col("l_t") else col("r_t") >= col("l_t")
+    l.join(r, col("l_key") === col("r_key") && cond, "left")
+      .groupBy(col("l_id"))
+      .agg(min(struct(col("r_t"), col("r_id"))).as("m"))
+      .select(col("l_id"), col("m.r_id").as("exp_r_id"))
+  }
+
   private def native(l: DataFrame, r: DataFrame, strict: Boolean): DataFrame =
     AsOf.joinBackward(l, r, Seq("l_key"), Seq("r_key"), "l_t", "r_t",
+      strict = strict, rightTiebreak = Seq("r_id"))
+
+  private def nativeFwd(l: DataFrame, r: DataFrame, strict: Boolean): DataFrame =
+    AsOf.joinForward(l, r, Seq("l_key"), Seq("r_key"), "l_t", "r_t",
       strict = strict, rightTiebreak = Seq("r_id"))
 
   private def assertMatchesBrute(l: DataFrame, r: DataFrame, strict: Boolean): Unit = {
@@ -67,6 +80,25 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       val (l, r) = randCase(seed)
       assertMatchesBrute(l, r, strict = false)
     }
+  }
+
+  test("forward direction matches brute force on random data (strict + inclusive)") {
+    for (seed <- 10L to 12L) {
+      val (l, r) = randCase(seed)
+      for (strict <- Seq(true, false)) {
+        val got = nativeFwd(l, r, strict).select(col("l_id"), col("r_id"))
+          .collect().map(x => (x.getLong(0), Option(x.get(1)))).toMap
+        val exp = bruteForward(l, r, strict)
+          .collect().map(x => (x.getLong(0), Option(x.get(1)))).toMap
+        assert(got == exp, s"seed=$seed strict=$strict")
+      }
+    }
+  }
+
+  test("forward timestamp ties break to the tiebreak minimum") {
+    val l = leftDf(Seq((1L, "k", 10L, "x")))
+    val r = rightDf(Seq((9L, "k", 11L), (3L, "k", 11L), (6L, "k", 11L)))
+    assert(nativeFwd(l, r, strict = true).select("r_id").collect()(0).getLong(0) == 3L)
   }
 
   test("strict excludes the exact-timestamp row, inclusive takes it") {
@@ -121,6 +153,57 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(collectWithSubqueries(plan) {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }.size == 2)
+  }
+
+  test("optimizer rule: left-only filters push below the join, right-side filters stay") {
+    val (l, r) = randCase(7L)
+    val df = native(l, r, strict = true)
+      .where(col("l_id") > 100L && col("r_id") =!= 999L)
+    val opt = df.queryExecution.optimizedPlan
+    val node = opt.collectFirst { case a: AsOfJoinPlan => a }.get
+    // The left-only conjunct pushed below the join: whatever Filter
+    // remains ABOVE the node no longer mentions l_id (here the pushed
+    // half even folded into the LocalRelation)...
+    val aboveFilters = opt.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.find(_ eq node).isDefined => f.condition.sql
+    }
+    assert(aboveFilters.forall(!_.contains("l_id")), s"not pushed: $opt")
+    // ...and the right-side conjunct must NOT be pushed into the right
+    // subtree (outer side: pre-filtering changes which row is latest) —
+    // it still filters, above the join.
+    val rightFilters = node.right.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition.sql
+    }
+    assert(!rightFilters.exists(_.contains("999")), s"unsound push: $opt")
+    assert(aboveFilters.exists(_.contains("999")), s"right filter lost: $opt")
+    // and pushing did not change the answer: same rows as filtering the
+    // unoptimized-equivalent (filter left input first, join, filter after)
+    val expected = native(l.where(col("l_id") > 100L), r, strict = true)
+      .where(col("r_id") =!= 999L).count()
+    assert(df.count() == expected)
+  }
+
+  test("optimizer rule: filter over a parquet-backed as-of join reaches PushedFilters") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val df = graft.queries.Registry.queries("asof_join_native")(spark, dir)
+      .where(col("event_id") > 1000L)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    // the conjunct reaches the scan's DataFilters, BELOW the AsOfJoin node
+    assert(s.contains("(event_id") && s.contains("> 1000)"), s.take(2000))
+    assert(s.indexOf("> 1000") > s.indexOf("AsOfJoin"), s.take(2000))
+  }
+
+  test("optimizer rule: projection prunes unused columns out of both join sides") {
+    val (l, r) = randCase(8L)
+    val df = native(l, r, strict = true).select(col("l_id"), col("r_id"))
+    val node = df.queryExecution.optimizedPlan.collectFirst { case a: AsOfJoinPlan => a }.get
+    assert(!node.left.output.map(_.name).contains("l_pay"))
+    // keys/time survive pruning — the exec still needs them
+    assert(node.left.output.map(_.name).toSet == Set("l_id", "l_key", "l_t"))
+    assert(node.right.output.map(_.name).toSet == Set("r_id", "r_key", "r_t"))
   }
 
   test("disjoint-name and type-mismatch guards reject bad inputs") {
