@@ -65,12 +65,18 @@ object ClusterQueries {
       .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)")
         .as("ce"))
 
-  /** Centroids after one Lloyd iteration from the deterministic seed. */
+  /** Centroids after one Lloyd iteration from the deterministic seed.
+    * Checkpointed eagerly: the result is K rows, but the subtree behind
+    * it scans the corpus twice (seed assignment + update); consumers
+    * broadcast it in several places (cell assignment, residual
+    * computation, probe ranking) and per-consumer recomputation — where
+    * exchange reuse can't kick in across jobs — costs a corpus pass
+    * each time. K rows checkpoint in milliseconds. */
   private[graft] def trainedCentroids(emb: DataFrame): DataFrame = {
     val qf = quantized(emb)
     val c0 = qf.where(col("vec_id") < K)
       .select(col("vec_id").as("cid"), col("qe").as("ce"))
-    lloydStep(assign(qf, c0), qf)
+    lloydStep(assign(qf, c0), qf).localCheckpoint(eager = true)
   }
 
   /** Production Lloyd loop: iterate assign→update until the within-cell
@@ -394,6 +400,9 @@ object ClusterQueries {
         .groupBy(col("sub"), col("cid"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)")
           .as("ce"))
+        // M*8 codebook rows behind a corpus-scan subtree, consumed by both
+        // the corpus encode and the query LUT — checkpoint like the centroids.
+        .localCheckpoint(eager = true)
       val codes = encode(cb)
       val dtab = sv.where(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("sub"), col("sqe").as("q_sqe"))
@@ -511,6 +520,7 @@ object ClusterQueries {
         .groupBy(col("sub"), col("pqc"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)")
           .as("pce"))
+        .localCheckpoint(eager = true) // shared by corpus encode + query LUT
       val codes = encode(cb)
       // query side: probe own cell; the query's residual vs that cell
       // splits into subvectors and meets the shared codebook → LUT rows
