@@ -631,6 +631,51 @@ object CoreQueries {
               WHERE p.p_user_id = c.user_id AND p.p_us > c.us
               ORDER BY p.p_us ASC, p.purchase_id ASC LIMIT 1) t ON TRUE"""))
 
+  // MERGE INTO (upsert) semantics as a batch operator — the Delta/Iceberg
+  // `MERGE` a warehouse maintains dimensions with, expressed engine-
+  // natively as ONE full-outer join on the merge key: matched rows
+  // update (balance += order revenue, integer cents), target-only rows
+  // carry over, source-only rows insert. The source derives a batch of
+  // "new customer" keys (custkey+1000000 for custkey%7=0) so all three
+  // MERGE branches are exercised. Scale: one shuffle per side on the
+  // merge key — with a bucketed target (sink.BucketedTables) the target
+  // side pre-locates and only the delta shuffles.
+  private val mergeUpsert = Q(
+    "merge_upsert",
+    (s, dir) => {
+      val cust = customer(s, dir).select(col("c_custkey"),
+        expr("CAST(round(c_acctbal * 100.0, 0) AS BIGINT)").as("bal_c"))
+      val delta = orders(s, dir).groupBy(col("o_custkey"))
+        .agg(expr("CAST(round(sum(o_totalprice) * 100.0, 0) AS BIGINT)").as("rev_c"))
+      val source = delta
+        .union(delta.where(pmod(col("o_custkey"), lit(7)) === 0)
+          .select(col("o_custkey") + 1000000L, col("rev_c")))
+      cust.join(source, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          when(col("c_custkey").isNotNull && col("o_custkey").isNotNull, "updated")
+            .when(col("o_custkey").isNull, "kept")
+            .otherwise("inserted").as("action"),
+          (coalesce(col("bal_c"), lit(0L)) + coalesce(col("rev_c"), lit(0L)))
+            .as("balance_cents"))
+    },
+    Some("""WITH cust AS (
+              SELECT c_custkey, CAST(round(c_acctbal * 100.0, 0) AS BIGINT) AS bal_c
+              FROM customer),
+            delta AS (
+              SELECT o_custkey, CAST(round(sum(o_totalprice) * 100.0, 0) AS BIGINT) AS rev_c
+              FROM orders GROUP BY o_custkey),
+            source AS (
+              SELECT o_custkey, rev_c FROM delta
+              UNION ALL
+              SELECT o_custkey + 1000000, rev_c FROM delta WHERE o_custkey % 7 = 0)
+            SELECT coalesce(c_custkey, o_custkey) AS custkey,
+              CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 'updated'
+                   WHEN o_custkey IS NULL THEN 'kept'
+                   ELSE 'inserted' END AS action,
+              coalesce(bal_c, 0) + coalesce(rev_c, 0) AS balance_cents
+            FROM cust FULL OUTER JOIN source ON c_custkey = o_custkey"""))
+
   // Equi + range join: lineitems shipped within 60 days of their order.
   private val rangeJoin = Q(
     "range_join",
@@ -712,6 +757,6 @@ object CoreQueries {
     joinSemi, sortNaturalLimit, stringFuncs, dateFuncs, etaRate,
     incrementalWatermark, eventsSessionize, jsonPropsExtract, topkUsers,
     joinSkewSalted, aggDistinctSalted, anomalyZscore, cubeEventDay, setOps,
-    asofJoin, asofJoinNative, asofJoinForward, rangeJoin, windowFuncs,
-    exactPercentiles, approxStats)
+    asofJoin, asofJoinNative, asofJoinForward, mergeUpsert, rangeJoin,
+    windowFuncs, exactPercentiles, approxStats)
 }
