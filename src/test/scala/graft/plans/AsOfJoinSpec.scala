@@ -206,6 +206,16 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(node.right.output.map(_.name).toSet == Set("r_id", "r_key", "r_t"))
   }
 
+  test("works with AQE disabled (plain EnsureRequirements co-partitioning)") {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val (l, r) = randCase(21L)
+      assertMatchesBrute(l, r, strict = true)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("disjoint-name and type-mismatch guards reject bad inputs") {
     val l = leftDf(Seq((1L, "k", 10L, "x")))
     intercept[IllegalArgumentException] {
