@@ -344,7 +344,50 @@ object AnalyticsQueries {
                      CASE WHEN monetary > m_med THEN 'M' ELSE 'm' END) AS segment
             FROM agg2, cuts"""))
 
+  // Rolling active users — DAU / trailing-7-day WAU / stickiness, the
+  // sliding-window COUNT DISTINCT every product dashboard runs. The
+  // naive window-function formulation (distinct over a RANGE frame)
+  // doesn't exist in SQL; the scalable shape is: collapse events to
+  // distinct (day, user) FIRST (the only corpus-sized shuffle), explode
+  // each day-activity into the ≤7 windows it can serve, distinct again
+  // on (window, user) — bounded by 7× the daily-active pairs, not by
+  // events — and count. Stickiness is integer basis points (dau·10⁴ div
+  // wau): exact on both engines, no float division. At 100 TB the exact
+  // distincts swap for HLL sketch unions (approx_stats shows that path);
+  // the plan shape is unchanged.
+  private val rollingActiveUsers = Q(
+    "rolling_active_users",
+    (s, dir) => {
+      val du = Tables.events(s, dir)
+        .select(expr("unix_micros(ts) div 86400000000").as("day_no"),
+          col("user_id"))
+        .distinct()
+      val dau = du.groupBy(col("day_no")).agg(count(lit(1)).as("dau"))
+      val wau = du
+        .select(explode(expr("sequence(day_no, day_no + 6)")).as("w_end"),
+          col("user_id"))
+        .distinct()
+        .groupBy(col("w_end")).agg(count(lit(1)).as("wau"))
+      dau.join(wau, col("day_no") === col("w_end"))
+        .select(col("day_no"), col("dau"), col("wau"),
+          expr("(dau * 10000) div wau").as("stickiness_bp"))
+    },
+    Some("""WITH du AS (
+              SELECT DISTINCT epoch_ns(ts) // 1000 // 86400000000 AS day_no, user_id
+              FROM events),
+            dau AS (
+              SELECT day_no, CAST(count(*) AS BIGINT) AS dau
+              FROM du GROUP BY day_no),
+            wau AS (
+              SELECT w_end, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+              FROM (SELECT unnest(range(day_no, day_no + 7)) AS w_end, user_id
+                    FROM du)
+              GROUP BY w_end)
+            SELECT day_no, dau, wau, (dau * 10000) // wau AS stickiness_bp
+            FROM dau JOIN wau ON day_no = w_end"""))
+
   val all: Seq[Q] =
     Seq(funnelSteps, cohortRetention, sessionWindowAgg, eventTransitions,
-      windowRollingStats, cdcScd2, resampleFfill, rfmSegments)
+      windowRollingStats, cdcScd2, resampleFfill, rfmSegments,
+      rollingActiveUsers)
 }
