@@ -11,12 +11,15 @@ object PlanProbe {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("scan_project", "filter_like", "join_alias_lookup",
-        "join_anti_new", "topk_users", "range_join", "agg_counts")
+        "join_anti_new", "topk_users", "range_join", "agg_counts",
+        "asof_join_native", "asof_join_forward", "merge_upsert",
+        "rolling_active_users")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

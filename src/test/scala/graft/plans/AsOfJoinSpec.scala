@@ -206,6 +206,20 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(node.right.output.map(_.name).toSet == Set("r_id", "r_key", "r_t"))
   }
 
+  test("TimestampType time columns order correctly through the merge") {
+    val l = Seq((1L, "k", java.sql.Timestamp.valueOf("2024-01-02 00:00:00")),
+        (2L, "k", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("l_id", "l_key", "l_ts")
+    val r = Seq((5L, "k", java.sql.Timestamp.valueOf("2024-01-01 12:00:00")),
+        (6L, "k", java.sql.Timestamp.valueOf("2023-12-31 00:00:00")))
+      .toDF("r_id", "r_key", "r_ts")
+    val got = AsOf.joinBackward(l, r, Seq("l_key"), Seq("r_key"), "l_ts", "r_ts",
+        rightTiebreak = Seq("r_id"))
+      .select(col("l_id"), col("r_id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(got == Map(1L -> 5L, 2L -> 6L))
+  }
+
   test("works with AQE disabled (plain EnsureRequirements co-partitioning)") {
     val key = "spark.sql.adaptive.enabled"
     val prev = spark.conf.get(key)
