@@ -328,7 +328,37 @@ object OlapQueries {
               printf('%.2f', min(value)), printf('%.2f', max(value))
             FROM events"""))
 
+  // Per-key top-k WITHOUT a rank window: the k-bounded TopKByValue
+  // Aggregator (functions/TopKByValue.scala) reduces each partition to at
+  // most k (value, id) pairs per user map-side and merges buffers at the
+  // exchange — the shuffle carries ≤ k rows per (key × partition), and
+  // nothing is ever sorted per key. The window idiom this replaces
+  // (`row_number() OVER (PARTITION BY user ORDER BY value DESC)`)
+  // shuffles and sorts EVERY event to keep 3 per user — at 100 TB that
+  // is the whole corpus through per-key sorts. Explode of the ≤3-element
+  // result array restores the (row, rk) shape the window would emit;
+  // ordering (value DESC, event_id ASC) is total, so ties are
+  // deterministic and the oracle's window agrees row-for-row.
+  private val topkPerKey = Q(
+    "topk_per_key",
+    (s, dir) => {
+      val tk = udaf(new graft.functions.TopKByValue(3),
+        graft.functions.TopKByValue.inputEncoder)
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(tk(col("value"), col("event_id")).as("top"))
+        .select(col("user_id"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("user_id"), col("e._2").as("event_id"),
+          col("e._1").as("value"), (col("pos") + 1).cast("long").as("rk"))
+    },
+    Some("""SELECT user_id, event_id, value, rk FROM (
+              SELECT user_id, event_id, value,
+                CAST(row_number() OVER (
+                  PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS rk
+              FROM events)
+            WHERE rk <= 3"""))
+
   val all: Seq[Q] = Seq(pivotEventType, unpivotMelt, histogramBins,
     udafWeightedMean, skewDiagnose, aggMinmaxBy, histogramEquidepth,
-    joinIntervalOverlap, profileTable)
+    joinIntervalOverlap, profileTable, topkPerKey)
 }
