@@ -386,8 +386,70 @@ object AnalyticsQueries {
             SELECT day_no, dau, wau, (dau * 10000) // wau AS stickiness_bp
             FROM dau JOIN wau ON day_no = w_end"""))
 
+  // Multi-touch attribution — the marketing query a Kissmetrics warehouse
+  // ultimately funds: every purchase splits credit across the user's
+  // clicks in a 7-day lookback, LINEAR (1/n each) and TIME-DECAY
+  // (halving per day of age) side by side.
+  //
+  // Scale shape: the click↔purchase pairing is an equi-join on user_id
+  // with the time-range predicate applied post-join — per-user fan-out is
+  // bounded by the lookback window, never user-history × user-history
+  // (the range_join pattern). Credit normalization windows partition by
+  // purchase_id, so frame state is one purchase's clicks; nothing global
+  // sorts or funnels to one task.
+  //
+  // Determinism: decay weights are 2^(7 - age_days) — exact BIGINTs —
+  // and credit shares are integer basis points `(w * 10000) div Σw`,
+  // so the whole query is floating-point-free on both engines.
+  private val attributionMultitouch = Q(
+    "attribution_multitouch",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("us").as("c_us"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("us").as("p_us"))
+      val DayUs = 86400000000L
+      val pairs = purchases.join(clicks, "user_id")
+        .where(col("c_us") <= col("p_us") &&
+          col("p_us") - col("c_us") <= lit(7 * DayUs))
+        .withColumn("age_days", expr(s"(p_us - c_us) div $DayUs"))
+        .withColumn("w", expr(
+          "shiftleft(CAST(1 AS BIGINT), CAST(7 - age_days AS INT))"))
+      val wp = org.apache.spark.sql.expressions.Window.partitionBy(col("purchase_id"))
+      pairs
+        .withColumn("total_w", sum(col("w")).over(wp))
+        .withColumn("n", count(lit(1)).over(wp))
+        .select(col("user_id"), col("purchase_id"), col("click_id"),
+          col("age_days"), col("w"),
+          expr("(w * 10000) div total_w").as("credit_decay_bp"),
+          expr("10000 div n").as("credit_linear_bp"))
+    },
+    Some("""WITH ev AS (SELECT user_id, event_id, event_type,
+                          epoch_ns(ts) // 1000 AS us FROM events),
+            c AS (SELECT user_id, event_id AS click_id, us AS c_us
+                  FROM ev WHERE event_type = 'click'),
+            p AS (SELECT user_id, event_id AS purchase_id, us AS p_us
+                  FROM ev WHERE event_type = 'purchase'),
+            pairs AS (
+              SELECT p.user_id, purchase_id, click_id,
+                     (p_us - c_us) // 86400000000 AS age_days
+              FROM p JOIN c ON p.user_id = c.user_id
+               AND c_us <= p_us AND p_us - c_us <= 7 * 86400000000)
+            SELECT user_id, purchase_id, click_id,
+                   CAST(age_days AS BIGINT) AS age_days,
+                   CAST(1 << (7 - age_days) AS BIGINT) AS w,
+                   CAST((1 << (7 - age_days)) * 10000 //
+                     sum(1 << (7 - age_days)) OVER (PARTITION BY purchase_id)
+                     AS BIGINT) AS credit_decay_bp,
+                   CAST(10000 // count(*) OVER (PARTITION BY purchase_id)
+                     AS BIGINT) AS credit_linear_bp
+            FROM pairs"""))
+
   val all: Seq[Q] =
     Seq(funnelSteps, cohortRetention, sessionWindowAgg, eventTransitions,
       windowRollingStats, cdcScd2, resampleFfill, rfmSegments,
-      rollingActiveUsers)
+      rollingActiveUsers, attributionMultitouch)
 }

@@ -103,4 +103,30 @@ class WarehouseOpsSpec extends SparkSpec {
         s"extra=${(bucketized -- direct).take(5)}")
     assert(direct.nonEmpty, "degenerate test: no overlapping pairs generated")
   }
+
+  test("attribution_multitouch: credit conserves per purchase, decay halves per day") {
+    val rows = graft.SparkEntry.queries("attribution_multitouch")(spark, dir)
+      .select(col("purchase_id"), col("age_days"), col("w"),
+        col("credit_decay_bp"), col("credit_linear_bp"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // weight is exactly 2^(7 - age) for age in [0, 7]
+    rows.foreach { case (_, age, w, _, _) =>
+      assert(age >= 0 && age <= 7, s"age_days out of lookback: $age")
+      assert(w == (1L << (7 - age)), s"w=$w not 2^(7-$age)")
+    }
+    rows.groupBy(_._1).foreach { case (pid, ps) =>
+      val n = ps.length
+      // integer floor division loses < 1 bp per click, never over-credits
+      val decaySum = ps.map(_._4).sum
+      assert(decaySum <= 10000 && decaySum > 10000 - n,
+        s"purchase $pid decay credit sum $decaySum outside (10000-$n, 10000]")
+      val linearSum = ps.map(_._5).sum
+      assert(linearSum <= 10000 && linearSum > 10000 - n,
+        s"purchase $pid linear credit sum $linearSum outside (10000-$n, 10000]")
+      // every click of one purchase gets the same linear share
+      assert(ps.map(_._5).distinct.length == 1)
+    }
+  }
 }
