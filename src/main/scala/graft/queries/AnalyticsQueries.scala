@@ -386,6 +386,41 @@ object AnalyticsQueries {
             SELECT day_no, dau, wau, (dau * 10000) // wau AS stickiness_bp
             FROM dau JOIN wau ON day_no = w_end"""))
 
+  // Sketch-path rolling distinct — the 100 TB shape of
+  // `rolling_active_users`: the raw event stream aggregates ONCE into a
+  // per-day HLL sketch (DataSketches `hll_sketch_agg`, partial-agg like
+  // any hash aggregate), and every trailing-7-day count is then a union
+  // of 7 kilobyte-sized sketches (`hll_union_agg`) — window cost is
+  // days × 7 sketch merges, independent of corpus size, where the exact
+  // path re-touches every (day, user) pair per window. Mergeability is
+  // the property that matters: sketches also roll up across
+  // dimensions/files at report time without re-scanning raw data.
+  // No oracle by design (sketch internals are engine-specific);
+  // RollingHllSpec pins the estimates to the exact day-pair-collapse
+  // counts within published HLL error.
+  private val rollingActiveHll = Q(
+    "rolling_active_hll",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .select(expr("unix_micros(ts) div 86400000000").as("day_no"),
+          col("user_id"))
+        .groupBy(col("day_no"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        // one row per day, ~KB each; feeds both the DAU estimate and the
+        // 7-way window union — materialize the event-stream aggregate once
+        .localCheckpoint(eager = true)
+      val dau = daily.select(col("day_no"),
+        expr("hll_sketch_estimate(sk)").as("dau_est"))
+      val wau = daily
+        .select(explode(expr("sequence(day_no, day_no + 6)")).as("w_end"),
+          col("sk"))
+        .groupBy(col("w_end"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("wau_est"))
+      dau.join(wau, col("day_no") === col("w_end"))
+        .select(col("day_no"), col("dau_est"), col("wau_est"))
+    },
+    None)
+
   // Multi-touch attribution — the marketing query a Kissmetrics warehouse
   // ultimately funds: every purchase splits credit across the user's
   // clicks in a 7-day lookback, LINEAR (1/n each) and TIME-DECAY
@@ -451,5 +486,5 @@ object AnalyticsQueries {
   val all: Seq[Q] =
     Seq(funnelSteps, cohortRetention, sessionWindowAgg, eventTransitions,
       windowRollingStats, cdcScd2, resampleFfill, rfmSegments,
-      rollingActiveUsers, attributionMultitouch)
+      rollingActiveUsers, rollingActiveHll, attributionMultitouch)
 }
