@@ -223,6 +223,104 @@ object GraphBpeQueries {
               WHERE rn = 1)
             SELECT node, label FROM v2"""))
 
+  // Triangle counting + global clustering coefficient over the
+  // co-purchase graph (two parts are adjacent iff some order contains
+  // both). The textbook scalable plan:
+  //
+  //  - edge derivation is an intra-order self-join — fan-out bounded by
+  //    order size (≤7 lineitems), never corpus × corpus;
+  //  - every edge ORIENTS from its lower-(degree, id) endpoint, so
+  //    out-degree is O(√m) even on power-law graphs — the wedge join
+  //    (E'⋈E' on the middle vertex) is linear-ish instead of exploding
+  //    on hub vertices (the same hub-taming idea as CC's small-star);
+  //  - each triangle is counted exactly once (its unique orientation),
+  //    closed by one more equi-join back to E'.
+  //
+  // The oriented edge set feeds the wedge join twice and the closing
+  // join once → checkpoint it (the shared-generator discipline).
+  // Everything is integer; the clustering coefficient is basis points
+  // `3·triangles·10⁴ div wedges`. Scalar totals meet in one crossJoin
+  // chain of 1-row aggregates — a single plan, no driver-side .count()
+  // round-trips (the text_tfidf lesson).
+  /** (n_nodes, n_edges, n_wedges, n_triangles, clustering_bp) for an
+    * undirected simple graph given as distinct (a < b) pairs. */
+  private[queries] def triangleStats(pairs: DataFrame): DataFrame = {
+      val deg = pairs.select(col("a").as("node"))
+        .union(pairs.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val oriented = pairs
+        .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+        .select(
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+            struct(col("a").as("u"), col("b").as("v")))
+            .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .localCheckpoint(eager = true) // wedge join ×2 + closing join
+      // each unordered wedge (u; v, w) appears in BOTH orders here; the
+      // closing edge exists in exactly ONE orientation (lower-(deg, id)
+      // endpoint → higher), so the e3 join keeps exactly one of the two —
+      // ordering the wedge by id instead would miss triangles whose
+      // closing edge runs against id order (caught by TriangleSpec's
+      // random-graph brute-force check)
+      val tri = oriented.as("e1")
+        .join(oriented.as("e2"),
+          col("e1.u") === col("e2.u") && col("e1.v") =!= col("e2.v"))
+        .join(oriented.as("e3"),
+          col("e3.u") === col("e1.v") && col("e3.v") === col("e2.v"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val totals = deg.agg(count(lit(1)).as("n_nodes"),
+        sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+      val ecount = oriented.agg(count(lit(1)).as("n_edges"))
+      totals.crossJoin(ecount).crossJoin(tri)
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          expr("(3 * n_triangles * 10000) div n_wedges").as("clustering_bp"))
+  }
+
+  private val graphTriangles = Q(
+    "graph_triangles",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .distinct()
+      triangleStats(pairs)
+    },
+    Some("""WITH pairs AS (
+              SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+              FROM lineitem x JOIN lineitem y
+                ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+            deg AS (
+              SELECT node, CAST(count(*) AS BIGINT) AS deg
+              FROM (SELECT a AS node FROM pairs
+                    UNION ALL SELECT b FROM pairs)
+              GROUP BY node),
+            oriented AS (
+              SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+                     CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v
+              FROM pairs
+              JOIN deg ta ON ta.node = a
+              JOIN deg tb ON tb.node = b,
+              LATERAL (SELECT ta.deg AS da, tb.deg AS db)),
+            tri AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_triangles
+              FROM oriented e1
+              JOIN oriented e2 ON e1.u = e2.u AND e1.v <> e2.v
+              JOIN oriented e3 ON e3.u = e1.v AND e3.v = e2.v),
+            totals AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                     CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+              FROM deg),
+            ec AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM oriented)
+            SELECT n_nodes, n_edges, n_wedges, n_triangles,
+                   CAST((3 * n_triangles * 10000) // n_wedges AS BIGINT)
+                     AS clustering_bp
+            FROM totals, ec, tri"""))
+
   val all: Seq[Q] = Seq(joinMultiwayRevenue, graphPagerank, bpeMergeTopk,
-    graphLabelProp)
+    graphLabelProp, graphTriangles)
 }
