@@ -242,13 +242,17 @@ object GraphBpeQueries {
   // `3·triangles·10⁴ div wedges`. Scalar totals meet in one crossJoin
   // chain of 1-row aggregates — a single plan, no driver-side .count()
   // round-trips (the text_tfidf lesson).
-  /** (n_nodes, n_edges, n_wedges, n_triangles, clustering_bp) for an
-    * undirected simple graph given as distinct (a < b) pairs. */
-  private[queries] def triangleStats(pairs: DataFrame): DataFrame = {
+  /** Degree-ordered orientation: each undirected (a < b) pair becomes
+    * one directed edge lower-(deg, id) → higher. This is what bounds the
+    * wedge join: a vertex's OUT-degree counts only neighbors of
+    * equal-or-higher degree, so it is ≤ √(2m) regardless of how skewed
+    * the degree distribution is (hubs receive edges; they emit few) —
+    * pinned on a hub graph by TriangleSpec. */
+  private[queries] def orient(pairs: DataFrame): DataFrame = {
       val deg = pairs.select(col("a").as("node"))
         .union(pairs.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-      val oriented = pairs
+      pairs
         .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
         .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
         .select(
@@ -257,6 +261,15 @@ object GraphBpeQueries {
             struct(col("a").as("u"), col("b").as("v")))
             .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
         .select(col("e.u").as("u"), col("e.v").as("v"))
+  }
+
+  /** (n_nodes, n_edges, n_wedges, n_triangles, clustering_bp) for an
+    * undirected simple graph given as distinct (a < b) pairs. */
+  private[queries] def triangleStats(pairs: DataFrame): DataFrame = {
+      val deg = pairs.select(col("a").as("node"))
+        .union(pairs.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val oriented = orient(pairs)
         .localCheckpoint(eager = true) // wedge join ×2 + closing join
       // each unordered wedge (u; v, w) appears in BOTH orders here; the
       // closing edge exists in exactly ONE orientation (lower-(deg, id)

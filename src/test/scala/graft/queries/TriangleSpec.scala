@@ -31,6 +31,28 @@ class TriangleSpec extends SparkSpec {
     assert(stats(path) == ((4L, 3L, 2L, 0L)))
   }
 
+  test("orientation tames hubs: out-degree ≤ √(2m) on a skewed graph") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // hub 0 touches all 800 nodes (star) + a random sparse remainder —
+    // the degree shape where an id-ordered wedge join would explode on
+    // the hub (out-degree 800) while degree-ordering keeps it tiny
+    val rnd = new Random(5)
+    val star = (1L to 800L).map(h => (0L, h))
+    val rest = (for (_ <- 1 to 1200) yield {
+      val i = 1L + rnd.nextInt(800); val j = 1L + rnd.nextInt(800)
+      (math.min(i, j), math.max(i, j))
+    }).filter(p => p._1 != p._2).distinct
+    val pairs = (star ++ rest).toDF("a", "b")
+    val outDeg = GraphBpeQueries.orient(pairs)
+      .groupBy(col("u")).agg(count(lit(1)).as("od"))
+      .agg(max(col("od"))).collect().head.getLong(0)
+    val m = star.size + rest.size
+    val bound = math.ceil(math.sqrt(2.0 * m)).toLong
+    assert(outDeg <= bound,
+      s"max oriented out-degree $outDeg exceeds √(2m)=$bound on m=$m edges")
+  }
+
   test("random graphs match brute-force triple enumeration") {
     val rnd = new Random(11)
     for (_ <- 1 to 5) {
