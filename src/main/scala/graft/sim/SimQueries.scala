@@ -367,6 +367,74 @@ object SimQueries {
           WHERE rk <= 3"""
     })
 
+  /** Int8 scalar quantization of the embedding column — the 4× (float32)
+    * compression every billion-vector ANN serving stack applies before
+    * anything else (FAISS ScalarQuantizer QT_8bit shape): per-DIMENSION
+    * [min, max] learned from the corpus, each value mapped to its
+    * 256-bucket index.
+    *
+    * Scale: pass 1 is ONE partial aggregate producing 64 (dim, min, max)
+    * rows — broadcast; pass 2 is pure per-row array math riding the scan
+    * (no shuffle, no UDF). The codes column is 64 bytes/vector; ANN
+    * distance on codes is integer arithmetic (the PQ/IVFADC queries show
+    * the LUT pattern).
+    *
+    * Determinism: bucket index is `floor((v - lo) * 256 / (hi - lo))`
+    * clamped to 255 — floor (no round-half ties), with float→double
+    * widening and the SAME operation order on both engines; constant
+    * dims (hi == lo) map to 0. QuantizeSpec pins reconstruction error
+    * ≤ half a bucket width per dimension.
+    */
+  private val embedQuantizeInt8 = Q(
+    "embed_quantize_int8",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val stats = emb
+        .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("pos"))
+        .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, lo, hi))), s -> struct(CAST(s.lo AS DOUBLE) AS lo, CAST(s.hi AS DOUBLE) AS hi))")
+          .as("ranges"))
+      emb.crossJoin(broadcast(stats))
+        .select(col("vec_id"), expr(
+          """zip_with(embedding, ranges, (v, r) ->
+               CASE WHEN r.hi = r.lo THEN CAST(0 AS BIGINT)
+                    ELSE least(CAST(255 AS BIGINT),
+                      CAST(floor((CAST(v AS DOUBLE) - r.lo) * 256.0D / (r.hi - r.lo)) AS BIGINT))
+               END)""").as("codes"))
+        // 128-hex-char scalar (the driver's hash compare takes scalars,
+        // not arrays — same flattening as the minhash band hashes)
+        .select(col("vec_id"),
+          expr("array_join(transform(codes, c -> lpad(lower(hex(c)), 2, '0')), '')")
+            .as("codes_hex"),
+          expr("array_min(codes)").as("code_min"),
+          expr("array_max(codes)").as("code_max"))
+    },
+    Some("""WITH stats AS (
+              SELECT s.i AS pos,
+                CAST(min(embedding[s.i]) AS DOUBLE) AS lo,
+                CAST(max(embedding[s.i]) AS DOUBLE) AS hi
+              FROM embeddings, generate_series(1, 64) AS s(i)
+              GROUP BY s.i),
+            ranges AS (
+              SELECT list(struct_pack(lo := lo, hi := hi) ORDER BY pos) AS rs
+              FROM stats),
+            codes AS (
+              SELECT vec_id,
+                list_transform(range(1, 65), i ->
+                  CASE WHEN rs[i].hi = rs[i].lo THEN CAST(0 AS BIGINT)
+                       ELSE least(CAST(255 AS BIGINT),
+                         CAST(floor((CAST(embedding[i] AS DOUBLE) - rs[i].lo) * 256.0
+                           / (rs[i].hi - rs[i].lo)) AS BIGINT))
+                  END) AS cs
+              FROM embeddings, ranges)
+            SELECT vec_id,
+              array_to_string(list_transform(cs, c -> printf('%02x', c)), '')
+                AS codes_hex,
+              CAST(list_min(cs) AS BIGINT) AS code_min,
+              CAST(list_max(cs) AS BIGINT) AS code_max
+            FROM codes"""))
+
   val all: Seq[Q] = Seq(simLshBuckets, simBruteforce, simAnnBucketed,
-    dedupEmbedding, simIvfTopk, simAnnMultiprobe)
+    dedupEmbedding, simIvfTopk, simAnnMultiprobe, embedQuantizeInt8)
 }
