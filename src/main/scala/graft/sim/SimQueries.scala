@@ -385,10 +385,10 @@ object SimQueries {
     * dims (hi == lo) map to 0. QuantizeSpec pins reconstruction error
     * ≤ half a bucket width per dimension.
     */
-  private val embedQuantizeInt8 = Q(
-    "embed_quantize_int8",
-    (s, dir) => {
-      val emb = Tables.embeddings(s, dir)
+  /** (vec_id, codes: array<bigint>) int8 bucket codes — per-dim [lo, hi]
+    * from one 64-row partial aggregate, broadcast; the code map rides the
+    * scan. Shared by the quantize query and the integer-ANN search. */
+  private[sim] def int8Codes(emb: DataFrame): DataFrame = {
       val stats = emb
         .select(posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("pos"))
@@ -402,6 +402,12 @@ object SimQueries {
                     ELSE least(CAST(255 AS BIGINT),
                       CAST(floor((CAST(v AS DOUBLE) - r.lo) * 256.0D / (r.hi - r.lo)) AS BIGINT))
                END)""").as("codes"))
+  }
+
+  private val embedQuantizeInt8 = Q(
+    "embed_quantize_int8",
+    (s, dir) => {
+      int8Codes(Tables.embeddings(s, dir))
         // 128-hex-char scalar (the driver's hash compare takes scalars,
         // not arrays — same flattening as the minhash band hashes)
         .select(col("vec_id"),
@@ -435,6 +441,77 @@ object SimQueries {
               CAST(list_max(cs) AS BIGINT) AS code_max
             FROM codes"""))
 
+  /** Scalar-quantized ANN: exact top-3 by squared L2 over the int8 CODES
+    * — the search the 4× compression exists for. Everything after the
+    * one-pass quantization is INTEGER arithmetic (code deltas squared and
+    * summed — exact on both engines, no float-fold ordering to worry
+    * about), and the per-query top-k is the k-bounded TopKByValue
+    * Aggregator, not a rank window: each partition ships ≤ 3 candidates
+    * per query to the exchange, so the scored stream — n rows per query —
+    * is reduced map-side instead of sorted per query. The codes frame
+    * feeds both the query side and the corpus side → checkpoint once.
+    *
+    * QuantizeSpec bounds the distance distortion this search inherits;
+    * AnnRecallSpec-style ground truth is `sim_bruteforce_topk` on the
+    * raw floats.
+    */
+  private val simSqTopk = Q(
+    "sim_sq_topk",
+    (s, dir) => {
+      val codes = int8Codes(Tables.embeddings(s, dir))
+        .localCheckpoint(eager = true) // query side + corpus side
+      val q = codes.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("codes").as("qcodes"))
+      val scored = codes.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), expr(
+          """aggregate(zip_with(codes, qcodes, (a, b) -> (a - b) * (a - b)),
+             CAST(0 AS BIGINT), (acc, v) -> acc + v)""").as("sqdist"))
+      val tk = udaf(new graft.functions.TopKByValue(3),
+        graft.functions.TopKByValue.inputEncoder)
+      scored
+        .groupBy(col("q_id"))
+        // negated distance: TopKByValue keeps the largest values, ties on
+        // the SMALLEST id — exactly ORDER BY sqdist ASC, vec_id ASC
+        .agg(tk(-col("sqdist").cast("double"), col("vec_id")).as("top"))
+        .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("q_id"), col("e._2").as("vec_id"),
+          (-col("e._1")).cast("long").as("sqdist"),
+          (col("pos") + 1).cast("long").as("rk"))
+    },
+    Some("""WITH stats AS (
+              SELECT s.i AS pos,
+                CAST(min(embedding[s.i]) AS DOUBLE) AS lo,
+                CAST(max(embedding[s.i]) AS DOUBLE) AS hi
+              FROM embeddings, generate_series(1, 64) AS s(i)
+              GROUP BY s.i),
+            ranges AS (
+              SELECT list(struct_pack(lo := lo, hi := hi) ORDER BY pos) AS rs
+              FROM stats),
+            codes AS (
+              SELECT vec_id,
+                list_transform(range(1, 65), i ->
+                  CASE WHEN rs[i].hi = rs[i].lo THEN CAST(0 AS BIGINT)
+                       ELSE least(CAST(255 AS BIGINT),
+                         CAST(floor((CAST(embedding[i] AS DOUBLE) - rs[i].lo) * 256.0
+                           / (rs[i].hi - rs[i].lo)) AS BIGINT))
+                  END) AS cs
+              FROM embeddings, ranges),
+            scored AS (
+              SELECT q.vec_id AS q_id, c.vec_id,
+                CAST(list_sum(list_transform(range(1, 65),
+                  i -> (c.cs[i] - q.cs[i]) * (c.cs[i] - q.cs[i]))) AS BIGINT)
+                  AS sqdist
+              FROM codes c, codes q
+              WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+            SELECT q_id, vec_id, sqdist, rk FROM (
+              SELECT q_id, vec_id, sqdist,
+                CAST(row_number() OVER (
+                  PARTITION BY q_id ORDER BY sqdist, vec_id) AS BIGINT) AS rk
+              FROM scored)
+            WHERE rk <= 3"""))
+
   val all: Seq[Q] = Seq(simLshBuckets, simBruteforce, simAnnBucketed,
-    dedupEmbedding, simIvfTopk, simAnnMultiprobe, embedQuantizeInt8)
+    dedupEmbedding, simIvfTopk, simAnnMultiprobe, embedQuantizeInt8,
+    simSqTopk)
 }

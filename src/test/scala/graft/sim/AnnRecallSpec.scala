@@ -93,6 +93,21 @@ class AnnRecallSpec extends SparkSpec {
     assert(rAdc >= 0.13, f"IVFADC recall floor: $rAdc%.2f < 0.13")
   }
 
+  test("int8 scalar-quantized search recall@3 vs exact float cosine") {
+    // 256 buckets per dim distorts distances far less than PQ's 8 codes
+    // per 16-dim subspace, so the floor sits much higher — the
+    // compression-vs-recall dial the quantizer family exposes. Measured
+    // 0.73, and that includes the metric gap (codes rank by L2, truth by
+    // cosine, vectors unnormalized) on top of quantization loss.
+    val truth = pairs(SimQueries.bruteForceTopK(
+      Tables.embeddings(spark, dir), col("q_id") < 5, 3))
+    assert(truth.size == 15)
+    val sq = pairs(graft.SparkEntry.queries("sim_sq_topk")(spark, dir))
+    val r = (sq & truth).size.toDouble / truth.size
+    info(f"recall@3: int8-sq=$r%.2f (64 bytes/vector, integer distances)")
+    assert(r >= 0.6, f"int8 scalar-quantized recall floor: $r%.2f < 0.6 (measured 0.73)")
+  }
+
   test("Lloyd loop converges: monotone objective, stops before maxIters") {
     val emb = Tables.embeddings(spark, dir)
     val qf = ClusterQueries.quantized(emb)
