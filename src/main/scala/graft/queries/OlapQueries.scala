@@ -358,7 +358,32 @@ object OlapQueries {
               FROM events)
             WHERE rk <= 3"""))
 
+  // One-pass heavy hitters via a Misra-Gries summary Aggregator
+  // (functions/MisraGries.scala): per-partition state is a k-bounded
+  // counter map regardless of how many DISTINCT keys stream past —
+  // the `groupBy(key).count().orderBy.limit` it replaces carries one
+  // group state per distinct key (billions, at corpus scale) through
+  // the aggregation just to read off the top 10. At k=256 ≥ |distinct
+  // user_id| on this corpus the summary provably never evicts, so the
+  // estimates are EXACT counts and the oracle checks them like any
+  // aggregate; the eviction regime (est within N/(k+1) of true, every
+  // true heavy hitter present) is stressed on synthetic zipf data by
+  // MisraGriesSpec — the guarantee that holds when capacity ≪ distincts.
+  private val approxHeavyHitters = Q(
+    "approx_heavy_hitters",
+    (s, dir) => {
+      import org.apache.spark.sql.Encoders
+      val mg = udaf(new graft.functions.MisraGries(256), Encoders.scalaLong)
+      Tables.events(s, dir)
+        .agg(mg(col("user_id")).as("summary"))
+        .select(explode(col("summary")).as(Seq("user_id", "est_count")))
+        .orderBy(col("est_count").desc, col("user_id")).limit(10)
+    },
+    Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS est_count
+            FROM events GROUP BY user_id
+            ORDER BY est_count DESC, user_id LIMIT 10"""))
+
   val all: Seq[Q] = Seq(pivotEventType, unpivotMelt, histogramBins,
     udafWeightedMean, skewDiagnose, aggMinmaxBy, histogramEquidepth,
-    joinIntervalOverlap, profileTable, topkPerKey)
+    joinIntervalOverlap, profileTable, topkPerKey, approxHeavyHitters)
 }
