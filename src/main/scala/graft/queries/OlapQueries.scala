@@ -383,7 +383,44 @@ object OlapQueries {
             FROM events GROUP BY user_id
             ORDER BY est_count DESC, user_id LIMIT 10"""))
 
+  // Incremental rollup maintenance — the contract that lets a 100 TB
+  // warehouse serve daily aggregates WITHOUT rescanning history: the
+  // already-loaded days persist as per-(day, type) PARTIALS (count,
+  // integer-cent sum — algebraic, so partials re-aggregate exactly),
+  // each new day aggregates only its own delta, and the serving rollup
+  // is a union of partial rows re-summed. Here the watermark split is
+  // simulated on the events table (history = day < 15, delta = the
+  // rest); the oracle is the full-rescan aggregate — equality IS the
+  // incremental-maintenance correctness claim. Work per refresh is
+  // O(delta) + O(days × types), never O(history).
+  private val incrementalAggMerge = Q(
+    "incremental_agg_merge",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(expr("unix_micros(ts) div 86400000000").as("day_no"),
+          col("event_type"),
+          expr("CAST(round(value * 100.0, 0) AS BIGINT)").as("vc"))
+      val daily = (df: org.apache.spark.sql.DataFrame) =>
+        df.groupBy(col("day_no"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("vc")).as("sum_c"))
+      val history = daily(ev.where(col("day_no") < 15))   // the stored partials
+      val delta = daily(ev.where(col("day_no") >= 15))    // today's refresh work
+      history.union(delta)
+        .groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n"), sum(col("sum_c")).as("sum_cents"),
+          count(lit(1)).as("n_days"))
+    },
+    Some("""WITH ev AS (
+              SELECT epoch_ns(ts) // 1000 // 86400000000 AS day_no, event_type,
+                     CAST(round(value * 100.0, 0) AS BIGINT) AS vc
+              FROM events)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(vc) AS BIGINT) AS sum_cents,
+                   CAST(count(DISTINCT day_no) AS BIGINT) AS n_days
+            FROM ev GROUP BY event_type"""))
+
   val all: Seq[Q] = Seq(pivotEventType, unpivotMelt, histogramBins,
     udafWeightedMean, skewDiagnose, aggMinmaxBy, histogramEquidepth,
-    joinIntervalOverlap, profileTable, topkPerKey, approxHeavyHitters)
+    joinIntervalOverlap, profileTable, topkPerKey, approxHeavyHitters,
+    incrementalAggMerge)
 }
