@@ -26,6 +26,7 @@ object Registry {
       graft.dedup.DedupQueries.all ++
       graft.sim.SimQueries.all ++
       graft.sim.ClusterQueries.all ++
+      graft.sim.MiningQueries.all ++
       graft.multimodal.MultimodalQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,198 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Q, Tables}
+
+/** Cross-lingual parallel-corpus mining — the margin-based mate-retrieval
+  * step every multilingual pretraining pipeline runs to pair translations
+  * across languages (ratio margin of Artetxe & Schwenk, "Margin-based
+  * Parallel Corpus Mining with Multilingual Sentence Embeddings", ACL'19 —
+  * the CCMatrix / LASER mining rule):
+  *
+  *   margin(x, y) = cos(x, y) / ((fwdK(x) + bwdK(y)) / 2)
+  *
+  * where fwdK(x) is the mean cosine of x's top-k target-side neighbors and
+  * bwdK(y) the mean over y's top-k source-side neighbors. Normalizing by
+  * both neighborhoods suppresses "hub" vectors that are near everything —
+  * raw cosine keeps them, the margin demotes them.
+  *
+  * Scale shape: scoring broadcasts the SMALLER language side (low-resource
+  * mining is exactly the case where one side is orders of magnitude
+  * smaller); the source side never shuffles. Both k-NN denominators and
+  * the final best-mate pick are per-key top-k over the shared scored
+  * frame — checkpointed once, consumed three times. When both sides are
+  * web-scale the scored frame comes from a bucketed candidate generator
+  * instead (the `lshBuckets`/`multiprobeTopK` machinery in SimQueries —
+  * production mining uses ANN k-NN for the same reason); the margin math
+  * downstream is identical equi-joins either way.
+  *
+  * Determinism: cosines are dot_ordered folds (bit-exact both engines);
+  * the k-NN means fold the top-k cosines in descending sorted order on
+  * both engines (ties are equal doubles, so intra-tie order cannot change
+  * the fold); ranking uses raw doubles with id tiebreaks; rounding to 6
+  * places happens only on output.
+  */
+object MiningQueries {
+
+  private val K = 4 // neighbors per side in the margin denominator
+
+  private def dotExpr(a: String, b: String): String = s"dot_ordered($a, $b)"
+
+  /** Mean of the top-K cosines per `key`, summed in descending order. */
+  private def knnMean(scored: DataFrame, key: String, other: String,
+      out: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col("cos").desc, col(other))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= K)
+      .groupBy(col(key))
+      .agg(collect_list(col("cos")).as("cs"), count(lit(1)).as("n"))
+      .select(col(key), (expr(
+        """aggregate(
+             array_sort(cs, (l, r) -> CASE WHEN l > r THEN -1
+                                           WHEN l < r THEN 1 ELSE 0 END),
+             CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
+        / col("n").cast("double")).as(out))
+  }
+
+  private val mineBitext = Q(
+    "mine_bitext",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val lang = Tables.documents(s, dir)
+        .select(col("doc_id").as("vec_id"), col("lang"))
+      val vecs = Tables.embeddings(s, dir).join(lang, "vec_id")
+        .select(col("vec_id"), col("lang"), col("embedding"),
+          expr(dotExpr("embedding", "embedding")).as("norm2"))
+      val src = vecs.where(col("lang") === "en")
+        .select(col("vec_id").as("src_id"), col("embedding").as("s_emb"),
+          col("norm2").as("s_n"))
+      val tgt = vecs.where(col("lang") === "de")
+        .select(col("vec_id").as("tgt_id"), col("embedding").as("t_emb"),
+          col("norm2").as("t_n"))
+      // exact-mining baseline: target side broadcast, source side rides its
+      // scan; swap in a bucketed candidate join for web-scale × web-scale
+      val scored = src.join(broadcast(tgt))
+        .select(col("src_id"), col("tgt_id"),
+          (expr(dotExpr("s_emb", "t_emb")) / sqrt(col("s_n") * col("t_n")))
+            .as("cos"))
+        .localCheckpoint(eager = true) // feeds fwd, bwd, and the margin join
+      val fwd = knnMean(scored, "src_id", "tgt_id", "fwd")
+      val bwd = knnMean(scored, "tgt_id", "src_id", "bwd")
+      val margins = scored.join(fwd, "src_id").join(bwd, "tgt_id")
+        .withColumn("margin", col("cos") / ((col("fwd") + col("bwd")) / 2.0))
+      val wBest = Window.partitionBy(col("src_id"))
+        .orderBy(col("margin").desc, col("tgt_id"))
+      margins.withColumn("rn", row_number().over(wBest)).where(col("rn") === 1)
+        .select(col("src_id"), col("tgt_id"),
+          round(col("cos"), 6).as("cos"),
+          round(col("margin"), 6).as("margin"),
+          (col("margin") > lit(1.0)).as("accepted"))
+    },
+    Some {
+      def dot(a: String, b: String) =
+        s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+      s"""WITH v AS (
+            SELECT e.vec_id, d.lang, e.embedding,
+              ${dot("e.embedding", "e.embedding")} AS norm2
+            FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+          s AS (SELECT vec_id AS src_id, embedding AS s_emb, norm2 AS s_n
+                FROM v WHERE lang = 'en'),
+          t AS (SELECT vec_id AS tgt_id, embedding AS t_emb, norm2 AS t_n
+                FROM v WHERE lang = 'de'),
+          scored AS (
+            SELECT src_id, tgt_id,
+              ${dot("s_emb", "t_emb")} / sqrt(s_n * t_n) AS cos
+            FROM s, t),
+          fr AS (SELECT src_id, cos, row_number() OVER (
+                   PARTITION BY src_id ORDER BY cos DESC, tgt_id) AS rk
+                 FROM scored),
+          fwd AS (SELECT src_id,
+                    list_sum(list_sort(list(cos), 'DESC'))
+                      / CAST(count(*) AS DOUBLE) AS fwd
+                  FROM fr WHERE rk <= $K GROUP BY src_id),
+          br AS (SELECT tgt_id, cos, row_number() OVER (
+                   PARTITION BY tgt_id ORDER BY cos DESC, src_id) AS rk
+                 FROM scored),
+          bwd AS (SELECT tgt_id,
+                    list_sum(list_sort(list(cos), 'DESC'))
+                      / CAST(count(*) AS DOUBLE) AS bwd
+                  FROM br WHERE rk <= $K GROUP BY tgt_id),
+          m AS (SELECT sc.src_id, sc.tgt_id, sc.cos,
+                  sc.cos / ((f.fwd + b.bwd) / 2.0) AS margin
+                FROM scored sc
+                JOIN fwd f USING (src_id) JOIN bwd b USING (tgt_id)),
+          best AS (SELECT src_id, tgt_id, cos, margin,
+                     row_number() OVER (PARTITION BY src_id
+                       ORDER BY margin DESC, tgt_id) AS rn
+                   FROM m)
+          SELECT src_id, tgt_id, round(cos, 6) AS cos,
+            round(margin, 6) AS margin, margin > 1.0 AS accepted
+          FROM best WHERE rn = 1"""
+    })
+
+  /** Per-document n-gram novelty — the duplication-adjusted data-selection
+    * signal (what fraction of a doc's distinct word-5-grams appears in NO
+    * other document). Boilerplate-heavy and templated docs score low;
+    * genuinely fresh text scores high. Corpus-level dedup (MinHash/LSH)
+    * removes whole near-dup docs; novelty grades the remainder
+    * continuously.
+    *
+    * Scale shape: one codegen'd shingling pass (native word_ngrams,
+    * distinct per doc), explode → ONE hash aggregate keyed by gram for
+    * document frequency, join back on gram, one doc-keyed aggregate. No
+    * self-joins, no windows; both aggregates are map-side-combinable. The
+    * gram join key is the 5-gram string; at 100 TB you'd xxhash64 it to a
+    * LONG first (the jaccard query shows that trick) — kept as the string
+    * here so the oracle shares the exact key.
+    */
+  private val textNovelty = Q(
+    "text_novelty",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, dir)
+      val grams = Tables.spread(docs.select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          explode(expr("word_ngrams(text, 5, true)")).as("gram"))
+        .localCheckpoint(eager = true) // feeds the df agg and the join back
+      val dfreq = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      val per = grams.join(dfreq, "gram")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") === 1L, 1L).otherwise(0L)).as("novel"))
+      docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("novel"), lit(0L)).as("novel"),
+          round(coalesce(col("novel").cast("double")
+            / col("n_grams").cast("double"), lit(0.0)), 6).as("novelty"))
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                  t -> t <> '') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id, unnest(
+                CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+                ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                                 toks[i+3], toks[i+4]))) END) AS gram
+              FROM toks),
+            df AS (SELECT gram, CAST(count(*) AS BIGINT) AS df
+                   FROM g GROUP BY gram),
+            per AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS novel
+              FROM g JOIN df USING (gram) GROUP BY doc_id)
+            SELECT d.doc_id,
+              coalesce(n_grams, 0) AS n_grams,
+              coalesce(novel, 0) AS novel,
+              round(coalesce(CAST(novel AS DOUBLE) / CAST(n_grams AS DOUBLE),
+                             0.0), 6) AS novelty
+            FROM documents d LEFT JOIN per USING (doc_id)"""))
+
+  val all: Seq[Q] = Seq(mineBitext, textNovelty)
+}
