@@ -334,6 +334,82 @@ object GraphBpeQueries {
                      AS clustering_bp
             FROM totals, ec, tri"""))
 
+  /** k-core decomposition (k = 10) of the undirected signup graph — the
+    * classic graph-quality filter (peel low-degree fringe until every
+    * surviving node has ≥ k in-core neighbors; spam/bot subgraphs and
+    * weakly-attached noise fall off first). Batagelj-Zaveršnik peeling,
+    * distributed: each round is ONE degree aggregate plus two semi-joins
+    * restricting the edge list to surviving endpoints — the standard
+    * iterative shape (same loop skeleton as identity/Components: driver
+    * convergence via a scalar count, per-round localCheckpoint with
+    * explicit release of the superseded edge set, edges only ever
+    * shrink). Converges in 3 rounds at sf0.01 / 2 at sf0.1 (measured);
+    * the 8-round cap exists for pathological chains — KCoreSpec pins
+    * convergence well under it, and rounds past the fixpoint are no-ops,
+    * which is what lets the non-recursive oracle (8 chained peel stages)
+    * mirror a convergence loop exactly.
+    */
+  private val KCoreK = 10
+  private val KCoreRounds = 8
+
+  /** The undirected signup bipartite edge list (user ↔ offset+props.k) —
+    * same construction as graph_pagerank above. */
+  private[graft] def signupEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val fwd = Tables.events(s, dir)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("src"),
+        (get_json_object(col("props"), "$.k").cast("long") + 1000000L).as("dst"))
+      .distinct()
+    fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  private val graphKcore = Q(
+    "graph_kcore",
+    (s, dir) => {
+      var edges = signupEdges(s, dir).localCheckpoint(eager = true)
+      var nEdges = edges.count()
+      var round = 0
+      var converged = false
+      while (!converged && round < KCoreRounds) {
+        val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .where(col("deg") >= KCoreK)
+        val next = edges
+          .join(keep.select(col("src")), Seq("src"), "left_semi")
+          .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+          .localCheckpoint(eager = true)
+        val n = next.count()
+        converged = n == nEdges
+        graft.identity.Components.unpersistCheckpoint(edges)
+        edges = next
+        nEdges = n
+        round += 1
+      }
+      edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .select(col("src").as("node"), col("deg"))
+    },
+    Some {
+      // MATERIALIZED is load-bearing: every stage references its
+      // predecessor three times, and DuckDB's default CTE inlining would
+      // re-evaluate the whole chain exponentially (3^8 base scans — the
+      // un-hinted form runs for minutes; materialized it's milliseconds)
+      val peel = (1 to KCoreRounds).map { i =>
+        s"""n$i AS MATERIALIZED (SELECT src AS node FROM e${i - 1}
+                    GROUP BY src HAVING count(*) >= $KCoreK),
+            e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+                    JOIN n$i a ON a.node = e.src
+                    JOIN n$i b ON b.node = e.dst)"""
+      }.mkString(",\n")
+      s"""WITH fwd AS MATERIALIZED (SELECT DISTINCT user_id AS src,
+                1000000 + CAST(json_extract_string(props, '$$.k') AS BIGINT) AS dst
+              FROM events WHERE event_type = 'signup'),
+          e0 AS MATERIALIZED (SELECT src, dst FROM fwd
+                 UNION ALL SELECT dst, src FROM fwd),
+          $peel
+          SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+          FROM e$KCoreRounds GROUP BY src"""
+    })
+
   val all: Seq[Q] = Seq(joinMultiwayRevenue, graphPagerank, bpeMergeTopk,
-    graphLabelProp, graphTriangles)
+    graphLabelProp, graphTriangles, graphKcore)
 }
