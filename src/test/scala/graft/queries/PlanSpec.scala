@@ -364,4 +364,41 @@ class PlanSpec extends SparkSpec {
       "pair-join sides re-tokenize instead of reusing the checkpoint")
     assert(p.contains("Scan ExistingRDD"), p.take(1000))
   }
+
+  test("mine_bitext: k-NN and best-mate windows partition per vector, never globally") {
+    val p = plan("mine_bitext")
+    // three windows: fwd (per src), bwd (per tgt), best mate (per src).
+    // An unpartitioned spec here would funnel the full scored frame
+    // through one task at scale.
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(windows.nonEmpty, p.take(2000))
+    windows.foreach { w =>
+      assert(w.contains("src_id") || w.contains("tgt_id"),
+        s"window lost its per-vector partitioning: $w")
+    }
+    // dot-product scoring happened before the checkpoint — the downstream
+    // plan must consume scored cosines, never re-run the embedding fold
+    assert(!p.contains("dot_ordered"),
+      "margin math re-derives cosines instead of reading the checkpoint")
+  }
+
+  test("text_novelty: gram-keyed df agg + doc rollup, no self-join, no window") {
+    val p = plan("text_novelty")
+    // the novelty join is grams ⋈ its own aggregate off the checkpoint —
+    // never a corpus × corpus pair join, never a rank window
+    assert(!p.contains("windowspecdefinition"), "novelty grew a window")
+    assert(!p.contains("CartesianProduct"), "novelty grew a cross join")
+    assert(p.contains("Scan ExistingRDD"), p.take(1000))
+    // one tokenize feeding the checkpoint; the executed plan re-tokenizing
+    // means a side stopped reading it
+    assert(!p.contains("word_ngrams"),
+      "a novelty side re-tokenizes instead of reusing the checkpointed grams")
+  }
+
+  test("graph_kcore result is a pure aggregate over the converged edge checkpoint") {
+    val p = plan("graph_kcore")
+    assert(p.contains("Scan ExistingRDD"), p.take(1000))
+    assert(!p.contains("windowspecdefinition") && !p.contains("SortMergeJoin"),
+      "k-core output re-plans peeling work instead of aggregating the fixpoint")
+  }
 }
