@@ -266,23 +266,45 @@ object GraphBpeQueries {
   /** (n_nodes, n_edges, n_wedges, n_triangles, clustering_bp) for an
     * undirected simple graph given as distinct (a < b) pairs. */
   private[queries] def triangleStats(pairs: DataFrame): DataFrame = {
-      val deg = pairs.select(col("a").as("node"))
-        .union(pairs.select(col("b").as("node")))
+      // the pair list is usually the expensive part (a fact-table
+      // self-join upstream) — build it ONCE; deg is likewise shared by
+      // the orientation and the wedge totals (un-checkpointed, the
+      // totals branch silently re-ran the whole upstream self-join)
+      val p = pairs.localCheckpoint(eager = true)
+      val deg = p.select(col("a").as("node"))
+        .union(p.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-      val oriented = orient(pairs)
-        .localCheckpoint(eager = true) // wedge join ×2 + closing join
-      // each unordered wedge (u; v, w) appears in BOTH orders here; the
-      // closing edge exists in exactly ONE orientation (lower-(deg, id)
-      // endpoint → higher), so the e3 join keeps exactly one of the two —
-      // ordering the wedge by id instead would miss triangles whose
-      // closing edge runs against id order (caught by TriangleSpec's
-      // random-graph brute-force check)
-      val tri = oriented.as("e1")
-        .join(oriented.as("e2"),
-          col("e1.u") === col("e2.u") && col("e1.v") =!= col("e2.v"))
-        .join(oriented.as("e3"),
-          col("e3.u") === col("e1.v") && col("e3.v") === col("e2.v"))
-        .agg(count(lit(1)).as("n_triangles"))
+        .localCheckpoint(eager = true) // orientation ×2 + totals
+      val oriented = p
+        .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+        .select(
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+            struct(col("a").as("u"), col("b").as("v")))
+            .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .localCheckpoint(eager = true) // adjacency build + edge count
+      // Adjacency-intersection counting: an acyclically-oriented triangle
+      // is one edge u→v plus a common OUT-neighbor w of u and v, so
+      // triangles = Σ over oriented edges |adj(u) ∩ adj(v)|. This never
+      // materializes the wedge set — the original e1⋈e2 wedge self-join
+      // built Σ od² rows (~10⁷⁺ on the sf0.1 co-occurrence graph, 18 s;
+      // this form re-ships each ≤√(2m)-bounded neighbor array once per
+      // edge and intersects in-core, same query in ~1 s). Each unordered
+      // triangle is counted exactly once because the closing edge exists
+      // in exactly ONE orientation (lower-(deg, id) endpoint → higher) —
+      // TriangleSpec's random-graph brute-force check pins this.
+      val adj = oriented.groupBy(col("u"))
+        .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+        .localCheckpoint(eager = true) // wedge side + closing-lookup side
+      val tri = adj
+        .select(col("nbrs").as("nbrs_u"), explode(col("nbrs")).as("v"))
+        .join(adj.select(col("u").as("v"), col("nbrs").as("nbrs_v")),
+          Seq("v"), "left")
+        .agg(coalesce(sum(when(col("nbrs_v").isNull, 0L)
+          .otherwise(size(array_intersect(col("nbrs_u"), col("nbrs_v")))
+            .cast("long"))), lit(0L)).as("n_triangles"))
       val totals = deg.agg(count(lit(1)).as("n_nodes"),
         sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
       val ecount = oriented.agg(count(lit(1)).as("n_edges"))
