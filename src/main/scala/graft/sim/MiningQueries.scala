@@ -194,5 +194,106 @@ object MiningQueries {
                              0.0), 6) AS novelty
             FROM documents d LEFT JOIN per USING (doc_id)"""))
 
-  val all: Seq[Q] = Seq(mineBitext, textNovelty)
+  /** Composite quality ranking — z-score-normalize three cheap per-doc
+    * signals against the corpus and average them (the ensemble shape
+    * data-curation stacks use to blend heterogeneous quality signals
+    * into one comparable scale before thresholding):
+    *
+    *   s_len   — n_chars (document length)
+    *   s_lex   — lexical diversity, ppm: 10⁶ · |distinct tokens| / |tokens|
+    *   s_alpha — alphabetic density, ppm: 10⁶ · |[A-Za-z] chars| / n_chars
+    *
+    * Determinism follows anomaly_zscore's §7.4.1 recipe: signals are
+    * exact integers (ppm-quantized with BIGINT `div`), corpus moments are
+    * ONE aggregate of exact sums, and every double op downstream is the
+    * same written expression on both engines. The sums of squares use
+    * DECIMAL accumulators — at 10¹²⁺ documents a ppm-squared BIGINT sum
+    * (10¹² per row) overflows int64, and ANSI mode would kill the job;
+    * decimal(38) keeps the accumulator exact to 10³⁸ (DuckDB's HUGEINT
+    * does the same on the oracle side).
+    *
+    * Scale shape: one scan computing signals → one 1-row moment
+    * aggregate, broadcast back over the stream → per-row math. No
+    * shuffle wider than the scalar aggregate, no window, no join keyed
+    * on data.
+    */
+  private val qualityEnsemble = Q(
+    "quality_ensemble",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val sig = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars").as("s_len"), expr(
+          """CASE WHEN size(word_ngrams(text, 1, false)) = 0 THEN CAST(0 AS BIGINT)
+             ELSE (CAST(1000000 AS BIGINT)
+                   * CAST(size(array_distinct(word_ngrams(text, 1, false))) AS BIGINT))
+                  div CAST(size(word_ngrams(text, 1, false)) AS BIGINT) END""")
+          .as("s_lex"), expr(
+          """CASE WHEN n_chars = 0 THEN CAST(0 AS BIGINT)
+             ELSE (CAST(1000000 AS BIGINT)
+                   * CAST(length(regexp_replace(text, '[^A-Za-z]', '')) AS BIGINT))
+                  div n_chars END""").as("s_alpha"))
+        .localCheckpoint(eager = true) // one tokenize; moments + output
+      val stats = sig.agg(
+        count(lit(1)).as("n"),
+        sum(col("s_len")).as("len_s"),
+        sum(expr("CAST(s_len AS DECIMAL(19,0)) * CAST(s_len AS DECIMAL(19,0))")).as("len_ss"),
+        sum(col("s_lex")).as("lex_s"),
+        sum(expr("CAST(s_lex AS DECIMAL(19,0)) * CAST(s_lex AS DECIMAL(19,0))")).as("lex_ss"),
+        sum(col("s_alpha")).as("alpha_s"),
+        sum(expr("CAST(s_alpha AS DECIMAL(19,0)) * CAST(s_alpha AS DECIMAL(19,0))")).as("alpha_ss"))
+      def z(sc: String, sums: String, sq: String): org.apache.spark.sql.Column =
+        expr(s"""coalesce(
+             round((CAST($sc AS DOUBLE) - CAST($sums AS DOUBLE) / CAST(n AS DOUBLE))
+               / nullif(sqrt((CAST($sq AS DOUBLE)
+                   - CAST($sums AS DOUBLE) * CAST($sums AS DOUBLE) / CAST(n AS DOUBLE))
+                 / CAST(n AS DOUBLE)), 0.0), 4) + 0.0, 0.0)""")
+      sig.crossJoin(broadcast(stats))
+        .withColumn("z_len", z("s_len", "len_s", "len_ss"))
+        .withColumn("z_lex", z("s_lex", "lex_s", "lex_ss"))
+        .withColumn("z_alpha", z("s_alpha", "alpha_s", "alpha_ss"))
+        .withColumn("score",
+          expr("round((z_len + z_lex + z_alpha) / 3.0, 4) + 0.0"))
+        .select(col("doc_id"), col("s_len"), col("s_lex"), col("s_alpha"),
+          col("z_len"), col("z_lex"), col("z_alpha"), col("score"),
+          (col("score") > lit(-0.5)).as("keep"))
+    },
+    Some("""WITH sig AS (
+              SELECT doc_id, n_chars AS s_len,
+                CASE WHEN len(toks) = 0 THEN CAST(0 AS BIGINT)
+                     ELSE (1000000 * CAST(len(list_distinct(toks)) AS BIGINT))
+                          // CAST(len(toks) AS BIGINT) END AS s_lex,
+                CASE WHEN n_chars = 0 THEN CAST(0 AS BIGINT)
+                     ELSE (1000000 * CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT))
+                          // n_chars END AS s_alpha
+              FROM (SELECT doc_id, text, n_chars,
+                      list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                        t -> t <> '') AS toks
+                    FROM documents)),
+            stats AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                sum(s_len) AS len_s, sum(s_len * s_len) AS len_ss,
+                sum(s_lex) AS lex_s, sum(s_lex * s_lex) AS lex_ss,
+                sum(s_alpha) AS alpha_s, sum(s_alpha * s_alpha) AS alpha_ss
+              FROM sig),
+            z AS (
+              SELECT doc_id, s_len, s_lex, s_alpha,
+                coalesce(round((CAST(s_len AS DOUBLE) - CAST(len_s AS DOUBLE) / CAST(n AS DOUBLE))
+                  / nullif(sqrt((CAST(len_ss AS DOUBLE)
+                      - CAST(len_s AS DOUBLE) * CAST(len_s AS DOUBLE) / CAST(n AS DOUBLE))
+                    / CAST(n AS DOUBLE)), 0.0), 4) + 0.0, 0.0) AS z_len,
+                coalesce(round((CAST(s_lex AS DOUBLE) - CAST(lex_s AS DOUBLE) / CAST(n AS DOUBLE))
+                  / nullif(sqrt((CAST(lex_ss AS DOUBLE)
+                      - CAST(lex_s AS DOUBLE) * CAST(lex_s AS DOUBLE) / CAST(n AS DOUBLE))
+                    / CAST(n AS DOUBLE)), 0.0), 4) + 0.0, 0.0) AS z_lex,
+                coalesce(round((CAST(s_alpha AS DOUBLE) - CAST(alpha_s AS DOUBLE) / CAST(n AS DOUBLE))
+                  / nullif(sqrt((CAST(alpha_ss AS DOUBLE)
+                      - CAST(alpha_s AS DOUBLE) * CAST(alpha_s AS DOUBLE) / CAST(n AS DOUBLE))
+                    / CAST(n AS DOUBLE)), 0.0), 4) + 0.0, 0.0) AS z_alpha
+              FROM sig, stats)
+            SELECT doc_id, s_len, s_lex, s_alpha, z_len, z_lex, z_alpha,
+              round((z_len + z_lex + z_alpha) / 3.0, 4) + 0.0 AS score,
+              (round((z_len + z_lex + z_alpha) / 3.0, 4) + 0.0) > -0.5 AS keep
+            FROM z"""))
+
+  val all: Seq[Q] = Seq(mineBitext, textNovelty, qualityEnsemble)
 }
