@@ -47,7 +47,8 @@ case class AsOfJoinPlan(
     rightTime: Expression,
     strict: Boolean,
     forward: Boolean,
-    rightTiebreak: Seq[Expression]) extends BinaryNode {
+    rightTiebreak: Seq[Expression],
+    nearest: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -59,8 +60,9 @@ case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, strict, fwd, tb) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, strict, fwd, tb) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, strict, fwd, tb, near) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, strict, fwd,
+        tb, near) :: Nil
     case _ => Nil
   }
 }
@@ -74,7 +76,8 @@ case class AsOfJoinExec(
     rightTime: Expression,
     strict: Boolean,
     forward: Boolean,
-    rightTiebreak: Seq[Expression]) extends BinaryExecNode {
+    rightTiebreak: Seq[Expression],
+    nearest: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -107,8 +110,30 @@ case class AsOfJoinExec(
     val rKeysB = rightKeys
     val lTimeB = leftTime
     val rTimeB = rightTime
-    val strictB = strict
-    val forwardB = forward
+    val nearestB = nearest
+    // nearest scans exactly like an INCLUSIVE backward join (consume every
+    // right row at-or-behind the left time, buffering the last one); the
+    // cursor row left standing is then the forward candidate. Strict
+    // nearest is unsupported by design: the single O(1) cursor cannot skip
+    // an equal-time run to find the strictly-later row without losing
+    // those rows for subsequent left rows (AsOf.joinNearest rejects it).
+    val strictB = strict && !nearest
+    val forwardB = forward && !nearest
+    // numeric time view for distance comparison (AsOf.joinNearest
+    // restricts nearest to these types; null for other modes)
+    val timeGet: InternalRow => Long =
+      if (!nearest) null
+      else timeType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType => r => r.getLong(0)
+        case org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.DateType => r => r.getInt(0).toLong
+        case org.apache.spark.sql.types.ShortType => r => r.getShort(0).toLong
+        case org.apache.spark.sql.types.ByteType => r => r.getByte(0).toLong
+        case t => throw new IllegalStateException(
+          s"nearest as-of join over non-integral time type $t")
+      }
     val rightWidth = rOut.size
     val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -132,6 +157,7 @@ case class AsOfJoinExec(
         private var rTime: InternalRow = _
         private var matched: InternalRow = _
         private var matchedKey: InternalRow = _
+        private var matchedTime: Long = 0L // numeric time of `matched` (nearest mode)
         advanceRight()
 
         private def advanceRight(): Unit =
@@ -168,6 +194,7 @@ case class AsOfJoinExec(
                 if (!forwardB) {
                   matched = rRow.copy()
                   matchedKey = rKey.copy()
+                  if (nearestB) matchedTime = timeGet(rTime)
                 }
                 advanceRight()
               } else scan = false
@@ -175,15 +202,35 @@ case class AsOfJoinExec(
             if (rRow == null) scan = false
           }
           numOutputRows += 1
-          val hit =
-            if (forwardB)
-              !lNull && rRow != null && !rKey.anyNull && !rTime.isNullAt(0) &&
-                keyOrd.compare(rKey, lKey) == 0
-            else
-              !lNull && matched != null && keyOrd.compare(matchedKey, lKey) == 0
-          if (hit) numMatched += 1
-          resultProj(joined(l,
-            if (!hit) nullRight else if (forwardB) rRow else matched))
+          if (nearestB) {
+            // backward candidate is the buffered row; forward candidate is
+            // the cursor (strictly later — equal times were consumed
+            // backward, so an exact match always wins with distance 0).
+            // Equidistant both sides → the earlier row, matching pandas
+            // merge_asof(direction='nearest') with its backward tie rule.
+            val bwHit = !lNull && matched != null &&
+              keyOrd.compare(matchedKey, lKey) == 0
+            val fwHit = !lNull && rRow != null && !rKey.anyNull &&
+              !rTime.isNullAt(0) && keyOrd.compare(rKey, lKey) == 0
+            val useFw = fwHit && (!bwHit || {
+              val ltv = timeGet(lTime)
+              (timeGet(rTime) - ltv) < (ltv - matchedTime)
+            })
+            val hit = bwHit || fwHit
+            if (hit) numMatched += 1
+            resultProj(joined(l,
+              if (!hit) nullRight else if (useFw) rRow else matched))
+          } else {
+            val hit =
+              if (forwardB)
+                !lNull && rRow != null && !rKey.anyNull && !rTime.isNullAt(0) &&
+                  keyOrd.compare(rKey, lKey) == 0
+              else
+                !lNull && matched != null && keyOrd.compare(matchedKey, lKey) == 0
+            if (hit) numMatched += 1
+            resultProj(joined(l,
+              if (!hit) nullRight else if (forwardB) rRow else matched))
+          }
         }
       }
     }
@@ -255,6 +302,34 @@ object AsOf {
     join(left, right, leftKeyCols, rightKeyCols, leftTimeCol, rightTimeCol,
       strict, forward = true, rightTiebreak)
 
+  /** Nearest as-of join (pandas `merge_asof(direction='nearest')`): each
+    * left row pairs with the right row of the same key minimizing
+    * |t_right − t_left|; equidistant candidates on both sides resolve to
+    * the EARLIER row. Always inclusive (an exact-time match wins at
+    * distance 0) — strict nearest is unsupported because the O(1)-state
+    * merge cannot skip an equal-time run without losing it for later left
+    * rows. The time column must be an integral/timestamp/date type (a
+    * distance needs subtraction; plain orderability is enough only for
+    * the directional modes). Timestamp ties within a side break like the
+    * directional modes: tiebreak MAX when the earlier row wins, MIN when
+    * the later one does. */
+  def joinNearest(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeyCols: Seq[String],
+      rightKeyCols: Seq[String],
+      leftTimeCol: String,
+      rightTimeCol: String,
+      rightTiebreak: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tt = left.schema(leftTimeCol).dataType
+    require(Seq(LongType, IntegerType, ShortType, ByteType, TimestampType,
+        TimestampNTZType, DateType).contains(tt),
+      s"nearest as-of join needs an integral/timestamp time column, got $tt")
+    join(left, right, leftKeyCols, rightKeyCols, leftTimeCol, rightTimeCol,
+      strict = false, forward = false, rightTiebreak, nearest = true)
+  }
+
   private def join(
       left: DataFrame,
       right: DataFrame,
@@ -264,7 +339,8 @@ object AsOf {
       rightTimeCol: String,
       strict: Boolean,
       forward: Boolean,
-      rightTiebreak: Seq[String]): DataFrame = {
+      rightTiebreak: Seq[String],
+      nearest: Boolean = false): DataFrame = {
     require(leftKeyCols.size == rightKeyCols.size, "key lists must align")
     val spark = left.sparkSession
     ensureStrategy(spark)
@@ -289,6 +365,6 @@ object AsOf {
       s"time columns must share an orderable type, got ${lt.dataType} vs ${rt.dataType}")
     GraftBridge.ofRows(spark,
       AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt, strict, forward,
-        rightTiebreak.map(attr(rPlan, _, "right"))))
+        rightTiebreak.map(attr(rPlan, _, "right")), nearest))
   }
 }

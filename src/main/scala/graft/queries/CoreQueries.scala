@@ -631,6 +631,44 @@ object CoreQueries {
               WHERE p.p_user_id = c.user_id AND p.p_us > c.us
               ORDER BY p.p_us ASC, p.purchase_id ASC LIMIT 1) t ON TRUE"""))
 
+  // The nearest direction of the native operator (pandas merge_asof
+  // direction='nearest'): for each purchase, the click of the same user
+  // closest in time on EITHER side; equidistant → the earlier click
+  // wins; same-time clicks break max-id when the earlier side wins,
+  // min-id when the later side does (the exec's documented tie ladder).
+  private val asofJoinNearest = Q(
+    "asof_join_nearest",
+    (s, dir) => {
+      val ev = events(s, dir).withColumn("us", unix_micros(col("ts")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user_id"), col("us").as("c_us"),
+          col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us"))
+      graft.plans.AsOf.joinNearest(purchases, clicks,
+          Seq("user_id"), Seq("c_user_id"), "us", "c_us",
+          rightTiebreak = Seq("click_id"))
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("click_id"), lit(-1L)).as("nearest_click_id"),
+          coalesce(col("c_us") - col("us"), lit(0L)).as("delta_us"))
+    },
+    Some("""WITH c AS (SELECT user_id AS c_user_id, epoch_ns(ts) // 1000 AS c_us,
+                         event_id AS click_id
+                       FROM events WHERE event_type = 'click'),
+                 p AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id
+                       FROM events WHERE event_type = 'purchase')
+            SELECT p.event_id, p.user_id,
+                   coalesce(t.click_id, -1) AS nearest_click_id,
+                   coalesce(t.c_us - p.us, 0) AS delta_us
+            FROM p LEFT JOIN LATERAL (
+              SELECT c.click_id, c.c_us FROM c
+              WHERE c.c_user_id = p.user_id
+              ORDER BY abs(c.c_us - p.us) ASC,
+                       (c.c_us > p.us) ASC,
+                       CASE WHEN c.c_us <= p.us THEN -c.click_id
+                            ELSE c.click_id END ASC
+              LIMIT 1) t ON TRUE"""))
+
   // MERGE INTO (upsert) semantics as a batch operator — the Delta/Iceberg
   // `MERGE` a warehouse maintains dimensions with, expressed engine-
   // natively as ONE full-outer join on the merge key: matched rows
@@ -757,6 +795,7 @@ object CoreQueries {
     joinSemi, sortNaturalLimit, stringFuncs, dateFuncs, etaRate,
     incrementalWatermark, eventsSessionize, jsonPropsExtract, topkUsers,
     joinSkewSalted, aggDistinctSalted, anomalyZscore, cubeEventDay, setOps,
-    asofJoin, asofJoinNative, asofJoinForward, mergeUpsert, rangeJoin,
+    asofJoin, asofJoinNative, asofJoinForward, asofJoinNearest, mergeUpsert,
+    rangeJoin,
     windowFuncs, exactPercentiles, approxStats)
 }

@@ -407,8 +407,17 @@ object GraphBpeQueries {
         nEdges = n
         round += 1
       }
-      edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      // every node reports: full degree, in-core degree, membership flag —
+      // a membership-only output is vacuously empty when the whole graph
+      // peels away (the sf0.001 10-core), which hides the result shape
+      val core = edges.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+        .select(col("src").as("node"), col("core_deg"))
+      signupEdges(s, dir).groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .select(col("src").as("node"), col("deg"))
+        .join(core, Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          coalesce(col("core_deg"), lit(0L)).as("core_deg"),
+          col("core_deg").isNotNull.as("in_core"))
     },
     Some {
       // MATERIALIZED is load-bearing: every stage references its
@@ -427,9 +436,15 @@ object GraphBpeQueries {
               FROM events WHERE event_type = 'signup'),
           e0 AS MATERIALIZED (SELECT src, dst FROM fwd
                  UNION ALL SELECT dst, src FROM fwd),
-          $peel
-          SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
-          FROM e$KCoreRounds GROUP BY src"""
+          $peel,
+          core AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS core_deg
+                   FROM e$KCoreRounds GROUP BY src),
+          full0 AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+                    FROM e0 GROUP BY src)
+          SELECT f.node, f.deg,
+            coalesce(c.core_deg, 0) AS core_deg,
+            c.core_deg IS NOT NULL AS in_core
+          FROM full0 f LEFT JOIN core c ON c.node = f.node"""
     })
 
   val all: Seq[Q] = Seq(joinMultiwayRevenue, graphPagerank, bpeMergeTopk,

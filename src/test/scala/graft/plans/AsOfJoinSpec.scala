@@ -240,4 +240,65 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       AsOf.joinBackward(l, r, Seq("l_key"), Seq("r_key"), "l_t", "r_t")
     }
   }
+
+  /** Brute-force nearest: min |r_t − l_t|; equidistant → earlier side;
+    * same-(side, time) → tiebreak max when earlier wins, min when later.
+    * Encoded as one argmin struct: (distance, is_later, side-signed id). */
+  private def bruteNearest(l: DataFrame, r: DataFrame): DataFrame =
+    l.join(r, col("l_key") === col("r_key"), "left")
+      .groupBy(col("l_id"))
+      .agg(min(when(col("r_id").isNotNull, struct(
+        abs(col("r_t") - col("l_t")).as("d"),
+        (col("r_t") > col("l_t")).cast("int").as("later"),
+        when(col("r_t") <= col("l_t"), -col("r_id")).otherwise(col("r_id"))
+          .as("sid")))).as("m"))
+      .select(col("l_id"), abs(col("m.sid")).as("exp_r_id"))
+
+  test("nearest matches brute force on random data") {
+    Seq(7L, 21L, 99L).foreach { seed =>
+      val (l, r) = randCase(seed)
+      val got = AsOf.joinNearest(l, r, Seq("l_key"), Seq("r_key"), "l_t", "r_t",
+          rightTiebreak = Seq("r_id"))
+        .select(col("l_id"), col("r_id"))
+        .collect().map(x => (x.getLong(0), Option(x.get(1)))).toMap
+      val exp = bruteNearest(l, r)
+        .collect().map(x => (x.getLong(0), Option(x.get(1)))).toMap
+      assert(got == exp, s"seed $seed")
+    }
+  }
+
+  test("nearest picks the closer side; equidistant resolves to the earlier row") {
+    val l = leftDf(Seq((1L, "k", 10L, "p"), (2L, "k", 14L, "p"), (3L, "k", 23L, "p")))
+    val r = rightDf(Seq((101L, "k", 7L), (102L, "k", 18L), (103L, "k", 30L)))
+    val got = AsOf.joinNearest(l, r, Seq("l_key"), Seq("r_key"), "l_t", "r_t",
+        rightTiebreak = Seq("r_id"))
+      .select(col("l_id"), col("r_id")).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // l=10: dist 3 back (7) vs 8 fwd (18) → 101; l=14: 7 vs 4 → 102
+    // l=23: 5 back (18) vs 7 fwd (30) → 102
+    assert(got == Map(1L -> 101L, 2L -> 102L, 3L -> 102L))
+    val tie = leftDf(Seq((1L, "k", 10L, "p")))
+    val rTie = rightDf(Seq((7L, "k", 8L), (9L, "k", 12L)))
+    val gotTie = AsOf.joinNearest(tie, rTie, Seq("l_key"), Seq("r_key"),
+        "l_t", "r_t", rightTiebreak = Seq("r_id"))
+      .select(col("r_id")).collect().head.getLong(0)
+    assert(gotTie == 7L, "equidistant candidates must resolve to the earlier row")
+  }
+
+  test("nearest: exact match wins at distance zero with tiebreak max") {
+    val l = leftDf(Seq((1L, "k", 10L, "p")))
+    val r = rightDf(Seq((5L, "k", 10L), (6L, "k", 10L), (8L, "k", 11L)))
+    val got = AsOf.joinNearest(l, r, Seq("l_key"), Seq("r_key"), "l_t", "r_t",
+        rightTiebreak = Seq("r_id"))
+      .select(col("r_id")).collect().head.getLong(0)
+    assert(got == 6L, "same-time run buffers backward, so the tiebreak MAX wins")
+  }
+
+  test("nearest rejects non-integral time columns") {
+    val l = Seq((1L, "k", "x")).toDF("l_id", "l_key", "l_t")
+    val r = Seq((5L, "k", "y")).toDF("r_id", "r_key", "r_t")
+    intercept[IllegalArgumentException] {
+      AsOf.joinNearest(l, r, Seq("l_key"), Seq("r_key"), "l_t", "r_t")
+    }
+  }
 }

@@ -35,12 +35,19 @@ class KCoreSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val expected = bruteKcore(raw)
 
-    val got = graft.SparkEntry.queries("graph_kcore")(spark, dir)
-      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    val rows = graft.SparkEntry.queries("graph_kcore")(spark, dir).collect()
+    val got = rows.filter(_.getBoolean(3))
+      .map(r => r.getLong(0) -> r.getLong(2).toInt).toMap
 
     assert(got == expected, s"spark core (${got.size} nodes) != reference (${expected.size})")
     assert(got.nonEmpty, "the sf0.01 10-core must be non-trivial")
     assert(got.valuesIterator.forall(_ >= K), "k-core defining property violated")
+    // non-members report their full degree and a zero in-core degree
+    assert(rows.length == raw.map(_._1).distinct.size,
+      "one output row per graph node, member or not")
+    rows.filterNot(_.getBoolean(3)).foreach { r =>
+      assert(r.getLong(2) == 0L, "out-of-core node must report core_deg 0")
+    }
   }
 
   test("peel converges well under the oracle's fixed round count") {
