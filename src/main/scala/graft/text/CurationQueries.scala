@@ -778,8 +778,79 @@ object CurationQueries {
                             t -> t <> '') AS ws
                         FROM documents))"""))
 
+  /** Code-vs-prose detection — the routing signal LLM data pipelines use
+    * to send documents to the right processing path (code gets different
+    * dedup/quality rules than prose) and to measure corpus code share.
+    * Two ppm-quantized integer signals, thresholded:
+    *
+    *   sym_ppm    — code-punctuation density: `;{}()=<>[]` chars / n_chars
+    *   indent_ppm — structurally-indented lines (tab or ≥2 spaces) / lines
+    *
+    * Pure per-row math riding the scan (split + filter + regexp, all
+    * codegen'd); integer `div` keeps every value exact cross-engine, the
+    * verdict is an integer comparison. No shuffle at all.
+    */
+  private val textCodeDetect = Q(
+    "text_code_detect",
+    (s, dir) => {
+      // the driver corpus is pure lowercase prose (no punctuation, no
+      // newlines), so — like text_pii_scrub's injected PII — every 5th
+      // doc gets a deterministic code block appended; the detector must
+      // flag exactly those and none of the prose
+      Tables.documents(s, dir)
+        .withColumn("mixed",
+          when(col("doc_id") % 5 === 0, concat(
+            substring(col("text"), 1, 60),
+            lit("\nwhile (i < n) {\n  acc = acc + f[i];\n  i = i + 1;\n}\n")))
+          .otherwise(col("text")))
+        .withColumn("n_chars_m", length(col("mixed")).cast("long"))
+        .withColumn("n_lines",
+          size(split(col("mixed"), "\n")).cast("long"))
+        .withColumn("n_indent", expr(
+          """CAST(size(filter(split(mixed, '\n'),
+               l -> l rlike '^(\t| {2,})')) AS BIGINT)"""))
+        .withColumn("n_sym", expr(
+          """CAST(length(regexp_replace(mixed, '[^;{}()=<>\\[\\]]', ''))
+             AS BIGINT)"""))
+        .select(col("doc_id"), col("n_lines"), col("n_indent"), col("n_sym"),
+          expr("""CASE WHEN n_chars_m = 0 THEN CAST(0 AS BIGINT)
+                  ELSE (CAST(1000000 AS BIGINT) * n_sym) div n_chars_m END""")
+            .as("sym_ppm"),
+          expr("""(CAST(1000000 AS BIGINT) * n_indent) div n_lines""")
+            .as("indent_ppm"))
+        .withColumn("looks_code",
+          col("sym_ppm") > 30000L || col("indent_ppm") > 200000L)
+    },
+    Some("""WITH mixed AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 5 = 0 THEN
+                  substr(text, 1, 60) || chr(10) || 'while (i < n) {'
+                    || chr(10) || '  acc = acc + f[i];'
+                    || chr(10) || '  i = i + 1;' || chr(10) || '}' || chr(10)
+                ELSE text END AS m
+              FROM documents),
+            sig AS (
+              SELECT doc_id,
+                CAST(length(m) AS BIGINT) AS n_chars_m,
+                CAST(len(string_split(m, chr(10))) AS BIGINT) AS n_lines,
+                CAST(len(list_filter(string_split(m, chr(10)),
+                  l -> regexp_matches(l, '^(\t| {2,})'))) AS BIGINT)
+                  AS n_indent,
+                CAST(length(regexp_replace(m, '[^;{}()=<>\[\]]', '', 'g'))
+                  AS BIGINT) AS n_sym
+              FROM mixed)
+            SELECT doc_id, n_lines, n_indent, n_sym,
+              CASE WHEN n_chars_m = 0 THEN CAST(0 AS BIGINT)
+                   ELSE (1000000 * n_sym) // n_chars_m END AS sym_ppm,
+              (1000000 * n_indent) // n_lines AS indent_ppm,
+              (CASE WHEN n_chars_m = 0 THEN CAST(0 AS BIGINT)
+                    ELSE (1000000 * n_sym) // n_chars_m END) > 30000
+                OR ((1000000 * n_indent) // n_lines) > 200000 AS looks_code
+            FROM sig"""))
+
   val all: Seq[Q] = Seq(sampleHash, sampleStratified, textPiiScrub,
     textEditDistance, packSequences, vocabTopk, contaminationCheck,
     textRepetition, sampleDomainMix, sampleTemperature, sampleImportance,
-    dedupLines, shardShuffle, qualityLogreg, docChunking, qualityGopherRules)
+    dedupLines, shardShuffle, qualityLogreg, docChunking, qualityGopherRules,
+    textCodeDetect)
 }
