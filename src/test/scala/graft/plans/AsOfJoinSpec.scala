@@ -294,6 +294,23 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(got == 6L, "same-time run buffers backward, so the tiebreak MAX wins")
   }
 
+  test("nearest: null keys and times never match, on either side") {
+    val l = Seq((1L, Option("k"), Option(10L), "p"),
+                (2L, None: Option[String], Option(10L), "p"),
+                (3L, Option("k"), None: Option[Long], "p"))
+      .toDF("l_id", "l_key", "l_t", "l_pay")
+    val r = Seq((5L, Option("k"), Option(9L)),
+                (6L, None: Option[String], Option(9L)),
+                (7L, Option("k"), None: Option[Long]))
+      .toDF("r_id", "r_key", "r_t")
+    val got = AsOf.joinNearest(l, r, Seq("l_key"), Seq("r_key"), "l_t", "r_t",
+        rightTiebreak = Seq("r_id"))
+      .select(col("l_id"), col("r_id")).collect()
+      .map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    assert(got == Map(1L -> Some(5L), 2L -> None, 3L -> None),
+      "null left key/time must not match; null right rows must never be candidates")
+  }
+
   test("nearest rejects non-integral time columns") {
     val l = Seq((1L, "k", "x")).toDF("l_id", "l_key", "l_t")
     val r = Seq((5L, "k", "y")).toDF("r_id", "r_key", "r_t")

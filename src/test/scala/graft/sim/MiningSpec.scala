@@ -30,17 +30,10 @@ class MiningSpec extends SparkSpec {
       assert(accepted == (margin > 1.0d) || math.abs(margin - 1.0) < 1e-6,
         s"accepted flag must equal margin > 1 (margin=$margin accepted=$accepted)")
     }
-    // the margin exists to demote hubs: a target near everything has a large
-    // bwd mean, so its margin drops below raw cosine. Verify the mechanism
-    // moved at least one pick away from the raw-cosine argmax.
-    val rawBest = SimQueries.bruteForceTopK(
-        Tables.embeddings(spark, dir), col("q_id") < Long.MaxValue, 1)
-    // (not directly comparable: bruteforce ranks over ALL langs) — instead
-    // assert margins are finite and not all identical, i.e. the
-    // normalization is data-dependent, not a constant rescale
+    // the normalization must be data-dependent (per-pair denominators),
+    // not a constant rescale of cosine
     val margins = rows.map(_.getDouble(3)).distinct
     assert(margins.length > en.size / 2, "margins should vary per pair")
-    assert(rawBest.columns.contains("cos")) // bruteforce path still alive
   }
 
   test("text_novelty: bounds hold and totals match an independent gram recount") {
