@@ -295,5 +295,115 @@ object MiningQueries {
               (round((z_len + z_lex + z_alpha) / 3.0, 4) + 0.0) > -0.5 AS keep
             FROM z"""))
 
-  val all: Seq[Q] = Seq(mineBitext, textNovelty, qualityEnsemble)
+  /** MMR diversity selection (Carbonell & Goldstein, SIGIR'98) — pick k
+    * documents maximizing λ·relevance − (1−λ)·max-similarity-to-already-
+    * selected: the data-selection step that stops a quality-ranked corpus
+    * sample from being twenty copies of the same best document.
+    *
+    * Scale shape: the DISTRIBUTED part is candidate generation — a
+    * TakeOrdered top-20 by relevance (per-partition partial top-k) joined
+    * to the embedding table. The greedy selection itself is inherently
+    * sequential (each pick depends on all prior picks), runs over the
+    * BOUNDED 20-row pool on the driver (the trained-centroid pattern:
+    * collect is capped by construction, never corpus-sized), and every
+    * double op — ordered dot fold, λ-affine, max — is mirrored exactly by
+    * the oracle's five chained MATERIALIZED stages, so the argmax
+    * sequence is bit-identical.
+    */
+  private val MmrPoolSize = 20
+  private val MmrK = 5
+
+  private val selectMmr = Q(
+    "select_mmr",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      // relevance = lexical-diversity ppm (exact integer, quality_ensemble's
+      // s_lex); candidate pool = top-20 by (rel desc, doc_id)
+      val rel = Tables.documents(s, dir)
+        .select(col("doc_id"), expr(
+          """CASE WHEN size(word_ngrams(text, 1, false)) = 0 THEN CAST(0 AS BIGINT)
+             ELSE (CAST(1000000 AS BIGINT)
+                   * CAST(size(array_distinct(word_ngrams(text, 1, false))) AS BIGINT))
+                  div CAST(size(word_ngrams(text, 1, false)) AS BIGINT) END""")
+          .as("rel_ppm"))
+      val pool = rel.orderBy(col("rel_ppm").desc, col("doc_id")).limit(MmrPoolSize)
+        .join(Tables.embeddings(s, dir)
+          .select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+        .select(col("doc_id"), col("rel_ppm"), col("embedding"))
+        .as[(Long, Long, Array[Float])]
+        .collect().toSeq // bounded: exactly MmrPoolSize rows by construction
+      // ordered left fold in double — element-for-element the same op
+      // sequence as dot_ordered / the oracle's list_sum(list_transform)
+      def dot(a: Array[Float], b: Array[Float]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+        acc
+      }
+      val norm = pool.map { case (id, _, e) => id -> math.sqrt(dot(e, e)) }.toMap
+      val emb = pool.map { case (id, _, e) => id -> e }.toMap
+      def cos(a: Long, b: Long): Double = dot(emb(a), emb(b)) / (norm(a) * norm(b))
+      val Lam = 0.5
+      var selected = Vector.empty[(Long, Long, Double)] // (doc_id, rel, score)
+      var remaining = pool.map { case (id, r, _) => (id, r) }
+      while (selected.size < MmrK && remaining.nonEmpty) {
+        val scored = remaining.map { case (id, r) =>
+          val maxSim =
+            if (selected.isEmpty) 0.0
+            else selected.map(sel => cos(id, sel._1)).max
+          (id, r, Lam * (r.toDouble / 1000000.0) - (1.0 - Lam) * maxSim)
+        }
+        val best = scored.minBy { case (id, _, sc) => (-sc, id) }
+        selected :+= best
+        remaining = remaining.filterNot(_._1 == best._1)
+      }
+      selected.zipWithIndex.map { case ((id, r, sc), i) =>
+        ((i + 1).toLong, id, r, BigDecimal(sc).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0)
+      }.toDF("rk", "doc_id", "rel_ppm", "score")
+    },
+    Some {
+      val dotAB = "list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+      def stage(i: Int): String = {
+        val prev = (1 until i).map(j => s"SELECT * FROM s$j").mkString(" UNION ALL ")
+        val selectedCte = if (i == 1) "" else s"sel$i AS MATERIALIZED ($prev),"
+        val maxSim =
+          if (i == 1) "0.0"
+          else s"""(SELECT max($dotAB / (sqrt(a.norm) * sqrt(b.norm)))
+                   FROM pool a JOIN pool b ON a.doc_id = c.doc_id
+                   WHERE b.doc_id IN (SELECT doc_id FROM sel$i))"""
+        val notIn = if (i == 1) ""
+          else s"WHERE c.doc_id NOT IN (SELECT doc_id FROM sel$i)"
+        s"""${selectedCte}
+            s$i AS MATERIALIZED (
+              SELECT CAST($i AS BIGINT) AS rk, c.doc_id, c.rel_ppm,
+                0.5 * (CAST(c.rel_ppm AS DOUBLE) / 1000000.0)
+                  - 0.5 * $maxSim AS raw_score
+              FROM pool c $notIn
+              ORDER BY raw_score DESC, c.doc_id LIMIT 1)"""
+      }
+      s"""WITH rel AS MATERIALIZED (
+            SELECT doc_id,
+              CASE WHEN len(toks) = 0 THEN CAST(0 AS BIGINT)
+                   ELSE (1000000 * CAST(len(list_distinct(toks)) AS BIGINT))
+                        // CAST(len(toks) AS BIGINT) END AS rel_ppm
+            FROM (SELECT doc_id,
+                    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                      t -> t <> '') AS toks
+                  FROM documents)),
+          pool AS MATERIALIZED (
+            SELECT r.doc_id, r.rel_ppm, e.embedding,
+              list_sum(list_transform(range(1, 65),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                AS norm
+            FROM (SELECT doc_id, rel_ppm FROM rel
+                  ORDER BY rel_ppm DESC, doc_id LIMIT $MmrPoolSize) r
+            JOIN embeddings e ON e.vec_id = r.doc_id),
+          ${(1 to MmrK).map(stage).mkString(",\n")}
+          SELECT rk, doc_id, rel_ppm,
+            round(raw_score, 6) + 0.0 AS score
+          FROM (${(1 to MmrK).map(j => s"SELECT * FROM s$j").mkString(" UNION ALL ")})"""
+    })
+
+  val all: Seq[Q] = Seq(mineBitext, textNovelty, qualityEnsemble, selectMmr)
 }

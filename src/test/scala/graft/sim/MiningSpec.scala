@@ -36,6 +36,31 @@ class MiningSpec extends SparkSpec {
     assert(margins.length > en.size / 2, "margins should vary per pair")
   }
 
+  test("select_mmr: greedy picks diversify away from the naive relevance top-k") {
+    graft.functions.GraftFunctions.register(spark)
+    val out = graft.SparkEntry.queries("select_mmr")(spark, dir)
+      .orderBy(col("rk")).collect()
+    assert(out.length == 5)
+    assert(out.map(_.getLong(0)).toSeq == (1L to 5L), "ranks must be 1..5")
+    val picks = out.map(_.getLong(1)).toSeq
+    assert(picks.distinct.size == 5, "a document may be selected once")
+    // rank 1 is the pure-relevance argmax (empty selected set → no penalty)
+    val relTop = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(
+        """CASE WHEN size(word_ngrams(text, 1, false)) = 0 THEN CAST(0 AS BIGINT)
+           ELSE (CAST(1000000 AS BIGINT)
+                 * CAST(size(array_distinct(word_ngrams(text, 1, false))) AS BIGINT))
+                div CAST(size(word_ngrams(text, 1, false)) AS BIGINT) END""")
+        .as("r"))
+      .orderBy(col("r").desc, col("doc_id")).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(picks.head == relTop.head, "first MMR pick must be the relevance argmax")
+    // the diversity penalty must move at least one later pick off the
+    // naive top-5 (measured on this corpus: two picks move)
+    assert(picks.toSet != relTop.toSet,
+      "MMR selected exactly the naive top-k — the penalty did nothing")
+  }
+
   test("text_novelty: bounds hold and totals match an independent gram recount") {
     graft.functions.GraftFunctions.register(spark)
     val out = graft.SparkEntry.queries("text_novelty")(spark, dir).cache()
