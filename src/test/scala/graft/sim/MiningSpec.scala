@@ -61,6 +61,21 @@ class MiningSpec extends SparkSpec {
       "MMR selected exactly the naive top-k — the penalty did nothing")
   }
 
+  test("quality_ensemble: z-scores center on zero and the flag follows the score") {
+    val out = graft.SparkEntry.queries("quality_ensemble")(spark, dir).cache()
+    val n = out.count().toDouble
+    // population z-scores sum to ~0 by construction (rounding to 4 places
+    // leaves at most 5e-5 per row of drift)
+    Seq("z_len", "z_lex", "z_alpha").foreach { c =>
+      val mean = out.agg(sum(col(c))).collect()(0).getDouble(0) / n
+      assert(math.abs(mean) < 1e-3, s"$c mean drifted from 0: $mean")
+    }
+    out.collect().foreach { r =>
+      val (score, keep) = (r.getDouble(7), r.getBoolean(8))
+      assert(keep == (score > -0.5), "keep flag must equal score > -0.5")
+    }
+  }
+
   test("text_novelty: bounds hold and totals match an independent gram recount") {
     graft.functions.GraftFunctions.register(spark)
     val out = graft.SparkEntry.queries("text_novelty")(spark, dir).cache()
