@@ -483,8 +483,122 @@ object AnalyticsQueries {
                      AS BIGINT) AS credit_linear_bp
             FROM pairs"""))
 
+  /** A/B experiment readout — the product-analytics endpoint a
+    * Kissmetrics-style warehouse ultimately feeds: users hash-split into
+    * two arms, per-arm per-event-type value metric, Welch's t on the arm
+    * difference. Assignment is the engine's deterministic md5-bucket rule
+    * (sample_hash's idiom), so both engines derive identical arms with no
+    * stored assignment table — exactly how real experiment pipelines
+    * bucket by user-id hash.
+    *
+    * Users without a given event type count as zeros (the
+    * exposed-population denominator, not the converted one): a tiny
+    * distinct-type frame crosses the user list (broadcast ×5 rows), and
+    * missing (user, type) cells coalesce to 0 — dropping them would bias
+    * every mean upward and is the classic A/B analysis bug.
+    *
+    * Determinism (anomaly_zscore's §7.4.1 recipe): the metric is exact
+    * integer cents per row, so each arm reduces to exact BIGINT
+    * (n, Σx, Σx²) partials in any order; mean/variance/t then flow from
+    * identical integers through textually identical double expressions
+    * on both engines, rounded only on output (+0.0 folds -0.0).
+    *
+    * Scale shape: one per-(user, type) partial aggregate, one
+    * per-(type, arm) aggregate, a conditional-sum pivot to one row per
+    * type — no windows, no data-keyed joins except the broadcast type
+    * cross. The t-statistic math sees six integers per event type.
+    */
+  private def md5Arm(idExpr: String): String =
+    s"""((instr('0123456789abcdef', substr(md5($idExpr), 1, 1)) - 1) * 16 +
+         (instr('0123456789abcdef', substr(md5($idExpr), 2, 1)) - 1)) % 2"""
+
+  private val welchT =
+    """round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+         / nullif(sqrt(
+             ((CAST(ss0 AS DOUBLE)
+               - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+              / (CAST(n0 AS DOUBLE) - 1.0)) / CAST(n0 AS DOUBLE)
+           + ((CAST(ss1 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+              / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)), 0.0), 4) + 0.0"""
+
+  private val experimentTtest = Q(
+    "experiment_ttest",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+        expr("CAST(round(value * 100.0, 0) AS BIGINT)").as("vq"))
+      val users = ev.select(col("user_id")).distinct()
+        .withColumn("arm", expr(md5Arm("CAST(user_id AS STRING)")).cast("long"))
+      val types = ev.select(col("event_type")).distinct()
+      val cells = ev.groupBy(col("user_id"), col("event_type"))
+        .agg(sum(col("vq")).as("cents"))
+      val metric = users.crossJoin(broadcast(types))
+        .join(cells, Seq("user_id", "event_type"), "left")
+        .select(col("event_type"), col("arm"),
+          coalesce(col("cents"), lit(0L)).as("x"))
+      metric.groupBy(col("event_type"), col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(expr("x * x")).as("sxx"))
+        .groupBy(col("event_type"))
+        .agg(
+          max(when(col("arm") === 0, col("n"))).as("n0"),
+          max(when(col("arm") === 1, col("n"))).as("n1"),
+          max(when(col("arm") === 0, col("sx"))).as("s0"),
+          max(when(col("arm") === 1, col("sx"))).as("s1"),
+          max(when(col("arm") === 0, col("sxx"))).as("ss0"),
+          max(when(col("arm") === 1, col("sxx"))).as("ss1"))
+        .withColumn("t_stat", coalesce(expr(welchT), lit(0.0)))
+        .select(col("event_type"), col("n0"), col("n1"),
+          expr("round(CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 100.0, 4) + 0.0")
+            .as("mean0"),
+          expr("round(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0, 4) + 0.0")
+            .as("mean1"),
+          col("t_stat"), (abs(col("t_stat")) > 1.96).as("significant"))
+    },
+    Some(s"""WITH ev AS (
+              SELECT user_id, event_type,
+                CAST(round(value * 100.0, 0) AS BIGINT) AS vq
+              FROM events),
+            users AS (
+              SELECT user_id,
+                CAST(${md5Arm("CAST(user_id AS VARCHAR)")} AS BIGINT) AS arm
+              FROM (SELECT DISTINCT user_id FROM ev)),
+            types AS (SELECT DISTINCT event_type FROM ev),
+            cells AS (
+              SELECT user_id, event_type, CAST(sum(vq) AS BIGINT) AS cents
+              FROM ev GROUP BY user_id, event_type),
+            metric AS (
+              SELECT t.event_type, u.arm, coalesce(c.cents, 0) AS x
+              FROM users u CROSS JOIN types t
+              LEFT JOIN cells c
+                ON c.user_id = u.user_id AND c.event_type = t.event_type),
+            arms AS (
+              SELECT event_type, arm, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(x) AS BIGINT) AS sx,
+                CAST(sum(x * x) AS BIGINT) AS sxx
+              FROM metric GROUP BY event_type, arm),
+            wide AS (
+              SELECT event_type,
+                max(CASE WHEN arm = 0 THEN n END) AS n0,
+                max(CASE WHEN arm = 1 THEN n END) AS n1,
+                max(CASE WHEN arm = 0 THEN sx END) AS s0,
+                max(CASE WHEN arm = 1 THEN sx END) AS s1,
+                max(CASE WHEN arm = 0 THEN sxx END) AS ss0,
+                max(CASE WHEN arm = 1 THEN sxx END) AS ss1
+              FROM arms GROUP BY event_type)
+            SELECT event_type, n0, n1,
+              round(CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 100.0, 4) + 0.0
+                AS mean0,
+              round(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0, 4) + 0.0
+                AS mean1,
+              coalesce($welchT, 0.0) AS t_stat,
+              abs(coalesce($welchT, 0.0)) > 1.96 AS significant
+            FROM wide"""))
+
   val all: Seq[Q] =
     Seq(funnelSteps, cohortRetention, sessionWindowAgg, eventTransitions,
       windowRollingStats, cdcScd2, resampleFfill, rfmSegments,
-      rollingActiveUsers, rollingActiveHll, attributionMultitouch)
+      rollingActiveUsers, rollingActiveHll, attributionMultitouch,
+      experimentTtest)
 }

@@ -405,5 +405,92 @@ object MiningQueries {
           FROM (${(1 to MmrK).map(j => s"SELECT * FROM s$j").mkString(" UNION ALL ")})"""
     })
 
-  val all: Seq[Q] = Seq(mineBitext, textNovelty, qualityEnsemble, selectMmr)
+  /** Hard-negative mining for contrastive retrieval training (the DPR /
+    * E5 / sentence-transformers recipe): for each query vector, the
+    * top-k most-similar vectors with a DIFFERENT label — the negatives a
+    * bi-encoder most needs to separate. `outranks_pos` flags negatives
+    * scoring above the query's best same-label positive: retrieval
+    * failures worth routing to human review, since at corpus scale they
+    * are as often labeling noise (false negatives) as model errors.
+    *
+    * Scale shape: the bounded query set broadcasts, the corpus rides its
+    * scan; per-query top-k goes through the k-bounded TopKByValue
+    * Aggregator (shuffle carries ≤ k rows per query × partition — no
+    * rank window, no per-key sort; `topk_per_key` proves the shape). The
+    * best-positive frame is one MAX aggregate, |Q| rows, broadcast back.
+    * At web scale the scored frame comes from the ANN candidate
+    * generators (lshBuckets / trained IVF) instead of the exact product;
+    * everything downstream of `scored` is identical.
+    *
+    * Determinism: cosines are dot_ordered folds (bit-exact both
+    * engines); the outranks flag compares RAW doubles (rounding happens
+    * only on output); TopKByValue's (cos DESC, vec_id ASC) total order
+    * matches the oracle's window row-for-row.
+    */
+  private val HnK = 5
+
+  private val mineHardNegatives = Q(
+    "mine_hard_negatives",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val vecs = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          expr(dotExpr("embedding", "embedding")).as("norm2"))
+        .localCheckpoint(eager = true) // query side + corpus side
+      val queries = vecs.where(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("embedding").as("q_emb"), col("norm2").as("q_norm2"))
+      val scored = vecs.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+        .withColumn("cos",
+          expr(dotExpr("embedding", "q_emb")) / sqrt(col("norm2") * col("q_norm2")))
+        .localCheckpoint(eager = true) // positives pass + negatives pass
+      val bestPos = scored.where(col("label") === col("q_label"))
+        .groupBy(col("q_id")).agg(max(col("cos")).as("pos_cos"))
+      val tk = udaf(new graft.functions.TopKByValue(HnK),
+        graft.functions.TopKByValue.inputEncoder)
+      scored.where(col("label") =!= col("q_label"))
+        .groupBy(col("q_id"), col("q_label"))
+        .agg(tk(col("cos"), col("vec_id")).as("top"))
+        .select(col("q_id"), col("q_label"),
+          posexplode(col("top")).as(Seq("pos", "e")))
+        .join(broadcast(bestPos), Seq("q_id"), "left")
+        .select(col("q_id"), col("q_label").cast("long").as("q_label"),
+          col("e._2").as("vec_id"),
+          round(col("e._1"), 6).as("cos"),
+          (col("pos") + 1).cast("long").as("rk"),
+          round(coalesce(col("pos_cos"), lit(-2.0)), 6).as("pos_cos"),
+          (col("e._1") > coalesce(col("pos_cos"), lit(-2.0))).as("outranks_pos"))
+    },
+    Some {
+      def dot(a: String, b: String) =
+        s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+      s"""WITH v AS (
+            SELECT vec_id, label, embedding,
+              ${dot("embedding", "embedding")} AS norm2
+            FROM embeddings),
+          scored AS MATERIALIZED (
+            SELECT q.vec_id AS q_id, q.label AS q_label,
+              a.vec_id AS vec_id, a.label AS label,
+              ${dot("a.embedding", "q.embedding")}
+                / sqrt(a.norm2 * q.norm2) AS cos
+            FROM v a
+            JOIN v q ON q.vec_id < 8 AND a.vec_id <> q.vec_id),
+          pos AS (
+            SELECT q_id, max(cos) AS pos_cos
+            FROM scored WHERE label = q_label GROUP BY q_id),
+          negs AS (
+            SELECT q_id, q_label, vec_id, cos,
+              CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY cos DESC, vec_id) AS BIGINT) AS rk
+            FROM scored WHERE label <> q_label)
+          SELECT n.q_id, CAST(n.q_label AS BIGINT) AS q_label, n.vec_id,
+            round(n.cos, 6) AS cos, n.rk,
+            round(coalesce(p.pos_cos, -2.0), 6) AS pos_cos,
+            n.cos > coalesce(p.pos_cos, -2.0) AS outranks_pos
+          FROM negs n LEFT JOIN pos p USING (q_id)
+          WHERE n.rk <= $HnK"""
+    })
+
+  val all: Seq[Q] =
+    Seq(mineBitext, textNovelty, qualityEnsemble, selectMmr, mineHardNegatives)
 }

@@ -104,6 +104,46 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(direct.nonEmpty, "degenerate test: no overlapping pairs generated")
   }
 
+  test("experiment_ttest: arms partition the user base; t matches a Welch recompute") {
+    val out = graft.SparkEntry.queries("experiment_ttest")(spark, dir).cache()
+    val ev = graft.queries.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("CAST(round(value * 100.0, 0) AS BIGINT)").as("vq"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val users = ev.map(_._1).distinct.sorted
+    def arm(u: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      (((hex(0) >> 4) & 0xF) * 16 + (hex(0) & 0xF)) % 2
+    }
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // arms partition the exposed population identically for every metric row
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) == users.length,
+        s"${r.getString(0)}: n0+n1 must cover every distinct user")
+      assert(r.getLong(1) == users.count(arm(_) == 0), "n0 is the md5-even arm")
+    }
+    // independent Welch recompute per event type (zeros included)
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val byUser = ev.filter(_._2 == et).groupBy(_._1)
+        .map { case (u, xs) => u -> xs.map(_._3).sum }
+      val x = users.map(u => (arm(u), byUser.getOrElse(u, 0L).toDouble))
+      val (a0, a1) = (x.filter(_._1 == 0).map(_._2), x.filter(_._1 == 1).map(_._2))
+      def meanVar(a: Seq[Double]) = {
+        val m = a.sum / a.length
+        (m, a.map(v => (v - m) * (v - m)).sum / (a.length - 1))
+      }
+      val ((m0, v0), (m1, v1)) = (meanVar(a0.toSeq), meanVar(a1.toSeq))
+      val t = (m1 - m0) / math.sqrt(v0 / a0.length + v1 / a1.length)
+      assert(math.abs(r.getDouble(5) - t) < 1e-3,
+        s"$et: t=${r.getDouble(5)} vs recomputed $t")
+      assert(r.getBoolean(6) == (math.abs(r.getDouble(5)) > 1.96),
+        s"$et: significance flag must follow |t| > 1.96")
+    }
+  }
+
   test("attribution_multitouch: credit conserves per purchase, decay halves per day") {
     val rows = graft.SparkEntry.queries("attribution_multitouch")(spark, dir)
       .select(col("purchase_id"), col("age_days"), col("w"),

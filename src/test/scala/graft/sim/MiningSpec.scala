@@ -76,6 +76,52 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("mine_hard_negatives: brute-force cross-check, label disjointness, flag semantics") {
+    graft.functions.GraftFunctions.register(spark)
+    val out = graft.SparkEntry.queries("mine_hard_negatives")(spark, dir).cache()
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).toArray))
+    val labels = emb.map(e => e._1 -> e._2).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (qId, qLabel, vecId) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(labels(qId).toLong == qLabel, "q_label must be the query's own label")
+      assert(labels(vecId).toLong != qLabel, "a hard negative must have a different label")
+      assert(r.getLong(4) >= 1 && r.getLong(4) <= 5, "rk in 1..5")
+    }
+    // brute-force the top-5 different-label list for every query
+    val qs = emb.filter(_._1 < 8)
+    qs.foreach { case (qId, qLabel, qEmb) =>
+      val qn = math.sqrt(dot(qEmb, qEmb))
+      val expect = emb.filter(e => e._1 != qId && e._2 != qLabel)
+        .map(e => (e._1, dot(e._3, qEmb) / (math.sqrt(dot(e._3, e._3)) * qn)))
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSeq
+      val got = rows.filter(_.getLong(0) == qId).sortBy(_.getLong(4)).map(_.getLong(2)).toSeq
+      assert(got == expect, s"q=$qId hard-negative list mismatch: $got vs $expect")
+    }
+    // outranks_pos == cos > best same-label cosine (recomputed independently)
+    qs.foreach { case (qId, qLabel, qEmb) =>
+      val qn = math.sqrt(dot(qEmb, qEmb))
+      val posBest = emb.filter(e => e._1 != qId && e._2 == qLabel)
+        .map(e => dot(e._3, qEmb) / (math.sqrt(dot(e._3, e._3)) * qn)).max
+      rows.filter(_.getLong(0) == qId).foreach { r =>
+        val neg = emb.find(_._1 == r.getLong(2)).get
+        val c = dot(neg._3, qEmb) / (math.sqrt(dot(neg._3, neg._3)) * qn)
+        assert(r.getBoolean(6) == (c > posBest),
+          s"outranks_pos wrong for q=$qId neg=${r.getLong(2)}")
+      }
+    }
+  }
+
   test("text_novelty: bounds hold and totals match an independent gram recount") {
     graft.functions.GraftFunctions.register(spark)
     val out = graft.SparkEntry.queries("text_novelty")(spark, dir).cache()
