@@ -401,4 +401,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("windowspecdefinition") && !p.contains("SortMergeJoin"),
       "k-core output re-plans peeling work instead of aggregating the fixpoint")
   }
+
+  test("mine_hard_negatives: broadcast query set, Aggregator top-k, no rank window") {
+    val p = plan("mine_hard_negatives")
+    // the bounded query set and the |Q|-row best-positive frame broadcast;
+    // the corpus side never shuffles on a data key
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    // per-query top-k goes through the k-bounded Aggregator, not a
+    // row_number window over the full scored frame
+    assert(!p.contains("windowspecdefinition"),
+      "hard negatives regressed to a rank window over every scored row")
+    // the q <> a scoring join is broadcast-nested-loop by design (tiny
+    // broadcast side); a CartesianProduct would mean the broadcast was lost
+    assert(!p.contains("CartesianProduct"), "scoring join degenerated to a cartesian")
+    assert(p.toLowerCase.contains("topkbyvalue"),
+      "per-query top-k no longer uses the k-bounded Aggregator")
+  }
+
+  test("experiment_ttest: the t math sees aggregates only — no window, no sort") {
+    val p = plan("experiment_ttest")
+    assert(!p.contains("windowspecdefinition"), "t-test grew a window")
+    // the type cross is a broadcast of a ~5-row frame, never a shuffle
+    // exchange keyed by event_type on the user list
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(2000))
+    // no global Sort node anywhere — output is one row per event type
+    assert(!p.linesIterator.exists(l => l.trim.startsWith("Sort ") &&
+      !l.contains("SortMergeJoin")), "t-test grew a global sort")
+  }
 }
