@@ -523,6 +523,49 @@ object AnalyticsQueries {
                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
               / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)), 0.0), 4) + 0.0"""
 
+  /** Changelog compaction — the CDC-apply half of every lakehouse table
+    * format (Delta/Hudi/Iceberg merge-on-read): replay a change log of
+    * upserts and deletes into final table state. Latest record per key
+    * wins (sequence = event time, unique id as the tiebreaker real CDC
+    * streams carry); a terminal DELETE removes the key entirely. Here the
+    * event stream IS the changelog: `error` events are the delete marker,
+    * everything else upserts the user's row.
+    *
+    * Scale shape: compaction is ONE partial-aggregable argmax —
+    * max(struct(seq, id, op, payload)) per key — so map-side combine
+    * collapses each partition to one candidate per key BEFORE the
+    * shuffle; the exchange carries ≤ one row per (key × partition), not
+    * the log. Struct max isn't hash-bufferable, so Spark plans
+    * SortAggregate with PARTITION-LOCAL key sorts (global=false) on the
+    * already-collapsed stream — CPU-linear-ish, no extra exchange. The
+    * row_number-per-key formulation this replaces shuffles the FULL log
+    * and sorts it per key on the reduce side; at 100 TB of CDC history
+    * the shuffle volume is the lake, vs one candidate row per key here.
+    * The struct's field order makes lexicographic max ≡ ORDER BY seq
+    * DESC, id DESC.
+    */
+  private val cdcLogCompact = Q(
+    "cdc_log_compact",
+    (s, dir) => {
+      val log = Tables.events(s, dir).select(
+        col("user_id"), unix_micros(col("ts")).as("seq"), col("event_id"),
+        col("event_type"), expr("CAST(round(value * 100.0, 0) AS BIGINT)").as("vq"))
+      log.groupBy(col("user_id"))
+        .agg(max(struct(col("seq"), col("event_id"), col("event_type"),
+          col("vq"))).as("last"))
+        .where(col("last.event_type") =!= "error") // terminal delete → key gone
+        .select(col("user_id"), col("last.seq").as("seq"),
+          col("last.event_id").as("event_id"),
+          col("last.event_type").as("op"), col("last.vq").as("vq"))
+    },
+    Some("""SELECT user_id, seq, event_id, event_type AS op, vq
+            FROM (SELECT user_id, epoch_ns(ts) // 1000 AS seq, event_id,
+                    event_type, CAST(round(value * 100.0, 0) AS BIGINT) AS vq,
+                    row_number() OVER (PARTITION BY user_id
+                      ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1 AND op <> 'error'"""))
+
   private val experimentTtest = Q(
     "experiment_ttest",
     (s, dir) => {
@@ -600,5 +643,5 @@ object AnalyticsQueries {
     Seq(funnelSteps, cohortRetention, sessionWindowAgg, eventTransitions,
       windowRollingStats, cdcScd2, resampleFfill, rfmSegments,
       rollingActiveUsers, rollingActiveHll, attributionMultitouch,
-      experimentTtest)
+      experimentTtest, cdcLogCompact)
 }

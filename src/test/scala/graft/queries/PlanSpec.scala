@@ -418,6 +418,21 @@ class PlanSpec extends SparkSpec {
       "per-query top-k no longer uses the k-bounded Aggregator")
   }
 
+  test("cdc_log_compact: map-side-combined argmax; any sort is partition-local") {
+    val p = plan("cdc_log_compact")
+    assert(!p.contains("windowspecdefinition"),
+      "compaction regressed to a row_number window over the full log")
+    // partial_max before the exchange = the shuffle carries one candidate
+    // per (key × partition), not the log
+    assert(p.contains("partial_max"), p.take(2000))
+    // struct-max plans SortAggregate; every Sort it inserts must be
+    // partition-local (global=false) — a global sort would be a second,
+    // all-data exchange
+    p.linesIterator.filter(_.trim.startsWith("Sort ")).foreach { l =>
+      assert(l.contains("], false, 0"), s"compaction grew a GLOBAL sort: $l")
+    }
+  }
+
   test("experiment_ttest: the t math sees aggregates only — no window, no sort") {
     val p = plan("experiment_ttest")
     assert(!p.contains("windowspecdefinition"), "t-test grew a window")

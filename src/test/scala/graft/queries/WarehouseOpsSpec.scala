@@ -144,6 +144,31 @@ class WarehouseOpsSpec extends SparkSpec {
     }
   }
 
+  test("cdc_log_compact: equals a sequential replay of the changelog") {
+    val out = graft.SparkEntry.queries("cdc_log_compact")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4))).toMap
+    // replay the log one record at a time in (seq, event_id) order —
+    // the semantics compaction must reproduce without the sort
+    val log = graft.queries.Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type"), expr("CAST(round(value * 100.0, 0) AS BIGINT)"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+      .sortBy(r => (r._2, r._3))
+    val state = scala.collection.mutable.Map.empty[Long, (Long, Long, String, Long)]
+    log.foreach { case (u, seq, id, op, vq) =>
+      if (op == "error") state.remove(u) else state(u) = (seq, id, op, vq)
+    }
+    // a user whose LAST record is a delete must also be absent even if
+    // earlier upserts existed — drop-then-reinsert is what replay checks
+    assert(out == state.toMap, {
+      val onlyOut = out.keySet -- state.keySet
+      val onlyReplay = state.keySet -- out.keySet
+      s"compaction diverges from replay: extra=$onlyOut missing=$onlyReplay"
+    })
+  }
+
   test("attribution_multitouch: credit conserves per purchase, decay halves per day") {
     val rows = graft.SparkEntry.queries("attribution_multitouch")(spark, dir)
       .select(col("purchase_id"), col("age_days"), col("w"),
