@@ -411,6 +411,43 @@ object DedupQueries {
             AND doc_id NOT IN (SELECT doc_id FROM dup_side)"""
     })
 
+  /** Quality-priority canonical selection: per near-dup CLUSTER keep the
+    * BEST document, not the arbitrary min-id one — the curation rule real
+    * pipelines use (you want the longest / highest-quality version of a
+    * scraped page, not whichever crawled first). Composes
+    * [[clusterAssignments]] with one partial-aggregable argmax:
+    * `max(struct(n_chars, -doc_id))` picks max quality, tie → min doc_id,
+    * and map-side combines (the cdc_log_compact pattern — no rank window,
+    * no per-cluster sort). At 100 TB the only work on top of the CC pass
+    * is one join to the quality column and one combine-aggregated groupBy.
+    */
+  private val dedupKeepBest = Q(
+    "dedup_keep_best",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      clusterAssignments(s, dir)
+        .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(struct(col("n_chars"), (-col("doc_id")).as("neg"))).as("best"))
+        .select(col("cluster"), col("n_docs"),
+          (-col("best.neg")).as("keep_doc_id"),
+          col("best.n_chars").as("keep_n_chars"))
+    },
+    Some(s"""WITH RECURSIVE $clustersOracleCte,
+             j AS MATERIALIZED (
+               SELECT c.cluster, d.doc_id, d.n_chars
+               FROM clusters c JOIN documents d ON d.doc_id = c.doc_id),
+             mx AS (
+               SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs,
+                      max(n_chars) AS m
+               FROM j GROUP BY cluster)
+             SELECT mx.cluster, mx.n_docs,
+               CAST(min(j.doc_id) AS BIGINT) AS keep_doc_id,
+               CAST(mx.m AS BIGINT) AS keep_n_chars
+             FROM mx JOIN j ON j.cluster = mx.cluster AND j.n_chars = mx.m
+             GROUP BY mx.cluster, mx.n_docs, mx.m"""))
+
   /** Incremental crawl dedup: flag documents of an incoming batch that
     * LSH-collide with the EXISTING corpus — the production "is today's
     * crawl already in the lake" pass, which never re-pairs the corpus
@@ -667,5 +704,6 @@ object DedupQueries {
 
   val all: Seq[Q] = Seq(dedupMinhash, dedupMinhashPairs, dedupSimhash,
     dedupNgramJaccard, dedupClusters, splitLeakageSafe, corpusClean,
-    dedupIncremental, dedupSubstring, dedupWinnowFp, dedupWinnowPairs)
+    dedupIncremental, dedupSubstring, dedupWinnowFp, dedupWinnowPairs,
+    dedupKeepBest)
 }

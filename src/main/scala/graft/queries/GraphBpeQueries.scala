@@ -447,6 +447,85 @@ object GraphBpeQueries {
           FROM full0 f LEFT JOIN core c ON c.node = f.node"""
     })
 
+  /** Link prediction over the co-purchase graph: for NON-adjacent part
+    * pairs, common-neighbor count + Jaccard similarity (in ppm) — "parts
+    * bought alongside the same partners but never together" (the
+    * recommend-a-merge / recommend-a-product primitive). Wedge
+    * enumeration through each shared neighbor is inherently Σ deg²; the
+    * standard link-prediction mitigation is to EXCLUDE hub middles
+    * (degree > cap) — a hub being a shared neighbor carries ~no signal
+    * (Adamic-Adar weights it ~1/log deg for the same reason), and the cap
+    * bounds the wedge join at cap·2m edges-out regardless of skew. The
+    * cap is part of the declared semantics, applied identically in the
+    * oracle. Top-20 via TakeOrderedAndProject (per-partition partial
+    * top-k), full tie-break (cn, jaccard_ppm, u, v) — no global sort, no
+    * rank window.
+    */
+  private val CnHubCap = 128L
+
+  private val graphCommonNeighbors = Q(
+    "graph_common_neighbors",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      // the pair list feeds adjacency (×2 directions), degrees, and the
+      // final anti-join — build the fact-table self-join ONCE
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .distinct()
+        .localCheckpoint(eager = true)
+      val und = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(eager = true) // hub filter + u-score + v-score
+      val capped = und.join(
+        deg.where(col("deg") <= CnHubCap).select(col("src")),
+        Seq("src"), "left_semi")
+      val cn = capped.as("e1").join(capped.as("e2"),
+          col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+        .groupBy(col("e1.dst").as("u"), col("e2.dst").as("v"))
+        .agg(count(lit(1)).as("cn"))
+      cn.join(pairs.select(col("a").as("u"), col("b").as("v")),
+          Seq("u", "v"), "left_anti")
+        .join(deg.select(col("src").as("u"), col("deg").as("du")), Seq("u"))
+        .join(deg.select(col("src").as("v"), col("deg").as("dv")), Seq("v"))
+        .select(col("u"), col("v"), col("cn"),
+          expr("cn * 1000000 div (du + dv - cn)").as("jaccard_ppm"))
+        .orderBy(col("cn").desc, col("jaccard_ppm").desc, col("u"), col("v"))
+        .limit(20)
+    },
+    Some(s"""WITH pairs AS MATERIALIZED (
+              SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+              FROM lineitem x JOIN lineitem y
+                ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+            und AS MATERIALIZED (
+              SELECT a AS src, b AS dst FROM pairs
+              UNION ALL SELECT b, a FROM pairs),
+            deg AS MATERIALIZED (
+              SELECT src, CAST(count(*) AS BIGINT) AS deg
+              FROM und GROUP BY src),
+            capped AS MATERIALIZED (
+              SELECT u.src, u.dst FROM und u
+              JOIN deg d ON d.src = u.src AND d.deg <= $CnHubCap),
+            c AS (
+              SELECT e1.dst AS u, e2.dst AS v, CAST(count(*) AS BIGINT) AS cn
+              FROM capped e1 JOIN capped e2
+                ON e1.src = e2.src AND e1.dst < e2.dst
+              GROUP BY e1.dst, e2.dst),
+            nonadj AS (
+              SELECT c.u, c.v, c.cn FROM c
+              WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                                WHERE p.a = c.u AND p.b = c.v))
+            SELECT n.u, n.v, n.cn,
+              CAST(n.cn * 1000000 // (du.deg + dv.deg - n.cn) AS BIGINT)
+                AS jaccard_ppm
+            FROM nonadj n
+            JOIN deg du ON du.src = n.u
+            JOIN deg dv ON dv.src = n.v
+            ORDER BY n.cn DESC, jaccard_ppm DESC, n.u, n.v
+            LIMIT 20"""))
+
   val all: Seq[Q] = Seq(joinMultiwayRevenue, graphPagerank, bpeMergeTopk,
-    graphLabelProp, graphTriangles, graphKcore)
+    graphLabelProp, graphTriangles, graphKcore, graphCommonNeighbors)
 }

@@ -419,8 +419,36 @@ object OlapQueries {
                    CAST(count(DISTINCT day_no) AS BIGINT) AS n_days
             FROM ev GROUP BY event_type"""))
 
+  // The SQL gateway, proven the strongest way available: ONE literal ANSI
+  // SQL string is both the Spark implementation (registered temp views +
+  // `spark.sql(text)`) and, verbatim, the DuckDB oracle. A reference user
+  // who writes plain SQL instead of the DataFrame API gets the identical
+  // engine — same Catalyst plan machinery, same pushdown/broadcast
+  // behavior (`spark.sql` and the DataFrame API meet in the same logical
+  // plan). Determinism is the usual per-row integer-cent quantization
+  // (§7.4.1), spelled so both parsers accept the same text.
+  private val SqlParityText =
+    """SELECT c_mktsegment, o_orderpriority,
+              CAST(count(*) AS BIGINT) AS n_orders,
+              CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT)
+                AS total_cents,
+              CAST(max(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT)
+                AS max_cents
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+       GROUP BY c_mktsegment, o_orderpriority"""
+
+  private val sqlTextParity = Q(
+    "sql_text_parity",
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      Tables.customer(s, dir).createOrReplaceTempView("customer")
+      s.sql(SqlParityText)
+    },
+    Some(SqlParityText))
+
   val all: Seq[Q] = Seq(pivotEventType, unpivotMelt, histogramBins,
     udafWeightedMean, skewDiagnose, aggMinmaxBy, histogramEquidepth,
     joinIntervalOverlap, profileTable, topkPerKey, approxHeavyHitters,
-    incrementalAggMerge)
+    incrementalAggMerge, sqlTextParity)
 }
