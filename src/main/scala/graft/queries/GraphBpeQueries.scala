@@ -447,26 +447,34 @@ object GraphBpeQueries {
           FROM full0 f LEFT JOIN core c ON c.node = f.node"""
     })
 
-  /** Link prediction over the co-purchase graph: for NON-adjacent part
-    * pairs, common-neighbor count + Jaccard similarity (in ppm) — "parts
-    * bought alongside the same partners but never together" (the
-    * recommend-a-merge / recommend-a-product primitive). Wedge
-    * enumeration through each shared neighbor is inherently Σ deg²; the
-    * standard link-prediction mitigation is to EXCLUDE hub middles
-    * (degree > cap) — a hub being a shared neighbor carries ~no signal
-    * (Adamic-Adar weights it ~1/log deg for the same reason), and the cap
-    * bounds the wedge join at cap·2m edges-out regardless of skew. The
-    * cap is part of the declared semantics, applied identically in the
-    * oracle. Top-20 via TakeOrderedAndProject (per-partition partial
-    * top-k), full tie-break (cn, jaccard_ppm, u, v) — no global sort, no
-    * rank window.
+  /** Link prediction over the RECENT co-purchase graph: for NON-adjacent
+    * part pairs, common-neighbor count + Jaccard similarity (in ppm) —
+    * "parts bought alongside the same partners but never together" (the
+    * recommend-a-merge / recommend-a-product primitive). Two scale
+    * controls, both part of the declared semantics and applied
+    * identically in the oracle:
+    *   1. a 12-month ship-date window — recommendation signal is
+    *      recency-weighted anyway, and the window is what keeps wedge
+    *      count (quadratic in degree) flat as history accumulates: the
+    *      full-history graph densifies forever, the trailing-window
+    *      graph does not. The predicate pushes to the parquet scan.
+    *   2. EXCLUDE hub middles (degree > cap) — a hub being a shared
+    *      neighbor carries ~no signal (Adamic-Adar weights it ~1/log deg
+    *      for the same reason), and the cap bounds the wedge join at
+    *      cap·2m edges-out regardless of skew.
+    * Top-20 via TakeOrderedAndProject (per-partition partial top-k),
+    * full tie-break (cn, jaccard_ppm, u, v) — no global sort, no rank
+    * window.
     */
   private val CnHubCap = 128L
+  private val CnWindow = "l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' " +
+    "AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'"
 
   private val graphCommonNeighbors = Q(
     "graph_common_neighbors",
     (s, dir) => {
-      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      val li = Tables.lineitem(s, dir).where(expr(CnWindow))
+        .select(col("l_orderkey"), col("l_partkey"))
       // the pair list feeds adjacency (×2 directions), degrees, and the
       // final anti-join — build the fact-table self-join ONCE
       val pairs = li.as("x").join(li.as("y"),
@@ -495,9 +503,11 @@ object GraphBpeQueries {
         .orderBy(col("cn").desc, col("jaccard_ppm").desc, col("u"), col("v"))
         .limit(20)
     },
-    Some(s"""WITH pairs AS MATERIALIZED (
+    Some(s"""WITH li AS MATERIALIZED (
+              SELECT l_orderkey, l_partkey FROM lineitem WHERE $CnWindow),
+            pairs AS MATERIALIZED (
               SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
-              FROM lineitem x JOIN lineitem y
+              FROM li x JOIN li y
                 ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
             und AS MATERIALIZED (
               SELECT a AS src, b AS dst FROM pairs
