@@ -433,6 +433,43 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dedup_keep_best: map-side-combined argmax over cluster assignments, no window") {
+    val p = plan("dedup_keep_best")
+    assert(!p.contains("windowspecdefinition"),
+      "keep-best regressed to a rank window over the clustered corpus")
+    // partial_max before the exchange = the shuffle carries one best-doc
+    // candidate per (cluster × partition), not every member row
+    assert(p.contains("partial_max") || p.contains("partial max"), p.take(2000))
+  }
+
+  test("graph_common_neighbors: windowed scan pushdown + partial top-k, no rank window") {
+    val p = plan("graph_common_neighbors")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 lost the per-partition partial top-k")
+    assert(!p.contains("windowspecdefinition"), "link prediction grew a rank window")
+    assert(!p.contains("CartesianProduct"), "wedge join degenerated to a cartesian")
+    // the 12-month recency window must reach the lineitem scan — it is
+    // what keeps the wedge stage linear as history accumulates. The
+    // executed plan starts at the checkpointed pair list (the scan ran at
+    // construction time), so pin pushdown on the scan expression itself.
+    val scan = graft.queries.Tables.lineitem(spark, dir)
+      .where("l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'")
+      .select("l_orderkey", "l_partkey")
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters:") && scan.contains("l_shipdate"),
+      scan.take(2000))
+  }
+
+  test("sql_text_parity: the SQL-text gateway plans like the DataFrame API") {
+    val p = plan("sql_text_parity")
+    // same Catalyst machinery: date filter pushes to the orders scan,
+    // customer dim broadcasts — no sort-merge, no window
+    assert(p.contains("PushedFilters:") && p.contains("o_orderdate"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "SQL-text join fell back to sort-merge")
+  }
+
   test("experiment_ttest: the t math sees aggregates only — no window, no sort") {
     val p = plan("experiment_ttest")
     assert(!p.contains("windowspecdefinition"), "t-test grew a window")
