@@ -639,9 +639,53 @@ object AnalyticsQueries {
               abs(coalesce($welchT, 0.0)) > 1.96 AS significant
             FROM wide"""))
 
+  /** Sample-ratio-mismatch guardrail for the A/B readout: before trusting
+    * `experiment_ttest`, verify the md5 arm split actually lands 50/50
+    * WITHIN each exposure segment (users who triggered the event type) —
+    * segment-level SRM is how assignment bugs are localized in practice.
+    * One-degree chi-square with equal expectation reduces to
+    * (n0−n1)²/(n0+n1); counts are exact BIGINTs so the statistic is
+    * integer micro-units (no doubles anywhere), flagged above the
+    * p=0.05 df=1 critical value 3.841459. Scale: participation distinct
+    * + one user-keyed join + a segment-count aggregate — nothing wider
+    * than the event scan, output is |event types| rows.
+    */
+  private val abSrmCheck = Q(
+    "ab_srm_check",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"))
+      val users = ev.select(col("user_id")).distinct()
+        .withColumn("arm", expr(md5Arm("CAST(user_id AS STRING)")).cast("long"))
+      ev.distinct() // exposure: the user triggered this event type at all
+        .join(users, Seq("user_id"))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"))
+        .withColumn("chi2_micro",
+          expr("(n0 - n1) * (n0 - n1) * 1000000 div (n0 + n1)"))
+        .select(col("event_type"), col("n0"), col("n1"), col("chi2_micro"),
+          (col("chi2_micro") > 3841459L).as("srm"))
+    },
+    Some(s"""WITH users AS (
+              SELECT user_id,
+                CAST(${md5Arm("CAST(user_id AS VARCHAR)")} AS BIGINT) AS arm
+              FROM (SELECT DISTINCT user_id FROM events)),
+            expo AS (SELECT DISTINCT user_id, event_type FROM events),
+            seg AS (
+              SELECT e.event_type,
+                CAST(sum(CASE WHEN u.arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+                CAST(sum(CASE WHEN u.arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+              FROM expo e JOIN users u ON u.user_id = e.user_id
+              GROUP BY e.event_type)
+            SELECT event_type, n0, n1,
+              CAST((n0 - n1) * (n0 - n1) * 1000000 // (n0 + n1) AS BIGINT)
+                AS chi2_micro,
+              (n0 - n1) * (n0 - n1) * 1000000 // (n0 + n1) > 3841459 AS srm
+            FROM seg"""))
+
   val all: Seq[Q] =
     Seq(funnelSteps, cohortRetention, sessionWindowAgg, eventTransitions,
       windowRollingStats, cdcScd2, resampleFfill, rfmSegments,
       rollingActiveUsers, rollingActiveHll, attributionMultitouch,
-      experimentTtest, cdcLogCompact)
+      experimentTtest, cdcLogCompact, abSrmCheck)
 }
