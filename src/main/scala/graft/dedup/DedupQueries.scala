@@ -525,28 +525,35 @@ object DedupQueries {
     * DedupSubstringSpec can plant shared spans in a synthetic corpus. */
   private[graft] def substringDupStats(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val g = Tables.spread(docs.select("doc_id", "text"))
+    // One tokenize pass; the checkpoint holds each doc's gram-hash ARRAY
+    // (8 B/gram), so the per-doc window count is a map-side size() and
+    // only the corpus-frequency aggregate ever explodes it.
+    val ga = Tables.spread(docs.select("doc_id", "text"))
       .select(col("doc_id"),
-        explode(expr("word_ngrams(text, 8, true)")).as("gram"))
-      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+        expr("transform(word_ngrams(text, 8, true), g -> xxhash64(g))").as("ghs"))
       .localCheckpoint(eager = true)
+    val g = ga.select(col("doc_id"), explode(col("ghs")).as("gh"))
     // grams are per-doc distinct, so count(*) per hash = document
-    // frequency; df ≥ 2 marks the span duplicated
-    val dup = g.groupBy(col("gh")).agg(count(lit(1)).as("df"))
-      .where(col("df") >= 2).select(col("gh"))
-    // both per-doc measures come from the checkpointed hash frame — no
-    // second tokenize pass over the corpus: total windows = the doc's
-    // (distinct) gram count, duplicated windows = a conditional count over
-    // the semi-join mark
-    val perDoc = g.join(dup.withColumn("is_dup", lit(1L)), Seq("gh"), "left")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"),
-        count(col("is_dup")).as("dup_grams"))
-    docs.select(col("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
-        round(coalesce(col("dup_grams"), lit(0L)).cast("double") /
+    // frequency — and a df = 1 gram has exactly ONE owning document, which
+    // the same aggregate can name (min(doc_id) of a 1-row group). That
+    // turns "how many of my grams are duplicated" into pure aggregation:
+    //   dup_grams(d) = n_grams(d) − #{df=1 grams owned by d}
+    // so the corpus-sized gram frame is aggregated twice (by gh, by
+    // doc_id) but never JOINED back to the frequency table — the join
+    // shuffled the full gram frame a second time and was the bulk of this
+    // query's 5.5 s at sf0.1.
+    val uniq = g.groupBy(col("gh"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("owner"))
+      .where(col("df") === 1L)
+      .groupBy(col("owner")).agg(count(lit(1)).as("uniq_grams"))
+      .withColumnRenamed("owner", "doc_id")
+    // every doc keeps a row via the array frame itself (size() of an
+    // empty gram array is 0) — no join back to the docs table needed
+    ga.select(col("doc_id"), size(col("ghs")).cast("long").as("n_grams"))
+      .join(uniq, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        (col("n_grams") - coalesce(col("uniq_grams"), lit(0L))).as("dup_grams"),
+        round((col("n_grams") - coalesce(col("uniq_grams"), lit(0L))).cast("double") /
           nullif(col("n_grams"), lit(0L)), 4).as("dup_frac"))
   }
 
@@ -588,42 +595,38 @@ object DedupQueries {
     * content-deterministically, so the index is 4× smaller for the same
     * detection floor).
     *
-    * Scale shape: grams never shuffle — the only window runs PER DOC
-    * (partitionBy doc_id over positions; a document always fits a task),
-    * and what leaves the map side is the winnowed (doc_id, fp) set.
-    * Hashes are md5 hex strings, minimum = lexicographic min — identical
-    * on both engines, no tie ambiguity (min of a set, not argmin).
+    * Scale shape: grams never LEAVE the row — the whole winnow (hash,
+    * slide, min, distinct) is per-document ARRAY math inside one codegen'd
+    * projection, so nothing shuffles at all (the earlier per-doc window
+    * formulation shuffled every gram hash just to sort positions that the
+    * generator already emits in order; at sf0.1 that was 4.3 s of pure
+    * exchange for a map-side-computable value). Hashes are md5 hex
+    * strings, minimum = lexicographic min — identical on both engines, no
+    * tie ambiguity (min of a set, not argmin).
     */
-  private[graft] def winnowFingerprints(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  private[graft] def winnowFpArrays(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val g = Tables.spread(docs.select(col("doc_id"), col("text")))
-      .select(col("doc_id"),
-        posexplode(expr("word_ngrams(text, 4, false)")).as(Seq("pos", "gram")))
-      .select(col("doc_id"), col("pos"), md5(col("gram")).as("h"))
-    val byDoc = Window.partitionBy(col("doc_id"))
-    val slide = byDoc.orderBy(col("pos")).rowsBetween(Window.currentRow, 3)
-    g.withColumn("n_grams", count(lit(1)).over(byDoc))
-      .withColumn("fp", min(col("h")).over(slide))
-      .where(col("pos") <= col("n_grams") - 4) // full windows only
-      .select(col("doc_id"), col("fp"))
-      .distinct()
+    Tables.spread(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), expr("winnow_fps(text, 4, 4)").as("fps"))
   }
 
+  /** Exploded (doc_id, fp) view of [[winnowFpArrays]] — the inverted-index
+    * input shape (docs with no full window disappear, like the original
+    * window formulation). */
+  private[graft] def winnowFingerprints(docs: DataFrame): DataFrame =
+    winnowFpArrays(docs).select(col("doc_id"), explode(col("fps")).as("fp"))
+
   // Per-doc winnowing rollup. Docs too short for one full window keep a
-  // row with n_fp = 0 (left join), like dedup_substring.
+  // row with n_fp = 0 (empty fingerprint array). The rollup reads the
+  // per-doc array directly — no groupBy, no join, zero exchanges.
   private val dedupWinnowFp = Q(
     "dedup_winnow_fp",
     (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val per = winnowFingerprints(docs)
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_fp"),
-          min(col("fp")).as("fp_lo"), max(col("fp")).as("fp_hi"))
-      docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("n_fp"), lit(0L)).as("n_fp"),
-          coalesce(col("fp_lo"), lit("")).as("fp_lo"),
-          coalesce(col("fp_hi"), lit("")).as("fp_hi"))
+      winnowFpArrays(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fp"),
+          coalesce(array_min(col("fps")), lit("")).as("fp_lo"),
+          coalesce(array_max(col("fps")), lit("")).as("fp_hi"))
     },
     Some {
       val gram4 = (0 until 4).map(j => s"toks[i+$j]").mkString("concat_ws(' ', ", ", ", ")")

@@ -75,7 +75,13 @@ object GraftFunctions {
   private val sqdistInfo = extInfo(classOf[SqDistOrdered].getName, "sqdist_ordered",
     "_FUNC_(a, b) - integer squared-L2 over two BIGINT arrays in one codegen'd loop")
 
+  private val winnowInfo = extInfo(classOf[WinnowFps].getName, "winnow_fps",
+    "_FUNC_(text, n, w) - distinct window-min md5 winnowing fingerprints, one pass")
+
   def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("winnow_fps"), winnowInfo,
+      (exprs: Seq[Expression]) => WinnowFps(exprs(0), exprs(1), exprs(2)))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("bloom_might_contain"), bloomInfo,
       (exprs: Seq[Expression]) => BloomMightContain(exprs(0), exprs(1)))

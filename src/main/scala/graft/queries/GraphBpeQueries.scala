@@ -275,40 +275,69 @@ object GraphBpeQueries {
         .union(p.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
         .localCheckpoint(eager = true) // orientation ×2 + totals
+      // Orientation keeps the higher endpoint's degree too, so the
+      // adjacency list below can sort in ORIENTATION order (deg, id) —
+      // that makes every in-core pair (v_i, v_j), i < j, a wedge whose
+      // closing edge, if it exists, is exactly v_i→v_j.
       val oriented = p
         .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
         .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
         .select(
           when(col("da") < col("db") ||
             (col("da") === col("db") && col("a") < col("b")),
-            struct(col("a").as("u"), col("b").as("v")))
-            .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
-        .select(col("e.u").as("u"), col("e.v").as("v"))
-        .localCheckpoint(eager = true) // adjacency build + edge count
-      // Adjacency-intersection counting: an acyclically-oriented triangle
-      // is one edge u→v plus a common OUT-neighbor w of u and v, so
-      // triangles = Σ over oriented edges |adj(u) ∩ adj(v)|. This never
-      // materializes the wedge set — the original e1⋈e2 wedge self-join
-      // built Σ od² rows (~10⁷⁺ on the sf0.1 co-occurrence graph, 18 s;
-      // this form re-ships each ≤√(2m)-bounded neighbor array once per
-      // edge and intersects in-core, same query in ~1 s). Each unordered
-      // triangle is counted exactly once because the closing edge exists
-      // in exactly ONE orientation (lower-(deg, id) endpoint → higher) —
+            struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
+            .otherwise(
+              struct(col("b").as("u"), col("a").as("v"), col("da").as("dv")))
+            .as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+        .localCheckpoint(eager = true) // adjacency + closure side + edge count
+      // Wedge-closure counting: an acyclically-oriented triangle is a
+      // wedge (v_i, v_j) at its lowest-(deg, id) vertex u plus the closing
+      // edge v_i→v_j, so triangles = |wedges ⋈ oriented-edges|. The wedge
+      // set (Σ C(od, 2) rows, od ≤ √(2m) by the orientation — the
+      // MapReduce triangle-counting bound) streams out of one flat
+      // self-equi-join on the wedge center u; rows are three longs, all
+      // codegen. Two earlier forms measured WORSE at sf0.1: shipping each
+      // sorted neighbor array duplicated per out-edge and intersecting
+      // (Σ od² longs through the exchange, 33 s), and generating wedge
+      // pairs in-core by slicing per-vertex struct arrays (Σ od² struct
+      // copies, 70 s).
+      //
+      // The closure join itself would shuffle all Σ C(od, 2) wedges
+      // (41.6M at sf0.1) only for ~2% of them to close — so the wedge
+      // stream is BLOOM-PRUNED against the oriented edge-key set in the
+      // SAME stage that generates it (BloomPrune: distributed build,
+      // native codegen probe), and only survivors (true triangles + fpp)
+      // reach the exchange. False positives pass through to the exact
+      // join; no false negatives. The filter is sized from the real edge
+      // count — a driver-side count on the already-checkpointed edge
+      // list, reused as the n_edges output literal. At 100 TB the bloom
+      // bits grow ~1.8 B/edge; past ~50M edges the prune stops paying and
+      // the plain closure join below is the standard Σ od² cost you
+      // accept. Each unordered triangle is counted exactly once because
+      // the closing edge exists in exactly ONE orientation —
       // TriangleSpec's random-graph brute-force check pins this.
-      val adj = oriented.groupBy(col("u"))
-        .agg(sort_array(collect_list(col("v"))).as("nbrs"))
-        .localCheckpoint(eager = true) // wedge side + closing-lookup side
-      val tri = adj
-        .select(col("nbrs").as("nbrs_u"), explode(col("nbrs")).as("v"))
-        .join(adj.select(col("u").as("v"), col("nbrs").as("nbrs_v")),
-          Seq("v"), "left")
-        .agg(coalesce(sum(when(col("nbrs_v").isNull, 0L)
-          .otherwise(size(array_intersect(col("nbrs_u"), col("nbrs_v")))
-            .cast("long"))), lit(0L)).as("n_triangles"))
+      val nEdges = oriented.count()
+      val wedges = oriented.select(col("u"), col("v").as("wu"), col("dv").as("d1"))
+        .join(oriented.select(col("u"), col("v").as("wv"), col("dv").as("d2")), "u")
+        .where(col("d1") < col("d2") ||
+          (col("d1") === col("d2") && col("wu") < col("wv")))
+        .select(col("wu"), col("wv"),
+          xxhash64(col("wu"), col("wv")).as("ek"))
+      val closing = oriented
+        .select(col("u").as("wu"), col("v").as("wv"),
+          xxhash64(col("u"), col("v")).as("ek"))
+      val pruned =
+        if (nEdges > 0 && nEdges <= 50000000L)
+          BloomPrune.prune(wedges, "ek", closing.select(col("ek")), "ek",
+            expectedItems = math.max(nEdges, 1000L), fpp = 0.001)
+        else wedges
+      val tri = pruned
+        .join(closing, Seq("wu", "wv", "ek"))
+        .agg(count(lit(1)).as("n_triangles"))
       val totals = deg.agg(count(lit(1)).as("n_nodes"),
         sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
-      val ecount = oriented.agg(count(lit(1)).as("n_edges"))
-      totals.crossJoin(ecount).crossJoin(tri)
+      totals.crossJoin(tri).withColumn("n_edges", lit(nEdges))
         .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
           col("n_triangles"),
           expr("(3 * n_triangles * 10000) div n_wedges").as("clustering_bp"))

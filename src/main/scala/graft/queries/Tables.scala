@@ -52,6 +52,13 @@ object Tables {
         // mantissa — some timestamps came out 1 us off vs DuckDB's exact
         // `epoch_ns // 1000`.
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // µs TIMESTAMP(isAdjustedToUTC=false) parquet reads as
+        // TIMESTAMP_NTZ; the engine standardizes on session-timezone
+        // TimestampType (sessions pin UTC, so the cast is
+        // instant-preserving and DuckDB's naive read agrees).
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }

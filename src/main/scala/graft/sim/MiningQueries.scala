@@ -155,12 +155,21 @@ object MiningQueries {
       val grams = Tables.spread(docs.select(col("doc_id"), col("text")))
         .select(col("doc_id"),
           explode(expr("word_ngrams(text, 5, true)")).as("gram"))
-        .localCheckpoint(eager = true) // feeds the df agg and the join back
-      val dfreq = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-      val per = grams.join(dfreq, "gram")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("df") === 1L, 1L).otherwise(0L)).as("novel"))
+        .localCheckpoint(eager = true) // feeds the df agg and the per-doc count
+      // A novel gram (df = 1) has exactly one owning doc, and the df
+      // aggregate itself can name it — min(doc_id) of a 1-row group. So
+      // per-doc novelty is a second SMALL aggregate over the df = 1 rows,
+      // not a join of the corpus-sized gram frame back onto its own
+      // frequency table (that join re-shuffled every gram string and was
+      // most of this query's 11 s at sf0.1; same rewrite as
+      // dedup_substring).
+      val novel = grams.groupBy(col("gram"))
+        .agg(count(lit(1)).as("df"), min(col("doc_id")).as("owner"))
+        .where(col("df") === 1L)
+        .groupBy(col("owner")).agg(count(lit(1)).as("novel"))
+        .withColumnRenamed("owner", "doc_id")
+      val per = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+        .join(novel, Seq("doc_id"), "left")
       docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("n_grams"), lit(0L)).as("n_grams"),

@@ -460,15 +460,23 @@ object CurationQueries {
           sum(lit(1L) - col("is_bench")).as("cs"))
       val tot = freq.agg(count(lit(1)).as("v"), sum(col("ct")).as("t"),
         sum(col("cs")).as("ss"))
-      val totals = flagged.where(col("is_bench") === 0L)
-        .join(freq, "token")
-        .crossJoin(broadcast(tot))
+      // The log-ratio is a function of the TOKEN alone, so compute it once
+      // per vocabulary entry (freq is already vocab-sized) and join it to
+      // per-doc (token, cnt) PRE-AGGREGATES — the earlier form joined freq
+      // onto every raw token OCCURRENCE, re-shuffling the corpus-sized
+      // token frame by token string (the text_novelty lesson; this was
+      // most of the query's cost). Σ_occurrences q(tok) ≡ Σ_tokens cnt·q.
+      val q = freq.crossJoin(broadcast(tot))
         .withColumn("q", expr(
           """CAST(round(ln((CAST(ct + 1 AS DOUBLE) / CAST(t + v AS DOUBLE))
                          / (CAST(cs + 1 AS DOUBLE) / CAST(ss + v AS DOUBLE)))
                  * 1000000.0, 0) AS BIGINT)"""))
+        .select(col("token"), col("q"))
+      val totals = flagged.where(col("is_bench") === 0L)
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+        .join(q, "token")
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tok"), sum(col("q")).as("sq"))
+        .agg(sum(col("cnt")).as("n_tok"), sum(col("cnt") * col("q")).as("sq"))
       totals.orderBy(col("sq").desc, col("doc_id")).limit(50)
         .withColumn("rk", row_number().over(
           Window.orderBy(col("sq").desc, col("doc_id"))).cast("long"))

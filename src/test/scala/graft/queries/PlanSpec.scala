@@ -276,12 +276,16 @@ class PlanSpec extends SparkSpec {
       "equi-depth bucketing regressed to an ntile window (single task per group)")
   }
 
-  test("winnowing windows partition per doc, never globally") {
+  test("winnowing rollup is pure map-side array math — no window, no exchange") {
     val p = plan("dedup_winnow_fp")
-    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
-    assert(winLines.nonEmpty, p.take(1000))
-    assert(winLines.forall(_.contains("doc_id")),
-      s"winnowing window lost its doc_id partitioning (global sort): $winLines")
+    assert(p.contains("winnow_fps"),
+      s"native winnow_fps expression fell out of the plan: ${p.take(1000)}")
+    assert(!p.contains("Window"),
+      "winnowing regressed to a per-doc window (shuffles every gram hash)")
+    // Tables.spread's round-robin fan-out is the only exchange allowed;
+    // a hash exchange would mean a groupBy/window crept back in
+    assert(!p.contains("hashpartitioning"),
+      "winnowing rollup gained a hash exchange — it is computable per input row")
   }
 
   test("join_multiway_revenue: every dimension hop broadcasts; facts meet at most once off-broadcast") {
