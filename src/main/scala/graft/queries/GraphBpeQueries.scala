@@ -318,8 +318,12 @@ object GraphBpeQueries {
       // the closing edge exists in exactly ONE orientation —
       // TriangleSpec's random-graph brute-force check pins this.
       val nEdges = oriented.count()
+      // shuffle_hash hints: both joins key on longs with an edge-list-sized
+      // build side — hashing it beats sort-merge's two sorts, and the
+      // 41.6M-row wedge stream (probe side) never sorts at all
       val wedges = oriented.select(col("u"), col("v").as("wu"), col("dv").as("d1"))
-        .join(oriented.select(col("u"), col("v").as("wv"), col("dv").as("d2")), "u")
+        .join(oriented.select(col("u"), col("v").as("wv"), col("dv").as("d2"))
+          .hint("shuffle_hash"), "u")
         .where(col("d1") < col("d2") ||
           (col("d1") === col("d2") && col("wu") < col("wv")))
         .select(col("wu"), col("wv"),
@@ -333,7 +337,7 @@ object GraphBpeQueries {
             expectedItems = math.max(nEdges, 1000L), fpp = 0.001)
         else wedges
       val tri = pruned
-        .join(closing, Seq("wu", "wv", "ek"))
+        .join(closing.hint("shuffle_hash"), Seq("wu", "wv", "ek"))
         .agg(count(lit(1)).as("n_triangles"))
       val totals = deg.agg(count(lit(1)).as("n_nodes"),
         sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
