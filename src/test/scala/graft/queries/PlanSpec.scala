@@ -288,6 +288,42 @@ class PlanSpec extends SparkSpec {
       "winnowing rollup gained a hash exchange — it is computable per input row")
   }
 
+  test("text_novelty never joins the gram frame back onto its frequency table") {
+    val p = plan("text_novelty")
+    // the df=1-owner rewrite: per-doc novelty comes from a second small
+    // aggregate over the frequency rows; a join keyed on the gram string
+    // means the corpus-sized gram frame re-shuffled (the 11 s regression)
+    val gramJoins = p.linesIterator.filter(l =>
+      l.contains("Join") && l.contains("gram#")).toSeq
+    assert(gramJoins.isEmpty, s"gram-keyed join crept back: $gramJoins")
+  }
+
+  test("dedup_substring never joins the gram-hash frame back onto its frequency table") {
+    val p = plan("dedup_substring")
+    val ghJoins = p.linesIterator.filter(l =>
+      l.contains("Join") && l.contains("gh#")).toSeq
+    assert(ghJoins.isEmpty, s"gram-hash-keyed join crept back: $ghJoins")
+  }
+
+  test("graph_triangles bloom-prunes the wedge stream before the closure exchange") {
+    val p = plan("graph_triangles")
+    assert(p.contains("bloom_might_contain"),
+      "wedge stream lost its bloom prune — the closure join shuffles every wedge")
+    // both the wedge self-join and the closure join should hash, not sort,
+    // their edge-list build sides (shuffle_hash hints)
+    assert(!p.contains("SortMergeJoin"),
+      "triangle joins regressed to sort-merge — the wedge stream gets sorted")
+  }
+
+  test("profile_table scans one pruned column per branch, never an expanded fat row") {
+    val p = plan("profile_table")
+    val scans = p.linesIterator.filter(_.contains("ReadSchema: struct<")).toSeq
+    assert(scans.size == 4, s"expected 4 single-column scans, got ${scans.size}")
+    // each branch's scan reads exactly one column (no comma in the struct)
+    assert(scans.forall(l => !l.substring(l.indexOf("struct<")).contains(",")),
+      s"a profile branch reads more than its own column: $scans")
+  }
+
   test("join_multiway_revenue: every dimension hop broadcasts; facts meet at most once off-broadcast") {
     val p = plan("join_multiway_revenue")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
