@@ -446,26 +446,31 @@ object CurationQueries {
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val docs = Tables.documents(s, dir)
-      val toks = Tables.spread(docs.select("doc_id", "text"))
+      // Everything downstream — both model fits AND the per-doc scoring —
+      // is a function of (doc, token) COUNTS, so aggregate the exploded
+      // occurrences immediately (map-side combine collapses within-doc
+      // repeats before the exchange) and checkpoint the pre-aggregate:
+      // it is the distinct-pairs frame, several times smaller than the
+      // raw occurrence list the earlier form materialized.
+      val pre = Tables.spread(docs.select("doc_id", "text"))
         .select(col("doc_id"), explode(expr(tokenizeExpr)).as("token"))
-        .localCheckpoint(eager = true) // one tokenize pass feeds model fit AND scoring
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(eager = true)
       val benchIds = docs
         .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
         .orderBy(col("h"), col("doc_id")).limit(100)
         .select(col("doc_id"), lit(1L).as("is_bench"))
-      val flagged = toks.join(broadcast(benchIds), Seq("doc_id"), "left")
+      val flagged = pre.join(broadcast(benchIds), Seq("doc_id"), "left")
         .withColumn("is_bench", coalesce(col("is_bench"), lit(0L)))
       val freq = flagged.groupBy(col("token"))
-        .agg(sum(col("is_bench")).as("ct"),
-          sum(lit(1L) - col("is_bench")).as("cs"))
+        .agg(sum(col("is_bench") * col("cnt")).as("ct"),
+          sum((lit(1L) - col("is_bench")) * col("cnt")).as("cs"))
       val tot = freq.agg(count(lit(1)).as("v"), sum(col("ct")).as("t"),
         sum(col("cs")).as("ss"))
       // The log-ratio is a function of the TOKEN alone, so compute it once
       // per vocabulary entry (freq is already vocab-sized) and join it to
-      // per-doc (token, cnt) PRE-AGGREGATES — the earlier form joined freq
-      // onto every raw token OCCURRENCE, re-shuffling the corpus-sized
-      // token frame by token string (the text_novelty lesson; this was
-      // most of the query's cost). Σ_occurrences q(tok) ≡ Σ_tokens cnt·q.
+      // the per-doc (token, cnt) pre-aggregate — never to raw occurrences
+      // (the text_novelty lesson). Σ_occurrences q(tok) ≡ Σ_tokens cnt·q.
       val q = freq.crossJoin(broadcast(tot))
         .withColumn("q", expr(
           """CAST(round(ln((CAST(ct + 1 AS DOUBLE) / CAST(t + v AS DOUBLE))
@@ -473,7 +478,6 @@ object CurationQueries {
                  * 1000000.0, 0) AS BIGINT)"""))
         .select(col("token"), col("q"))
       val totals = flagged.where(col("is_bench") === 0L)
-        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
         .join(q, "token")
         .groupBy(col("doc_id"))
         .agg(sum(col("cnt")).as("n_tok"), sum(col("cnt") * col("q")).as("sq"))
@@ -526,12 +530,15 @@ object CurationQueries {
     * corpus-wide, drop chunks appearing in ≥ 3 documents, and reassemble
     * the surviving text in position order.
     *
-    * Scale shape: the df count and the removal anti-join key on
-    * `xxhash64(chunk)` — 8-byte integers — so the only shuffle carrying
-    * chunk TEXT is the doc_id-keyed reassembly, which must ship it anyway
-    * (the output contains the cleaned text); the over-threshold list is
-    * tiny relative to the corpus (duplication is the exception), so AQE
-    * broadcasts it and the corpus never reshuffles on chunk. Same
+    * Scale shape: chunk TEXT never shuffles at all — each doc keeps ONE
+    * row holding its chunk array + `xxhash64` hash array (checkpointed:
+    * one tokenize pass, output-shaped), the corpus-wide df count explodes
+    * only the 8-byte hashes, and the positions-to-drop per doc (bounded
+    * by actual duplication, tiny — duplication is the exception) join
+    * back broadcast so the cleaned text is assembled IN PLACE by an
+    * indexed array filter at the scan partition. The earlier shape
+    * re-shuffled every chunk string through a doc_id-keyed groupBy to
+    * reassemble; this one ships integers and assembles locally. Same
     * collision stance as dedup_substring: the exact-text DuckDB oracle
     * would flag a 64-bit collision at test scale. Docs shorter than one
     * chunk have nothing to dedup and are absent by construction.
@@ -541,30 +548,30 @@ object CurationQueries {
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val docs = Tables.documents(s, dir)
-      val chunks = Tables.spread(docs.select("doc_id", "text"))
+      val ga = Tables.spread(docs.select("doc_id", "text"))
         .withColumn("toks", expr(tokenizeExpr))
-        .select(col("doc_id"), posexplode(expr(
+        .select(col("doc_id"), expr(
           """CASE WHEN size(toks) < 4 THEN array()
              ELSE transform(sequence(1, size(toks) div 4),
-               i -> concat_ws(' ', slice(toks, (i-1)*4+1, 4))) END"""))
-          .as(Seq("pos", "chunk")))
-        .withColumn("ch", xxhash64(col("chunk")))
-        .localCheckpoint(eager = true) // feeds df-count, totals, and kept
-      val dup = chunks.groupBy(col("ch"))
+               i -> concat_ws(' ', slice(toks, (i-1)*4+1, 4))) END""").as("chunks"))
+        .where(size(col("chunks")) > 0)
+        .withColumn("chs", expr("transform(chunks, c -> xxhash64(c))"))
+        .localCheckpoint(eager = true) // one row per doc; feeds df-count + assembly
+      val dup = ga.select(col("doc_id"), explode(col("chs")).as("ch"))
+        .groupBy(col("ch"))
         .agg(countDistinct(col("doc_id")).as("df"))
-        .where(col("df") >= 3).select(col("ch"), lit(true).as("is_dup"))
-      // One doc-level aggregation computes totals, kept-counts, and the
-      // reassembly together (collect_list skips the NULLed dup chunks) —
-      // the previous two-groupBy-plus-join shape shuffled the chunk
-      // table twice more for the same answer.
-      chunks.join(dup, Seq("ch"), "left")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_chunks"),
-          count(when(col("is_dup").isNull, 1)).as("n_kept"),
-          (count(lit(1)) - count(when(col("is_dup").isNull, 1))).as("n_dropped"),
-          expr("""concat_ws(' ', transform(array_sort(collect_list(
-                    CASE WHEN is_dup IS NULL THEN struct(pos, chunk) END)),
-                  s -> s.chunk))""").as("clean_text"))
+        .where(col("df") >= 3).select(col("ch"))
+      val dupPos = ga.select(col("doc_id"), posexplode(col("chs")).as(Seq("pos", "ch")))
+        .join(dup, "ch")
+        .groupBy(col("doc_id")).agg(collect_list(col("pos")).as("dpos"))
+      ga.join(dupPos, Seq("doc_id"), "left")
+        .withColumn("dpos", coalesce(col("dpos"), expr("CAST(array() AS ARRAY<INT>)")))
+        .select(col("doc_id"),
+          size(col("chunks")).cast("long").as("n_chunks"),
+          (size(col("chunks")) - size(col("dpos"))).cast("long").as("n_kept"),
+          size(col("dpos")).cast("long").as("n_dropped"),
+          expr("concat_ws(' ', filter(chunks, (c, i) -> NOT array_contains(dpos, i)))")
+            .as("clean_text"))
     },
     Some("""WITH toks AS (
               SELECT doc_id,
