@@ -166,6 +166,107 @@ object GraphBpeQueries {
               CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rk
             FROM top"""))
 
+  /** BPE tokenizer APPLICATION — the encode step every training pipeline
+    * runs after `bpe_merge_topk` learns the merge table: rebuild the
+    * ranked top-20 merge list, encode the corpus, and report per-doc BPE
+    * token counts and fertility (micro-tokens per word).
+    *
+    * Scale shape: encoding happens once per DISTINCT word (the
+    * vocabulary), never per occurrence — per-doc totals come from the
+    * (doc, word, cnt) pre-aggregate joined to the encoded vocabulary
+    * (Zipf makes the vocabulary orders of magnitude smaller than the
+    * corpus). The merge table is FIXED-SIZE (20 rows) and collected once
+    * — the trained-centroid pattern ([[graft.sim.ClusterQueries]]) — so
+    * application is 20 chained codegen `replace` calls over the
+    * char-spaced word: a pure per-row map, no join against a merge table,
+    * no shuffle beyond the two aggregates. Merges apply in rank order,
+    * each replacing left-to-right non-overlapping (Java and DuckDB
+    * `replace` agree exactly; the oracle replays the identical chain as a
+    * recursive CTE stepping rk = 1..20).
+    *
+    * Determinism: merge learning is the bpe_merge_topk aggregate (BIGINT
+    * counts, ties on pair text); application spaces every symbol
+    * (" t h e ") so a merged symbol can never be half-matched across a
+    * boundary; fertility is integer ppm — no doubles anywhere.
+    */
+  /** Encode a distinct-word frame `(w)` with a fixed ranked merge list:
+    * char-space every symbol (" t h e "), apply each 2-char merge in rank
+    * order as a left-to-right non-overlapping `replace`, and return the
+    * surviving symbol array per word. Separated from the query so
+    * BpeEncodeSpec can pin the application semantics on hand-checked
+    * words (boundary safety, concat-reconstruction, the left-to-right
+    * overlap rule both engines share). */
+  private[queries] def bpeApply(vocab: DataFrame, merges: Seq[String]): DataFrame =
+    merges.foldLeft(vocab.select(col("w"),
+      concat(lit(" "), expr("regexp_replace(w, '(.)', '$1 ')")).as("s"))) { (df, m) =>
+      df.withColumn("s",
+        expr(s"replace(s, ' ${m.charAt(0)} ${m.charAt(1)} ', ' $m ')"))
+    }.select(col("w"), expr("filter(split(trim(s), ' '), t -> t <> '')").as("toks"))
+
+  private val bpeEncode = Q(
+    "bpe_encode",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, dir)
+      val wc = Tables.spread(docs.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), explode(expr("word_ngrams(text, 1, false)")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(eager = true) // feeds merge learning AND per-doc totals
+      val vocab = wc.groupBy(col("w")).agg(sum(col("cnt")).as("freq"))
+      val merges = vocab
+        .select(col("freq"), explode(expr(
+          """CASE WHEN length(w) < 2 THEN array()
+             ELSE transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))
+             END""")).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(20)
+        .select(col("pair")).collect().map(_.getString(0)) // 20 rows — bounded
+      val encoded = bpeApply(vocab, merges.toSeq)
+        .select(col("w"), size(col("toks")).cast("long").as("ntok"))
+      wc.join(encoded, "w")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_words"),
+          sum(col("cnt") * col("ntok")).as("n_bpe_tokens"))
+        .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+          expr("(n_bpe_tokens * 1000000) div n_words").as("fertility_ppm"))
+    },
+    Some("""WITH RECURSIVE words AS (
+              SELECT doc_id, unnest(list_filter(
+                string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS w
+              FROM documents),
+            wc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt
+                   FROM words GROUP BY doc_id, w),
+            vocab AS (SELECT w, CAST(sum(cnt) AS BIGINT) AS freq
+                      FROM wc GROUP BY w),
+            pairs AS (
+              SELECT substr(w, i, 2) AS pair, freq
+              FROM vocab, unnest(range(1, len(w))) AS u(i)
+              WHERE len(w) >= 2),
+            agg AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+                    FROM pairs GROUP BY pair),
+            merges AS (
+              SELECT pair, row_number() OVER (ORDER BY cnt DESC, pair) AS rk
+              FROM (SELECT pair, cnt FROM agg ORDER BY cnt DESC, pair LIMIT 20)),
+            enc AS (
+              SELECT w, ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS s, 0 AS step
+              FROM vocab
+              UNION ALL
+              SELECT e.w,
+                replace(e.s,
+                  ' ' || substr(m.pair, 1, 1) || ' ' || substr(m.pair, 2, 1) || ' ',
+                  ' ' || m.pair || ' '),
+                e.step + 1
+              FROM enc e JOIN merges m ON m.rk = e.step + 1),
+            ntok AS (
+              SELECT w, CAST(len(list_filter(string_split(trim(s), ' '),
+                t -> t <> '')) AS BIGINT) AS ntok
+              FROM enc WHERE step = 20)
+            SELECT wc.doc_id, CAST(sum(wc.cnt) AS BIGINT) AS n_words,
+              CAST(sum(wc.cnt * n.ntok) AS BIGINT) AS n_bpe_tokens,
+              CAST(sum(wc.cnt * n.ntok) * 1000000 // sum(wc.cnt) AS BIGINT) AS fertility_ppm
+            FROM wc JOIN ntok n ON n.w = wc.w
+            GROUP BY wc.doc_id"""))
+
   // Two synchronous rounds of label propagation (community detection):
   // every node starts labeled by its own id, then repeatedly adopts the
   // most frequent label among its neighbors — the Raghavan et al. LPA
@@ -570,5 +671,6 @@ object GraphBpeQueries {
             LIMIT 20"""))
 
   val all: Seq[Q] = Seq(joinMultiwayRevenue, graphPagerank, bpeMergeTopk,
-    graphLabelProp, graphTriangles, graphKcore, graphCommonNeighbors)
+    bpeEncode, graphLabelProp, graphTriangles, graphKcore,
+    graphCommonNeighbors)
 }
