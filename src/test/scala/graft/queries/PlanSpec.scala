@@ -521,4 +521,56 @@ class PlanSpec extends SparkSpec {
     assert(!p.linesIterator.exists(l => l.trim.startsWith("Sort ") &&
       !l.contains("SortMergeJoin")), "t-test grew a global sort")
   }
+
+  test("dedup_lines assembles cleaned text in place — chunk text never shuffles") {
+    val p = plan("dedup_lines")
+    // reassembly is an indexed array filter in a projection, not a
+    // collect_list aggregate pulling every chunk string through a
+    // doc_id-keyed exchange
+    assert(!p.contains("collect_list(struct"),
+      "line dedup regressed to collecting chunk text per doc")
+    assert(p.contains("filter(chunks"), p.take(2000))
+    // both hash consumers read the one checkpointed per-doc array frame
+    assert(p.contains("Scan ExistingRDD"), p.take(1000))
+    assert(!p.contains("word_ngrams"),
+      "a dedup_lines side re-tokenizes instead of reusing the checkpoint")
+  }
+
+  test("sample_importance scores off the (doc, token) pre-aggregate, never raw occurrences") {
+    val p = plan("sample_importance")
+    // the token explode runs once, BEFORE the checkpoint — the scoring
+    // plan re-exploding (a Generate node) means a consumer fell back to
+    // occurrence-level work
+    assert(!p.contains("Generate "),
+      "DSIR scoring re-explodes token occurrences")
+    assert(p.contains("Scan ExistingRDD"), p.take(1000))
+    // the rk window is legal only OVER the 50 TakeOrdered survivors —
+    // textually above the TakeOrderedAndProject (the topk_users rule)
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.indexOf("Window") < p.indexOf("TakeOrderedAndProject"),
+      "DSIR rank window runs below the partial top-k")
+  }
+
+  test("bpe_encode: the merge chain is inlined codegen replaces, no merge-table join") {
+    val df = graft.SparkEntry.queries("bpe_encode")(spark, dir)
+    val lp = df.queryExecution.optimizedPlan
+    // all 20 learned merges apply as chained replace() calls inside one
+    // projection over the vocabulary — a join against a merges frame (or
+    // an explode-per-merge) would re-shuffle the vocab once per merge.
+    // The plan STRING truncates the nested expression, so count the
+    // StringReplace nodes in the expression tree itself.
+    val nReplace = lp.collect { case n =>
+      n.expressions.map(_.collect {
+        case e if e.getClass.getSimpleName == "StringReplace" => e
+      }.size).sum
+    }.sum
+    assert(nReplace >= 20, s"merge chain no longer inlined ($nReplace replaces)")
+    val nJoin = lp.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.size
+    assert(nJoin <= 1, s"bpe_encode grew extra joins ($nJoin)")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Generate "), "bpe_encode re-explodes at scoring time")
+    assert(!p.contains("windowspecdefinition"), "bpe_encode grew a rank window")
+  }
 }
