@@ -863,9 +863,99 @@ object CurationQueries {
                 OR ((1000000 * n_indent) // n_lines) > 200000 AS looks_code
             FROM sig"""))
 
+  /** Corpus drift monitoring — the shift detector a continuously-crawled
+    * training corpus needs: split the corpus into a "reference" and a
+    * "new crawl" snapshot (deterministic md5 half-split of doc_id so the
+    * oracle reproduces it; production compares yesterday's lake against
+    * today's batch) and report, per language, the Jensen-Shannon
+    * divergence between their unigram distributions plus vocabulary
+    * birth/death counts. JSD is the symmetric, bounded ([0, ln 2]) drift
+    * measure data-quality monitors standardize on.
+    *
+    * Scale shape: ONE (lang, token) aggregate with conditional sums
+    * carries both snapshots' counts (vocabulary-sized, never
+    * hint-broadcast — the tfidf rule); per-lang totals are a handful of
+    * rows joined back broadcast; every per-token JSD contribution is
+    * computed row-wise and quantized to integer nano-nats so the per-lang
+    * sum is order-free BIGINT math (§7.4.1); no windows, no self-joins.
+    */
+  private val corpusDrift = Q(
+    "corpus_drift",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, dir)
+      val tok = Tables.spread(docs.select(col("doc_id"), col("lang"), col("text")))
+        .withColumn("is_new",
+          (expr(md5Byte("CAST(doc_id AS STRING)")) < 128).cast("long"))
+        .select(col("lang"), col("is_new"), explode(expr(tokenizeExpr)).as("token"))
+      val counts = tok.groupBy(col("lang"), col("token"))
+        .agg(sum(col("is_new")).as("a"), sum(lit(1L) - col("is_new")).as("b"))
+      val totals = counts.groupBy(col("lang"))
+        .agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"))
+      counts.join(broadcast(totals), "lang")
+        .withColumn("contrib", expr(
+          """CAST(round((
+               CASE WHEN a = 0 THEN 0.0 ELSE
+                 0.5 * (CAST(a AS DOUBLE) / CAST(ta AS DOUBLE)) *
+                 ln((CAST(a AS DOUBLE) / CAST(ta AS DOUBLE)) /
+                    ((CAST(a AS DOUBLE) / CAST(ta AS DOUBLE) +
+                      CAST(b AS DOUBLE) / CAST(tb AS DOUBLE)) / 2.0)) END +
+               CASE WHEN b = 0 THEN 0.0 ELSE
+                 0.5 * (CAST(b AS DOUBLE) / CAST(tb AS DOUBLE)) *
+                 ln((CAST(b AS DOUBLE) / CAST(tb AS DOUBLE)) /
+                    ((CAST(a AS DOUBLE) / CAST(ta AS DOUBLE) +
+                      CAST(b AS DOUBLE) / CAST(tb AS DOUBLE)) / 2.0)) END
+             ) * 1000000000.0, 0) AS BIGINT)"""))
+        .groupBy(col("lang"))
+        .agg(sum(col("contrib")).as("jsd_nanonat"),
+          count(when(col("a") > 0 && col("b") > 0, 1)).as("vocab_shared"),
+          count(when(col("a") > 0 && col("b") === 0, 1)).as("vocab_born"),
+          count(when(col("a") === 0 && col("b") > 0, 1)).as("vocab_died"),
+          max(col("ta")).as("tokens_new"), max(col("tb")).as("tokens_ref"))
+    },
+    Some {
+      val isNew = md5Byte("CAST(doc_id AS VARCHAR)")
+      s"""WITH tok AS (
+            SELECT lang,
+              CASE WHEN $isNew < 128 THEN 1 ELSE 0 END AS is_new,
+              unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                t -> t <> '')) AS token
+            FROM documents),
+          counts AS (
+            SELECT lang, token, CAST(sum(is_new) AS BIGINT) AS a,
+              CAST(sum(1 - is_new) AS BIGINT) AS b
+            FROM tok GROUP BY lang, token),
+          totals AS (
+            SELECT lang, CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb
+            FROM counts GROUP BY lang),
+          contribs AS (
+            SELECT c.lang, c.a, c.b, t.ta, t.tb,
+              CAST(round((
+                CASE WHEN c.a = 0 THEN 0.0 ELSE
+                  0.5 * (CAST(c.a AS DOUBLE) / CAST(t.ta AS DOUBLE)) *
+                  ln((CAST(c.a AS DOUBLE) / CAST(t.ta AS DOUBLE)) /
+                     ((CAST(c.a AS DOUBLE) / CAST(t.ta AS DOUBLE) +
+                       CAST(c.b AS DOUBLE) / CAST(t.tb AS DOUBLE)) / 2.0)) END +
+                CASE WHEN c.b = 0 THEN 0.0 ELSE
+                  0.5 * (CAST(c.b AS DOUBLE) / CAST(t.tb AS DOUBLE)) *
+                  ln((CAST(c.b AS DOUBLE) / CAST(t.tb AS DOUBLE)) /
+                     ((CAST(c.a AS DOUBLE) / CAST(t.ta AS DOUBLE) +
+                       CAST(c.b AS DOUBLE) / CAST(t.tb AS DOUBLE)) / 2.0)) END
+              ) * 1000000000.0, 0) AS BIGINT) AS contrib
+            FROM counts c JOIN totals t USING (lang))
+          SELECT lang, CAST(sum(contrib) AS BIGINT) AS jsd_nanonat,
+            CAST(count(CASE WHEN a > 0 AND b > 0 THEN 1 END) AS BIGINT) AS vocab_shared,
+            CAST(count(CASE WHEN a > 0 AND b = 0 THEN 1 END) AS BIGINT) AS vocab_born,
+            CAST(count(CASE WHEN a = 0 AND b > 0 THEN 1 END) AS BIGINT) AS vocab_died,
+            CAST(max(ta) AS BIGINT) AS tokens_new,
+            CAST(max(tb) AS BIGINT) AS tokens_ref
+          FROM contribs
+          GROUP BY lang"""
+    })
+
   val all: Seq[Q] = Seq(sampleHash, sampleStratified, textPiiScrub,
     textEditDistance, packSequences, vocabTopk, contaminationCheck,
     textRepetition, sampleDomainMix, sampleTemperature, sampleImportance,
     dedupLines, shardShuffle, qualityLogreg, docChunking, qualityGopherRules,
-    textCodeDetect)
+    textCodeDetect, corpusDrift)
 }
