@@ -863,6 +863,54 @@ object CurationQueries {
                 OR ((1000000 * n_indent) // n_lines) > 200000 AS looks_code
             FROM sig"""))
 
+  /** Tokenizer-vocabulary coverage curve — the vocab-sizing question
+    * ("what OOV rate does a V-entry vocabulary buy?") answered for
+    * V ∈ {10, 100, 1000}: the fraction of token OCCURRENCES covered by
+    * the top-V tokens. Scale shape: ONE token-frequency aggregate
+    * (vocabulary-sized) is checkpointed and feeds every branch; each
+    * top-V is a bounded TakeOrdered (never a vocabulary-wide rank
+    * window — the topk_users rule), its sum is V rows, and the corpus
+    * total enters as a one-row cross join. Coverage is integer ppm.
+    */
+  private val tokenizerCoverage = Q(
+    "tokenizer_coverage",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, dir)
+      val freq = Tables.spread(docs.select(col("text")))
+        .select(explode(expr(tokenizeExpr)).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(eager = true) // one count pass feeds all tops + the total
+      val total = freq.agg(sum(col("cnt")).as("total"))
+      val covered = Seq(10, 100, 1000).map { v =>
+        freq.orderBy(col("cnt").desc, col("token")).limit(v)
+          .agg(count(lit(1)).as("n_vocab"), sum(col("cnt")).as("covered"))
+          .select(lit(v.toLong).as("v"), col("n_vocab"), col("covered"))
+      }.reduce(_ unionAll _)
+      covered.crossJoin(total)
+        .select(col("v"), col("n_vocab"), col("covered"),
+          expr("(covered * 1000000) div total").as("coverage_ppm"))
+    },
+    Some("""WITH freq AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS cnt
+              FROM (SELECT unnest(list_filter(string_split_regex(lower(text),
+                      '[^a-z]+'), t -> t <> '')) AS token FROM documents)
+              GROUP BY token),
+            tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM freq),
+            ranked AS (
+              SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rn
+              FROM freq),
+            tops AS (
+              SELECT CAST(s.v AS BIGINT) AS v,
+                CAST(count(*) AS BIGINT) AS n_vocab,
+                CAST(sum(cnt) AS BIGINT) AS covered
+              FROM (SELECT 10 AS v UNION ALL SELECT 100 UNION ALL SELECT 1000) s
+              JOIN ranked ON ranked.rn <= s.v
+              GROUP BY s.v)
+            SELECT v, n_vocab, covered,
+              CAST(covered * 1000000 // total AS BIGINT) AS coverage_ppm
+            FROM tops, tot"""))
+
   /** Corpus drift monitoring — the shift detector a continuously-crawled
     * training corpus needs: split the corpus into a "reference" and a
     * "new crawl" snapshot (deterministic md5 half-split of doc_id so the
@@ -957,5 +1005,5 @@ object CurationQueries {
     textEditDistance, packSequences, vocabTopk, contaminationCheck,
     textRepetition, sampleDomainMix, sampleTemperature, sampleImportance,
     dedupLines, shardShuffle, qualityLogreg, docChunking, qualityGopherRules,
-    textCodeDetect, corpusDrift)
+    textCodeDetect, corpusDrift, tokenizerCoverage)
 }
