@@ -573,4 +573,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Generate "), "bpe_encode re-explodes at scoring time")
     assert(!p.contains("windowspecdefinition"), "bpe_encode grew a rank window")
   }
+
+  test("corpus_drift: one conditional-sum aggregate, totals broadcast, no window") {
+    val p = plan("corpus_drift")
+    assert(!p.contains("windowspecdefinition"), "drift grew a rank window")
+    // the per-lang totals frame (a handful of rows) joins back broadcast;
+    // a sort-merge here would shuffle the vocabulary-sized count frame on
+    // lang — a skew magnet (languages are few and huge)
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "drift totals join fell back to sort-merge")
+    assert(!p.contains("CartesianProduct"), "drift grew a cartesian")
+  }
+
+  test("tokenizer_coverage: each top-V is a bounded partial top-k off the checkpoint") {
+    val p = plan("tokenizer_coverage")
+    // three TakeOrderedAndProject branches (V = 10/100/1000) — never a
+    // vocabulary-wide rank window
+    val nTop = p.sliding("TakeOrderedAndProject".length)
+      .count(_ == "TakeOrderedAndProject")
+    assert(nTop == 3, s"expected 3 bounded top-V branches, saw $nTop")
+    assert(!p.contains("windowspecdefinition"), "coverage grew a rank window")
+    // every branch reads the ONE checkpointed frequency aggregate; a
+    // word_ngrams in the executed plan means a branch re-tokenizes
+    assert(p.contains("Scan ExistingRDD"), p.take(1000))
+    assert(!p.contains("word_ngrams"), "a coverage branch re-tokenizes the corpus")
+  }
 }
