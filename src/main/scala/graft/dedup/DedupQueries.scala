@@ -448,6 +448,69 @@ object DedupQueries {
              FROM mx JOIN j ON j.cluster = mx.cluster AND j.n_chars = mx.m
              GROUP BY mx.cluster, mx.n_docs, mx.m"""))
 
+  /** Preference-pair mining from near-dup clusters — the DPO/RLHF data
+    * construction that turns duplication into supervision: within every
+    * cluster of near-duplicate documents, pair the BEST version (max
+    * n_chars, tie → min doc_id — the dedup_keep_best canonical) as
+    * `chosen` against the WORST (min n_chars, tie → max doc_id) as
+    * `rejected`, with the quality margin. Scraped near-dup families are
+    * exactly where "same content, different quality" pairs exist —
+    * truncated mirrors, boilerplate-injected rehosts — so the cluster
+    * pass the dedup pipeline already runs doubles as pair supervision.
+    *
+    * Scale shape: on top of the CC pass, ONE join to the quality column
+    * and ONE combine-aggregated groupBy carrying BOTH argmaxes
+    * (`max(struct)` + `min(struct)` partial-aggregate map-side — the
+    * cdc_log_compact pattern; no rank window, no per-cluster sort); the
+    * n_docs ≥ 2 gate filters the cluster-count-sized aggregate, not the
+    * corpus. chosen ≠ rejected always: distinct quality picks distinct
+    * docs, and an all-tie cluster resolves to (min id, max id).
+    */
+  private val minePreferencePairs = Q(
+    "mine_preference_pairs",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      clusterAssignments(s, dir)
+        .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(struct(col("n_chars"), (-col("doc_id")).as("neg"))).as("best"),
+          min(struct(col("n_chars"), (-col("doc_id")).as("neg"))).as("worst"))
+        .where(col("n_docs") >= 2)
+        .select(col("cluster"), col("n_docs"),
+          (-col("best.neg")).as("chosen_doc_id"),
+          col("best.n_chars").as("chosen_n_chars"),
+          (-col("worst.neg")).as("rejected_doc_id"),
+          col("worst.n_chars").as("rejected_n_chars"),
+          (col("best.n_chars") - col("worst.n_chars")).as("margin"))
+    },
+    Some(s"""WITH RECURSIVE $clustersOracleCte,
+             j AS MATERIALIZED (
+               SELECT c.cluster, d.doc_id, d.n_chars
+               FROM clusters c JOIN documents d ON d.doc_id = c.doc_id),
+             st AS (
+               SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs,
+                      max(n_chars) AS mx, min(n_chars) AS mn
+               FROM j GROUP BY cluster),
+             ch AS (
+               SELECT st.cluster, CAST(min(j.doc_id) AS BIGINT) AS chosen_doc_id,
+                      CAST(st.mx AS BIGINT) AS chosen_n_chars
+               FROM st JOIN j ON j.cluster = st.cluster AND j.n_chars = st.mx
+               GROUP BY st.cluster, st.mx),
+             rj AS (
+               SELECT st.cluster, CAST(max(j.doc_id) AS BIGINT) AS rejected_doc_id,
+                      CAST(st.mn AS BIGINT) AS rejected_n_chars
+               FROM st JOIN j ON j.cluster = st.cluster AND j.n_chars = st.mn
+               GROUP BY st.cluster, st.mn)
+             SELECT st.cluster, st.n_docs,
+               ch.chosen_doc_id, ch.chosen_n_chars,
+               rj.rejected_doc_id, rj.rejected_n_chars,
+               CAST(ch.chosen_n_chars - rj.rejected_n_chars AS BIGINT) AS margin
+             FROM st
+             JOIN ch ON ch.cluster = st.cluster
+             JOIN rj ON rj.cluster = st.cluster
+             WHERE st.n_docs >= 2"""))
+
   /** Incremental crawl dedup: flag documents of an incoming batch that
     * LSH-collide with the EXISTING corpus — the production "is today's
     * crawl already in the lake" pass, which never re-pairs the corpus
@@ -708,5 +771,5 @@ object DedupQueries {
   val all: Seq[Q] = Seq(dedupMinhash, dedupMinhashPairs, dedupSimhash,
     dedupNgramJaccard, dedupClusters, splitLeakageSafe, corpusClean,
     dedupIncremental, dedupSubstring, dedupWinnowFp, dedupWinnowPairs,
-    dedupKeepBest)
+    dedupKeepBest, minePreferencePairs)
 }

@@ -574,6 +574,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("windowspecdefinition"), "bpe_encode grew a rank window")
   }
 
+  test("mine_preference_pairs: both argmaxes combine in ONE map-side aggregate") {
+    val p = plan("mine_preference_pairs")
+    assert(!p.contains("windowspecdefinition"),
+      "preference mining regressed to a rank window over the clustered corpus")
+    // max(struct) + min(struct) ride the same partial aggregate — the
+    // shuffle carries two candidates per (cluster × partition), not members
+    assert(p.contains("partial_max") && p.contains("partial_min"), p.take(2000))
+  }
+
   test("corpus_drift: one conditional-sum aggregate, totals broadcast, no window") {
     val p = plan("corpus_drift")
     assert(!p.contains("windowspecdefinition"), "drift grew a rank window")
