@@ -23,6 +23,7 @@ object Registry {
       graft.identity.IdentityQueries.all ++
       graft.text.TextQueries.all ++
       graft.text.CurationQueries.all ++
+      graft.text.WebQueries.all ++
       graft.dedup.DedupQueries.all ++
       graft.sim.SimQueries.all ++
       graft.sim.ClusterQueries.all ++
