@@ -24,6 +24,7 @@ object Registry {
       graft.text.TextQueries.all ++
       graft.text.CurationQueries.all ++
       graft.text.WebQueries.all ++
+      graft.text.MixQueries.all ++
       graft.dedup.DedupQueries.all ++
       graft.sim.SimQueries.all ++
       graft.sim.ClusterQueries.all ++

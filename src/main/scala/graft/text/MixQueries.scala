@@ -1,0 +1,174 @@
+package graft.text
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Q, Tables}
+
+/** Data-mixture operators around language-model signal:
+  *
+  *  - CCNet-style perplexity bucketing (head/middle/tail per language by
+  *    unigram-LM negative log-likelihood);
+  *  - epoch-capped token budgeting (how many epochs of each source fit a
+  *    target mixture without exceeding a repetition cap).
+  *
+  * The perplexity terciles deliberately do NOT sort the corpus: a
+  * per-lang rank window would funnel each language — few keys, each
+  * corpus-sized — through single reducers (the SCALING.md rule). Instead
+  * per-doc scores quantize into a BOUNDED histogram (0.1-nat buckets,
+  * ~100 per lang), the tercile thresholds come from a cumulative window
+  * over that tiny histogram, and docs label themselves by comparing their
+  * bucket to the broadcast thresholds. Bucket-granular terciles are the
+  * documented semantic — the boundary bucket tips whole into the next
+  * class, which is what production ppl-bucketing does anyway (CCNet cuts
+  * on fixed score thresholds, not exact ranks).
+  */
+object MixQueries {
+
+  private val tokenizeExpr = "word_ngrams(text, 1, false)"
+
+  /** Perplexity head/middle/tail per language. Unigram NLL per token is
+    * quantized to integer micro-nats per (lang, token) — vocabulary-sized
+    * frame, shuffled join, never hint-broadcast (the tfidf rule) — so the
+    * per-doc mean is exact BIGINT math; the per-doc average quantizes to
+    * 0.1-nat histogram buckets and the per-lang cumulative tercile
+    * thresholds broadcast back. No corpus-sized window anywhere.
+    */
+  private val qualityPplBuckets = Q(
+    "quality_ppl_buckets",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, dir)
+      // (doc, lang, token) counts: ONE tokenize pass feeds both the LM fit
+      // and the per-doc scoring (the sample_importance shape).
+      val pre = Tables.spread(docs.select(col("doc_id"), col("lang"), col("text")))
+        .select(col("doc_id"), col("lang"), explode(expr(tokenizeExpr)).as("token"))
+        .groupBy(col("doc_id"), col("lang"), col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(eager = true)
+      val freq = pre.groupBy(col("lang"), col("token")).agg(sum(col("cnt")).as("c"))
+      val totals = freq.groupBy(col("lang")).agg(sum(col("c")).as("tot"))
+      val q = freq.join(broadcast(totals), "lang")
+        .withColumn("q", expr(
+          """CAST(round(ln(CAST(tot AS DOUBLE) / CAST(c AS DOUBLE))
+                 * 1000000.0, 0) AS BIGINT)"""))
+        .select(col("lang"), col("token"), col("q"))
+      val scored = pre.join(q, Seq("lang", "token"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("cnt")).as("n_tok"), sum(col("cnt") * col("q")).as("sq"))
+        .withColumn("nll_avg_micro", expr("sq div n_tok"))
+        .withColumn("qb", expr("nll_avg_micro div 100000"))
+      // bounded histogram: ~#langs × ~100 buckets — windows here are free
+      val cumW = Window.partitionBy(col("lang")).orderBy(col("qb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val thresholds = scored.groupBy(col("lang"), col("qb"))
+        .agg(count(lit(1)).as("nb"))
+        .withColumn("cum", sum(col("nb")).over(cumW))
+        .withColumn("n", sum(col("nb")).over(Window.partitionBy(col("lang"))))
+        .groupBy(col("lang"))
+        .agg(min(when(col("cum") * 3 >= col("n"), col("qb"))).as("thr1"),
+          min(when(col("cum") * 3 >= col("n") * 2, col("qb"))).as("thr2"))
+      scored.join(broadcast(thresholds), "lang")
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          col("nll_avg_micro"), col("qb"),
+          when(col("qb") < col("thr1"), lit("head"))
+            .when(col("qb") < col("thr2"), lit("middle"))
+            .otherwise(lit("tail")).as("bucket"))
+    },
+    Some("""WITH pre AS (
+              SELECT doc_id, lang, token, CAST(count(*) AS BIGINT) AS cnt
+              FROM (SELECT doc_id, lang,
+                      unnest(list_filter(string_split_regex(lower(text),
+                        '[^a-z]+'), t -> t <> '')) AS token
+                    FROM documents)
+              GROUP BY doc_id, lang, token),
+            freq AS (
+              SELECT lang, token, CAST(sum(cnt) AS BIGINT) AS c
+              FROM pre GROUP BY lang, token),
+            totals AS (
+              SELECT lang, CAST(sum(c) AS BIGINT) AS tot
+              FROM freq GROUP BY lang),
+            q AS (
+              SELECT f.lang, f.token,
+                CAST(round(ln(CAST(t.tot AS DOUBLE) / CAST(f.c AS DOUBLE))
+                  * 1000000.0, 0) AS BIGINT) AS q
+              FROM freq f JOIN totals t USING (lang)),
+            scored AS (
+              SELECT doc_id, lang,
+                CAST(sum(cnt) AS BIGINT) AS n_tok,
+                CAST(sum(cnt * q) AS BIGINT) // CAST(sum(cnt) AS BIGINT)
+                  AS nll_avg_micro
+              FROM pre JOIN q USING (lang, token)
+              GROUP BY doc_id, lang),
+            sb AS (
+              SELECT doc_id, lang, n_tok, nll_avg_micro,
+                nll_avg_micro // 100000 AS qb
+              FROM scored),
+            hist AS (
+              SELECT lang, qb, CAST(count(*) AS BIGINT) AS nb
+              FROM sb GROUP BY lang, qb),
+            cums AS (
+              SELECT lang, qb,
+                CAST(sum(nb) OVER (PARTITION BY lang ORDER BY qb
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS cum,
+                CAST(sum(nb) OVER (PARTITION BY lang) AS BIGINT) AS n
+              FROM hist),
+            thr AS (
+              SELECT lang,
+                min(CASE WHEN cum * 3 >= n THEN qb END) AS thr1,
+                min(CASE WHEN cum * 3 >= n * 2 THEN qb END) AS thr2
+              FROM cums GROUP BY lang)
+            SELECT doc_id, sb.lang, n_tok, nll_avg_micro, qb,
+              CASE WHEN qb < thr1 THEN 'head'
+                   WHEN qb < thr2 THEN 'middle'
+                   ELSE 'tail' END AS bucket
+            FROM sb JOIN thr ON sb.lang = thr.lang"""))
+
+  /** Epoch-capped token budgeting — the mixture planner: given a total
+    * token budget (half the corpus) split equally across sources, how
+    * many epochs (repetitions, milli-precision, capped at 3.0 — the
+    * "don't repeat data more than a few times" rule) of each source fill
+    * its share, and how many tokens that plans. Shape: one map-side
+    * combined token aggregate (per-doc counts ride the scan), a one-row
+    * total via cross join, integer milli-epoch math — output is one row
+    * per source.
+    */
+  private val mixTokenBudget = Q(
+    "mix_token_budget",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val perSource = Tables.documents(s, dir)
+        .select(col("source"), size(expr(tokenizeExpr)).cast("long").as("n_tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+      val tot = perSource.agg(sum(col("tokens")).as("total"),
+        count(lit(1)).as("n_src"))
+      perSource.crossJoin(broadcast(tot))
+        .withColumn("target", expr("(total div 2) div n_src"))
+        .withColumn("epochs_milli",
+          expr("least(CAST(3000 AS BIGINT), (target * 1000) div tokens)"))
+        .select(col("source"), col("n_docs"), col("tokens"), col("target"),
+          col("epochs_milli"),
+          expr("(tokens * epochs_milli) div 1000").as("planned_tokens"))
+    },
+    Some("""WITH per_source AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(len(list_filter(string_split_regex(lower(text),
+                  '[^a-z]+'), t -> t <> ''))) AS BIGINT) AS tokens
+              FROM documents GROUP BY source),
+            tot AS (
+              SELECT CAST(sum(tokens) AS BIGINT) AS total,
+                CAST(count(*) AS BIGINT) AS n_src
+              FROM per_source)
+            SELECT source, n_docs, tokens,
+              (total // 2) // n_src AS target,
+              least(CAST(3000 AS BIGINT), (((total // 2) // n_src) * 1000) // tokens)
+                AS epochs_milli,
+              (tokens * least(CAST(3000 AS BIGINT),
+                (((total // 2) // n_src) * 1000) // tokens)) // 1000
+                AS planned_tokens
+            FROM per_source, tot"""))
+
+  val all: Seq[Q] = Seq(qualityPplBuckets, mixTokenBudget)
+}

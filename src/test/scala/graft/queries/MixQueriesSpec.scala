@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Invariants for the mixture operators that the hash gate can't state:
+  * tercile balance/monotonicity for ppl bucketing, and budget arithmetic
+  * bounds for the epoch planner.
+  */
+class MixQueriesSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def run(name: String) = Registry.queries(name)(spark, sfDir)
+
+  test("quality_ppl_buckets: buckets are monotone in score and roughly tercile-sized") {
+    val rows = run("quality_ppl_buckets").collect()
+    assert(rows.nonEmpty)
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (lang, rs) =>
+      // monotone: every head score <= every middle score <= every tail score
+      def scores(b: String) =
+        rs.filter(_.getAs[String]("bucket") == b).map(_.getAs[Long]("qb"))
+      val (h, m, t) = (scores("head"), scores("middle"), scores("tail"))
+      if (h.nonEmpty && m.nonEmpty) assert(h.max < m.min, s"$lang head/middle overlap")
+      if (m.nonEmpty && t.nonEmpty) assert(m.max < t.min, s"$lang middle/tail overlap")
+      // provable bounds: head strictly under a third (cum*3 < n below
+      // thr1); tail always nonempty (the max bucket satisfies cum = n);
+      // head MAY be empty when the boundary bucket swallows the tercile —
+      // that's the documented bucket-granular semantic
+      assert(3 * h.length <= rs.length, s"$lang head too large")
+      assert(t.nonEmpty, s"$lang tail empty")
+    }
+  }
+
+  test("mix_token_budget: epochs capped at 3.0, planned tokens bounded by cap and target") {
+    val rows = run("mix_token_budget").collect()
+    assert(rows.length > 1)
+    val total = rows.map(_.getAs[Long]("tokens")).sum
+    rows.foreach { r =>
+      val epochs = r.getAs[Long]("epochs_milli")
+      val tokens = r.getAs[Long]("tokens")
+      val target = r.getAs[Long]("target")
+      val planned = r.getAs[Long]("planned_tokens")
+      assert(epochs >= 0L && epochs <= 3000L)
+      assert(planned <= 3L * tokens, "cap violated")
+      assert(planned <= target, "a source may not exceed its share")
+      assert(target == (total / 2) / rows.length)
+    }
+  }
+}
