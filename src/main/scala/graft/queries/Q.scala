@@ -29,6 +29,7 @@ object Registry {
       graft.sim.SimQueries.all ++
       graft.sim.ClusterQueries.all ++
       graft.sim.MiningQueries.all ++
+      graft.sim.ProjectionQueries.all ++
       graft.multimodal.MultimodalQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

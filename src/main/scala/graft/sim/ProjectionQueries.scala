@@ -1,0 +1,150 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Q, Tables}
+
+/** Embedding projection operators — the dimensionality-reduction steps a
+  * training-data pipeline runs before indexing or visualizing its
+  * embedding space:
+  *
+  *  - signed random projection (Johnson-Lindenstrauss / SimHash-style)
+  *    64→8 dims — the cheap sketch that preserves norms and dot products
+  *    in expectation (E‖proj‖² = 8‖q‖², E[proj_a·proj_b] = 8 q_a·q_b; at
+  *    8 dims that's bucketing-grade, not distance-grade — widen the
+  *    output `sequence` for tighter JL error);
+  *  - top-principal-direction extraction by power iteration — the
+  *    "which axis carries the variance" diagnostic (and the 1-D
+  *    projection dataset maps are colored by).
+  *
+  * Cross-engine determinism: components quantize to integers up front
+  * (`floor(x*1000)` — float→double widening is exact, floor is exact), so
+  * every dot product and matrix-vector product is an ORDER-FREE integer
+  * sum; the power iteration renormalizes through one double
+  * floor-division per component whose operands stay below 2^53, making
+  * even that step bit-identical on both engines.
+  *
+  * Scale shape: the RP is pure per-row math riding the scan (the ±1
+  * matrix never materializes — signs come from integer hash parity).
+  * Power iteration is per round: one per-row dot against the BROADCAST
+  * direction (8·dim bytes), then a (dimension)-keyed partial aggregate —
+  * dim cells total regardless of corpus size; renormalization is a
+  * one-row frame. Iterations are unrolled ×2 for the oracle the same way
+  * cluster_kmeans unrolls Lloyd; [[ClusterQueries.lloydConverge]] is the
+  * pattern a production loop would follow.
+  */
+object ProjectionQueries {
+
+  /** vec_id → floor(x*1000) BIGINT components (coarser than kmeans' 1e-6:
+    * power-iteration products multiply THREE quantities, so headroom
+    * matters more than resolution here). */
+  private def q1000(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))")
+      .as("qe"))
+
+  /** Integer dot of the row array against a broadcast direction array. */
+  private val dotExpr =
+    """aggregate(zip_with(qe, ve, (a, b) -> a * b), CAST(0 AS BIGINT),
+       (acc, x) -> acc + x)"""
+
+  /** One power-iteration round: dot each row with the broadcast direction,
+    * accumulate w = Σ dot·q per dimension (dim-keyed partial agg), then
+    * renormalize to max-abs 1000 in a one-row frame. The floor-division
+    * operands (|w|·1000 and max|w|) stay under 2^53 at any corpus size
+    * where |w| < 9e12 — beyond that, production would renormalize with a
+    * coarser quantum; the SHAPE (broadcast direction + dim-cell agg) is
+    * corpus-size-free either way. */
+  private def powerRound(qf: DataFrame, v: DataFrame): DataFrame =
+    qf.crossJoin(broadcast(v))
+      .withColumn("dot", expr(dotExpr))
+      .select(col("dot"), posexplode(col("qe")).as(Seq("pos", "qv")))
+      .groupBy(col("pos")).agg(sum(col("dot") * col("qv")).as("w"))
+      .groupBy()
+      .agg(expr("transform(array_sort(collect_list(struct(pos, w))), s -> s.w)")
+        .as("we"))
+      .select(expr(
+        """transform(we, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 /
+           CAST(array_max(transform(we, y -> abs(y))) AS DOUBLE)) AS BIGINT))""")
+        .as("ve"))
+
+  /** Signed random projection 64→8: proj_j = Σ_i q_i · s(i,j) with
+    * s(i,j) = ±1 from the parity of a Knuth-scrambled (i, j) hash — the
+    * projection matrix is a formula, not data, so nothing joins and
+    * nothing broadcasts; one codegen'd pass over the scan, exploded to
+    * (vec_id, j) rows. Norm concentration and dot correlation are pinned
+    * by ProjectionSpec.
+    */
+  private val embedRpProject = Q(
+    "embed_rp_project",
+    (s, dir) =>
+      q1000(Tables.embeddings(s, dir))
+        .withColumn("proj", expr(
+          """transform(sequence(0, 7), j ->
+               aggregate(sequence(0, size(qe) - 1), CAST(0 AS BIGINT),
+                 (acc, i) -> acc + element_at(qe, i + 1) *
+                   (CASE WHEN (CAST(i AS BIGINT) * 2654435761 + j * 40503) % 2 = 0
+                         THEN 1 ELSE -1 END)))"""))
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "proj")))
+        .select(col("vec_id"), col("j").cast("long").as("j"), col("proj")),
+    Some("""WITH q AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+                CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT)
+                  AS qv
+              FROM embeddings)
+            SELECT vec_id, CAST(j AS BIGINT) AS j,
+              CAST(sum(qv * CASE WHEN (i * 2654435761 + j * 40503) % 2 = 0
+                               THEN 1 ELSE -1 END) AS BIGINT) AS proj
+            FROM q, range(8) AS r(j)
+            GROUP BY vec_id, j"""))
+
+  /** Top principal direction by two unrolled power-iteration rounds from
+    * the all-ones start, then every vector's projection onto it — integer
+    * end to end (see class doc for the determinism and scale argument).
+    */
+  private val embedPowerPca = Q(
+    "embed_power_pca",
+    (s, dir) => {
+      val qf = q1000(Tables.embeddings(s, dir)).localCheckpoint(eager = true)
+      val dim = 64
+      val v0 = qf.sparkSession.range(1)
+        .select(expr(s"transform(sequence(1, $dim), i -> CAST(1000 AS BIGINT))")
+          .as("ve"))
+      val v2 = powerRound(qf, powerRound(qf, v0)).localCheckpoint(eager = true)
+      qf.crossJoin(broadcast(v2))
+        .select(col("vec_id"), expr(dotExpr).as("proj"))
+    },
+    Some("""WITH q AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+                CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT)
+                  AS qv
+              FROM embeddings),
+            d1 AS (
+              SELECT vec_id, CAST(sum(qv * 1000) AS BIGINT) AS dot
+              FROM q GROUP BY vec_id),
+            w1 AS (
+              SELECT q.i, CAST(sum(q.qv * d1.dot) AS BIGINT) AS w
+              FROM q JOIN d1 USING (vec_id) GROUP BY q.i),
+            m1 AS (SELECT CAST(max(abs(w)) AS BIGINT) AS m FROM w1),
+            v1 AS (
+              SELECT i, CAST(floor(CAST(w AS DOUBLE) * 1000.0
+                / CAST(m AS DOUBLE)) AS BIGINT) AS v
+              FROM w1, m1),
+            d2 AS (
+              SELECT q.vec_id, CAST(sum(q.qv * v1.v) AS BIGINT) AS dot
+              FROM q JOIN v1 USING (i) GROUP BY q.vec_id),
+            w2 AS (
+              SELECT q.i, CAST(sum(q.qv * d2.dot) AS BIGINT) AS w
+              FROM q JOIN d2 USING (vec_id) GROUP BY q.i),
+            m2 AS (SELECT CAST(max(abs(w)) AS BIGINT) AS m FROM w2),
+            v2 AS (
+              SELECT i, CAST(floor(CAST(w AS DOUBLE) * 1000.0
+                / CAST(m AS DOUBLE)) AS BIGINT) AS v
+              FROM w2, m2)
+            SELECT q.vec_id, CAST(sum(q.qv * v2.v) AS BIGINT) AS proj
+            FROM q JOIN v2 USING (i)
+            GROUP BY q.vec_id"""))
+
+  val all: Seq[Q] = Seq(embedRpProject, embedPowerPca)
+}
