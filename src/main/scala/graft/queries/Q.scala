@@ -25,6 +25,7 @@ object Registry {
       graft.text.CurationQueries.all ++
       graft.text.WebQueries.all ++
       graft.text.MixQueries.all ++
+      graft.text.AssembleQueries.all ++
       graft.dedup.DedupQueries.all ++
       graft.sim.SimQueries.all ++
       graft.sim.ClusterQueries.all ++
