@@ -78,6 +78,9 @@ object GraftFunctions {
   private val winnowInfo = extInfo(classOf[WinnowFps].getName, "winnow_fps",
     "_FUNC_(text, n, w) - distinct window-min md5 winnowing fingerprints, one pass")
 
+  private val rpInfo = extInfo(classOf[RpProject].getName, "rp_project",
+    "_FUNC_(embedding) - 8 signed-random-projection BIGINT sums over floor(x*1000) components")
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("winnow_fps"), winnowInfo,
@@ -103,6 +106,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("sqdist_ordered"), sqdistInfo,
       (exprs: Seq[Expression]) => SqDistOrdered(exprs(0), exprs(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("rp_project"), rpInfo,
+      (exprs: Seq[Expression]) => RpProject(exprs.head))
   }
 }
 
@@ -128,6 +134,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       GraftFunctions.extInfo(classOf[DotOrdered].getName, "dot_ordered",
         "_FUNC_(a, b) - ordered-fold double dot product of two float arrays"),
       (exprs: Seq[Expression]) => DotOrdered(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("rp_project"),
+      GraftFunctions.extInfo(classOf[RpProject].getName, "rp_project",
+        "_FUNC_(embedding) - 8 signed-random-projection BIGINT sums over floor(x*1000) components"),
+      (exprs: Seq[Expression]) => RpProject(exprs.head)))
     // Whole-operator extension: the native as-of join's planner strategy
     // and its pushdown/pruning optimizer rule (graft.plans). AsOf
     // .joinBackward also self-injects both via the runtime experimental

@@ -78,16 +78,17 @@ object ProjectionQueries {
     */
   private val embedRpProject = Q(
     "embed_rp_project",
-    (s, dir) =>
-      q1000(Tables.embeddings(s, dir))
-        .withColumn("proj", expr(
-          """transform(sequence(0, 7), j ->
-               aggregate(sequence(0, size(qe) - 1), CAST(0 AS BIGINT),
-                 (acc, i) -> acc + element_at(qe, i + 1) *
-                   (CASE WHEN (CAST(i AS BIGINT) * 2654435761 + j * 40503) % 2 = 0
-                         THEN 1 ELSE -1 END)))"""))
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      // native one-pass expression (graft.functions.RpProject): the HOF
+      // formulation (transform∘aggregate over index sequences) ran ~512
+      // interpreted closure dispatches per row — 7.96 s at sf0.1; the
+      // fused codegen loop computes the identical integer sums
+      Tables.embeddings(s, dir)
+        .withColumn("proj", expr("rp_project(embedding)"))
         .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "proj")))
-        .select(col("vec_id"), col("j").cast("long").as("j"), col("proj")),
+        .select(col("vec_id"), col("j").cast("long").as("j"), col("proj"))
+    },
     Some("""WITH q AS (
               SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
                 CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT)

@@ -26,6 +26,22 @@ class ProjectionSpec extends SparkSpec {
         r.getLong(0) -> e.map(x => math.floor(x.toDouble * 1000.0).toLong)
       }.toMap
 
+  test("rp_project native expression equals the interpreted HOF formulation") {
+    graft.functions.GraftFunctions.register(spark)
+    val both = Tables.embeddings(spark, sfDir)
+      .withColumn("native", expr("rp_project(embedding)"))
+      .withColumn("qe", expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))"))
+      .withColumn("hof", expr(
+        """transform(sequence(0, 7), j ->
+             aggregate(sequence(0, size(qe) - 1), CAST(0 AS BIGINT),
+               (acc, i) -> acc + element_at(qe, i + 1) *
+                 (CASE WHEN (CAST(i AS BIGINT) * 2654435761 + j * 40503) % 2 = 0
+                       THEN 1 ELSE -1 END)))"""))
+    assert(both.where(expr("native <> hof")).count() == 0,
+      "native rp_project diverges from the HOF formulation")
+  }
+
   test("embed_rp_project concentrates norms and keeps positive dot correlation") {
     val q = quantized()
     val rp = Registry.queries("embed_rp_project")(spark, sfDir).collect()
