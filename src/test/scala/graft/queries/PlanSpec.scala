@@ -607,4 +607,53 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Scan ExistingRDD"), p.take(1000))
     assert(!p.contains("word_ngrams"), "a coverage branch re-tokenizes the corpus")
   }
+
+  test("web_url_normalize: shuffle-free per-row math on a pruned scan") {
+    val p = plan("web_url_normalize")
+    assert(!p.contains("Exchange"), "URL normalization grew a shuffle")
+    // the normalizer never reads the document text — only (doc_id, source)
+    assert(!p.contains("text:string"), "scan reads the unneeded text column")
+  }
+
+  test("text_html_extract: shuffle-free regex chain riding the scan") {
+    val p = plan("text_html_extract")
+    assert(!p.contains("Exchange"), "HTML extraction grew a shuffle")
+    assert(!p.contains("windowspecdefinition"), "HTML extraction grew a window")
+  }
+
+  test("embed_rp_project: native expression, no shuffle, one generate") {
+    val p = plan("embed_rp_project")
+    assert(p.contains("rp_project("), "native rp_project expression missing from plan")
+    assert(!p.contains("Exchange"), "random projection grew a shuffle")
+    assert(!p.contains("lambdafunction"), "interpreted HOF lambdas back in the hot path")
+  }
+
+  test("web_domain_blocklist: blocklist anti-join broadcasts the list") {
+    val p = plan("web_domain_blocklist")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "blocklist join shuffles the corpus")
+  }
+
+  test("sft_assemble: pairing window is shard-partitioned, never global") {
+    val p = plan("sft_assemble")
+    assert(p.contains("windowspecdefinition(source"),
+      "lead() window lost its source partitioning — global single-task sort")
+  }
+
+  test("quality_ppl_buckets: only the two bounded frames carry broadcast hints") {
+    val q = graft.SparkEntry.queries("quality_ppl_buckets")(spark, dir)
+    val logical = q.queryExecution.analyzed.toString
+    val hints = logical.sliding("ResolvedHint".length).count(_ == "ResolvedHint")
+    // totals (#langs rows, appearing twice: in the direct scoring branch
+    // and again inside the thresholds subtree) and thresholds (#langs
+    // rows) — the vocabulary-sized NLL join must stay unhinted (the
+    // tfidf rule), so any count above these three is a regression
+    assert(hints == 3, s"expected 3 broadcast-hint nodes (totals x2, thresholds), saw $hints")
+  }
+
+  test("embed_power_pca: direction broadcasts; nothing sort-merges") {
+    val p = plan("embed_power_pca")
+    assert(p.contains("Broadcast"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "power iteration shuffles the corpus to join")
+  }
 }
