@@ -31,7 +31,7 @@ object WebQueries {
     * shared verbatim by the Spark expr and the oracle (both accept `||`
     * and CASE), parameterized only by the id/source column names.
     */
-  private def rawUrlSql(id: String, src: String): String =
+  private[graft] def rawUrlSql(id: String, src: String): String =
     s"""'HTTPS://' ||
         CASE WHEN $id % 2 = 0 THEN 'WWW.' ELSE '' END ||
         'News.' || $src || '.Example.COM' ||
@@ -55,32 +55,42 @@ object WebQueries {
     * domain (last two host labels) and path depth alongside — the keys
     * domain-level stats and per-site caps group on.
     */
+  /** Normalization stage on a frame carrying a `raw` URL column: adds
+    * url_norm / host / domain / path_depth (drops the intermediates).
+    * Shared by the oracle-checked query and [[graft.WebPipeline]]. */
+  private[graft] def normalizeUrls(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df
+      .withColumn("defrag", regexp_replace(col("raw"), "#.*$", ""))
+      .withColumn("host", regexp_replace(
+        regexp_replace(
+          lower(regexp_extract(col("defrag"), "^[A-Za-z]+://([^/?#]+)", 1)),
+          ":[0-9]+$", ""),
+        "^www\\.", ""))
+      .withColumn("path", regexp_replace(
+        regexp_extract(col("defrag"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
+        "/$", ""))
+      .withColumn("qnorm", expr(
+        """array_join(sort_array(filter(split(
+             regexp_extract(defrag, '[?]([^#]*)$', 1), '&'),
+             p -> p <> '' AND NOT startswith(p, 'utm_'))), '&')"""))
+      .withColumn("url_norm",
+        concat(lit("https://"), col("host"), col("path"),
+          when(col("qnorm") =!= "", concat(lit("?"), col("qnorm")))
+            .otherwise(lit(""))))
+      .withColumn("domain",
+        regexp_extract(col("host"), "([a-z0-9-]+\\.[a-z]+)$", 1))
+      .withColumn("path_depth",
+        expr("CAST(size(filter(split(path, '/'), x -> x <> '')) AS BIGINT)"))
+      .drop("defrag", "path", "qnorm")
+
   private val webUrlNormalize = Q(
     "web_url_normalize",
     (s, dir) =>
-      Tables.documents(s, dir)
-        .withColumn("raw", expr(rawUrlSql("doc_id", "source")))
-        .withColumn("defrag", regexp_replace(col("raw"), "#.*$", ""))
-        .withColumn("host", regexp_replace(
-          regexp_replace(
-            lower(regexp_extract(col("defrag"), "^[A-Za-z]+://([^/?#]+)", 1)),
-            ":[0-9]+$", ""),
-          "^www\\.", ""))
-        .withColumn("path", regexp_replace(
-          regexp_extract(col("defrag"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
-          "/$", ""))
-        .withColumn("qnorm", expr(
-          """array_join(sort_array(filter(split(
-               regexp_extract(defrag, '[?]([^#]*)$', 1), '&'),
-               p -> p <> '' AND NOT startswith(p, 'utm_'))), '&')"""))
-        .select(col("doc_id"),
-          concat(lit("https://"), col("host"), col("path"),
-            when(col("qnorm") =!= "", concat(lit("?"), col("qnorm")))
-              .otherwise(lit(""))).as("url_norm"),
-          col("host"),
-          regexp_extract(col("host"), "([a-z0-9-]+\\.[a-z]+)$", 1).as("domain"),
-          expr("CAST(size(filter(split(path, '/'), x -> x <> '')) AS BIGINT)")
-            .as("path_depth")),
+      normalizeUrls(
+        Tables.documents(s, dir)
+          .withColumn("raw", expr(rawUrlSql("doc_id", "source"))))
+        .select(col("doc_id"), col("url_norm"), col("host"), col("domain"),
+          col("path_depth")),
     Some(s"""WITH raw AS (
                SELECT doc_id, ${rawUrlDuck("doc_id", "source")} AS raw
                FROM documents),
@@ -108,6 +118,12 @@ object WebQueries {
                  AS BIGINT) AS path_depth
              FROM parts"""))
 
+  /** The curated blocklist stand-in (production: ~100k spam/SEO hosts,
+    * still broadcast-sized). Shared by the query and [[graft.WebPipeline]]. */
+  private[graft] val blockedHosts: Seq[String] = Seq(
+    "news.src3.example.com", "news.src7.example.com",
+    "news.src11.example.com", "news.src17.example.com")
+
   /** Domain blocklist filtering — the first crawl gate. The blocklist is
     * a FIXED-SIZE curated list (spam/SEO domains; ~100k rows in
     * production — bounded by curation effort, not by the corpus), so the
@@ -119,8 +135,7 @@ object WebQueries {
     "web_domain_blocklist",
     (s, dir) => {
       import s.implicits._
-      val blocked = Seq("news.src3.example.com", "news.src7.example.com",
-        "news.src11.example.com", "news.src17.example.com").toDF("host")
+      val blocked = blockedHosts.toDF("host")
       Tables.documents(s, dir)
         .withColumn("host",
           concat(lit("news."), col("source"), lit(".example.com")))
@@ -142,7 +157,7 @@ object WebQueries {
     * link with an HTML entity. One line, no newlines — `.` never needs
     * DOTALL on either engine.
     */
-  private def htmlSql(cast: String): String =
+  private[graft] def htmlSql(cast: String): String =
     s"""'<html><head><title>Doc ' || CAST(doc_id AS $cast) || '</title>' ||
         '<style>p{margin:0;}</style><script>var t=1;</script></head><body>' ||
         '<nav><a href="/">Home</a> <a href="/t/' || source || '">' || source ||
@@ -162,27 +177,35 @@ object WebQueries {
     * on. Pure regex column math; the md5 of the full extracted text makes
     * the oracle sensitive to every byte, not just the 80-char preview.
     */
+  /** Extraction stage on a frame carrying an `html` column: adds
+    * n_links / link_chars / content. Shared by the oracle-checked query
+    * and [[graft.WebPipeline]]. */
+  private[graft] def extractHtml(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df
+      .withColumn("noscript", regexp_replace(
+        regexp_replace(col("html"), "<style[^>]*>.*?</style>", " "),
+        "<script[^>]*>.*?</script>", " "))
+      .withColumn("n_links",
+        regexp_count(col("noscript"), lit("<a ")).cast("long"))
+      .withColumn("link_chars", expr(
+        """CAST(length(array_join(
+             regexp_extract_all(noscript, '<a [^>]*>([^<]*)</a>', 1), ''))
+           AS BIGINT)"""))
+      .withColumn("content", trim(regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("noscript"), "<nav>.*?</nav>", " "),
+            "<[^>]+>", " "),
+          "&amp;", "&"),
+        " +", " ")))
+      .drop("noscript")
+
   private val textHtmlExtract = Q(
     "text_html_extract",
     (s, dir) =>
-      Tables.documents(s, dir)
-        .withColumn("html", expr(htmlSql("STRING")))
-        .withColumn("noscript", regexp_replace(
-          regexp_replace(col("html"), "<style[^>]*>.*?</style>", " "),
-          "<script[^>]*>.*?</script>", " "))
-        .withColumn("n_links",
-          regexp_count(col("noscript"), lit("<a ")).cast("long"))
-        .withColumn("link_chars", expr(
-          """CAST(length(array_join(
-               regexp_extract_all(noscript, '<a [^>]*>([^<]*)</a>', 1), ''))
-             AS BIGINT)"""))
-        .withColumn("content", trim(regexp_replace(
-          regexp_replace(
-            regexp_replace(
-              regexp_replace(col("noscript"), "<nav>.*?</nav>", " "),
-              "<[^>]+>", " "),
-            "&amp;", "&"),
-          " +", " ")))
+      extractHtml(
+        Tables.documents(s, dir)
+          .withColumn("html", expr(htmlSql("STRING"))))
         .select(col("doc_id"), col("n_links"), col("link_chars"),
           length(col("content")).cast("long").as("content_len"),
           expr("""CASE WHEN length(content) = 0 THEN CAST(0 AS BIGINT)
