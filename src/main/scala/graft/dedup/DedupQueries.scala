@@ -69,7 +69,7 @@ object DedupQueries {
     sig.select(col("doc_id") +: bands: _*)
   }
 
-  private def minhashOracle: String = {
+  private[graft] def minhashOracle: String = {
     val mhDefs = (0 until NumHashes).map { j =>
       s"min((${A(j)} * x + ${B(j)}) % $P) AS mh$j"
     }.mkString(",\n              ")

@@ -375,6 +375,76 @@ object OlapQueries {
             FROM events GROUP BY user_id
             ORDER BY est_count DESC, user_id LIMIT 10"""))
 
+  // Count-Min sketch — the MERGEABLE frequency summary (the alternative
+  // to Misra-Gries when you need point estimates for ARBITRARY keys, not
+  // just the top-k): depth 4 × width 256 integer cell matrix built from
+  // the vocabulary COUNT aggregate (never the raw occurrence list — the
+  // checkpoint-the-pre-aggregate rule; cell totals are identical either
+  // way), probed for 10 deterministic tokens with the CMS estimate
+  // est = min_j cell[j][h_j(t)] ≥ true count. Scale shape: the sketch is
+  // ≤ 1024 cells no matter the corpus (it broadcasts to the probe join);
+  // partial aggregation combines map-side; per-shard sketches would merge
+  // by cell-wise addition — that mergeability is WHY warehouses ship CMS.
+  // The ≥-true guarantee and the bounded overcount ride the oracle check
+  // (both engines compute the same integer sketch) plus SketchSpec.
+  private val sketchCountmin = Q(
+    "sketch_countmin",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      def bucket(cast: String) =
+        s"""(instr('0123456789abcdef', substr(md5(concat('cms', CAST(j AS $cast),
+              '_', token)), 1, 1)) - 1) * 16 +
+            (instr('0123456789abcdef', substr(md5(concat('cms', CAST(j AS $cast),
+              '_', token)), 2, 1)) - 1)"""
+      val counts = Tables.spread(Tables.documents(s, dir).select(col("text")))
+        .select(explode(expr("word_ngrams(text, 1, false)")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(eager = true) // feeds cells + probes off one pass
+      val cells = counts
+        .select(col("token"), col("cnt"), explode(expr("sequence(0, 3)")).as("j"))
+        .withColumn("bucket", expr(bucket("STRING")).cast("long"))
+        .groupBy(col("j"), col("bucket")).agg(sum(col("cnt")).as("cell"))
+      counts
+        .withColumn("h", md5(col("token")))
+        .orderBy(col("h"), col("token")).limit(10)
+        .select(col("token"), col("cnt").as("true_cnt"))
+        .select(col("token"), col("true_cnt"),
+          explode(expr("sequence(0, 3)")).as("j"))
+        .withColumn("bucket", expr(bucket("STRING")).cast("long"))
+        .join(broadcast(cells), Seq("j", "bucket"))
+        .groupBy(col("token"), col("true_cnt"))
+        .agg(min(col("cell")).as("est"))
+        .select(col("token"), col("true_cnt"), col("est"),
+          (col("est") - col("true_cnt")).as("overcount"))
+    },
+    Some {
+      def bucket(cast: String) =
+        s"""(instr('0123456789abcdef', substr(md5('cms' || CAST(j AS $cast)
+              || '_' || token), 1, 1)) - 1) * 16 +
+            (instr('0123456789abcdef', substr(md5('cms' || CAST(j AS $cast)
+              || '_' || token), 2, 1)) - 1)"""
+      s"""WITH counts AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(list_filter(string_split_regex(lower(text),
+                    '[^a-z]+'), t -> t <> '')) AS token FROM documents)
+            GROUP BY token),
+          cells AS (
+            SELECT j, bucket, CAST(sum(cnt) AS BIGINT) AS cell
+            FROM (SELECT r.j, ${bucket("VARCHAR")} AS bucket, cnt
+                  FROM counts, range(4) AS r(j))
+            GROUP BY j, bucket),
+          probes AS (
+            SELECT token, cnt AS true_cnt FROM counts
+            ORDER BY md5(token), token LIMIT 10),
+          probed AS (
+            SELECT token, true_cnt, r.j, ${bucket("VARCHAR")} AS bucket
+            FROM probes, range(4) AS r(j))
+          SELECT p.token, p.true_cnt, CAST(min(c.cell) AS BIGINT) AS est,
+            CAST(min(c.cell) - p.true_cnt AS BIGINT) AS overcount
+          FROM probed p JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
+          GROUP BY p.token, p.true_cnt"""
+    })
+
   // Incremental rollup maintenance — the contract that lets a 100 TB
   // warehouse serve daily aggregates WITHOUT rescanning history: the
   // already-loaded days persist as per-(day, type) PARTIALS (count,
@@ -442,5 +512,5 @@ object OlapQueries {
   val all: Seq[Q] = Seq(pivotEventType, unpivotMelt, histogramBins,
     udafWeightedMean, skewDiagnose, aggMinmaxBy, histogramEquidepth,
     joinIntervalOverlap, profileTable, topkPerKey, approxHeavyHitters,
-    incrementalAggMerge, sqlTextParity)
+    incrementalAggMerge, sqlTextParity, sketchCountmin)
 }

@@ -291,6 +291,61 @@ object CurationQueries {
             FROM corpus c JOIN bench b ON b.gram = c.gram
             GROUP BY c.doc_id, c.n_grams"""))
 
+  /** Fuzzy (near-duplicate) decontamination — the MinHash companion to
+    * `contamination_check`'s exact n-gram overlap: flag corpus documents
+    * that share any LSH band (same band position, same band hash) with a
+    * benchmark document, i.e. are likely near-duplicates of eval data
+    * even after light edits that break exact n-gram matching. Scale
+    * shape: signatures are computed ONCE (checkpointed — they feed both
+    * the benchmark and corpus sides); the benchmark is fixed-size (the
+    * md5-order top-100 rule), so its band set broadcasts and corpus rows
+    * probe it map-side — only actual hits reach the per-doc aggregate.
+    */
+  private val contaminationFuzzy = Q(
+    "contamination_fuzzy",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sig = graft.dedup.DedupQueries.minhashSignatures(docs)
+        .localCheckpoint(eager = true)
+      val benchIds = docs
+        .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+        .orderBy(col("h"), col("doc_id")).limit(100)
+        .select(col("doc_id"))
+      val long = graft.dedup.DedupQueries.stackBands(sig)
+      val bench = long.join(broadcast(benchIds), "doc_id")
+        .select(col("band_no"), col("band_hash"), col("doc_id").as("bench_id"))
+        .distinct()
+      long.join(broadcast(benchIds), Seq("doc_id"), "left_anti")
+        .join(broadcast(bench), Seq("band_no", "band_hash"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("band_no")).as("n_bands_hit"),
+          countDistinct(col("bench_id")).as("n_bench_neighbors"))
+    },
+    Some {
+      val nBands = graft.functions.MinHashSignature.NumHashes /
+        graft.functions.MinHashSignature.BandSize
+      val bandUnion = (0 until nBands)
+        .map(b => s"SELECT doc_id, $b AS band_no, band$b AS band_hash FROM sig")
+        .mkString(" UNION ALL ")
+      s"""WITH sig AS (${graft.dedup.DedupQueries.minhashOracle}),
+          bench_ids AS (
+            SELECT doc_id FROM documents
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100),
+          long AS ($bandUnion),
+          bench AS (
+            SELECT DISTINCT band_no, band_hash, doc_id AS bench_id
+            FROM long WHERE doc_id IN (SELECT doc_id FROM bench_ids)),
+          corpus AS (
+            SELECT doc_id, band_no, band_hash FROM long
+            WHERE doc_id NOT IN (SELECT doc_id FROM bench_ids))
+          SELECT c.doc_id,
+            CAST(count(DISTINCT c.band_no) AS BIGINT) AS n_bands_hit,
+            CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_neighbors
+          FROM corpus c
+          JOIN bench b ON b.band_no = c.band_no AND b.band_hash = c.band_hash
+          GROUP BY c.doc_id"""
+    })
+
   /** Repetition detection (Gopher-style quality rule): the fraction of a
     * document's word bigrams that are duplicates — high values flag
     * boilerplate / machine-generated loops. Pure per-row column math (no
@@ -1003,6 +1058,7 @@ object CurationQueries {
 
   val all: Seq[Q] = Seq(sampleHash, sampleStratified, textPiiScrub,
     textEditDistance, packSequences, vocabTopk, contaminationCheck,
+    contaminationFuzzy,
     textRepetition, sampleDomainMix, sampleTemperature, sampleImportance,
     dedupLines, shardShuffle, qualityLogreg, docChunking, qualityGopherRules,
     textCodeDetect, corpusDrift, tokenizerCoverage)
