@@ -64,6 +64,85 @@ object LayoutQueries {
           FROM coded GROUP BY 1"""
     })
 
+  // Zone-map skipping audit — the number that justifies paying for a
+  // layout: for a SECONDARY-column predicate (y ∈ [64, 79]; the dimension
+  // the table was NOT primarily sorted by), how many of 16 files can
+  // min/max zone maps prove empty under three layouts?
+  //   linear_x  (files stripe x)  — prunes nothing on y: every file
+  //                                 spans the full y domain;
+  //   linear_y  (files stripe y)  — the perfect single-column layout:
+  //                                 prunes all but the one matching stripe;
+  //   zorder    (files stripe z)  — prunes most files on y AND would do
+  //                                 the same for x: the two-dimensional
+  //                                 compromise Delta/Iceberg OPTIMIZE buys.
+  // The layouts are hypothetical file assignments via pure column math
+  // (range-striping a known key domain — at write time a range partitioner
+  // does this distributed), so the audit is scan + three bounded
+  // aggregates; rows_matched rides in as a one-row cross join. No sort,
+  // no window, nothing corpus-sized shuffles.
+  private val layoutSkipStats = Q(
+    "layout_skip_stats",
+    (s, dir) => {
+      val pts = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        // y = hour-number mod 256: covers the full 0..255 domain at every
+        // test SF (day-number only spans ~30 values — a predicate tile
+        // would miss it entirely at small SFs)
+        .select(expr("user_id % 256").as("x"),
+          expr("(us div 3600000000) % 256").as("y"))
+        .select(col("x"), col("y"), expr(mortonSql("x", "y")).as("z"))
+      def audit(layout: String, fileExpr: String) =
+        pts.withColumn("file", expr(fileExpr))
+          .groupBy(col("file"))
+          .agg(count(lit(1)).as("n"),
+            min(col("y")).as("y_lo"), max(col("y")).as("y_hi"))
+          .agg(count(lit(1)).as("n_files"),
+            sum(when(col("y_hi") < 64 || col("y_lo") > 79, 1L).otherwise(0L))
+              .as("n_pruned"),
+            coalesce(sum(when(!(col("y_hi") < 64 || col("y_lo") > 79),
+              col("n"))), lit(0L)).as("rows_scanned"))
+          .select(lit(layout).as("layout"), col("n_files"), col("n_pruned"),
+            col("rows_scanned"))
+      val audits = audit("linear_x", "x div 16")
+        .unionAll(audit("linear_y", "y div 16"))
+        .unionAll(audit("zorder", "z div 4096"))
+      val matched = pts.where(col("y").between(64, 79))
+        .agg(count(lit(1)).as("rows_matched"))
+      audits.crossJoin(broadcast(matched))
+    },
+    Some {
+      val z = (0 until 8).map { i =>
+        s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})"
+      }.mkString(" + ")
+      s"""WITH pts AS (
+            SELECT x, y, $z AS z
+            FROM (SELECT user_id % 256 AS x,
+                         ((epoch_ns(ts) // 1000) // 3600000000) % 256 AS y
+                  FROM events)),
+          audits AS (
+            SELECT 'linear_x' AS layout, x // 16 AS file, y FROM pts
+            UNION ALL
+            SELECT 'linear_y', y // 16, y FROM pts
+            UNION ALL
+            SELECT 'zorder', z // 4096, y FROM pts),
+          zones AS (
+            SELECT layout, file, CAST(count(*) AS BIGINT) AS n,
+              min(y) AS y_lo, max(y) AS y_hi
+            FROM audits GROUP BY layout, file),
+          summary AS (
+            SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+              CAST(sum(CASE WHEN y_hi < 64 OR y_lo > 79 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pruned,
+              CAST(coalesce(sum(CASE WHEN NOT (y_hi < 64 OR y_lo > 79)
+                THEN n END), 0) AS BIGINT) AS rows_scanned
+            FROM zones GROUP BY layout),
+          matched AS (
+            SELECT CAST(count(*) AS BIGINT) AS rows_matched
+            FROM pts WHERE y BETWEEN 64 AND 79)
+          SELECT layout, n_files, n_pruned, rows_scanned, rows_matched
+          FROM summary, matched"""
+    })
+
   // Bloom-pruned join: urgent orders' key set (built distributed, merged
   // via the sketch aggregate) broadcasts as ~1 MB of bits; the lineitem
   // scan probes it with the native `bloom_might_contain` expression
@@ -90,5 +169,5 @@ object LayoutQueries {
             WHERE o_orderpriority = '1-URGENT'
             GROUP BY l_returnflag"""))
 
-  val all: Seq[Q] = Seq(zorderLayout, joinBloomPruned)
+  val all: Seq[Q] = Seq(zorderLayout, joinBloomPruned, layoutSkipStats)
 }

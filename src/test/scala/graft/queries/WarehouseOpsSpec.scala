@@ -194,4 +194,23 @@ class WarehouseOpsSpec extends SparkSpec {
       assert(ps.map(_._5).distinct.length == 1)
     }
   }
+
+  test("layout_skip_stats: pruning is sound and ordered linear_y ≥ zorder ≥ linear_x") {
+    val rows = Registry.queries("layout_skip_stats")(spark, dir).collect()
+      .map(r => r.getAs[String]("layout") ->
+        (r.getAs[Long]("n_pruned"), r.getAs[Long]("rows_scanned"),
+          r.getAs[Long]("rows_matched"))).toMap
+    val matched = rows.values.head._3
+    rows.foreach { case (layout, (_, scanned, m)) =>
+      assert(m == matched, "rows_matched must be layout-independent")
+      // soundness: zone-map pruning may never drop a matching row
+      assert(scanned >= matched, s"$layout pruned away matching rows")
+    }
+    // the layout argument itself: the y-striped layout serves the y
+    // predicate best, z-order is the two-dimensional compromise, the
+    // x-striped layout scans everything
+    assert(rows("linear_y")._2 <= rows("zorder")._2)
+    assert(rows("zorder")._2 <= rows("linear_x")._2)
+    assert(rows("linear_x")._1 == 0L, "x stripes cannot prune on y")
+  }
 }
