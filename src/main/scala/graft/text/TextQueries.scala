@@ -508,7 +508,86 @@ object TextQueries {
                   FROM documents)
             WHERE n_words > 0"""))
 
+  /** Interpolated Kneser-Ney bigram probabilities (D = 0.75) — the
+    * LM-smoothing computation an n-gram language model trains with:
+    *
+    *   P(w2|w1) = max(c(w1w2) − D, 0)/c(w1)
+    *            + (D · N1+(w1,·)/c(w1)) · (N1+(·,w2) / N1+(·,·))
+    *
+    * Shapes: ONE bigram-type aggregate (checkpointed — it feeds the left
+    * totals, the continuation counts, the type total, and the final
+    * scoring), left/continuation totals are vocab-sized shuffled
+    * aggregates (never hint-broadcast — the tfidf rule), the type total
+    * is a one-row cross join, and the output restricts to the top-20
+    * left-contexts by count (bounded TakeOrdered, broadcast back into
+    * the bigram frame). Probabilities quantize by FLOOR to micro units —
+    * KN probabilities are small-denominator rationals, exactly the class
+    * where round() hash-diverges on half-boundaries (§7.4.1); the double
+    * expression is written with identical association on both engines,
+    * all inputs are exact integers < 2^53, so both floors see the same
+    * correctly-rounded value. Σ_seen P ≤ 1 (unseen w2 hold the rest of
+    * the continuation mass) is pinned by KnBigramSpec.
+    */
+  private val lmKnBigram = Q(
+    "lm_kn_bigram",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val big = Tables.spread(Tables.documents(s, dir).select(col("text")))
+        .select(explode(expr("word_ngrams(text, 2, false)")).as("bg"))
+        .select(substring_index(col("bg"), " ", 1).as("w1"),
+          substring_index(col("bg"), " ", -1).as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        .localCheckpoint(eager = true)
+      val left = big.groupBy(col("w1"))
+        .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p"))
+      val cont = big.groupBy(col("w2")).agg(count(lit(1)).as("nl"))
+      val tot = big.agg(count(lit(1)).as("nt"))
+      val top = left.orderBy(col("c1").desc, col("w1")).limit(20)
+      big.join(broadcast(top), "w1")
+        .join(cont, "w2")
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("c12"),
+          expr("""CAST(floor((greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0)
+                    / CAST(c1 AS DOUBLE)
+                  + (0.75 * CAST(n1p AS DOUBLE) / CAST(c1 AS DOUBLE))
+                    * (CAST(nl AS DOUBLE) / CAST(nt AS DOUBLE)))
+                  * 1000000.0) AS BIGINT)""").as("p_micro"))
+    },
+    Some("""WITH toks AS (
+              SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                t -> t <> '') AS toks
+              FROM documents),
+            big AS (
+              SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+              FROM (SELECT split_part(bg, ' ', 1) AS w1,
+                      split_part(bg, ' ', 2) AS w2
+                    FROM (SELECT unnest(CASE WHEN len(toks) < 2 THEN []
+                            ELSE list_transform(range(1, greatest(len(toks), 1)),
+                              i -> concat_ws(' ', toks[i], toks[i+1])) END) AS bg
+                          FROM toks))
+              GROUP BY w1, w2),
+            lft AS (
+              SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                CAST(count(*) AS BIGINT) AS n1p
+              FROM big GROUP BY w1),
+            cont AS (
+              SELECT w2, CAST(count(*) AS BIGINT) AS nl
+              FROM big GROUP BY w2),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM big),
+            top AS (
+              SELECT w1, c1, n1p FROM lft
+              ORDER BY c1 DESC, w1 LIMIT 20)
+            SELECT b.w1, b.w2, b.c12,
+              CAST(floor((greatest(CAST(b.c12 AS DOUBLE) - 0.75, 0.0)
+                    / CAST(t.c1 AS DOUBLE)
+                  + (0.75 * CAST(t.n1p AS DOUBLE) / CAST(t.c1 AS DOUBLE))
+                    * (CAST(c.nl AS DOUBLE) / CAST(tt.nt AS DOUBLE)))
+                  * 1000000.0) AS BIGINT) AS p_micro
+            FROM big b
+            JOIN top t USING (w1)
+            JOIN cont c ON c.w2 = b.w2, tot tt"""))
+
   val all: Seq[Q] = Seq(textTokens, textQuality, textLangid, textFingerprint,
     tokenCount, textTfidf, textUnigramNll, textBm25, textEntropy, corpusStats,
-    textBigramNll, textReadability)
+    textBigramNll, textReadability, lmKnBigram)
 }
