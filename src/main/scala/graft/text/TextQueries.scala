@@ -103,6 +103,71 @@ object TextQueries {
                     CAST((length(text) - length(replace(text, ' le ', ''))) / 4 AS BIGINT) AS s_fr
                   FROM documents)"""))
 
+  // Classifier evaluation as a query — the confusion matrix + per-class
+  // recall/precision readout every pipeline model (langid here; quality
+  // and code-detect gates the same way) needs against labeled data. One
+  // per-row prediction pass (the text_langid logic), one (true, pred)
+  // aggregate, and two CLASS-cardinality marginals joined back broadcast
+  // — integer-ppm metrics, no windows, nothing corpus-sized after the
+  // first aggregate.
+  private val evalLangidConfusion = Q(
+    "eval_langid_confusion",
+    (s, dir) => {
+      def score(marker: String) =
+        ((length(col("text")) - length(regexp_replace(col("text"), marker, ""))) /
+          marker.length).cast("long")
+      val pred = Tables.documents(s, dir)
+        .withColumn("s_en", score(" the "))
+        .withColumn("s_de", score(" der "))
+        .withColumn("s_es", score(" el "))
+        .withColumn("s_fr", score(" le "))
+        .select(col("lang"),
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+            col("s_en") >= col("s_fr") && col("s_en") > 0, "en")
+            .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr") &&
+              col("s_de") > 0, "de")
+            .when(col("s_es") >= col("s_fr") && col("s_es") > 0, "es")
+            .when(col("s_fr") > 0, "fr")
+            .otherwise("und").as("lang_pred"))
+      val conf = pred.groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+      val truth = conf.groupBy(col("lang")).agg(sum(col("n")).as("n_true"))
+      val predTot = conf.groupBy(col("lang_pred")).agg(sum(col("n")).as("n_pred"))
+      conf.join(broadcast(truth), "lang")
+        .join(broadcast(predTot), "lang_pred")
+        .select(col("lang"), col("lang_pred"), col("n"), col("n_true"),
+          col("n_pred"),
+          expr("(n * 1000000) div n_true").as("recall_ppm"),
+          expr("(n * 1000000) div n_pred").as("precision_ppm"))
+    },
+    Some("""WITH pred AS (
+              SELECT lang,
+                CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+                     WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+                     WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+                     WHEN s_fr > 0 THEN 'fr'
+                     ELSE 'und' END AS lang_pred
+              FROM (SELECT lang,
+                      CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT) AS s_en,
+                      CAST((length(text) - length(replace(text, ' der ', ''))) / 5 AS BIGINT) AS s_de,
+                      CAST((length(text) - length(replace(text, ' el ', ''))) / 4 AS BIGINT) AS s_es,
+                      CAST((length(text) - length(replace(text, ' le ', ''))) / 4 AS BIGINT) AS s_fr
+                    FROM documents)),
+            conf AS (
+              SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+              FROM pred GROUP BY lang, lang_pred),
+            truth AS (
+              SELECT lang, CAST(sum(n) AS BIGINT) AS n_true
+              FROM conf GROUP BY lang),
+            predt AS (
+              SELECT lang_pred, CAST(sum(n) AS BIGINT) AS n_pred
+              FROM conf GROUP BY lang_pred)
+            SELECT c.lang, c.lang_pred, c.n, t.n_true, p.n_pred,
+              (c.n * 1000000) // t.n_true AS recall_ppm,
+              (c.n * 1000000) // p.n_pred AS precision_ppm
+            FROM conf c JOIN truth t USING (lang)
+            JOIN predt p USING (lang_pred)"""))
+
   // Document fingerprint: min/max md5 over word-3-gram shingles — the
   // rolling-hash fingerprint family; byte-wise string min/max of hex digests
   // is engine-independent.
@@ -589,5 +654,5 @@ object TextQueries {
 
   val all: Seq[Q] = Seq(textTokens, textQuality, textLangid, textFingerprint,
     tokenCount, textTfidf, textUnigramNll, textBm25, textEntropy, corpusStats,
-    textBigramNll, textReadability, lmKnBigram)
+    textBigramNll, textReadability, lmKnBigram, evalLangidConfusion)
 }
