@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation readouts over the documents corpus — the metrics every
+  * pipeline gate (quality classifier, langid, dedup verdicts) is judged by
+  * before its threshold ships: ROC-AUC and a calibration/reliability table.
+  * Companion to `eval_langid_confusion` (TextQueries); the evaluated model
+  * here is the `quality_logreg` hashed-unigram scorer and the ground truth
+  * is the rule gate (n_tok ≥ 20 AND n_chars ≥ 100 — `text_quality`'s
+  * `quality_ok`), so the family needs no external model artifacts.
+  *
+  * Scale discipline: exact AUC is a rank statistic, and the naive
+  * formulation (global rank window over every scored row) is a
+  * single-reducer sort of the corpus. Here the score is DEFINED as its
+  * milli-logit bucket — ≤ 2001 distinct values by construction — so the
+  * rank-sum runs over a BOUNDED per-lang histogram: one corpus aggregate,
+  * a window over ≤ 2001 rows per lang, one 4-row readout (the
+  * quality_ppl_buckets pattern). Determinism: counts are exact BIGINT in
+  * any order; the single double division per lang happens once on
+  * identical integer inputs on both engines.
+  */
+object EvalQueries {
+
+  private val tokenizeExpr = "word_ngrams(text, 1, false)"
+
+  /** First two md5 hex digits as 0..255 — same digit math on both engines
+    * (the CurationQueries hashing convention). */
+  private def md5Byte(sqlExprStr: String): String =
+    s"""(instr('0123456789abcdef', substr(md5($sqlExprStr), 1, 1)) - 1) * 16 +
+        (instr('0123456789abcdef', substr(md5($sqlExprStr), 2, 1)) - 1)"""
+
+  /** Per-doc hashed-unigram logit (the quality_logreg score) in micro
+    * units, plus the rule label, carried per lang. `bucket` shifts the
+    * micro logit non-negative before `div` so truncating and floor
+    * division agree on both engines. */
+  private val scoredSql =
+    s"""SELECT lang,
+          (CAST(floor(CAST(sw AS DOUBLE) * 1000.0 / CAST(n_tok AS DOUBLE))
+             AS BIGINT) + 1000000) // 1000 AS bucket,
+          CASE WHEN n_tok >= 20 AND n_chars >= 100 THEN 1 ELSE 0 END AS pos
+        FROM (SELECT doc_id, lang, n_chars,
+                CAST(count(*) AS BIGINT) AS n_tok,
+                CAST(sum(w_milli) AS BIGINT) AS sw
+              FROM (SELECT doc_id, lang, n_chars,
+                      CAST(${md5Byte("term")} AS BIGINT) * 2654435761 % 2001
+                        - 1000 AS w_milli
+                    FROM (SELECT doc_id, lang, n_chars, unnest(list_filter(
+                            string_split_regex(lower(text), '[^a-z]+'),
+                            t -> t <> '')) AS term
+                          FROM documents))
+              GROUP BY doc_id, lang, n_chars)"""
+
+  private[queries] def scoredDf(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        explode(expr(tokenizeExpr)).as("term"))
+      .withColumn("w_milli",
+        expr(s"CAST((${md5Byte("term")}) AS BIGINT) * 2654435761 % 2001 - 1000"))
+      .groupBy(col("doc_id"), col("lang"), col("n_chars"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("w_milli")).as("sw"))
+      .select(col("lang"),
+        expr("""(CAST(floor(CAST(sw AS DOUBLE) * 1000.0 / CAST(n_tok AS DOUBLE))
+                  AS BIGINT) + 1000000) div 1000""").as("bucket"),
+        expr("CASE WHEN n_tok >= 20 AND n_chars >= 100 THEN 1 ELSE 0 END")
+          .cast("long").as("pos"))
+  }
+
+  /** Exact ROC-AUC of the bucketed score per lang via the Mann-Whitney
+    * rank-sum: AUC = [Σ_b n_pos_b·(2·cum_neg_below + n_neg_b)] /
+    * (2·n_pos·n_neg), ties (same bucket) at half weight. The cumulative
+    * window runs over the bounded histogram, never the corpus; num2 stays
+    * exact BIGINT, and only the final ppm quantization touches doubles
+    * (identical inputs → identical IEEE quotient → identical floor).
+    * Degenerate classes (one label absent) report -1, not a 0/0. */
+  private val evalAucRank = Q(
+    "eval_auc_rank",
+    (s, dir) => {
+      val hist = scoredDf(s, dir)
+        .groupBy(col("lang"), col("bucket"))
+        .agg(sum(col("pos")).as("n_pos"),
+          (count(lit(1)) - sum(col("pos"))).as("n_neg"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      hist
+        .withColumn("cum_neg", coalesce(sum(col("n_neg")).over(w), lit(0L)))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_pos")).as("n_pos"), sum(col("n_neg")).as("n_neg"),
+          sum(col("n_pos") * (lit(2L) * col("cum_neg") + col("n_neg")))
+            .as("num2"))
+        .select(col("lang"), col("n_pos"), col("n_neg"),
+          expr("""CASE WHEN n_pos = 0 OR n_neg = 0 THEN -1
+                  ELSE CAST(floor(CAST(num2 AS DOUBLE) * 1000000.0
+                    / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)))
+                    AS BIGINT) END""").as("auc_ppm"))
+    },
+    Some(s"""WITH scored AS ($scoredSql),
+             hist AS (
+               SELECT lang, bucket,
+                 CAST(sum(pos) AS BIGINT) AS n_pos,
+                 CAST(count(*) - sum(pos) AS BIGINT) AS n_neg
+               FROM scored GROUP BY lang, bucket),
+             cum AS (
+               SELECT lang, n_pos, n_neg,
+                 coalesce(sum(n_neg) OVER (PARTITION BY lang ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_neg
+               FROM hist),
+             folded AS (
+               SELECT lang, CAST(sum(n_pos) AS BIGINT) AS n_pos,
+                 CAST(sum(n_neg) AS BIGINT) AS n_neg,
+                 CAST(sum(n_pos * (2 * cum_neg + n_neg)) AS BIGINT) AS num2
+               FROM cum GROUP BY lang)
+             SELECT lang, n_pos, n_neg,
+               CASE WHEN n_pos = 0 OR n_neg = 0 THEN -1
+               ELSE CAST(floor(CAST(num2 AS DOUBLE) * 1000000.0
+                 / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)))
+                 AS BIGINT) END AS auc_ppm
+             FROM folded"""))
+
+  /** Calibration / reliability table: ten equal-width logit bins (clamped
+    * to the score's design range ±1 logit), per (lang, bin) the count,
+    * positive rate, and mean score — the monotonicity-and-coverage readout
+    * a threshold choice reads. Pure integer output: rates in ppm by
+    * integer division, mean micro-logit by floor of one double quotient.
+    * Shape: one corpus aggregate into ≤ 40 cells; nothing after it is
+    * corpus-sized. */
+  private val evalCalibrationBins = Q(
+    "eval_calibration_bins",
+    (s, dir) =>
+      scoredDf(s, dir)
+        .withColumn("bin", least(expr("(bucket * 10) div 2001"), lit(9L)))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+          sum(col("bucket")).as("sb"))
+        .select(col("lang"), col("bin"), col("n"), col("n_pos"),
+          expr("(n_pos * 1000000) div n").as("pos_rate_ppm"),
+          expr("""CAST(floor(CAST(sb AS DOUBLE) / CAST(n AS DOUBLE))
+                  AS BIGINT)""").as("mean_bucket")),
+    Some(s"""WITH scored AS ($scoredSql)
+             SELECT lang, bin, n, n_pos,
+               (n_pos * 1000000) // n AS pos_rate_ppm,
+               CAST(floor(CAST(sb AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+                 AS mean_bucket
+             FROM (SELECT lang,
+                     least((bucket * 10) // 2001, 9) AS bin,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(pos) AS BIGINT) AS n_pos,
+                     CAST(sum(bucket) AS BIGINT) AS sb
+                   FROM scored GROUP BY 1, 2)"""))
+
+  val all: Seq[Q] = Seq(evalAucRank, evalCalibrationBins)
+}

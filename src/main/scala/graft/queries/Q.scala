@@ -19,6 +19,7 @@ object Registry {
       OlapQueries.all ++
       LayoutQueries.all ++
       AnalyticsQueries.all ++
+      EvalQueries.all ++
       GraphBpeQueries.all ++
       graft.identity.IdentityQueries.all ++
       graft.text.TextQueries.all ++
