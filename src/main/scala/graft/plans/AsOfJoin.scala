@@ -48,7 +48,8 @@ case class AsOfJoinPlan(
     strict: Boolean,
     forward: Boolean,
     rightTiebreak: Seq[Expression],
-    nearest: Boolean = false) extends BinaryNode {
+    nearest: Boolean = false,
+    tolerance: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -60,9 +61,9 @@ case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, strict, fwd, tb, near) =>
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, strict, fwd, tb, near, tol) =>
       AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, strict, fwd,
-        tb, near) :: Nil
+        tb, near, tol) :: Nil
     case _ => Nil
   }
 }
@@ -77,7 +78,8 @@ case class AsOfJoinExec(
     strict: Boolean,
     forward: Boolean,
     rightTiebreak: Seq[Expression],
-    nearest: Boolean = false) extends BinaryExecNode {
+    nearest: Boolean = false,
+    tolerance: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -119,10 +121,16 @@ case class AsOfJoinExec(
     // those rows for subsequent left rows (AsOf.joinNearest rejects it).
     val strictB = strict && !nearest
     val forwardB = forward && !nearest
-    // numeric time view for distance comparison (AsOf.joinNearest
-    // restricts nearest to these types; null for other modes)
+    // merge_asof tolerance: a candidate only matches within `tolerance`
+    // time units of the left row (-1 = unbounded). A pure emit-time gate —
+    // the cursor/buffer scan is unchanged, because a row too far for THIS
+    // left row may still match a later one.
+    val tolB: Long = tolerance.getOrElse(-1L)
+    val hasTol = tolerance.isDefined
+    // numeric time view for distance comparison (AsOf.joinNearest /
+    // tolerance restrict to these types; null for other modes)
     val timeGet: InternalRow => Long =
-      if (!nearest) null
+      if (!nearest && !hasTol) null
       else timeType match {
         case org.apache.spark.sql.types.LongType |
              org.apache.spark.sql.types.TimestampType |
@@ -194,7 +202,7 @@ case class AsOfJoinExec(
                 if (!forwardB) {
                   matched = rRow.copy()
                   matchedKey = rKey.copy()
-                  if (nearestB) matchedTime = timeGet(rTime)
+                  if (nearestB || hasTol) matchedTime = timeGet(rTime)
                 }
                 advanceRight()
               } else scan = false
@@ -208,14 +216,15 @@ case class AsOfJoinExec(
             // backward, so an exact match always wins with distance 0).
             // Equidistant both sides → the earlier row, matching pandas
             // merge_asof(direction='nearest') with its backward tie rule.
+            val ltv = if (lNull) 0L else timeGet(lTime)
             val bwHit = !lNull && matched != null &&
-              keyOrd.compare(matchedKey, lKey) == 0
+              keyOrd.compare(matchedKey, lKey) == 0 &&
+              (!hasTol || ltv - matchedTime <= tolB)
             val fwHit = !lNull && rRow != null && !rKey.anyNull &&
-              !rTime.isNullAt(0) && keyOrd.compare(rKey, lKey) == 0
-            val useFw = fwHit && (!bwHit || {
-              val ltv = timeGet(lTime)
-              (timeGet(rTime) - ltv) < (ltv - matchedTime)
-            })
+              !rTime.isNullAt(0) && keyOrd.compare(rKey, lKey) == 0 &&
+              (!hasTol || timeGet(rTime) - ltv <= tolB)
+            val useFw = fwHit && (!bwHit ||
+              (timeGet(rTime) - ltv) < (ltv - matchedTime))
             val hit = bwHit || fwHit
             if (hit) numMatched += 1
             resultProj(joined(l,
@@ -224,9 +233,12 @@ case class AsOfJoinExec(
             val hit =
               if (forwardB)
                 !lNull && rRow != null && !rKey.anyNull && !rTime.isNullAt(0) &&
-                  keyOrd.compare(rKey, lKey) == 0
+                  keyOrd.compare(rKey, lKey) == 0 &&
+                  (!hasTol || timeGet(rTime) - timeGet(lTime) <= tolB)
               else
-                !lNull && matched != null && keyOrd.compare(matchedKey, lKey) == 0
+                !lNull && matched != null &&
+                  keyOrd.compare(matchedKey, lKey) == 0 &&
+                  (!hasTol || timeGet(lTime) - matchedTime <= tolB)
             if (hit) numMatched += 1
             resultProj(joined(l,
               if (!hit) nullRight else if (forwardB) rRow else matched))
@@ -273,6 +285,11 @@ object AsOf {
     * @param strict        true → `t_right < t_left` (no exact matches)
     * @param rightTiebreak extra right columns that break timestamp ties
     *                      deterministically (max in ascending sort wins)
+    * @param tolerance     pandas `merge_asof(tolerance=…)`: maximum time
+    *                      distance (in the time column's own units) a
+    *                      candidate may sit from the left row; farther →
+    *                      null match. Needs an integral/timestamp time
+    *                      column (distance needs subtraction).
     */
   def joinBackward(
       left: DataFrame,
@@ -282,9 +299,10 @@ object AsOf {
       leftTimeCol: String,
       rightTimeCol: String,
       strict: Boolean = true,
-      rightTiebreak: Seq[String] = Nil): DataFrame =
+      rightTiebreak: Seq[String] = Nil,
+      tolerance: Option[Long] = None): DataFrame =
     join(left, right, leftKeyCols, rightKeyCols, leftTimeCol, rightTimeCol,
-      strict, forward = false, rightTiebreak)
+      strict, forward = false, rightTiebreak, tolerance = tolerance)
 
   /** Forward as-of join: the earliest LATER right row per key instead of
     * the latest earlier one (`strict` → `t_right > t_left`); timestamp
@@ -298,9 +316,10 @@ object AsOf {
       leftTimeCol: String,
       rightTimeCol: String,
       strict: Boolean = true,
-      rightTiebreak: Seq[String] = Nil): DataFrame =
+      rightTiebreak: Seq[String] = Nil,
+      tolerance: Option[Long] = None): DataFrame =
     join(left, right, leftKeyCols, rightKeyCols, leftTimeCol, rightTimeCol,
-      strict, forward = true, rightTiebreak)
+      strict, forward = true, rightTiebreak, tolerance = tolerance)
 
   /** Nearest as-of join (pandas `merge_asof(direction='nearest')`): each
     * left row pairs with the right row of the same key minimizing
@@ -320,14 +339,21 @@ object AsOf {
       rightKeyCols: Seq[String],
       leftTimeCol: String,
       rightTimeCol: String,
-      rightTiebreak: Seq[String] = Nil): DataFrame = {
+      rightTiebreak: Seq[String] = Nil,
+      tolerance: Option[Long] = None): DataFrame = {
+    requireNumericTime(left, leftTimeCol, "nearest as-of join")
+    join(left, right, leftKeyCols, rightKeyCols, leftTimeCol, rightTimeCol,
+      strict = false, forward = false, rightTiebreak, nearest = true,
+      tolerance = tolerance)
+  }
+
+  private def requireNumericTime(df: DataFrame, timeCol: String,
+      what: String): Unit = {
     import org.apache.spark.sql.types._
-    val tt = left.schema(leftTimeCol).dataType
+    val tt = df.schema(timeCol).dataType
     require(Seq(LongType, IntegerType, ShortType, ByteType, TimestampType,
         TimestampNTZType, DateType).contains(tt),
-      s"nearest as-of join needs an integral/timestamp time column, got $tt")
-    join(left, right, leftKeyCols, rightKeyCols, leftTimeCol, rightTimeCol,
-      strict = false, forward = false, rightTiebreak, nearest = true)
+      s"$what needs an integral/timestamp time column, got $tt")
   }
 
   private def join(
@@ -340,8 +366,13 @@ object AsOf {
       strict: Boolean,
       forward: Boolean,
       rightTiebreak: Seq[String],
-      nearest: Boolean = false): DataFrame = {
+      nearest: Boolean = false,
+      tolerance: Option[Long] = None): DataFrame = {
     require(leftKeyCols.size == rightKeyCols.size, "key lists must align")
+    tolerance.foreach { t =>
+      require(t >= 0L, s"tolerance must be non-negative, got $t")
+      requireNumericTime(left, leftTimeCol, "as-of join with tolerance")
+    }
     val spark = left.sparkSession
     ensureStrategy(spark)
     val lPlan = left.queryExecution.analyzed
@@ -365,6 +396,6 @@ object AsOf {
       s"time columns must share an orderable type, got ${lt.dataType} vs ${rt.dataType}")
     GraftBridge.ofRows(spark,
       AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt, strict, forward,
-        rightTiebreak.map(attr(rPlan, _, "right")), nearest))
+        rightTiebreak.map(attr(rPlan, _, "right")), nearest, tolerance))
   }
 }

@@ -669,6 +669,45 @@ object CoreQueries {
                             ELSE c.click_id END ASC
               LIMIT 1) t ON TRUE"""))
 
+  // The tolerance knob of the native operator (pandas
+  // merge_asof(tolerance=…)): attribution with a finite lookback — each
+  // purchase pairs with the latest earlier click of the same user ONLY if
+  // it happened within the last day; older clicks no longer count. The
+  // gate is applied at emit time in the O(1)-state merge (the cursor scan
+  // is unchanged — a click too old for this purchase may still be within
+  // tolerance of the user's earlier purchase), so the plan is identical
+  // to the unbounded backward join: two shuffles, streaming merge.
+  private val asofJoinTolerance = Q(
+    "asof_join_tolerance",
+    (s, dir) => {
+      val ev = events(s, dir).withColumn("us", unix_micros(col("ts")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user_id"), col("us").as("c_us"),
+          col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us"))
+      graft.plans.AsOf.joinBackward(purchases, clicks,
+          Seq("user_id"), Seq("c_user_id"), "us", "c_us",
+          strict = true, rightTiebreak = Seq("click_id"),
+          tolerance = Some(86400000000L)) // 1 day in µs
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("click_id"), lit(-1L)).as("last_click_id"),
+          coalesce(col("us") - col("c_us"), lit(-1L)).as("gap_us"))
+    },
+    Some("""WITH c AS (SELECT user_id AS c_user_id, epoch_ns(ts) // 1000 AS c_us,
+                         event_id AS click_id
+                       FROM events WHERE event_type = 'click'),
+                 p AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id
+                       FROM events WHERE event_type = 'purchase')
+            SELECT p.event_id, p.user_id,
+                   coalesce(t.click_id, -1) AS last_click_id,
+                   coalesce(p.us - t.c_us, -1) AS gap_us
+            FROM p LEFT JOIN LATERAL (
+              SELECT c.click_id, c.c_us FROM c
+              WHERE c.c_user_id = p.user_id AND c.c_us < p.us
+                AND p.us - c.c_us <= 86400000000
+              ORDER BY c.c_us DESC, c.click_id DESC LIMIT 1) t ON TRUE"""))
+
   // MERGE INTO (upsert) semantics as a batch operator — the Delta/Iceberg
   // `MERGE` a warehouse maintains dimensions with, expressed engine-
   // natively as ONE full-outer join on the merge key: matched rows
@@ -795,7 +834,8 @@ object CoreQueries {
     joinSemi, sortNaturalLimit, stringFuncs, dateFuncs, etaRate,
     incrementalWatermark, eventsSessionize, jsonPropsExtract, topkUsers,
     joinSkewSalted, aggDistinctSalted, anomalyZscore, cubeEventDay, setOps,
-    asofJoin, asofJoinNative, asofJoinForward, asofJoinNearest, mergeUpsert,
+    asofJoin, asofJoinNative, asofJoinForward, asofJoinNearest,
+    asofJoinTolerance, mergeUpsert,
     rangeJoin,
     windowFuncs, exactPercentiles, approxStats)
 }

@@ -318,4 +318,87 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       AsOf.joinNearest(l, r, Seq("l_key"), Seq("r_key"), "l_t", "r_t")
     }
   }
+
+  // --- merge_asof tolerance ---
+
+  /** Brute-force backward with tolerance: latest earlier right within
+    * `tol` time units (ties → max r_id). */
+  private def bruteBackwardTol(l: DataFrame, r: DataFrame, strict: Boolean,
+      tol: Long): DataFrame = {
+    val cond = (if (strict) col("r_t") < col("l_t") else col("r_t") <= col("l_t")) &&
+      col("l_t") - col("r_t") <= lit(tol)
+    l.join(r, col("l_key") === col("r_key") && cond, "left")
+      .groupBy(col("l_id"))
+      .agg(max(struct(col("r_t"), col("r_id"))).as("m"))
+      .select(col("l_id"), col("m.r_id").as("exp_r_id"))
+  }
+
+  test("tolerance matches brute force on random data (backward + forward)") {
+    Seq(11L, 42L).foreach { seed =>
+      val (l, r) = randCase(seed)
+      Seq(0L, 3L, 10L).foreach { tol =>
+        val gotB = AsOf.joinBackward(l, r, Seq("l_key"), Seq("r_key"),
+            "l_t", "r_t", strict = true, rightTiebreak = Seq("r_id"),
+            tolerance = Some(tol))
+          .select(col("l_id"), col("r_id"))
+          .collect().map(x => (x.getLong(0), Option(x.get(1)))).toMap
+        val expB = bruteBackwardTol(l, r, strict = true, tol)
+          .collect().map(x => (x.getLong(0), Option(x.get(1)))).toMap
+        assert(gotB == expB, s"backward seed $seed tol $tol")
+
+        val condF = col("r_t") > col("l_t") && col("r_t") - col("l_t") <= lit(tol)
+        val gotF = AsOf.joinForward(l, r, Seq("l_key"), Seq("r_key"),
+            "l_t", "r_t", strict = true, rightTiebreak = Seq("r_id"),
+            tolerance = Some(tol))
+          .select(col("l_id"), col("r_id"))
+          .collect().map(x => (x.getLong(0), Option(x.get(1)))).toMap
+        val expF = l.join(r, col("l_key") === col("r_key") && condF, "left")
+          .groupBy(col("l_id"))
+          .agg(min(struct(col("r_t"), col("r_id"))).as("m"))
+          .select(col("l_id"), col("m.r_id"))
+          .collect().map(x => (x.getLong(0), Option(x.get(1)))).toMap
+        assert(gotF == expF, s"forward seed $seed tol $tol")
+      }
+    }
+  }
+
+  test("tolerance nulls too-distant matches without disturbing later left rows") {
+    // clicks at t=1 and t=20; purchases at t=10 (gap 9 > tol) and t=22
+    // (gap 2 ≤ tol). The t=1 click is out of range for BOTH; the cursor
+    // must still have consumed it so the t=20 click matches l_t=22.
+    val l = leftDf(Seq((1L, "k", 10L, "p"), (2L, "k", 22L, "p")))
+    val r = rightDf(Seq((101L, "k", 1L), (102L, "k", 20L)))
+    val got = AsOf.joinBackward(l, r, Seq("l_key"), Seq("r_key"), "l_t", "r_t",
+        strict = true, rightTiebreak = Seq("r_id"), tolerance = Some(5L))
+      .select(col("l_id"), col("r_id")).collect()
+      .map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    assert(got == Map(1L -> None, 2L -> Some(102L)))
+  }
+
+  test("nearest honors tolerance: both-side candidates beyond it yield null") {
+    val l = leftDf(Seq((1L, "k", 10L, "p"), (2L, "k", 17L, "p")))
+    val r = rightDf(Seq((101L, "k", 2L), (102L, "k", 19L)))
+    val got = AsOf.joinNearest(l, r, Seq("l_key"), Seq("r_key"), "l_t", "r_t",
+        rightTiebreak = Seq("r_id"), tolerance = Some(4L))
+      .select(col("l_id"), col("r_id")).collect()
+      .map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    // l=10: back dist 8, fwd dist 9 — both > 4 → null
+    // l=17: back dist 15, fwd dist 2 → 102
+    assert(got == Map(1L -> None, 2L -> Some(102L)))
+  }
+
+  test("tolerance rejects negative values and non-integral time columns") {
+    val l = leftDf(Seq((1L, "k", 10L, "p")))
+    val r = rightDf(Seq((5L, "k", 9L)))
+    intercept[IllegalArgumentException] {
+      AsOf.joinBackward(l, r, Seq("l_key"), Seq("r_key"), "l_t", "r_t",
+        tolerance = Some(-1L))
+    }
+    val ls = Seq((1L, "k", "x")).toDF("l_id", "l_key", "l_t")
+    val rs = Seq((5L, "k", "y")).toDF("r_id", "r_key", "r_t")
+    intercept[IllegalArgumentException] {
+      AsOf.joinBackward(ls, rs, Seq("l_key"), Seq("r_key"), "l_t", "r_t",
+        tolerance = Some(1L))
+    }
+  }
 }
