@@ -147,5 +147,68 @@ object ProjectionQueries {
             FROM q JOIN v2 USING (i)
             GROUP BY q.vec_id"""))
 
-  val all: Seq[Q] = Seq(embedRpProject, embedPowerPca)
+  /** Full covariance matrix of the embedding space via the one-pass
+    * [[graft.functions.GramMatrix]] Aggregator — the X^T X sufficient
+    * statistics (n, Σx, upper Σx·xᵀ) that PCA, whitening, and least
+    * squares start from. The naive explode-and-self-join ships dim²/2
+    * rows per VECTOR through the shuffle; the Aggregator folds each
+    * vector into a ~17 KB dim-bounded buffer map-side, so the exchange
+    * carries one buffer per partition at any corpus size (the
+    * moment-sketch shape; same bounded-state argument as Misra-Gries).
+    * Output: one row per upper-triangle cell with the exact BIGINT
+    * sufficient statistics plus `cov_q`, the population covariance
+    * floor-quantized from one double expression over those integers
+    * (identical IEEE on both engines — the power-iteration rule).
+    */
+  private val embedGramCov = Q(
+    "embed_gram_cov",
+    (s, dir) => {
+      import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+      val dim = 64
+      val gram = udaf(new graft.functions.GramMatrix(dim),
+        ExpressionEncoder[Seq[Long]]())
+      val qf = q1000(Tables.embeddings(s, dir)).select(col("qe"))
+      Tables.spread(qf)
+        .agg(gram(col("qe")).as("g"))
+        .select(col("g"), explode(expr(
+          s"""flatten(transform(sequence(0, ${dim - 1}),
+              i -> transform(sequence(i, ${dim - 1}),
+              j -> named_struct('i', i, 'j', j))))""")).as("p"))
+        .select(
+          col("p.i").cast("long").as("i"),
+          col("p.j").cast("long").as("j"),
+          col("g.n").as("n"),
+          expr("element_at(g.sx, p.i + 1)").as("sx_i"),
+          expr("element_at(g.sx, p.j + 1)").as("sx_j"),
+          expr(s"""element_at(g.sxy, CAST(
+            p.i * $dim - (p.i * (p.i - 1)) div 2 + (p.j - p.i) + 1 AS INT))""")
+            .as("sxy"))
+        .withColumn("cov_q", expr(
+          """CAST(floor((CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(sx_i AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(sx_j AS DOUBLE) / CAST(n AS DOUBLE)))
+               * 1000.0) AS BIGINT)"""))
+    },
+    Some("""WITH q AS (
+              SELECT list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS e
+              FROM embeddings),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+            sums AS (
+              SELECT i, CAST(sum(e[i + 1]) AS BIGINT) AS sx
+              FROM q, range(0, 64) t(i) GROUP BY i),
+            cells AS (
+              SELECT i, j, CAST(sum(e[i + 1] * e[j + 1]) AS BIGINT) AS sxy
+              FROM q, range(0, 64) t1(i), range(0, 64) t2(j)
+              WHERE j >= i GROUP BY i, j)
+            SELECT c.i, c.j, nn.n, si.sx AS sx_i, sj.sx AS sx_j, c.sxy,
+              CAST(floor((CAST(c.sxy AS DOUBLE) / CAST(nn.n AS DOUBLE)
+                - (CAST(si.sx AS DOUBLE) / CAST(nn.n AS DOUBLE))
+                  * (CAST(sj.sx AS DOUBLE) / CAST(nn.n AS DOUBLE)))
+                * 1000.0) AS BIGINT) AS cov_q
+            FROM cells c
+            JOIN sums si ON si.i = c.i
+            JOIN sums sj ON sj.i = c.j, nn"""))
+
+  val all: Seq[Q] = Seq(embedRpProject, embedPowerPca, embedGramCov)
 }
