@@ -500,6 +500,111 @@ object MiningQueries {
           WHERE n.rk <= $HnK"""
     })
 
+  /** NDCG@10 retrieval evaluation — the ranking-quality readout the ANN
+    * family (bruteforce / LSH / IVF / PQ variants) is ultimately graded
+    * by: per query, retrieve the top-10 cosine neighbors, gain 1 where
+    * the neighbor shares the query's label, discount by 1/log₂(pos+1).
+    *
+    * Determinism without cross-engine logarithms: the discount column is
+    * a FIXED micro-unit table computed once in Scala and interpolated as
+    * the SAME literal array into the Spark expression and the DuckDB SQL
+    * — DCG/IDCG are then exact BIGINT sums and the final NDCG one
+    * integer division. IDCG truncates the cumulative-discount table at
+    * min(n_rel, 10), the standard ideal-ranking normalization.
+    *
+    * Scale shape: query set broadcast (8 rows), corpus never shuffles
+    * for scoring; per-query top-10 via the k-bounded TopKByValue
+    * Aggregator (map-side, no rank window); relevance labels attach by
+    * broadcasting the EXPLODED top-k list (queries × 10 rows, bounded by
+    * the evaluation, never the corpus) back against the vector scan.
+    */
+  private val NdcgK = 10
+
+  private val evalNdcg = Q(
+    "eval_ndcg",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      def log2(x: Double) = math.log(x) / math.log(2.0)
+      val disc = (1 to NdcgK).map(p => math.round(1e6 / log2(p + 1.0)))
+      val cum = disc.scanLeft(0L)(_ + _).tail
+      val vecs = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          expr(dotExpr("embedding", "embedding")).as("norm2"))
+        .localCheckpoint(eager = true) // query side + corpus side + labels
+      val queries = vecs.where(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("embedding").as("q_emb"), col("norm2").as("q_norm2"))
+      val scored = vecs.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+        .withColumn("cos",
+          expr(dotExpr("embedding", "q_emb")) / sqrt(col("norm2") * col("q_norm2")))
+        .localCheckpoint(eager = true) // top-k pass + n_rel pass
+      val nRel = scored.where(col("label") === col("q_label"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_rel"))
+      val tk = udaf(new graft.functions.TopKByValue(NdcgK),
+        graft.functions.TopKByValue.inputEncoder)
+      val topE = scored.groupBy(col("q_id"), col("q_label"))
+        .agg(tk(col("cos"), col("vec_id")).as("top"))
+        .select(col("q_id"), col("q_label"),
+          posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("q_id"), col("q_label"), col("e._2").as("vec_id"),
+          expr(s"element_at(array(${disc.mkString(", ")}L), CAST(pos + 1 AS INT))")
+            .as("d_micro"))
+      vecs.select(col("vec_id"), col("label"))
+        .join(broadcast(topE), "vec_id")
+        .groupBy(col("q_id"), col("q_label"))
+        .agg(sum(when(col("label") === col("q_label"), col("d_micro"))
+          .otherwise(lit(0L))).as("dcg_micro"))
+        .join(broadcast(nRel), "q_id")
+        .select(col("q_id"), col("q_label").cast("long").as("q_label"),
+          col("n_rel"), col("dcg_micro"),
+          expr(s"""CASE WHEN n_rel = 0 THEN -1
+            ELSE (dcg_micro * 1000000) div element_at(
+              array(${cum.mkString(", ")}L),
+              CAST(least(n_rel, $NdcgK) AS INT)) END""").as("ndcg_ppm"))
+    },
+    Some {
+      def dot(a: String, b: String) =
+        s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+      def log2(x: Double) = math.log(x) / math.log(2.0)
+      val disc = (1 to NdcgK).map(p => math.round(1e6 / log2(p + 1.0)))
+      val cum = disc.scanLeft(0L)(_ + _).tail
+      s"""WITH v AS (
+            SELECT vec_id, label, embedding,
+              ${dot("embedding", "embedding")} AS norm2
+            FROM embeddings),
+          scored AS MATERIALIZED (
+            SELECT q.vec_id AS q_id, q.label AS q_label,
+              a.vec_id AS vec_id, a.label AS label,
+              ${dot("a.embedding", "q.embedding")}
+                / sqrt(a.norm2 * q.norm2) AS cos
+            FROM v a
+            JOIN v q ON q.vec_id < 8 AND a.vec_id <> q.vec_id),
+          nrel AS (
+            SELECT q_id, CAST(count(*) AS BIGINT) AS n_rel
+            FROM scored WHERE label = q_label GROUP BY q_id),
+          topk AS (
+            SELECT q_id, q_label, label, rk FROM (
+              SELECT q_id, q_label, label,
+                CAST(row_number() OVER (PARTITION BY q_id
+                  ORDER BY cos DESC, vec_id) AS BIGINT) AS rk
+              FROM scored)
+            WHERE rk <= $NdcgK),
+          dcg AS (
+            SELECT q_id, q_label,
+              CAST(sum(CASE WHEN label = q_label
+                THEN [${disc.mkString(", ")}][CAST(rk AS INT)]
+                ELSE 0 END) AS BIGINT) AS dcg_micro
+            FROM topk GROUP BY q_id, q_label)
+          SELECT d.q_id, CAST(d.q_label AS BIGINT) AS q_label, n.n_rel,
+            d.dcg_micro,
+            CASE WHEN n.n_rel = 0 THEN -1
+            ELSE (d.dcg_micro * 1000000)
+              // [${cum.mkString(", ")}][CAST(least(n.n_rel, $NdcgK) AS INT)]
+            END AS ndcg_ppm
+          FROM dcg d JOIN nrel n USING (q_id)"""
+    })
+
   val all: Seq[Q] =
-    Seq(mineBitext, textNovelty, qualityEnsemble, selectMmr, mineHardNegatives)
+    Seq(mineBitext, textNovelty, qualityEnsemble, selectMmr, mineHardNegatives,
+      evalNdcg)
 }

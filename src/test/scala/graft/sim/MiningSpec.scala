@@ -142,4 +142,21 @@ class MiningSpec extends SparkSpec {
     assert(sums.getLong(1) == uniqueToOneDoc,
       s"sum(novel)=${sums.getLong(1)} must equal df=1 gram count $uniqueToOneDoc")
   }
+
+  test("eval_ndcg: bounds, one row per query, dcg capped by the full discount mass") {
+    val rows = graft.queries.Registry.queries("eval_ndcg")(spark, dir).collect()
+    assert(rows.length == 8, "one row per query vector")
+    assert(rows.map(_.getAs[Long]("q_id")).toSet == (0L to 7L).toSet)
+    // C_10 = Σ round(1e6 / log2(p+1)) — the same table the query embeds
+    val c10 = (1 to 10)
+      .map(p => math.round(1e6 / (math.log(p + 1.0) / math.log(2.0)))).sum
+    rows.foreach { r =>
+      val (nRel, dcg, ndcg) = (r.getAs[Long]("n_rel"),
+        r.getAs[Long]("dcg_micro"), r.getAs[Long]("ndcg_ppm"))
+      assert(nRel > 0L, "every label class has other members in this corpus")
+      assert(dcg >= 0L && dcg <= c10)
+      assert(ndcg >= 0L && ndcg <= 1000000L,
+        s"NDCG must be a proper ratio, got $ndcg")
+    }
+  }
 }
