@@ -219,6 +219,45 @@ object CurationQueries {
                   FROM documents)
             WHERE rk <= 20"""))
 
+  /** Reservoir-equivalent deterministic sampling — the k-bounded
+    * Aggregator upgrade of [[sampleStratified]]'s window: keep the 10
+    * smallest-md5-hash docs per (lang, source) stratum via TopKByValue
+    * on the negated hash. Same uniform-draw semantics (a bottom-k by a
+    * uniform deterministic hash IS a reservoir sample, reproducibly),
+    * different 100 TB shape: the window form hash-partitions and SORTS
+    * every stratum's full membership to discard all but 20; this form
+    * folds map-side into a ≤10-row buffer per stratum per partition, so
+    * the exchange carries k·strata·partitions rows — independent of
+    * corpus size. Hash ties (16-bit space) break by doc_id on both
+    * engines (the Aggregator's (value DESC, id ASC) total order = the
+    * oracle window's (h ASC, doc_id ASC)).
+    */
+  private val sampleReservoir = Q(
+    "sample_reservoir",
+    (s, dir) => {
+      val tk = udaf(new graft.functions.TopKByValue(10),
+        graft.functions.TopKByValue.inputEncoder)
+      Tables.documents(s, dir)
+        .withColumn("h", expr(md5Hex4("CAST(doc_id AS STRING)")).cast("long"))
+        .groupBy(col("lang"), col("source"))
+        .agg(tk((-col("h")).cast("double"), col("doc_id")).as("top"))
+        .select(col("lang"), col("source"),
+          posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("lang"), col("source"),
+          (col("pos") + 1).cast("long").as("rk"),
+          col("e._2").as("doc_id"),
+          (-col("e._1")).cast("long").as("h"))
+    },
+    Some(s"""SELECT lang, source, rk, doc_id, h
+            FROM (SELECT lang, source, doc_id, h,
+                    CAST(row_number() OVER (PARTITION BY lang, source
+                      ORDER BY h, doc_id) AS BIGINT) AS rk
+                  FROM (SELECT lang, source, doc_id,
+                          CAST(${md5Hex4("CAST(doc_id AS VARCHAR)")} AS BIGINT)
+                            AS h
+                        FROM documents))
+            WHERE rk <= 10"""))
+
   /** Train/test contamination check: which corpus documents share word
     * 5-grams with a benchmark (eval) set. The benchmark here is a
     * deterministic fixed-size stand-in — the 100 docs with the smallest
@@ -1056,7 +1095,8 @@ object CurationQueries {
           GROUP BY lang"""
     })
 
-  val all: Seq[Q] = Seq(sampleHash, sampleStratified, textPiiScrub,
+  val all: Seq[Q] = Seq(sampleHash, sampleStratified, sampleReservoir,
+    textPiiScrub,
     textEditDistance, packSequences, vocabTopk, contaminationCheck,
     contaminationFuzzy,
     textRepetition, sampleDomainMix, sampleTemperature, sampleImportance,

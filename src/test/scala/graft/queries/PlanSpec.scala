@@ -656,4 +656,50 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Broadcast"), p.take(2000))
     assert(!p.contains("SortMergeJoin"), "power iteration shuffles the corpus to join")
   }
+
+  test("sample_reservoir: k-bounded Aggregator per stratum, no rank window") {
+    val p = plan("sample_reservoir")
+    assert(!p.contains("windowspecdefinition"),
+      "reservoir sampling regressed to a per-stratum rank window")
+    assert(p.toLowerCase.contains("topkbyvalue"),
+      "per-stratum bottom-k no longer uses the k-bounded Aggregator")
+  }
+
+  test("eval_auc_rank: the rank-sum window reads the bounded histogram, not the corpus") {
+    val p = plan("eval_auc_rank")
+    // plans print top-down, so the Window node must appear ABOVE (before)
+    // the (lang, bucket) histogram aggregate feeding it — if the window
+    // ever consumed per-document rows the corpus would sort per lang
+    val widx = p.indexOf("Window")
+    assert(widx >= 0, p.take(2000))
+    val below = p.substring(widx)
+    assert(below.contains("HashAggregate") && below.contains("bucket"),
+      "AUC window no longer consumes the bucketed histogram aggregate")
+    // per-doc scoring aggregate (doc_id keys) must also sit below the window
+    assert(below.contains("doc_id"),
+      "per-document scoring aggregate missing below the window")
+  }
+
+  test("embed_gram_cov: one Gram aggregate, explode only above it") {
+    val p = plan("embed_gram_cov")
+    val lower = p.toLowerCase
+    assert(lower.contains("grammatrix"),
+      "covariance no longer accumulates through the GramMatrix Aggregator")
+    // the (i, j) pair explode must run AFTER the aggregate (printed above
+    // it): exploding per vector would multiply the shuffle 2000x
+    val gidx = p.indexOf("Generate")
+    val aidx = p.indexOf("Aggregate")
+    assert(gidx >= 0 && aidx >= 0 && gidx < aidx,
+      "pair explode ran below the Gram aggregate — per-vector fan-out")
+  }
+
+  test("eval_ndcg: broadcast evaluation frames, Aggregator top-k, no rank window") {
+    val p = plan("eval_ndcg")
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    assert(!p.contains("windowspecdefinition"),
+      "NDCG top-k regressed to a rank window over every scored row")
+    assert(p.toLowerCase.contains("topkbyvalue"),
+      "per-query top-k no longer uses the k-bounded Aggregator")
+    assert(!p.contains("CartesianProduct"), "scoring join degenerated to a cartesian")
+  }
 }
