@@ -170,5 +170,105 @@ object MixQueries {
                 AS planned_tokens
             FROM per_source, tot"""))
 
-  val all: Seq[Q] = Seq(qualityPplBuckets, mixTokenBudget)
+  /** First two md5 hex digits as 0..255 — the engine's deterministic
+    * split convention (CurationQueries.md5Byte). */
+  private def md5Byte(sqlExprStr: String): String =
+    s"""(instr('0123456789abcdef', substr(md5($sqlExprStr), 1, 1)) - 1) * 16 +
+        (instr('0123456789abcdef', substr(md5($sqlExprStr), 2, 1)) - 1)"""
+
+  /** DoReMi-flavored domain reweighting — upweight sources the reference
+    * language model finds SURPRISING (excess loss), the
+    * domain-reweighting step between raw mixture and token budgeting
+    * (Xie et al., "DoReMi: Optimizing Data Mixtures Speeds Up Language
+    * Model Pretraining", 2023 — here one deterministic round with the
+    * corpus-fit unigram LM standing in for the proxy/reference pair):
+    *
+    *  1. reference model = add-one-smoothed unigram LM fit on the
+    *     md5-half of the corpus (the corpus_drift split convention);
+    *  2. per-source mean NLL under that model; excess = source mean −
+    *     pooled mean (surprising sources score positive);
+    *  3. weights ∝ max(excess, 0.01 nat) normalized to ppm — the linear
+    *     (T→∞) flattening of DoReMi's exponentiated update, kept linear
+    *     so every step stays in exact integer micro-nats (a cross-engine
+    *     exp() would break the determinism contract).
+    *
+    * Scale shape: the frequency table is vocabulary-sized → joined
+    * shuffled, never hint-broadcast (the tfidf rule); model totals and
+    * the per-source frame (≤ #sources rows) broadcast; per-token NLL
+    * quantizes per ROW to micro-nats so every sum is order-free BIGINT
+    * (the unigram-NLL rule); all divisions are positive-operand `div`,
+    * where truncation and floor agree on both engines.
+    */
+  private val mixDoremi = Q(
+    "mix_doremi",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val toks = Tables.documents(s, dir)
+        .withColumn("is_ref", expr(s"(${md5Byte("CAST(doc_id AS STRING)")}) < 128"))
+        .select(col("source"), col("is_ref"),
+          explode(expr(tokenizeExpr)).as("token"))
+      val freq = toks.where(col("is_ref"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      val stats = freq.agg(sum(col("cnt")).as("rtot"), count(lit(1)).as("v"))
+      val per = toks
+        .join(freq, Seq("token"), "left")
+        .crossJoin(broadcast(stats))
+        .withColumn("q", expr(
+          """CAST(round(ln(CAST(coalesce(cnt, 0L) + 1 AS DOUBLE)
+               / CAST(rtot + v AS DOUBLE)) * 1000000.0, 0) AS BIGINT)"""))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("q")).as("sq"))
+      val tot = per.agg(sum(col("n_tok")).as("t_tok"), sum(col("sq")).as("t_sq"))
+      val ex = per.crossJoin(broadcast(tot))
+        .withColumn("nll_micro", expr("(-sq) div n_tok"))
+        .withColumn("excess_micro",
+          expr("(-sq) div n_tok - (-t_sq) div t_tok"))
+        .withColumn("w_raw", greatest(col("excess_micro"), lit(10000L)))
+      val wtot = ex.agg(sum(col("w_raw")).as("tw"))
+      ex.crossJoin(broadcast(wtot))
+        .select(col("source"), col("n_tok"), col("nll_micro"),
+          col("excess_micro"),
+          expr("(w_raw * 1000000) div tw").as("weight_ppm"))
+    },
+    Some(s"""WITH toks AS (
+               SELECT source,
+                 CASE WHEN ${md5Byte("CAST(doc_id AS VARCHAR)")} < 128
+                   THEN 1 ELSE 0 END AS is_ref,
+                 unnest(list_filter(string_split_regex(lower(text),
+                   '[^a-z]+'), t -> t <> '')) AS token
+               FROM documents),
+             freq AS (
+               SELECT token, CAST(count(*) AS BIGINT) AS cnt
+               FROM toks WHERE is_ref = 1 GROUP BY token),
+             stats AS (
+               SELECT CAST(sum(cnt) AS BIGINT) AS rtot,
+                 CAST(count(*) AS BIGINT) AS v
+               FROM freq),
+             per AS (
+               SELECT source, CAST(count(*) AS BIGINT) AS n_tok,
+                 CAST(sum(q) AS BIGINT) AS sq
+               FROM (SELECT t.source,
+                       CAST(round(ln(CAST(coalesce(f.cnt, 0) + 1 AS DOUBLE)
+                         / CAST(s.rtot + s.v AS DOUBLE)) * 1000000.0, 0)
+                         AS BIGINT) AS q
+                     FROM toks t LEFT JOIN freq f USING (token), stats s)
+               GROUP BY source),
+             tot AS (
+               SELECT CAST(sum(n_tok) AS BIGINT) AS t_tok,
+                 CAST(sum(sq) AS BIGINT) AS t_sq
+               FROM per),
+             ex AS (
+               SELECT source, n_tok, (-sq) // n_tok AS nll_micro,
+                 (-sq) // n_tok - (-t_sq) // t_tok AS excess_micro
+               FROM per, tot),
+             w AS (
+               SELECT source, n_tok, nll_micro, excess_micro,
+                 greatest(excess_micro, 10000) AS w_raw
+               FROM ex),
+             wt AS (SELECT CAST(sum(w_raw) AS BIGINT) AS tw FROM w)
+             SELECT source, n_tok, nll_micro, excess_micro,
+               (w_raw * 1000000) // wt.tw AS weight_ppm
+             FROM w, wt"""))
+
+  val all: Seq[Q] = Seq(qualityPplBuckets, mixTokenBudget, mixDoremi)
 }

@@ -48,4 +48,21 @@ class MixQueriesSpec extends SparkSpec {
       assert(target == (total / 2) / rows.length)
     }
   }
+
+  test("mix_doremi: weights form a distribution, honor the floor, follow excess order") {
+    val rows = run("mix_doremi").collect()
+    assert(rows.length > 1)
+    val wsum = rows.map(_.getAs[Long]("weight_ppm")).sum
+    // each ppm weight floors an exact ratio: the total loses < 1 ppm per source
+    assert(wsum <= 1000000L && wsum > 1000000L - rows.length,
+      s"weights must sum to ~1e6, got $wsum")
+    val byExcess = rows.sortBy(_.getAs[Long]("excess_micro"))
+    assert(byExcess.map(_.getAs[Long]("weight_ppm")).toSeq ==
+      byExcess.map(_.getAs[Long]("weight_ppm")).sorted.toSeq,
+      "weights must be monotone in excess loss")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("nll_micro") > 0L, "NLL is positive by definition")
+      assert(r.getAs[Long]("weight_ppm") > 0L, "floor keeps every source alive")
+    }
+  }
 }
