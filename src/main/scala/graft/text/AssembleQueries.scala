@@ -116,5 +116,103 @@ object AssembleQueries {
               CAST(length(phone) AS BIGINT) AS phone_len
             FROM m"""))
 
-  val all: Seq[Q] = Seq(sftAssemble, textPiiSpans)
+  /** First two md5 hex digits as 0..255 (CurationQueries.md5Byte). */
+  private def md5Byte(sqlExprStr: String): String =
+    s"""(instr('0123456789abcdef', substr(md5($sqlExprStr), 1, 1)) - 1) * 16 +
+        (instr('0123456789abcdef', substr(md5($sqlExprStr), 2, 1)) - 1)"""
+
+  /** T5/UL2-style span corruption (Raffel et al. 2020 §3.1.4) — the
+    * denoising-objective assembly step: mask token spans, replace each
+    * with a numbered sentinel in the input, emit the sentinel→span
+    * sequence as the target. Deterministic-by-hash where T5 samples:
+    * positions partition into fixed 20-token blocks, each block masks
+    * the 3-token span at offset md5(doc_id:block) % 18 (skipped when the
+    * span would overrun the document) — exactly 15% corruption, mean
+    * span 3, non-overlapping by construction, reproducible across runs
+    * and engines. The whole transform is per-row array-HOF math riding
+    * the scan: no explode, no shuffle, shard-parallel at any corpus
+    * size. Output carries md5 digests of the rendered input/target
+    * (byte-sensitive, oracle-hashable) plus span accounting.
+    */
+  private val pretrainSpanCorrupt = Q(
+    "pretrain_span_corrupt",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val hb = md5Byte(
+        "concat(CAST(doc_id AS STRING), ':', CAST(b AS STRING))")
+      Tables.documents(s, dir)
+        .withColumn("t", expr(tokenizeExpr))
+        .withColumn("n", expr("size(t)"))
+        // n = 0 leaves one degenerate block whose span never fits and
+        // whose slices are empty — same '' render as the oracle's empty
+        // block list (sequence() cannot express an empty 0-based range)
+        .withColumn("blocks", expr(
+          "sequence(0, greatest((n + 19) div 20 - 1, 0))"))
+        .withColumn("offs", expr(s"transform(blocks, b -> ($hb) % 18)"))
+        .withColumn("mb", expr(
+          "filter(blocks, b -> b * 20 + element_at(offs, CAST(b + 1 AS INT)) + 3 <= n)"))
+        .withColumn("inp", expr(
+          """array_join(flatten(transform(blocks, b ->
+               CASE WHEN array_position(mb, b) > 0 THEN concat(
+                 slice(t, b * 20 + 1, element_at(offs, CAST(b + 1 AS INT))),
+                 array(concat('<extra_id_',
+                   CAST(array_position(mb, b) - 1 AS STRING), '>')),
+                 slice(t, b * 20 + element_at(offs, CAST(b + 1 AS INT)) + 4,
+                   least(20, n - b * 20)
+                     - element_at(offs, CAST(b + 1 AS INT)) - 3))
+               ELSE slice(t, b * 20 + 1, least(20, n - b * 20)) END)), ' ')"""))
+        .withColumn("tgt", expr(
+          """array_join(flatten(transform(mb, b -> concat(
+               array(concat('<extra_id_',
+                 CAST(array_position(mb, b) - 1 AS STRING), '>')),
+               slice(t, b * 20 + element_at(offs, CAST(b + 1 AS INT)) + 1, 3)))),
+             ' ')"""))
+        .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+          expr("CAST(size(mb) AS BIGINT)").as("n_spans"),
+          md5(col("inp")).as("input_md5"), md5(col("tgt")).as("target_md5"))
+    },
+    Some {
+      val hb = md5Byte(
+        "concat(CAST(doc_id AS VARCHAR), ':', CAST(b AS VARCHAR))")
+      s"""WITH base AS (
+            SELECT doc_id,
+              list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                x -> x <> '') AS t
+            FROM documents),
+          sized AS (
+            SELECT doc_id, t, len(t) AS n,
+              range((len(t) + 19) // 20) AS blocks
+            FROM base),
+          offd AS (
+            SELECT doc_id, t, n, blocks,
+              list_transform(blocks, b -> ($hb) % 18) AS offs
+            FROM sized),
+          masked AS (
+            SELECT doc_id, t, n, blocks, offs,
+              list_filter(blocks,
+                b -> b * 20 + offs[CAST(b + 1 AS INT)] + 3 <= n) AS mb
+            FROM offd)
+          SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+            CAST(len(mb) AS BIGINT) AS n_spans,
+            md5(coalesce(array_to_string(flatten(list_transform(blocks, b ->
+              CASE WHEN coalesce(list_position(mb, b), 0) > 0 THEN
+                list_concat(list_concat(
+                  t[b * 20 + 1 : b * 20 + offs[CAST(b + 1 AS INT)]],
+                  ['<extra_id_' ||
+                     CAST(list_position(mb, b) - 1 AS VARCHAR) || '>']),
+                  t[b * 20 + offs[CAST(b + 1 AS INT)] + 4
+                    : b * 20 + least(20, n - b * 20)])
+              ELSE t[b * 20 + 1 : b * 20 + least(20, n - b * 20)]
+              END)), ' '), '')) AS input_md5,
+            md5(coalesce(array_to_string(flatten(list_transform(mb, b ->
+              list_concat(
+                ['<extra_id_' ||
+                   CAST(list_position(mb, b) - 1 AS VARCHAR) || '>'],
+                t[b * 20 + offs[CAST(b + 1 AS INT)] + 1
+                  : b * 20 + offs[CAST(b + 1 AS INT)] + 3]))), ' '), ''))
+              AS target_md5
+          FROM masked"""
+    })
+
+  val all: Seq[Q] = Seq(sftAssemble, textPiiSpans, pretrainSpanCorrupt)
 }

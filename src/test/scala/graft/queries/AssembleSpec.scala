@@ -41,4 +41,26 @@ class AssembleSpec extends SparkSpec {
       assert(pl == 11L, s"phone_len $pl")
     }
   }
+
+  test("pretrain_span_corrupt: span count brackets by block math, ~15% corruption") {
+    val rows = graft.queries.Registry.queries("pretrain_span_corrupt")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    var (tok, masked) = (0L, 0L)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val spans = r.getAs[Long]("n_spans")
+      // every FULL 20-token block masks (offset ≤ 17 always fits); the
+      // trailing partial block masks only when its hash offset fits
+      assert(spans >= n / 20, s"doc ${r.getAs[Long]("doc_id")}: $spans < ${n / 20}")
+      assert(spans <= (n + 19) / 20)
+      tok += n; masked += 3 * spans
+    }
+    val pct = masked.toDouble / tok
+    assert(pct > 0.12 && pct < 0.16, s"corruption rate $pct should be ~15%")
+    // target of an unmasked doc renders '' — its md5 is the empty digest
+    rows.filter(_.getAs[Long]("n_spans") == 0L).foreach { r =>
+      assert(r.getAs[String]("target_md5") == "d41d8cd98f00b204e9800998ecf8427e")
+    }
+  }
 }
