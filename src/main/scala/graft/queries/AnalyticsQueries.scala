@@ -683,9 +683,69 @@ object AnalyticsQueries {
               (n0 - n1) * (n0 - n1) * 1000000 // (n0 + n1) > 3841459 AS srm
             FROM seg"""))
 
+  /** Time-bounded funnel (conversion window): view → click → purchase
+    * where each next step must land within ONE DAY of the previous one —
+    * the funnel analysts actually run (unbounded funnels credit
+    * conversions months later). Composed from the native as-of operator:
+    * each step is a forward as-of join with `tolerance` (earliest later
+    * event of the step type within the window), so the whole funnel is a
+    * chain of O(1)-state streaming merges — two shuffles per step, no
+    * per-user event-list materialization, no rank windows. Users who
+    * miss a step carry null times forward (a null left time never
+    * matches — the exec's null contract), so one pass emits every
+    * user's deepest stage.
+    */
+  private val funnelWindow = Q(
+    "funnel_window",
+    (s, dir) => {
+      val DayUs = 86400000000L
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val views = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user_id"), col("us").as("c_us"))
+      val s2 = graft.plans.AsOf.joinForward(views, clicks,
+          Seq("user_id"), Seq("c_user_id"), "t1", "c_us",
+          strict = true, tolerance = Some(DayUs))
+        .select(col("user_id"), col("t1"), col("c_us").as("t2"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"), col("us").as("p_us"))
+      graft.plans.AsOf.joinForward(s2, purchases,
+          Seq("user_id"), Seq("p_user_id"), "t2", "p_us",
+          strict = true, tolerance = Some(DayUs))
+        .select(col("user_id"), col("t1"),
+          coalesce(col("t2"), lit(-1L)).as("t2"),
+          coalesce(col("p_us"), lit(-1L)).as("t3"),
+          (lit(1L) + col("t2").isNotNull.cast("long")
+            + col("p_us").isNotNull.cast("long")).as("stage"))
+    },
+    Some("""WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us
+                        FROM events),
+            v AS (SELECT user_id, min(us) AS t1 FROM ev
+                  WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT v.user_id, v.t1, t.c_us AS t2
+                   FROM v LEFT JOIN LATERAL (
+                     SELECT c.us AS c_us FROM ev c
+                     WHERE c.user_id = v.user_id AND c.event_type = 'click'
+                       AND c.us > v.t1 AND c.us - v.t1 <= 86400000000
+                     ORDER BY c.us LIMIT 1) t ON TRUE),
+            s3 AS (SELECT s2.user_id, s2.t1, s2.t2, t.p_us AS t3
+                   FROM s2 LEFT JOIN LATERAL (
+                     SELECT p.us AS p_us FROM ev p
+                     WHERE p.user_id = s2.user_id AND p.event_type = 'purchase'
+                       AND s2.t2 IS NOT NULL AND p.us > s2.t2
+                       AND p.us - s2.t2 <= 86400000000
+                     ORDER BY p.us LIMIT 1) t ON TRUE)
+            SELECT user_id, t1, coalesce(t2, -1) AS t2, coalesce(t3, -1) AS t3,
+              CAST(1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+                     + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+                AS stage
+            FROM s3"""))
+
   val all: Seq[Q] =
     Seq(funnelSteps, cohortRetention, sessionWindowAgg, eventTransitions,
       windowRollingStats, cdcScd2, resampleFfill, rfmSegments,
       rollingActiveUsers, rollingActiveHll, attributionMultitouch,
-      experimentTtest, cdcLogCompact, abSrmCheck)
+      experimentTtest, cdcLogCompact, abSrmCheck, funnelWindow)
 }

@@ -693,6 +693,16 @@ class PlanSpec extends SparkSpec {
       "pair explode ran below the Gram aggregate — per-vector fan-out")
   }
 
+  test("funnel_window: two chained native as-of merges, no windows, no cartesian") {
+    val p = plan("funnel_window")
+    val asofs = p.linesIterator.count(_.contains("AsOfJoin"))
+    assert(asofs == 2, s"expected the two step joins as AsOfJoinExec nodes, saw $asofs")
+    assert(!p.contains("windowspecdefinition"),
+      "funnel regressed to per-user event windows")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "a step join exploded to a per-user cross product")
+  }
+
   test("eval_ndcg: broadcast evaluation frames, Aggregator top-k, no rank window") {
     val p = plan("eval_ndcg")
     assert(p.contains("BroadcastExchange"), p.take(2000))
