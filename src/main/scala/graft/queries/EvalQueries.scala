@@ -151,5 +151,54 @@ object EvalQueries {
                      CAST(sum(bucket) AS BIGINT) AS sb
                    FROM scored GROUP BY 1, 2)"""))
 
-  val all: Seq[Q] = Seq(evalAucRank, evalCalibrationBins)
+  /** Wilson 95% score interval for a pass rate (the CI a gate's
+    * pass-rate dashboards should show instead of ±z√(p(1−p)/n), which
+    * collapses at p near 0/1 and small n). One textually identical
+    * double expression over exact BIGINT (n, n_pass) on both engines —
+    * z² constants folded to literals (z = 1.96: z²=3.8416, z²/2=1.9208,
+    * z²/4=0.9604), IEEE sqrt is correctly rounded on both, floor
+    * quantizes to ppm. */
+  private def wilsonPpm(sign: String): String =
+    s"""CAST(floor(((CAST(n_pass AS DOUBLE) / CAST(n AS DOUBLE)
+          + 1.9208 / CAST(n AS DOUBLE)
+          $sign 1.96 * sqrt((CAST(n_pass AS DOUBLE) / CAST(n AS DOUBLE))
+              * (1.0 - CAST(n_pass AS DOUBLE) / CAST(n AS DOUBLE))
+              / CAST(n AS DOUBLE)
+            + 0.9604 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+          / (1.0 + 3.8416 / CAST(n AS DOUBLE))) * 1000000.0) AS BIGINT)"""
+
+  /** Per-lang pass rate of the rule gate with its Wilson 95% interval —
+    * the uncertainty-aware readout for every threshold dashboard. Shape:
+    * one corpus aggregate to ≤ #langs rows; the interval math runs on
+    * the tiny result. */
+  private val evalRateCi = Q(
+    "eval_rate_ci",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, dir)
+        .withColumn("n_tok", size(expr(tokenizeExpr)).cast("long"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("n_tok") >= 20 && col("n_chars") >= 100).cast("long"))
+            .as("n_pass"))
+        .select(col("lang"), col("n"), col("n_pass"),
+          expr("(n_pass * 1000000) div n").as("rate_ppm"),
+          expr(wilsonPpm("-")).as("wilson_lo_ppm"),
+          expr(wilsonPpm("+")).as("wilson_hi_ppm"))
+    },
+    Some(s"""SELECT lang, n, n_pass,
+               (n_pass * 1000000) // n AS rate_ppm,
+               ${wilsonPpm("-")} AS wilson_lo_ppm,
+               ${wilsonPpm("+")} AS wilson_hi_ppm
+             FROM (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN n_tok >= 20 AND n_chars >= 100
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+                   FROM (SELECT lang, n_chars,
+                           CAST(len(list_filter(string_split_regex(
+                             lower(text), '[^a-z]+'), t -> t <> ''))
+                             AS BIGINT) AS n_tok
+                         FROM documents)
+                   GROUP BY lang)"""))
+
+  val all: Seq[Q] = Seq(evalAucRank, evalCalibrationBins, evalRateCi)
 }

@@ -727,6 +727,58 @@ object CurationQueries {
                           CAST((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1) % 16 AS BIGINT) AS shard
                         FROM documents))"""))
 
+  /** Training-shard delivery manifest — the record a dataloader consumes
+    * per shard: document/token/byte volumes plus an order-free content
+    * checksum (bit_xor of a 32-bit md5-derived row hash), so a re-run,
+    * a replica, or a post-transfer shard can be integrity-checked cell
+    * by cell without re-reading payloads. Same shard rule as
+    * [[shardShuffle]] (last md5 hex digit % 16). Shape: ONE map-side
+    * combined aggregate into 16 rows; bit_xor and the sums are
+    * associative/commutative, so the checksum is identical under any
+    * partitioning or merge order — the mergeable-manifest property that
+    * lets incremental loads xor their delta in.
+    */
+  private val shardManifest = Q(
+    "shard_manifest",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val hex8 = (1 to 8).map { i =>
+        val pow = 1L << (4 * (8 - i))
+        s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1) * ${pow}L"
+      }.mkString("(", " + ", ")")
+      Tables.documents(s, dir)
+        .withColumn("h", md5(col("doc_id").cast("string")))
+        .withColumn("shard",
+          expr("(instr('0123456789abcdef', substr(h, 32, 1)) - 1) % 16").cast("long"))
+        .withColumn("rh", expr(hex8))
+        .withColumn("n_tok", size(expr(tokenizeExpr)).cast("long"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          sum(col("n_chars")).as("n_bytes"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+          expr("bit_xor(rh)").as("checksum"))
+    },
+    Some {
+      val hex8 = (1 to 8).map { i =>
+        val pow = 1L << (4 * (8 - i))
+        s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1) * $pow"
+      }.mkString("(", " + ", ")")
+      s"""SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+            CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+            min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+            CAST(bit_xor(CAST($hex8 AS BIGINT)) AS BIGINT) AS checksum
+          FROM (SELECT doc_id, n_chars, h,
+                  CAST((instr('0123456789abcdef', substr(h, 32, 1)) - 1) % 16
+                    AS BIGINT) AS shard,
+                  CAST(len(list_filter(string_split_regex(lower(text),
+                    '[^a-z]+'), t -> t <> '')) AS BIGINT) AS n_tok
+                FROM (SELECT doc_id, n_chars, text,
+                        md5(CAST(doc_id AS VARCHAR)) AS h
+                      FROM documents))
+          GROUP BY shard"""
+    })
+
   /** Classifier-based quality filtering — the "does this look like a
     * reference page" linear model gate (the fastText-style filter LLaMA /
     * CCNet pipelines run after rule-based cleaning). Inference over
@@ -1100,6 +1152,7 @@ object CurationQueries {
     textEditDistance, packSequences, vocabTopk, contaminationCheck,
     contaminationFuzzy,
     textRepetition, sampleDomainMix, sampleTemperature, sampleImportance,
-    dedupLines, shardShuffle, qualityLogreg, docChunking, qualityGopherRules,
+    dedupLines, shardShuffle, shardManifest, qualityLogreg, docChunking,
+    qualityGopherRules,
     textCodeDetect, corpusDrift, tokenizerCoverage)
 }

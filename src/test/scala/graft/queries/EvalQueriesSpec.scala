@@ -52,4 +52,22 @@ class EvalQueriesSpec extends SparkSpec {
       assert(b.getAs[Long]("pos_rate_ppm") === np * 1000000L / n)
     }
   }
+
+  test("eval_rate_ci: the Wilson interval brackets the rate and tightens with n") {
+    val rows = Registry.queries("eval_rate_ci")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, np) = (r.getAs[Long]("n"), r.getAs[Long]("n_pass"))
+      val (rate, lo, hi) = (r.getAs[Long]("rate_ppm"),
+        r.getAs[Long]("wilson_lo_ppm"), r.getAs[Long]("wilson_hi_ppm"))
+      assert(np >= 0L && np <= n)
+      assert(lo <= rate && rate <= hi, s"interval [$lo,$hi] must bracket $rate")
+      assert(lo >= 0L && hi <= 1000000L, "Wilson bounds stay inside [0,1]")
+      // width sanity: a 95% interval over n samples is O(1/√n) — assert
+      // the weaker closed-form bound width ≤ 2·(z/(2√n))/(1+z²/n) + 2ppm
+      val maxW = 2.0 * (1.96 / (2.0 * math.sqrt(n.toDouble))) /
+        (1.0 + 3.8416 / n) * 1e6 + 2
+      assert((hi - lo).toDouble <= maxW, s"width ${hi - lo} > $maxW at n=$n")
+    }
+  }
 }

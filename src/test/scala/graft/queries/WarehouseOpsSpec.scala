@@ -213,4 +213,29 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(rows("zorder")._2 <= rows("linear_x")._2)
     assert(rows("linear_x")._1 == 0L, "x stripes cannot prune on y")
   }
+
+  test("shard_manifest: cells partition the corpus; checksum is xor-mergeable") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.Registry.queries("shard_manifest")(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 16)
+    val docs = graft.queries.Tables.documents(spark, dir)
+      .agg(count(lit(1)), sum(col("n_chars"))).collect().head
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.getLong(0))
+    assert(rows.map(_.getAs[Long]("n_bytes")).sum == docs.getLong(1))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_doc") <= r.getAs[Long]("max_doc"))
+      assert(r.getAs[Long]("n_tokens") > 0L)
+    }
+    // mergeability: xor of the per-shard checksums = checksum of the union
+    // cell a full-corpus manifest would carry (the incremental-load law)
+    val whole = rows.map(_.getAs[Long]("checksum")).reduce(_ ^ _)
+    val direct = graft.queries.Tables.documents(spark, dir)
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("rh", expr((1 to 8).map { i =>
+        val pow = 1L << (4 * (8 - i))
+        s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1) * ${pow}L"
+      }.mkString("(", " + ", ")")))
+      .agg(expr("bit_xor(rh)")).collect().head.getLong(0)
+    assert(whole == direct, "per-shard checksums must xor to the corpus checksum")
+  }
 }
