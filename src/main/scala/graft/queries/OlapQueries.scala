@@ -509,8 +509,103 @@ object OlapQueries {
     },
     Some(SqlParityText))
 
+  /** KMV theta sketch over distinct users per event type + the set
+    * algebra HLL cannot do: union AND intersection estimates from the
+    * same sketches (the Apache DataSketches theta-sketch capability).
+    * The sketch is the k = 64 smallest DISTINCT md5-derived 48-bit user
+    * hashes — distinctness lives inside the Aggregator buffer
+    * ([[graft.functions.KmvSketch]]), so no corpus-wide pre-distinct
+    * shuffle; state is ≤ 64 longs per type at any corpus size.
+    * Estimates are pure integer: est = 63·2⁴⁸ div θ (θ = 64th hash),
+    * union = bottom-64 of two merged buffers, intersection = shared
+    * hashes inside the union sample scaled by est_union/64. Everything
+    * is deterministic (fixed hash, no sampling), so the sketch VALUES
+    * hash-match the DuckDB oracle exactly — rsd bounds vs exact counts
+    * are pinned separately by SketchSpec. */
+  private val sketchKmvDistinct = Q(
+    "sketch_kmv_distinct",
+    (s, dir) => {
+      val hex12 = (1 to 12).map { i =>
+        val pow = 1L << (4 * (12 - i))
+        s"(instr('0123456789abcdef', substr(hs, $i, 1)) - 1) * ${pow}L"
+      }.mkString("(", " + ", ")")
+      val kmv = udaf(new graft.functions.KmvSketch(64),
+        graft.functions.KmvSketch.inputEncoder)
+      val sk = Tables.events(s, dir)
+        .select(col("event_type"),
+          md5(concat(lit("kmv"), col("user_id").cast("string"))).as("hs"))
+        .withColumn("hv", expr(hex12))
+        .groupBy(col("event_type"))
+        .agg(kmv(col("hv")).as("ks"))
+      val est = (arr: String) =>
+        s"""CASE WHEN size($arr) < 64 THEN CAST(size($arr) AS BIGINT)
+            ELSE (63L * 281474976710656L) div element_at($arr, 64) END"""
+      val types = sk.select(col("event_type").as("name"),
+        lit("type").as("kind"),
+        expr("CAST(size(ks) AS BIGINT)").as("n"), expr(est("ks")).as("est"))
+      val pair = sk.where(col("event_type") === "click").select(col("ks").as("ka"))
+        .crossJoin(
+          sk.where(col("event_type") === "purchase").select(col("ks").as("kb")))
+        .withColumn("u",
+          expr("slice(array_sort(array_distinct(concat(ka, kb))), 1, 64)"))
+        .withColumn("est_u", expr(est("u")))
+        .withColumn("m", expr(
+          "CAST(size(filter(array_intersect(ka, kb), x -> array_contains(u, x))) AS BIGINT)"))
+      val unionRow = pair.select(lit("click+purchase").as("name"),
+        lit("union").as("kind"), expr("CAST(size(u) AS BIGINT)").as("n"),
+        col("est_u").as("est"))
+      val interRow = pair.select(lit("click&purchase").as("name"),
+        lit("intersect").as("kind"), col("m").as("n"),
+        expr("(m * est_u) div 64").as("est"))
+      types.union(unionRow).union(interRow)
+    },
+    Some {
+      val hex12 = (1 to 12).map { i =>
+        val pow = 1L << (4 * (12 - i))
+        s"(instr('0123456789abcdef', substr(hs, $i, 1)) - 1) * $pow"
+      }.mkString("(", " + ", ")")
+      def est(arr: String) =
+        s"""CASE WHEN len($arr) < 64 THEN CAST(len($arr) AS BIGINT)
+            ELSE (63 * 281474976710656) // $arr[64] END"""
+      s"""WITH ev AS (
+            SELECT event_type,
+              CAST($hex12 AS BIGINT) AS hv
+            FROM (SELECT event_type,
+                    md5(concat('kmv', CAST(user_id AS VARCHAR))) AS hs
+                  FROM events)),
+          d AS (SELECT DISTINCT event_type, hv FROM ev),
+          rk AS (SELECT event_type, hv,
+                   row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+                 FROM d),
+          sk AS (SELECT event_type, list(hv ORDER BY hv) AS ks
+                 FROM rk WHERE rk <= 64 GROUP BY event_type),
+          types AS (
+            SELECT event_type AS name, 'type' AS kind,
+              CAST(len(ks) AS BIGINT) AS n, ${est("ks")} AS est
+            FROM sk),
+          pair AS (
+            SELECT a.ks AS ka, b.ks AS kb FROM sk a, sk b
+            WHERE a.event_type = 'click' AND b.event_type = 'purchase'),
+          uu AS (
+            SELECT ka, kb,
+              list_sort(list_distinct(list_concat(ka, kb)))[1:64] AS u
+            FROM pair),
+          uest AS (
+            SELECT ka, kb, u, ${est("u")} AS est_u,
+              CAST(len(list_filter(list_intersect(ka, kb),
+                x -> list_contains(u, x))) AS BIGINT) AS m
+            FROM uu)
+          SELECT name, kind, n, est FROM types
+          UNION ALL
+          SELECT 'click+purchase', 'union', CAST(len(u) AS BIGINT), est_u
+          FROM uest
+          UNION ALL
+          SELECT 'click&purchase', 'intersect', m, (m * est_u) // 64
+          FROM uest"""
+    })
+
   val all: Seq[Q] = Seq(pivotEventType, unpivotMelt, histogramBins,
     udafWeightedMean, skewDiagnose, aggMinmaxBy, histogramEquidepth,
     joinIntervalOverlap, profileTable, topkPerKey, approxHeavyHitters,
-    incrementalAggMerge, sqlTextParity, sketchCountmin)
+    incrementalAggMerge, sqlTextParity, sketchCountmin, sketchKmvDistinct)
 }
