@@ -210,5 +210,75 @@ object ProjectionQueries {
             JOIN sums si ON si.i = c.i
             JOIN sums sj ON sj.i = c.j, nn"""))
 
-  val all: Seq[Q] = Seq(embedRpProject, embedPowerPca, embedGramCov)
+  /** Per-dimension standardization (diagonal whitening, z = (x−μ)/σ) —
+    * the feature-normalization step before clustering or quantization,
+    * driven by the same sufficient statistics [[embedGramCov]] sketches.
+    * Shapes: ONE dim-keyed aggregate (64 cells) collapses to a single
+    * row of (sum, var-numerator) arrays, broadcast back over the scan;
+    * each vector then standardizes in place with `zip_with` — no
+    * per-row join, no explode after the stats pass. Determinism: μ and
+    * σ enter as exact BIGINTs (num = x_q·n − sx_i, den = n·Σx² − sx²,
+    * both < 2⁶³ at bench scale), each z quantizes per CELL by floor of
+    * one double quotient (identical IEEE), and the per-vector readout
+    * is an order-free xor/min/max over those integers — array-free
+    * output, so the oracle hash stays engine-neutral. */
+  private val embedWhiten = Q(
+    "embed_whiten",
+    (s, dir) => {
+      val qf = q1000(Tables.embeddings(s, dir))
+      val stats = qf
+        .select(posexplode(col("qe")).as(Seq("i", "x")))
+        .groupBy(col("i"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .agg(sort_array(collect_list(struct(col("i"), col("n"), col("sx"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("den")))).as("st"))
+        .select(expr("transform(st, c -> c.n)").as("ns"),
+          expr("transform(st, c -> c.sx)").as("sxs"),
+          expr("transform(st, c -> c.den)").as("dens"))
+      qf.crossJoin(broadcast(stats))
+        .withColumn("z", expr(
+          """zip_with(qe, sequence(0, size(qe) - 1), (x, i) ->
+               CAST(floor(CAST(x * element_at(ns, i + 1)
+                   - element_at(sxs, i + 1) AS DOUBLE) * 1000.0
+                 / sqrt(CAST(greatest(element_at(dens, i + 1), 1L) AS DOUBLE)))
+                 AS BIGINT))"""))
+        .select(col("vec_id"),
+          expr("aggregate(z, 0L, (a, v) -> a ^ v)").as("z_checksum"),
+          expr("array_min(z)").as("z_min"), expr("array_max(z)").as("z_max"),
+          expr("CAST(size(filter(z, v -> v > 3000 OR v < -3000)) AS BIGINT)")
+            .as("n_outlier3s"))
+    },
+    Some("""WITH q AS (
+              SELECT vec_id, list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS e
+              FROM embeddings),
+            cells AS (
+              SELECT i, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(e[i + 1]) AS BIGINT) AS sx,
+                CAST(count(*) * sum(e[i + 1] * e[i + 1])
+                  - sum(e[i + 1]) * sum(e[i + 1]) AS BIGINT) AS den
+              FROM q, range(0, 64) t(i) GROUP BY i),
+            st AS (
+              SELECT list(n ORDER BY i) AS ns, list(sx ORDER BY i) AS sxs,
+                list(den ORDER BY i) AS dens
+              FROM cells),
+            z AS (
+              SELECT vec_id,
+                list_transform(range(0, 64), i ->
+                  CAST(floor(CAST(e[CAST(i + 1 AS INT)] * ns[CAST(i + 1 AS INT)]
+                      - sxs[CAST(i + 1 AS INT)] AS DOUBLE) * 1000.0
+                    / sqrt(CAST(greatest(dens[CAST(i + 1 AS INT)], 1) AS DOUBLE)))
+                    AS BIGINT)) AS zv
+              FROM q, st)
+            SELECT vec_id,
+              CAST(list_aggregate(zv, 'bit_xor') AS BIGINT) AS z_checksum,
+              CAST(list_aggregate(zv, 'min') AS BIGINT) AS z_min,
+              CAST(list_aggregate(zv, 'max') AS BIGINT) AS z_max,
+              CAST(len(list_filter(zv, v -> v > 3000 OR v < -3000)) AS BIGINT)
+                AS n_outlier3s
+            FROM z"""))
+
+  val all: Seq[Q] = Seq(embedRpProject, embedPowerPca, embedGramCov,
+    embedWhiten)
 }

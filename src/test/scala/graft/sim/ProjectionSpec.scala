@@ -100,4 +100,22 @@ class ProjectionSpec extends SparkSpec {
     assert(rayleigh(v2) >= rayleigh(v0) * 0.999,
       s"power iteration lost variance: ${rayleigh(v2)} < ${rayleigh(v0)}")
   }
+
+  test("embed_whiten: standardized cells behave like z-scores") {
+    val rows = graft.queries.Registry.queries("embed_whiten")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    // milli-z units: bulk within a few sigma, 3-sigma outliers rare
+    val outliers = rows.map(_.getAs[Long]("n_outlier3s")).sum
+    val cells = rows.length * 64L
+    assert(outliers.toDouble / cells < 0.02,
+      s"$outliers of $cells cells beyond 3 sigma — standardization is off")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("z_min") >= -8000L && r.getAs[Long]("z_max") <= 8000L,
+        s"z outside 8 sigma for vec ${r.getAs[Long]("vec_id")}")
+    }
+    // a z-scored population must straddle zero
+    assert(rows.exists(_.getAs[Long]("z_min") < 0L))
+    assert(rows.exists(_.getAs[Long]("z_max") > 0L))
+  }
 }
