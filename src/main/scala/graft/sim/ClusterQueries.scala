@@ -601,6 +601,91 @@ object ClusterQueries {
           WHERE rk <= 3"""
     })
 
+  /** First two md5 hex digits as 0..255 (the engine's split convention). */
+  private def md5Byte(sqlExprStr: String): String =
+    s"""(instr('0123456789abcdef', substr(md5($sqlExprStr), 1, 1)) - 1) * 16 +
+        (instr('0123456789abcdef', substr(md5($sqlExprStr), 2, 1)) - 1)"""
+
+  /** Incremental IVF index maintenance — the ANN twin of
+    * `dedup_incremental`: an incoming batch (md5-half of the corpus)
+    * is assigned into the EXISTING lake-trained cells, and the readout
+    * is the per-cell ingest health report (arrivals, mean/min/max
+    * residual distance) an index maintainer watches for cell overflow
+    * and drift. Batch-side work is ONE broadcast-centroid pass over
+    * the delta — it scales with the batch, never the lake (the
+    * dedup_incremental law). The lake-trained quantizer is recomputed
+    * here so the DuckDB oracle has a closed form; a production
+    * deployment loads it as the stored index and skips those lake
+    * passes entirely. Distances are exact integers (1e-6-quantized
+    * components through the native sqdist kernel), so cell membership
+    * and every statistic hash-match.
+    */
+  private val simIvfIncremental = Q(
+    "sim_ivf_incremental",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val half = md5Byte("CAST(vec_id AS STRING)")
+      val lake = emb.where(expr(s"($half) >= 128"))
+      val batch = emb.where(expr(s"($half) < 128"))
+      assign(quantized(batch), trainedCentroids(lake))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_new"),
+          expr("sum(dist) div count(1)").as("mean_dist"),
+          min(col("dist")).as("min_dist"), max(col("dist")).as("max_dist"))
+    },
+    Some(s"""WITH qa AS (
+               SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT))
+                   AS qe
+               FROM embeddings),
+             lake AS (
+               SELECT * FROM qa
+               WHERE ${md5Byte("CAST(vec_id AS VARCHAR)")} >= 128),
+             batch AS (
+               SELECT * FROM qa
+               WHERE ${md5Byte("CAST(vec_id AS VARCHAR)")} < 128),
+             c0 AS (SELECT vec_id AS cid, qe AS ce FROM lake
+                    WHERE vec_id < $K),
+             d1 AS (
+               SELECT q.vec_id, c.cid,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   i -> (q.qe[i] - c.ce[i]) * (q.qe[i] - c.ce[i])))
+                   AS BIGINT) AS dist
+               FROM lake q, c0 c),
+             a1 AS (
+               SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY dist, cid) AS rn
+                 FROM d1)
+               WHERE rn = 1),
+             s1 AS (
+               SELECT a1.cid, t.i AS pos,
+                 CAST(sum(q.qe[t.i]) AS BIGINT) // count(*) AS cv
+               FROM a1 JOIN lake q USING (vec_id),
+                 generate_series(1, 64) AS t(i)
+               GROUP BY a1.cid, t.i),
+             c1 AS (SELECT cid, list(cv ORDER BY pos) AS ce
+                    FROM s1 GROUP BY cid),
+             db AS (
+               SELECT q.vec_id, c.cid,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   i -> (q.qe[i] - c.ce[i]) * (q.qe[i] - c.ce[i])))
+                   AS BIGINT) AS dist
+               FROM batch q, c1 c),
+             cells AS (
+               SELECT vec_id, cid, dist FROM (
+                 SELECT vec_id, cid, dist,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY dist, cid) AS rn
+                 FROM db)
+               WHERE rn = 1)
+             SELECT cid, CAST(count(*) AS BIGINT) AS n_new,
+               CAST(sum(dist) AS BIGINT) // count(*) AS mean_dist,
+               min(dist) AS min_dist, max(dist) AS max_dist
+             FROM cells GROUP BY cid"""))
+
   val all: Seq[Q] = Seq(clusterKmeans, simIvfTrained, simIvfNprobe, dedupSemantic,
-    simPqTopk, simIvfadcTopk)
+    simPqTopk, simIvfadcTopk, simIvfIncremental)
 }
