@@ -317,6 +317,64 @@ object MultimodalQueries {
                FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
              SELECT doc_id, cluster FROM clusters"""))
 
+  /** Audio-side multimodal plumbing: VAD-style windowed energy over the
+    * payload byte stream — the frame-sampling shape for AUDIO (the
+    * preprocessing every speech pipeline runs before transcription or
+    * segment selection). The 16 payload bytes stand in for PCM samples
+    * (the decode stub contract — a real codec changes only the sample
+    * derivation); windows of 4 samples at stride 2 give 7 windows per
+    * record, each scored by its exact integer energy Σb², and a window
+    * is "active" when its energy exceeds the record mean
+    * (7·e_w > Σe — pure integer cross-multiplication, no floats).
+    * Scale: per-row array math riding the scan; the window explode is a
+    * 7× generate with no shuffle anywhere.
+    */
+  private val multimodalAudioEnergy = Q(
+    "multimodal_audio_energy",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val hexVal = (c: String) => s"(instr('0123456789abcdef', $c) - 1)"
+      val byteAt = (j: String) =>
+        s"(${hexVal(s"substr(h, 2 * ($j) - 1, 1)")} * 16 + ${hexVal(s"substr(h, 2 * ($j), 1)")})"
+      Multimodal.attachPayload(Tables.documents(s, dir))
+        .select(col("doc_id"), lower(hex(col("payload"))).as("h"))
+        .withColumn("energies", expr(
+          s"""transform(sequence(0, 6), w ->
+                aggregate(transform(sequence(1, 4),
+                  i -> CAST(${byteAt("w * 2 + i")} AS BIGINT)
+                     * CAST(${byteAt("w * 2 + i")} AS BIGINT)),
+                0L, (acc, v) -> acc + v))"""))
+        .withColumn("tot", expr("aggregate(energies, 0L, (a, v) -> a + v)"))
+        .select(col("doc_id"), col("tot"),
+          posexplode(col("energies")).as(Seq("win", "energy")))
+        .select(col("doc_id"), col("win").cast("long").as("win"),
+          expr("CAST(win * 2 AS BIGINT)").as("start_sample"),
+          col("energy"), (col("energy") * 7L > col("tot")).as("active"))
+    },
+    Some {
+      val hexVal = (c: String) => s"(instr('0123456789abcdef', $c) - 1)"
+      val byteAt = (j: String) =>
+        s"(${hexVal(s"substr(h, 2 * ($j) - 1, 1)")} * 16 + ${hexVal(s"substr(h, 2 * ($j), 1)")})"
+      s"""WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
+           e AS (
+             SELECT doc_id,
+               list_transform(range(0, 7), w ->
+                 CAST(list_sum(list_transform(range(1, 5),
+                   i -> CAST(${byteAt("w * 2 + i")} AS BIGINT)
+                      * CAST(${byteAt("w * 2 + i")} AS BIGINT)))
+                   AS BIGINT)) AS energies
+             FROM m),
+           t AS (
+             SELECT doc_id, energies,
+               CAST(list_sum(energies) AS BIGINT) AS tot
+             FROM e)
+           SELECT doc_id, CAST(w AS BIGINT) AS win,
+             CAST(w * 2 AS BIGINT) AS start_sample,
+             energies[CAST(w + 1 AS INT)] AS energy,
+             energies[CAST(w + 1 AS INT)] * 7 > tot AS active
+           FROM t, (SELECT unnest(range(0, 7)) AS w)"""
+    })
+
   val all: Seq[Q] = Seq(multimodalDecode, multimodalFrames, multimodalResize,
-    multimodalPhash, dedupMultimodalClusters)
+    multimodalPhash, dedupMultimodalClusters, multimodalAudioEnergy)
 }
