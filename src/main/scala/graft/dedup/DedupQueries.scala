@@ -768,8 +768,44 @@ object DedupQueries {
           HAVING count(*) >= 2"""
     })
 
+  /** Soft deduplication (SoftDeDup-style reweighting): instead of DROPPING
+    * near-duplicates, keep every document but DOWN-WEIGHT it by its
+    * near-dup family size — sampling weight 1/m for a cluster of m — so
+    * repeated content contributes one document's worth of expected
+    * gradient mass while rare phrasing variants are still seen. The
+    * aggregate corpus "effective mass" is preserved per cluster by
+    * construction (Σ weights = n_clusters).
+    *
+    * Scale shape: on top of the CC pass (the same one dedup_clusters /
+    * dedup_keep_best already run), ONE count aggregate over the
+    * cluster-assignment frame and ONE join back — both keyed on the
+    * cluster id, both partial-aggregable. Weights are integer ppm
+    * (1000000 div m — exact on both engines); `is_canonical` marks the
+    * min-id member so a consumer can recover hard dedup by filtering.
+    */
+  private val dedupSoft = Q(
+    "dedup_soft",
+    (s, dir) => {
+      val asg = clusterAssignments(s, dir)
+        .localCheckpoint(eager = true) // one CC pass feeds sizes + join back
+      val sizes = asg.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("cluster_size"))
+      asg.join(sizes, "cluster")
+        .select(col("doc_id"), col("cluster"), col("cluster_size"),
+          expr("1000000 div cluster_size").as("weight_ppm"),
+          (col("doc_id") === col("cluster")).as("is_canonical"))
+    },
+    Some(s"""WITH RECURSIVE $clustersOracleCte,
+             sz AS (
+               SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+               FROM clusters GROUP BY cluster)
+             SELECT c.doc_id, c.cluster, sz.cluster_size,
+               CAST(1000000 // sz.cluster_size AS BIGINT) AS weight_ppm,
+               c.doc_id = c.cluster AS is_canonical
+             FROM clusters c JOIN sz USING (cluster)"""))
+
   val all: Seq[Q] = Seq(dedupMinhash, dedupMinhashPairs, dedupSimhash,
     dedupNgramJaccard, dedupClusters, splitLeakageSafe, corpusClean,
     dedupIncremental, dedupSubstring, dedupWinnowFp, dedupWinnowPairs,
-    dedupKeepBest, minePreferencePairs)
+    dedupKeepBest, minePreferencePairs, dedupSoft)
 }

@@ -200,5 +200,101 @@ object EvalQueries {
                          FROM documents)
                    GROUP BY lang)"""))
 
-  val all: Seq[Q] = Seq(evalAucRank, evalCalibrationBins, evalRateCi)
+  /** Pairwise BLEU (Papineni et al. 2002, the BLEU+1 smoothed variant) over
+    * the LSH candidate pairs — the text-overlap metric generation evals
+    * and self-BLEU diversity audits run, here measuring how close each
+    * near-dup candidate (a) is to its reference twin (b): clipped modified
+    * 1-/2-gram precisions, the brevity penalty, and the smoothed log-BLEU.
+    *
+    * Scale shape: the generate-then-verify scaffold again — per-doc
+    * (n, gram, cnt) counts are ONE checkpointed pre-aggregate (map-side
+    * combine collapses within-doc repeats; grams ship as 8-byte xxhash64
+    * keys, not text), and the clipped-match join fans out by the candidate
+    * list × candidate grams, never any block². Determinism: counts are
+    * exact BIGINT; `ln` is IEEE-identical on both engines (the
+    * text_unigram_nll precedent) and is floor-quantized to micro-nats
+    * immediately; the brevity penalty is a floor of one double division
+    * of the same two integers on both engines.
+    */
+  private val evalBleu = Q(
+    "eval_bleu",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, dir)
+      val grams = Tables.spread(docs.select("doc_id", "text"))
+        .select(col("doc_id"), explode(expr(
+          """concat(
+               transform(word_ngrams(text, 1, false),
+                 g -> named_struct('n', 1, 'gh', xxhash64(g))),
+               transform(word_ngrams(text, 2, false),
+                 g -> named_struct('n', 2, 'gh', xxhash64(g))))""")).as("g"))
+        .groupBy(col("doc_id"), col("g.n").as("n"), col("g.gh").as("gh"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(eager = true) // a-side, b-side, and ref-length passes
+      val refLen = grams.where(col("n") === 1)
+        .groupBy(col("doc_id")).agg(sum(col("cnt")).as("r"))
+      val pv = graft.dedup.DedupQueries.minhashCandidatePairs(docs)
+        .join(grams.select(col("doc_id").as("a"), col("n"), col("gh"),
+          col("cnt").as("ca")), "a")
+        .join(grams.select(col("doc_id").as("b"), col("n"), col("gh"),
+          col("cnt").as("cb")), Seq("b", "n", "gh"), "left")
+        .groupBy(col("a"), col("b"))
+        .agg(
+          sum(when(col("n") === 1, least(col("ca"), coalesce(col("cb"), lit(0L))))
+            .otherwise(lit(0L))).as("m1"),
+          sum(when(col("n") === 1, col("ca")).otherwise(lit(0L))).as("t1"),
+          sum(when(col("n") === 2, least(col("ca"), coalesce(col("cb"), lit(0L))))
+            .otherwise(lit(0L))).as("m2"),
+          sum(when(col("n") === 2, col("ca")).otherwise(lit(0L))).as("t2"))
+      pv.join(refLen.withColumnRenamed("doc_id", "b"), "b")
+        .select(col("a"), col("b"), col("m1"), col("t1"), col("m2"), col("t2"),
+          expr("""CAST(floor(least(0.0, 1.0 - CAST(r AS DOUBLE)
+                     / CAST(t1 AS DOUBLE)) * 1000000.0) AS BIGINT)""")
+            .as("bp_micro"),
+          expr("""CAST(floor((ln(CAST(m1 + 1 AS DOUBLE) / CAST(t1 + 1 AS DOUBLE))
+                      + ln(CAST(m2 + 1 AS DOUBLE) / CAST(t2 + 1 AS DOUBLE)))
+                    / 2.0 * 1000000.0) AS BIGINT)""").as("prec_log_micro"))
+        .withColumn("logbleu_micro", col("bp_micro") + col("prec_log_micro"))
+    },
+    Some(s"""WITH ${graft.dedup.DedupQueries.candPairsOracleCte},
+          tok AS (
+            SELECT doc_id, list_filter(
+              string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS toks
+            FROM documents),
+          g AS (
+            SELECT doc_id, 1 AS n, unnest(toks) AS gram FROM tok
+            UNION ALL
+            SELECT doc_id, 2 AS n, unnest(
+              CASE WHEN len(toks) < 2 THEN []
+              ELSE list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i + 1]) END) AS gram
+            FROM tok),
+          gc AS (
+            SELECT doc_id, n, gram, CAST(count(*) AS BIGINT) AS cnt
+            FROM g GROUP BY doc_id, n, gram),
+          pv AS (
+            SELECT c.a, c.b,
+              CAST(sum(CASE WHEN x.n = 1
+                THEN least(x.cnt, coalesce(y.cnt, 0)) ELSE 0 END) AS BIGINT) AS m1,
+              CAST(sum(CASE WHEN x.n = 1 THEN x.cnt ELSE 0 END) AS BIGINT) AS t1,
+              CAST(sum(CASE WHEN x.n = 2
+                THEN least(x.cnt, coalesce(y.cnt, 0)) ELSE 0 END) AS BIGINT) AS m2,
+              CAST(sum(CASE WHEN x.n = 2 THEN x.cnt ELSE 0 END) AS BIGINT) AS t2
+            FROM cand c
+            JOIN gc x ON x.doc_id = c.a
+            LEFT JOIN gc y ON y.doc_id = c.b AND y.n = x.n AND y.gram = x.gram
+            GROUP BY c.a, c.b),
+          rl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS r FROM tok)
+          SELECT a, b, m1, t1, m2, t2, bp_micro, prec_log_micro,
+            bp_micro + prec_log_micro AS logbleu_micro
+          FROM (
+            SELECT pv.a, pv.b, m1, t1, m2, t2,
+              CAST(floor(least(0.0, 1.0 - CAST(rl.r AS DOUBLE)
+                / CAST(t1 AS DOUBLE)) * 1000000.0) AS BIGINT) AS bp_micro,
+              CAST(floor((ln(CAST(m1 + 1 AS DOUBLE) / CAST(t1 + 1 AS DOUBLE))
+                  + ln(CAST(m2 + 1 AS DOUBLE) / CAST(t2 + 1 AS DOUBLE)))
+                / 2.0 * 1000000.0) AS BIGINT) AS prec_log_micro
+            FROM pv JOIN rl ON rl.doc_id = pv.b)"""))
+
+  val all: Seq[Q] = Seq(evalAucRank, evalCalibrationBins, evalRateCi, evalBleu)
 }

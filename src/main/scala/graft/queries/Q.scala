@@ -25,6 +25,7 @@ object Registry {
       graft.text.TextQueries.all ++
       graft.text.CurationQueries.all ++
       graft.text.WebQueries.all ++
+      graft.text.IndexQueries.all ++
       graft.text.MixQueries.all ++
       graft.text.AssembleQueries.all ++
       graft.dedup.DedupQueries.all ++

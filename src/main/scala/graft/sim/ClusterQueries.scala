@@ -686,6 +686,72 @@ object ClusterQueries {
                min(dist) AS min_dist, max(dist) AS max_dist
              FROM cells GROUP BY cid"""))
 
+  /** Greedy k-center (farthest-point-first) coreset selection — the
+    * diversity-maximizing data-selection rule (Sener & Savarese's core-set
+    * active learning; 2-approximation of the k-center objective): start
+    * from vec_id 0, then repeatedly pick the vector FARTHEST from the
+    * already-selected set. Complements select_mmr (which trades relevance
+    * against diversity over a bounded pool): k-center is pure coverage and
+    * its per-round argmax runs over the WHOLE corpus.
+    *
+    * Scale shape: each of the k−1 rounds is one scan + one max(struct)
+    * aggregate — the selected set (≤ k rows) broadcasts to a crossJoin,
+    * the per-vector min-distance partial-aggregates map-side, and only a
+    * single row reaches the driver per round (the trained-centroid
+    * pattern: driver state bounded by k, never corpus-sized). Distances
+    * are exact integer squared-L2 on the 1e-6-quantized components, so
+    * the argmax sequence is engine-identical; the oracle replays it as
+    * chained MATERIALIZED stages (the select_mmr discipline).
+    */
+  private val KcK = 5
+
+  private val sampleKcenter = Q(
+    "sample_kcenter",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val qf = quantized(Tables.embeddings(s, dir))
+        .localCheckpoint(eager = true) // reused by every round
+      var rows = Vector((1L, 0L, 0L)) // (rk, vec_id, d2_prev); seed = vec 0
+      while (rows.size < KcK) {
+        val centIds = rows.map(_._2)
+        val cent = qf.where(col("vec_id").isin(centIds: _*))
+          .select(col("vec_id").as("cid"), col("qe").as("ce"))
+        val far = qf.where(!col("vec_id").isin(centIds: _*))
+          .crossJoin(broadcast(cent))
+          .withColumn("dist", expr(distExpr))
+          .groupBy(col("vec_id")).agg(min(col("dist")).as("dmin"))
+          .agg(max(struct(col("dmin"), (-col("vec_id")).as("neg"))).as("m"))
+          .select(col("m.dmin").as("dmin"), (-col("m.neg")).as("vec_id"))
+          .collect()(0)
+        rows :+= ((rows.size + 1).toLong, far.getLong(1), far.getLong(0))
+      }
+      rows.toDF("rk", "vec_id", "d2_prev")
+    },
+    Some {
+      val d2 = "CAST(list_sum(list_transform(range(1, 65), i -> (a.qe[i] - c.qe[i]) * (a.qe[i] - c.qe[i]))) AS BIGINT)"
+      def stage(i: Int): String = {
+        val sel = (1 until i).map(j => s"SELECT vec_id FROM s$j")
+          .mkString(" UNION ALL ")
+        s"""s$i AS MATERIALIZED (
+              SELECT CAST($i AS BIGINT) AS rk, vec_id, dmin AS d2_prev
+              FROM (SELECT a.vec_id, min($d2) AS dmin
+                    FROM q a JOIN q c ON c.vec_id IN ($sel)
+                    WHERE a.vec_id NOT IN ($sel)
+                    GROUP BY a.vec_id)
+              ORDER BY dmin DESC, vec_id LIMIT 1)"""
+      }
+      s"""WITH q AS MATERIALIZED (
+            SELECT vec_id, list_transform(embedding,
+              x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT)) AS qe
+            FROM embeddings),
+          s1 AS MATERIALIZED (
+            SELECT CAST(1 AS BIGINT) AS rk, CAST(0 AS BIGINT) AS vec_id,
+              CAST(0 AS BIGINT) AS d2_prev),
+          ${(2 to KcK).map(stage).mkString(",\n")}
+          ${(1 to KcK).map(j => s"SELECT * FROM s$j").mkString(" UNION ALL ")}"""
+    })
+
   val all: Seq[Q] = Seq(clusterKmeans, simIvfTrained, simIvfNprobe, dedupSemantic,
-    simPqTopk, simIvfadcTopk, simIvfIncremental)
+    simPqTopk, simIvfadcTopk, simIvfIncremental, sampleKcenter)
 }

@@ -604,7 +604,97 @@ object MiningQueries {
           FROM dcg d JOIN nrel n USING (q_id)"""
     })
 
+  /** Matryoshka (MRL) truncation evaluation: how much retrieval quality
+    * survives when the 64-dim embedding is truncated to its 16-dim prefix
+    * — the measurement behind serving MRL embeddings at a fraction of the
+    * index cost. For each query, exact top-3 by full-dim cosine and by
+    * prefix cosine, and the overlap between the two lists (recall@3 of
+    * the truncated index against the full-dim ground truth).
+    *
+    * Scale shape: ONE broadcast-query scan scores both metrics per
+    * (corpus row, query) — the prefix dot is not a second pass — and both
+    * top-3s ride a single groupBy with two k-bounded TopKByValue
+    * aggregates (map-side ≤ k rows each, no rank window). Lists render as
+    * comma-joined id strings so the output stays array-free for the
+    * oracle hash.
+    */
+  private val embedMrlRecall = Q(
+    "embed_mrl_recall",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val vecs = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          expr("slice(embedding, 1, 16)").as("emb16"),
+          expr(dotExpr("embedding", "embedding")).as("n64"),
+          expr("dot_ordered(slice(embedding, 1, 16), slice(embedding, 1, 16))")
+            .as("n16"))
+        .localCheckpoint(eager = true) // query side + corpus side
+      val queries = vecs.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("emb16").as("q_emb16"), col("n64").as("q_n64"),
+          col("n16").as("q_n16"))
+      val scored = vecs.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (expr(dotExpr("embedding", "q_emb")) / sqrt(col("n64") * col("q_n64")))
+            .as("cos64"),
+          (expr("dot_ordered(emb16, q_emb16)") / sqrt(col("n16") * col("q_n16")))
+            .as("cos16"))
+      val tk = udaf(new graft.functions.TopKByValue(3),
+        graft.functions.TopKByValue.inputEncoder)
+      scored.groupBy(col("q_id"))
+        .agg(tk(col("cos64"), col("vec_id")).as("t64"),
+          tk(col("cos16"), col("vec_id")).as("t16"))
+        .select(col("q_id"),
+          expr("array_join(transform(t64, e -> CAST(e._2 AS STRING)), ',')")
+            .as("ids_full"),
+          expr("array_join(transform(t16, e -> CAST(e._2 AS STRING)), ',')")
+            .as("ids_trunc"),
+          expr("""CAST(size(array_intersect(
+                    transform(t64, e -> e._2), transform(t16, e -> e._2)))
+                  AS BIGINT)""").as("n_overlap"))
+        .withColumn("recall_ppm", expr("n_overlap * 1000000 div 3"))
+    },
+    Some {
+      def dot(a: String, b: String, d: Int) =
+        s"list_sum(list_transform(range(1, ${d + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+      s"""WITH v AS (
+            SELECT vec_id, embedding,
+              ${dot("embedding", "embedding", 64)} AS n64,
+              ${dot("embedding", "embedding", 16)} AS n16
+            FROM embeddings),
+          scored AS MATERIALIZED (
+            SELECT q.vec_id AS q_id, a.vec_id,
+              ${dot("a.embedding", "q.embedding", 64)}
+                / sqrt(a.n64 * q.n64) AS cos64,
+              ${dot("a.embedding", "q.embedding", 16)}
+                / sqrt(a.n16 * q.n16) AS cos16
+            FROM v a JOIN v q ON q.vec_id < 5 AND a.vec_id <> q.vec_id),
+          r64 AS (
+            SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+              ORDER BY cos64 DESC, vec_id) AS rk
+            FROM scored),
+          r16 AS (
+            SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+              ORDER BY cos16 DESC, vec_id) AS rk
+            FROM scored),
+          t64 AS (
+            SELECT q_id,
+              string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY rk) AS ids_full,
+              list(vec_id ORDER BY rk) AS idl
+            FROM r64 WHERE rk <= 3 GROUP BY q_id),
+          t16 AS (
+            SELECT q_id,
+              string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY rk) AS ids_trunc,
+              list(vec_id ORDER BY rk) AS idl
+            FROM r16 WHERE rk <= 3 GROUP BY q_id)
+          SELECT t64.q_id, t64.ids_full, t16.ids_trunc,
+            CAST(len(list_intersect(t64.idl, t16.idl)) AS BIGINT) AS n_overlap,
+            CAST(len(list_intersect(t64.idl, t16.idl)) AS BIGINT) * 1000000 // 3
+              AS recall_ppm
+          FROM t64 JOIN t16 USING (q_id)"""
+    })
+
   val all: Seq[Q] =
     Seq(mineBitext, textNovelty, qualityEnsemble, selectMmr, mineHardNegatives,
-      evalNdcg)
+      evalNdcg, embedMrlRecall)
 }

@@ -1,0 +1,86 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Q, Tables}
+
+/** Retrieval-index construction — the operator family that turns a curated
+  * corpus into a servable sparse index (the build side of text_bm25's
+  * scoring): inverted-index posting lists with block-local delta
+  * compression, the Lucene/block-max shape.
+  */
+object IndexQueries {
+
+  /** Documents per posting block. Real indexes use 128-entry skip blocks;
+    * 100 keeps the sf0.01 fixture at a readable 5 blocks. */
+  private val BlockSize = 100L
+
+  /** Inverted-index build: for the top-20 terms by document frequency,
+    * emit per (term, doc-block) posting rows — block-local delta-encoded
+    * `offset:tf` strings plus block and global df/cf statistics.
+    *
+    * Scale shape: the (term, doc_id, tf) pre-aggregate map-side combines
+    * within-doc repeats before its one exchange (the checkpoint-the-
+    * pre-aggregate lesson); term selection is a bounded TakeOrdered, never
+    * a vocab-wide rank window; and posting assembly groups on
+    * (term, doc_id div BlockSize) — so no collect is ever corpus-sized,
+    * even for stop-words whose full posting list IS the corpus. That
+    * blocking is exactly the Lucene skip-block layout, and the
+    * `delta:tf` payload is the standard varint-compression input; a
+    * consumer reconstructs doc_ids by a running sum from block*BlockSize.
+    * InvertedIndexSpec pins the round-trip.
+    */
+  private val indexInverted = Q(
+    "index_inverted",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val tf = Tables.spread(Tables.documents(s, dir).select("doc_id", "text"))
+        .select(col("doc_id"), explode(expr("word_ngrams(text, 1, false)")).as("term"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+        .localCheckpoint(eager = true) // one tokenize pass: stats + postings
+      val top = tf.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+        .orderBy(col("df").desc, col("term")).limit(20)
+      tf.join(broadcast(top), "term")
+        .withColumn("block", expr(s"doc_id div $BlockSize"))
+        .groupBy(col("term"), col("df"), col("cf"), col("block"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("ps"))
+        .select(col("term"), col("block"), col("df"), col("cf"),
+          size(col("ps")).cast("long").as("df_block"),
+          expr("aggregate(ps, CAST(0 AS BIGINT), (acc, p) -> acc + p.tf)")
+            .as("cf_block"),
+          expr(s"""array_join(transform(ps, (p, i) -> concat(
+                     CAST(p.doc_id - IF(i = 0, block * $BlockSize,
+                       element_at(ps, i).doc_id) AS STRING),
+                     ':', CAST(p.tf AS STRING))), ' ')""").as("postings"))
+    },
+    Some(s"""WITH tok AS (
+               SELECT doc_id, unnest(list_filter(
+                 string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS term
+               FROM documents),
+             tf AS (
+               SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+               FROM tok GROUP BY term, doc_id),
+             top AS (
+               SELECT term, CAST(count(*) AS BIGINT) AS df,
+                      CAST(sum(tf) AS BIGINT) AS cf
+               FROM tf GROUP BY term
+               ORDER BY df DESC, term LIMIT 20),
+             pb AS (
+               SELECT t.term, s.df, s.cf, t.doc_id // $BlockSize AS block,
+                 t.doc_id, t.tf,
+                 t.doc_id - coalesce(
+                   lag(t.doc_id) OVER (PARTITION BY t.term, t.doc_id // $BlockSize
+                     ORDER BY t.doc_id),
+                   (t.doc_id // $BlockSize) * $BlockSize) AS delta
+               FROM tf t JOIN top s USING (term))
+             SELECT term, block, df, cf,
+               CAST(count(*) AS BIGINT) AS df_block,
+               CAST(sum(tf) AS BIGINT) AS cf_block,
+               string_agg(CAST(delta AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+                 ' ' ORDER BY doc_id) AS postings
+             FROM pb GROUP BY term, block, df, cf"""))
+
+  val all: Seq[Q] = Seq(indexInverted)
+}

@@ -246,5 +246,82 @@ object WebQueries {
                md5(content) AS content_md5
              FROM sig"""))
 
-  val all: Seq[Q] = Seq(webUrlNormalize, webDomainBlocklist, textHtmlExtract)
+  /** The curated content-blocklist stand-in (production: the C4 "bad
+    * words" list, ~400 terms per language — bounded by curation, not the
+    * corpus). Lowercase-alpha terms so the engine tokenizer sees them. */
+  private[graft] val badwordCats: Seq[(String, Seq[String])] = Seq(
+    "adult" -> Seq("xxrated", "nsfwterm"),
+    "gambling" -> Seq("casinospin", "betmax"),
+    "slur" -> Seq("slurone"))
+
+  /** C4-style badword content gate: count blocklisted terms per category
+    * and route the document (slur → drop outright; repeated adult/gambling
+    * hits → human review; a single hit → flag; else keep). The synthetic
+    * corpus is clean, so terms are INJECTED deterministically from doc_id
+    * (the text_pii_scrub pattern) — every list entry is exercised
+    * positively and a silently non-matching term cannot pass the oracle.
+    *
+    * Scale shape: the list rides the plan as literal arrays inside the
+    * filter lambdas — no join, no broadcast exchange, counting is one
+    * tokenize pass per row on the scan; the severity routing is pure
+    * integer CASE math. At 100 TB this is a map-only stage.
+    */
+  private val textBadwords = Q(
+    "text_badwords",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      def cnt(words: Seq[String]) =
+        s"size(filter(toks, t -> array_contains(array(${
+          words.map(w => s"'$w'").mkString(", ")}), t)))"
+      Tables.documents(s, dir)
+        .withColumn("dirty", concat(
+          col("text"),
+          when(col("doc_id") % 7 === 3, lit(" xxrated nsfwterm xxrated"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 5, lit(" casinospin betmax"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 13 === 7, lit(" slurone")).otherwise(lit(""))))
+        .withColumn("toks", expr("word_ngrams(dirty, 1, false)"))
+        .select(col("doc_id"),
+          expr(cnt(badwordCats(0)._2)).cast("long").as("n_adult"),
+          expr(cnt(badwordCats(1)._2)).cast("long").as("n_gambling"),
+          expr(cnt(badwordCats(2)._2)).cast("long").as("n_slur"))
+        .withColumn("n_bad", col("n_adult") + col("n_gambling") + col("n_slur"))
+        .withColumn("action",
+          when(col("n_slur") > 0, lit("drop"))
+            .when(col("n_adult") + col("n_gambling") >= 3, lit("review"))
+            .when(col("n_adult") + col("n_gambling") > 0, lit("flag"))
+            .otherwise(lit("keep")))
+    },
+    Some {
+      def cnt(words: Seq[String]) =
+        s"len(list_filter(toks, t -> list_contains([${
+          words.map(w => s"'$w'").mkString(", ")}], t)))"
+      s"""WITH dirty AS (
+            SELECT doc_id, text ||
+              CASE WHEN doc_id % 7 = 3 THEN ' xxrated nsfwterm xxrated' ELSE '' END ||
+              CASE WHEN doc_id % 11 = 5 THEN ' casinospin betmax' ELSE '' END ||
+              CASE WHEN doc_id % 13 = 7 THEN ' slurone' ELSE '' END AS d
+            FROM documents),
+          t AS (
+            SELECT doc_id, list_filter(
+              string_split_regex(lower(d), '[^a-z]+'), x -> x <> '') AS toks
+            FROM dirty),
+          c AS (
+            SELECT doc_id,
+              CAST(${cnt(badwordCats(0)._2)} AS BIGINT) AS n_adult,
+              CAST(${cnt(badwordCats(1)._2)} AS BIGINT) AS n_gambling,
+              CAST(${cnt(badwordCats(2)._2)} AS BIGINT) AS n_slur
+            FROM t)
+          SELECT doc_id, n_adult, n_gambling, n_slur,
+            n_adult + n_gambling + n_slur AS n_bad,
+            CASE WHEN n_slur > 0 THEN 'drop'
+                 WHEN n_adult + n_gambling >= 3 THEN 'review'
+                 WHEN n_adult + n_gambling > 0 THEN 'flag'
+                 ELSE 'keep' END AS action
+          FROM c"""
+    })
+
+  val all: Seq[Q] = Seq(webUrlNormalize, webDomainBlocklist, textHtmlExtract,
+    textBadwords)
 }

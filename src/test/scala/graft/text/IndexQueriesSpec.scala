@@ -1,0 +1,62 @@
+package graft.text
+
+import graft.SparkSpec
+import graft.queries.Registry
+
+/** Oracle-independent invariants for the retrieval-index build and the
+  * badwords gate: the posting deltas must ROUND-TRIP to valid in-block
+  * doc ids (the property a consumer of the index relies on), block stats
+  * must add up to the global term stats, and the badword injection must
+  * route every seeded severity class to its declared action.
+  */
+class IndexQueriesSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("index_inverted postings round-trip: deltas decode to sorted in-block ids") {
+    val rows = Registry.queries("index_inverted")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val block = r.getAs[Long]("block")
+      val dfBlock = r.getAs[Long]("df_block")
+      val cfBlock = r.getAs[Long]("cf_block")
+      val posts = r.getAs[String]("postings").split(" ").toSeq
+        .map { e => val Array(d, tf) = e.split(":"); (d.toLong, tf.toLong) }
+      assert(posts.size.toLong === dfBlock)
+      assert(posts.map(_._2).sum === cfBlock)
+      assert(posts.forall(_._2 >= 1L))
+      // running sum from the block base reconstructs strictly-increasing
+      // doc ids that stay inside the block
+      val ids = posts.map(_._1).scanLeft(block * 100L)(_ + _).tail
+      assert(ids == ids.sorted && ids.distinct == ids)
+      assert(ids.forall(id => id >= block * 100L && id < (block + 1) * 100L))
+    }
+  }
+
+  test("index_inverted block stats fold back to the global df/cf per term") {
+    val rows = Registry.queries("index_inverted")(spark, sfDir).collect()
+    rows.groupBy(_.getAs[String]("term")).foreach { case (term, rs) =>
+      val df = rs.head.getAs[Long]("df")
+      val cf = rs.head.getAs[Long]("cf")
+      assert(rs.map(_.getAs[Long]("df_block")).sum === df, s"term=$term")
+      assert(rs.map(_.getAs[Long]("cf_block")).sum === cf, s"term=$term")
+    }
+  }
+
+  test("text_badwords routes every injected severity class") {
+    val byId = Registry.queries("text_badwords")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 3 (3 % 7 = 3): two xxrated + one nsfwterm -> 3 adult hits -> review
+    assert(byId(3L).getAs[Long]("n_adult") === 3L)
+    assert(byId(3L).getAs[String]("action") === "review")
+    // doc 5 (5 % 11 = 5): casinospin + betmax -> 2 gambling hits -> flag
+    assert(byId(5L).getAs[Long]("n_gambling") === 2L)
+    assert(byId(5L).getAs[String]("action") === "flag")
+    // doc 7 (7 % 13 = 7): slur -> drop regardless of other counts
+    assert(byId(7L).getAs[Long]("n_slur") === 1L)
+    assert(byId(7L).getAs[String]("action") === "drop")
+    // a clean doc keeps
+    assert(byId(1L).getAs[Long]("n_bad") === 0L)
+    assert(byId(1L).getAs[String]("action") === "keep")
+  }
+}
