@@ -743,9 +743,125 @@ object AnalyticsQueries {
                 AS stage
             FROM s3"""))
 
+  // Point-in-time (as-of-validity) dimension join — the consumer side of
+  // cdc_scd2: each fact row joins the dimension VERSION that was valid at
+  // the fact's event time, the lookup every fact load against a type-2
+  // dimension performs (and the bitemporal query `FOR SYSTEM_TIME AS OF`
+  // sugars). The dimension side is change-compressed (rows = tier
+  // CHANGES, not the event stream), so the equi-join on user_id meets a
+  // few versions per user and the validity range is a cheap post-join
+  // predicate — the range_join discipline: the equi key drives the
+  // shuffle, intervals never cross-product. Disjoint [from, to] intervals
+  // per user guarantee ≤ 1 match per fact; facts before the first change
+  // surface as tier 'none' via the left join.
+  private val joinScd2Pit = Q(
+    "join_scd2_pit",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val src = Tables.events(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          expr("CASE WHEN value < 50.0 THEN 'low' WHEN value < 150.0 THEN 'mid' " +
+            "ELSE 'high' END").as("tier"))
+      val wAll = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val dim = src
+        .withColumn("prev_tier", lag(col("tier"), 1).over(wAll))
+        .where(col("prev_tier").isNull || col("prev_tier") =!= col("tier"))
+        .withColumn("valid_to", lead(col("us"), 1).over(wAll) - lit(1L))
+        .select(col("user_id"), col("tier"), col("us").as("valid_from"),
+          col("valid_to"))
+      val facts = Tables.events(s, dir)
+        .where(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      facts.join(dim,
+          facts("user_id") === dim("user_id") &&
+            col("us") >= col("valid_from") &&
+            (col("valid_to").isNull || col("us") <= col("valid_to")),
+          "left")
+        .select(col("event_id"), facts("user_id").as("user_id"), col("us"),
+          coalesce(col("tier"), lit("none")).as("tier"))
+    },
+    Some("""WITH src AS (
+              SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+                CASE WHEN value < 50.0 THEN 'low' WHEN value < 150.0 THEN 'mid'
+                     ELSE 'high' END AS tier
+              FROM events WHERE event_type = 'purchase'),
+            dim AS (
+              SELECT user_id, tier, us AS valid_from,
+                lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - 1
+                  AS valid_to
+              FROM (
+                SELECT user_id, event_id, us, tier,
+                  lag(tier) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                    AS prev_tier
+                FROM src)
+              WHERE prev_tier IS NULL OR prev_tier <> tier),
+            facts AS (
+              SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
+              FROM events WHERE event_type = 'view')
+            SELECT f.event_id, f.user_id, f.us,
+              coalesce(d.tier, 'none') AS tier
+            FROM facts f LEFT JOIN dim d
+              ON d.user_id = f.user_id AND f.us >= d.valid_from
+              AND (d.valid_to IS NULL OR f.us <= d.valid_to)"""))
+
+  // Gaps-and-islands: per-user consecutive-ACTIVE-DAY streaks (the
+  // engagement metric behind "7-day streak" badges and churn features) —
+  // the one windowed shape the battery still lacked. The classic
+  // day − row_number() island key turns consecutive days into a constant
+  // group; everything after the per-user window is a partial aggregate.
+  // Scale: distinct (user, day) FIRST (partial-agg collapse of the raw
+  // stream), the window sorts per user inside hash partitions, and the
+  // longest-streak argmax is one combine-aggregated max(struct) — no
+  // second window, no per-user re-sort.
+  private val streakIslands = Q(
+    "streak_islands",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val days = Tables.events(s, dir)
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      days
+        .withColumn("grp", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("len")).as("n_active_days"),
+          count(lit(1)).as("n_streaks"),
+          max(struct(col("len"), (-col("start_day")).as("neg"))).as("best"))
+        .select(col("user_id"), col("n_active_days"), col("n_streaks"),
+          col("best.len").as("longest_streak"),
+          (-col("best.neg")).as("longest_start_day"))
+    },
+    Some("""WITH days AS (
+              SELECT DISTINCT user_id, epoch_ns(ts) // 1000 // 86400000000 AS day
+              FROM events),
+            isl AS (
+              SELECT user_id,
+                day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+                  AS grp, day
+              FROM days),
+            streaks AS (
+              SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len,
+                min(day) AS start_day
+              FROM isl GROUP BY user_id, grp),
+            mx AS (
+              SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+                CAST(count(*) AS BIGINT) AS n_streaks, max(len) AS ml
+              FROM streaks GROUP BY user_id)
+            SELECT m.user_id, m.n_active_days, m.n_streaks,
+              CAST(m.ml AS BIGINT) AS longest_streak,
+              CAST(min(s.start_day) AS BIGINT) AS longest_start_day
+            FROM mx m JOIN streaks s
+              ON s.user_id = m.user_id AND s.len = m.ml
+            GROUP BY m.user_id, m.n_active_days, m.n_streaks, m.ml"""))
+
   val all: Seq[Q] =
     Seq(funnelSteps, cohortRetention, sessionWindowAgg, eventTransitions,
       windowRollingStats, cdcScd2, resampleFfill, rfmSegments,
       rollingActiveUsers, rollingActiveHll, attributionMultitouch,
-      experimentTtest, cdcLogCompact, abSrmCheck, funnelWindow)
+      experimentTtest, cdcLogCompact, abSrmCheck, funnelWindow,
+      joinScd2Pit, streakIslands)
 }
