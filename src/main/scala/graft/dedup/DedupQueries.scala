@@ -804,8 +804,103 @@ object DedupQueries {
                c.doc_id = c.cluster AS is_canonical
              FROM clusters c JOIN sz USING (cluster)"""))
 
+  /** MinHash estimator audit: the agreement fraction of two documents'
+    * signatures IS the textbook Jaccard estimator (P[mh_j(A) = mh_j(B)] =
+    * J(A,B), so agree/k is unbiased) — this query measures that estimator
+    * against the EXACT shingle-set Jaccard pairwise on the live candidate
+    * pairs, the calibration every LSH threshold choice rests on (with
+    * k = 12 hashes the rsd is ~√(J(1−J)/12), so large errors are expected
+    * and the point is to SEE them).
+    *
+    * Scale shape: one checkpointed pass computes signatures AND distinct
+    * hashed shingle sets per doc; candidate pairs derive from the SAME
+    * checkpointed signatures (no second shingle pass, unlike composing
+    * minhashCandidatePairs); the verify joins pull both columns onto the
+    * candidate list only. Exact-Jaccard elements are 8-byte xxhash64
+    * values — the dedup_ngram_jaccard collision stance.
+    */
+  private val dedupMinhashEst = Q(
+    "dedup_minhash_est",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val sigs = Tables.spread(Tables.documents(s, dir)
+          .where(col("text").isNotNull).select("doc_id", "text"))
+        .select(col("doc_id"), expr("minhash_sig(text)").as("mh"),
+          expr("""array_distinct(transform(
+                    CASE WHEN length(text) < 5 THEN array(text)
+                    ELSE transform(sequence(1, length(text) - 4),
+                      i -> substring(text, i, 5)) END,
+                    sx -> xxhash64(sx)))""").as("sh"))
+        .withColumn("n", size(col("sh")).cast("long"))
+        .localCheckpoint(eager = true) // bands + both verify sides
+      val bandCols = (0 until NumHashes / BandSize).map { bd =>
+        val cols = (0 until BandSize)
+          .map(r => element_at(col("mh"), bd * BandSize + r + 1))
+        md5(concat_ws("_", cols: _*)).as(s"band$bd")
+      }
+      val long = stackBands(sigs.select(col("doc_id") +: bandCols: _*))
+      val pairs = long.select(col("band_hash"), col("doc_id").as("a"))
+        .join(long.select(col("band_hash"), col("doc_id").as("b")), "band_hash")
+        .where(col("a") < col("b"))
+        .select(col("a"), col("b")).distinct()
+      pairs
+        .join(sigs.select(col("doc_id").as("a"), col("mh").as("ma"),
+          col("sh").as("sa"), col("n").as("na")), "a")
+        .join(sigs.select(col("doc_id").as("b"), col("mh").as("mb"),
+          col("sh").as("sb"), col("n").as("nb")), "b")
+        .select(col("a"), col("b"),
+          expr("CAST(size(filter(zip_with(ma, mb, (x, y) -> x = y), v -> v)) AS BIGINT)")
+            .as("agree"),
+          size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
+          col("na"), col("nb"))
+        .select(col("a"), col("b"), col("agree"),
+          expr(s"agree * 1000000 div $NumHashes").as("est_ppm"),
+          expr("inter * 1000000 div (na + nb - inter)").as("exact_ppm"),
+          expr(s"abs(agree * 1000000 div $NumHashes" +
+            " - inter * 1000000 div (na + nb - inter))").as("err_ppm"))
+    },
+    Some {
+      val mhDefs = (0 until NumHashes).map { j =>
+        s"min((${A(j)} * x + ${B(j)}) % $P) AS mh$j"
+      }.mkString(", ")
+      val agree = (0 until NumHashes)
+        .map(j => s"CASE WHEN x.mh$j = y.mh$j THEN 1 ELSE 0 END")
+        .mkString("(", " + ", ")")
+      s"""WITH $candPairsOracleCte,
+          mhs AS (
+            SELECT doc_id, $mhDefs
+            FROM (SELECT doc_id, ${baseHashSql("md5(s)")} AS x
+                  FROM (SELECT doc_id, unnest(
+                          CASE WHEN length(text) < 5 THEN [text]
+                          ELSE list_transform(range(1, length(text) - 3),
+                                 i -> substr(text, i, 5)) END) AS s
+                        FROM documents))
+            GROUP BY doc_id),
+          sh AS (
+            SELECT doc_id, list_distinct(
+              CASE WHEN length(text) < 5 THEN [text]
+              ELSE list_transform(range(1, length(text) - 3),
+                     i -> substr(text, i, 5)) END) AS s
+            FROM documents)
+          SELECT a, b, agree,
+            agree * 1000000 // $NumHashes AS est_ppm,
+            inter * 1000000 // (na + nb - inter) AS exact_ppm,
+            abs(agree * 1000000 // $NumHashes
+              - inter * 1000000 // (na + nb - inter)) AS err_ppm
+          FROM (SELECT c.a, c.b,
+                  CAST($agree AS BIGINT) AS agree,
+                  CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter,
+                  CAST(len(sa.s) AS BIGINT) AS na,
+                  CAST(len(sb.s) AS BIGINT) AS nb
+                FROM cand c
+                JOIN mhs x ON x.doc_id = c.a
+                JOIN mhs y ON y.doc_id = c.b
+                JOIN sh sa ON sa.doc_id = c.a
+                JOIN sh sb ON sb.doc_id = c.b)"""
+    })
+
   val all: Seq[Q] = Seq(dedupMinhash, dedupMinhashPairs, dedupSimhash,
     dedupNgramJaccard, dedupClusters, splitLeakageSafe, corpusClean,
     dedupIncremental, dedupSubstring, dedupWinnowFp, dedupWinnowPairs,
-    dedupKeepBest, minePreferencePairs, dedupSoft)
+    dedupKeepBest, minePreferencePairs, dedupSoft, dedupMinhashEst)
 }

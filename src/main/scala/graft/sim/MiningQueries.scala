@@ -694,7 +694,81 @@ object MiningQueries {
           FROM t64 JOIN t16 USING (q_id)"""
     })
 
+  /** Mean-reciprocal-rank readout for the retrieval family — the metric
+    * reported when only the FIRST relevant hit matters (question
+    * answering, known-item search): per query, the rank of the first
+    * same-label neighbor within the top-10 and its reciprocal in ppm
+    * (queries whose top-10 holds no relevant hit report rank −1, rr 0 —
+    * the standard MRR@k convention).
+    *
+    * Scale shape: the eval_ndcg scaffold exactly — broadcast query set,
+    * one corpus scan, k-bounded TopKByValue (no rank window), label
+    * lookup joined back broadcast, first-hit argmin as one conditional
+    * MIN aggregate.
+    */
+  private val evalMrr = Q(
+    "eval_mrr",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val vecs = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          expr(dotExpr("embedding", "embedding")).as("norm2"))
+        .localCheckpoint(eager = true) // query side + corpus side + labels
+      val queries = vecs.where(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("embedding").as("q_emb"), col("norm2").as("q_norm2"))
+      val scored = vecs.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+        .withColumn("cos",
+          expr(dotExpr("embedding", "q_emb")) / sqrt(col("norm2") * col("q_norm2")))
+      val tk = udaf(new graft.functions.TopKByValue(NdcgK),
+        graft.functions.TopKByValue.inputEncoder)
+      val topE = scored.groupBy(col("q_id"), col("q_label"))
+        .agg(tk(col("cos"), col("vec_id")).as("top"))
+        .select(col("q_id"), col("q_label"),
+          posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("q_id"), col("q_label"), col("e._2").as("vec_id"),
+          (col("pos") + 1).cast("long").as("rk"))
+      vecs.select(col("vec_id"), col("label"))
+        .join(broadcast(topE), "vec_id")
+        .groupBy(col("q_id"), col("q_label"))
+        .agg(min(when(col("label") === col("q_label"), col("rk"))).as("fr"))
+        .select(col("q_id"), col("q_label").cast("long").as("q_label"),
+          coalesce(col("fr"), lit(-1L)).as("first_rank"),
+          expr("CASE WHEN fr IS NULL THEN CAST(0 AS BIGINT) " +
+            "ELSE 1000000 div fr END").as("rr_ppm"))
+    },
+    Some {
+      def dot(a: String, b: String) =
+        s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+      s"""WITH v AS (
+            SELECT vec_id, label, embedding,
+              ${dot("embedding", "embedding")} AS norm2
+            FROM embeddings),
+          scored AS MATERIALIZED (
+            SELECT q.vec_id AS q_id, q.label AS q_label,
+              a.vec_id AS vec_id, a.label AS label,
+              ${dot("a.embedding", "q.embedding")}
+                / sqrt(a.norm2 * q.norm2) AS cos
+            FROM v a
+            JOIN v q ON q.vec_id < 8 AND a.vec_id <> q.vec_id),
+          topk AS (
+            SELECT q_id, q_label, label, rk FROM (
+              SELECT q_id, q_label, label,
+                CAST(row_number() OVER (PARTITION BY q_id
+                  ORDER BY cos DESC, vec_id) AS BIGINT) AS rk
+              FROM scored)
+            WHERE rk <= $NdcgK)
+          SELECT q_id, CAST(q_label AS BIGINT) AS q_label,
+            coalesce(min(CASE WHEN label = q_label THEN rk END), -1)
+              AS first_rank,
+            CASE WHEN min(CASE WHEN label = q_label THEN rk END) IS NULL
+              THEN CAST(0 AS BIGINT)
+              ELSE 1000000 // min(CASE WHEN label = q_label THEN rk END) END
+              AS rr_ppm
+          FROM topk GROUP BY q_id, q_label"""
+    })
+
   val all: Seq[Q] =
     Seq(mineBitext, textNovelty, qualityEnsemble, selectMmr, mineHardNegatives,
-      evalNdcg, embedMrlRecall)
+      evalNdcg, embedMrlRecall, evalMrr)
 }

@@ -511,7 +511,75 @@ object SimQueries {
               FROM scored)
             WHERE rk <= 3"""))
 
+  /** Approximate symmetric kNN-graph construction — the build step under
+    * graph-based ANN indexes and NN-descent/UMAP-style manifold methods:
+    * every vector's top-3 in-bucket neighbors by cosine, symmetrized into
+    * an undirected edge list with a `mutual` flag (edges found from BOTH
+    * endpoints — the high-precision core NN-descent seeds from).
+    *
+    * Scale shape: candidate generation is the bucket self-join (candidates
+    * ≈ n²/2^planes, the sim_ann_bucketed argument — planes grow with the
+    * corpus), per-source top-3 goes through the k-bounded TopKByValue
+    * Aggregator (map-side ≤ k rows per source, no rank window), and
+    * symmetrization is one groupBy on the canonical (least, greatest) key
+    * counting directions — cosine is symmetric, so the two directed copies
+    * carry the identical double and the rollup needs no recompute.
+    */
+  private val simKnnGraph = Q(
+    "sim_knn_graph",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val withBucket = lshBuckets(emb)
+        .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+        .withColumn("norm2", expr(dotExpr("embedding", "embedding")))
+        .localCheckpoint(eager = true) // both sides of the bucket self-join
+      val a = withBucket.select(col("bucket"), col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"), col("norm2").as("a_norm2"))
+      val b = withBucket.select(col("bucket"), col("vec_id").as("b_id"),
+        col("embedding").as("b_emb"), col("norm2").as("b_norm2"))
+      val tk = udaf(new graft.functions.TopKByValue(3),
+        graft.functions.TopKByValue.inputEncoder)
+      val directed = a.join(b, "bucket")
+        .where(col("a_id") =!= col("b_id"))
+        .withColumn("cos",
+          expr(dotExpr("a_emb", "b_emb")) / sqrt(col("a_norm2") * col("b_norm2")))
+        .groupBy(col("a_id"))
+        .agg(tk(col("cos"), col("b_id")).as("top"))
+        .select(col("a_id"), explode(col("top")).as("e"))
+        .select(col("a_id"), col("e._2").as("b_id"), col("e._1").as("cos"))
+      directed
+        .select(least(col("a_id"), col("b_id")).as("u"),
+          greatest(col("a_id"), col("b_id")).as("v"), col("cos"))
+        .groupBy(col("u"), col("v"))
+        .agg(round(max(col("cos")), 6).as("cos"),
+          (count(lit(1)) === 2L).as("mutual"))
+    },
+    Some {
+      val dot = "list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+      val na  = "list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))"
+      val nb  = "list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+      s"""WITH bk AS (${lshOracle()}),
+          directed AS (
+            SELECT a_id, b_id, cos FROM (
+              SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                $dot / sqrt($na * $nb) AS cos,
+                row_number() OVER (PARTITION BY a.vec_id
+                  ORDER BY $dot / sqrt($na * $nb) DESC, b.vec_id) AS rk
+              FROM embeddings a
+              JOIN bk ba ON ba.vec_id = a.vec_id
+              JOIN bk bb ON bb.bucket = ba.bucket
+              JOIN embeddings b ON b.vec_id = bb.vec_id
+                AND b.vec_id <> a.vec_id)
+            WHERE rk <= 3)
+          SELECT least(a_id, b_id) AS u, greatest(a_id, b_id) AS v,
+            round(max(cos), 6) AS cos,
+            count(*) = 2 AS mutual
+          FROM directed
+          GROUP BY least(a_id, b_id), greatest(a_id, b_id)"""
+    })
+
   val all: Seq[Q] = Seq(simLshBuckets, simBruteforce, simAnnBucketed,
     dedupEmbedding, simIvfTopk, simAnnMultiprobe, embedQuantizeInt8,
-    simSqTopk)
+    simSqTopk, simKnnGraph)
 }
