@@ -1147,6 +1147,96 @@ object CurationQueries {
           GROUP BY lang"""
     })
 
+  /** Content-defined chunking (the Rabin/FastCDC storage-dedup shape):
+    * chunk boundaries fall where the hash of the trailing 8-char window
+    * hits a target residue (here: first-2-md5-hex % 32 = 0, expected
+    * chunk ≈ 32 chars) — so an insertion shifts only the chunks it
+    * touches, and identical content re-chunks identically anywhere it
+    * appears. That boundary STABILITY is what fixed-stride chunking
+    * (doc_chunking) lacks and what chunk-store dedup (restic/borg/LLM
+    * corpus delta storage) depends on; `chunk_df` is the corpus-wide
+    * dedup signal per chunk.
+    *
+    * This is the pure (clamp-free) CDC variant: each boundary depends
+    * only on its local window, so cut detection is per-row array math
+    * riding the scan — fully parallel, no sequential scan state.
+    * Production adds min/max chunk clamps, which localize the dependence
+    * to a bounded forward scan. Scale: one checkpointed chunk pass; the
+    * df count and join back are chunk-md5-keyed (uniform hash keys, no
+    * skew).
+    */
+  private val docChunkingCdc = Q(
+    "doc_chunking_cdc",
+    (s, dir) => {
+      val hashHit =
+        """((instr('0123456789abcdef',
+              substr(md5(substring(text, CAST(i AS INT) - 7, 8)), 1, 1)) - 1) * 16 +
+            (instr('0123456789abcdef',
+              substr(md5(substring(text, CAST(i AS INT) - 7, 8)), 2, 1)) - 1)) % 32
+           = 0"""
+      val chunks = Tables.spread(Tables.documents(s, dir)
+          .where(col("n_chars") >= 1L).select("doc_id", "text"))
+        .withColumn("cuts", expr(
+          s"""CASE WHEN length(text) < 8 THEN CAST(array() AS ARRAY<BIGINT>)
+              ELSE filter(sequence(CAST(8 AS BIGINT), CAST(length(text) AS BIGINT)),
+                i -> $hashHit) END"""))
+        .withColumn("bnds", expr(
+          """concat(array(CAST(0 AS BIGINT)), cuts,
+               IF(size(cuts) > 0 AND element_at(cuts, -1) = CAST(length(text) AS BIGINT),
+                  CAST(array() AS ARRAY<BIGINT>),
+                  array(CAST(length(text) AS BIGINT))))"""))
+        .select(col("doc_id"), col("text"), posexplode(expr(
+          """transform(sequence(1, size(bnds) - 1),
+               j -> named_struct('st', element_at(bnds, j) + 1,
+                                 'en', element_at(bnds, j + 1)))"""))
+          .as(Seq("chunk_no", "c")))
+        .select(col("doc_id"), col("chunk_no").cast("long").as("chunk_no"),
+          col("c.st").as("start"),
+          (col("c.en") - col("c.st") + 1L).as("chunk_len"),
+          md5(expr(
+            "substring(text, CAST(c.st AS INT), CAST(c.en - c.st + 1 AS INT))"))
+            .as("chunk_md5"))
+        .localCheckpoint(eager = true) // df count + output side
+      val dfc = chunks.groupBy(col("chunk_md5"))
+        .agg(count(lit(1)).as("chunk_df"))
+      chunks.join(dfc, "chunk_md5")
+        .select(col("doc_id"), col("chunk_no"), col("start"), col("chunk_len"),
+          col("chunk_md5"), col("chunk_df"))
+    },
+    Some {
+      val hashHit =
+        """((instr('0123456789abcdef',
+              substr(md5(substr(text, CAST(i - 7 AS INTEGER), 8)), 1, 1)) - 1) * 16 +
+            (instr('0123456789abcdef',
+              substr(md5(substr(text, CAST(i - 7 AS INTEGER), 8)), 2, 1)) - 1)) % 32
+           = 0"""
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE n_chars >= 1),
+          ct AS (
+            SELECT doc_id, text,
+              CASE WHEN length(text) < 8 THEN []
+              ELSE list_filter(range(8, length(text) + 1), i -> $hashHit) END AS cs
+            FROM d),
+          bn AS (
+            SELECT doc_id, text,
+              [CAST(0 AS BIGINT)] || cs ||
+                CASE WHEN len(cs) > 0 AND cs[-1] = length(text) THEN []
+                     ELSE [CAST(length(text) AS BIGINT)] END AS bnds
+            FROM ct),
+          chunks AS (
+            SELECT doc_id, CAST(j AS BIGINT) AS chunk_no,
+              bnds[j + 1] + 1 AS start,
+              bnds[j + 2] - bnds[j + 1] AS chunk_len,
+              md5(substr(text, CAST(bnds[j + 1] + 1 AS INTEGER),
+                CAST(bnds[j + 2] - bnds[j + 1] AS INTEGER))) AS chunk_md5
+            FROM bn, unnest(range(0, len(bnds) - 1)) AS t(j)),
+          dfc AS (
+            SELECT chunk_md5, CAST(count(*) AS BIGINT) AS chunk_df
+            FROM chunks GROUP BY chunk_md5)
+          SELECT c.doc_id, c.chunk_no, c.start, c.chunk_len, c.chunk_md5,
+            dfc.chunk_df
+          FROM chunks c JOIN dfc USING (chunk_md5)"""
+    })
+
   val all: Seq[Q] = Seq(sampleHash, sampleStratified, sampleReservoir,
     textPiiScrub,
     textEditDistance, packSequences, vocabTopk, contaminationCheck,
@@ -1154,5 +1244,5 @@ object CurationQueries {
     textRepetition, sampleDomainMix, sampleTemperature, sampleImportance,
     dedupLines, shardShuffle, shardManifest, qualityLogreg, docChunking,
     qualityGopherRules,
-    textCodeDetect, corpusDrift, tokenizerCoverage)
+    textCodeDetect, corpusDrift, tokenizerCoverage, docChunkingCdc)
 }
