@@ -15,6 +15,7 @@ object DevProfile {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     def time[T](name: String)(f: => T): T = {
@@ -23,62 +24,61 @@ object DevProfile {
     }
     def consume(df: DataFrame): Long = df.queryExecution.toRdd.count()
 
-    // warmup: full query once
-    consume(SparkEntry.queries("graph_triangles")(spark, dir))
+    consume(SparkEntry.queries("dedup_minhash_est")(spark, dir)) // warm
 
     for (round <- 1 to 2) {
-      println(s"--- round $round (fresh frames) ---")
-      val li = queries.Tables.lineitem(spark, dir)
-        .select(col("l_orderkey"), col("l_partkey"))
-      val pairs = li.as("x").join(li.as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-        .distinct()
-      val p = time("ckpt pairs") { pairs.localCheckpoint(eager = true) }
-      val deg = time("ckpt deg") {
-        p.select(col("a").as("node"))
-          .union(p.select(col("b").as("node")))
-          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      println(s"--- round $round ---")
+      val docs = queries.Tables.documents(spark, dir)
+        .where(col("text").isNotNull).select("doc_id", "text")
+      val sigs = time("sigs ckpt") {
+        queries.Tables.spread(docs)
+          .select(col("doc_id"), expr("minhash_sig(text)").as("mh"))
           .localCheckpoint(eager = true)
       }
-      val oriented = time("ckpt oriented") {
-        p.join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
-          .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
-          .select(
-            when(col("da") < col("db") ||
-              (col("da") === col("db") && col("a") < col("b")),
-              struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
-              .otherwise(
-                struct(col("b").as("u"), col("a").as("v"), col("da").as("dv")))
-              .as("e"))
-          .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+      import graft.functions.MinHashSignature.{NumHashes, BandSize}
+      val bandCols = (0 until NumHashes / BandSize).map { bd =>
+        val cols = (0 until BandSize)
+          .map(r => element_at(col("mh"), bd * BandSize + r + 1))
+        md5(concat_ws("_", cols: _*)).as(s"band$bd")
+      }
+      val long = graft.dedup.DedupQueries.stackBands(
+        sigs.select(col("doc_id") +: bandCols: _*))
+      val pairs = time("pairs ckpt") {
+        long.select(col("band_hash"), col("doc_id").as("a"))
+          .join(long.select(col("band_hash"), col("doc_id").as("b")), "band_hash")
+          .where(col("a") < col("b"))
+          .select(col("a"), col("b")).distinct()
           .localCheckpoint(eager = true)
       }
-      val nEdges = time("count edges") { oriented.count() }
-      val wedges = oriented.select(col("u"), col("v").as("wu"), col("dv").as("d1"))
-        .join(oriented.select(col("u"), col("v").as("wv"), col("dv").as("d2"))
-          .hint("shuffle_hash"), "u")
-        .where(col("d1") < col("d2") ||
-          (col("d1") === col("d2") && col("wu") < col("wv")))
-        .select(col("wu"), col("wv"),
-          xxhash64(col("wu"), col("wv")).as("ek"))
-      val closing = oriented
-        .select(col("u").as("wu"), col("v").as("wv"),
-          xxhash64(col("u"), col("v")).as("ek"))
-      val pruned = time("bloom build") {
-        queries.BloomPrune.prune(wedges, "ek", closing.select(col("ek")), "ek",
-          expectedItems = math.max(nEdges, 1000L), fpp = 0.001)
+      println(s"  pairs=${pairs.count()}")
+      val candDocs = pairs.select(col("a").as("doc_id"))
+        .union(pairs.select(col("b"))).distinct()
+      val sh = time("shingle-set ckpt") {
+        queries.Tables.spread(docs.join(candDocs, Seq("doc_id"), "left_semi"))
+          .select(col("doc_id"),
+            expr("""array_distinct(transform(
+                      CASE WHEN length(text) < 5 THEN array(text)
+                      ELSE transform(sequence(1, length(text) - 4),
+                        i -> substring(text, i, 5)) END,
+                      sx -> xxhash64(sx)))""").as("sh"))
+          .withColumn("n", size(col("sh")).cast("long"))
+          .localCheckpoint(eager = true)
       }
-      val tri = pruned
-        .join(closing.hint("shuffle_hash"), Seq("wu", "wv", "ek"))
-        .agg(count(lit(1)).as("n_triangles"))
-      val totals = deg.agg(count(lit(1)).as("n_nodes"),
-        sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
-      val out = totals.crossJoin(tri).withColumn("n_edges", lit(nEdges))
-      time("wedge join + final") { consume(out) }
+      println(s"  candDocs=${sh.count()}")
+      val out = pairs
+        .join(sigs.select(col("doc_id").as("a"), col("mh").as("ma")), "a")
+        .join(sigs.select(col("doc_id").as("b"), col("mh").as("mb")), "b")
+        .join(sh.select(col("doc_id").as("a"), col("sh").as("sa"),
+          col("n").as("na")), "a")
+        .join(sh.select(col("doc_id").as("b"), col("sh").as("sb"),
+          col("n").as("nb")), "b")
+        .select(col("a"), col("b"),
+          expr("CAST(size(filter(zip_with(ma, mb, (x, y) -> x = y), v -> v)) AS BIGINT)")
+            .as("agree"),
+          size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
+          col("na"), col("nb"))
+      time("verify joins") { consume(out) }
     }
-
     spark.stop()
   }
 }

@@ -812,27 +812,29 @@ object DedupQueries {
     * k = 12 hashes the rsd is ~√(J(1−J)/12), so large errors are expected
     * and the point is to SEE them).
     *
-    * Scale shape: one checkpointed pass computes signatures AND distinct
-    * hashed shingle sets per doc; candidate pairs derive from the SAME
-    * checkpointed signatures (no second shingle pass, unlike composing
-    * minhashCandidatePairs); the verify joins pull both columns onto the
-    * candidate list only. Exact-Jaccard elements are 8-byte xxhash64
-    * values — the dedup_ngram_jaccard collision stance.
+    * Scale shape: the corpus-wide pass carries ONLY the 12-int signature
+    * (shuffle-light; candidate pairs derive from the same checkpointed
+    * signatures, no second shingle pass); the EXPENSIVE per-doc artifact
+    * — the distinct hashed shingle-set array, ~|text| longs — is built
+    * only for documents that actually appear in a candidate pair (one
+    * semi-join gates the second text scan), so exact-verification cost
+    * scales with the near-dup population, not the corpus. On THIS
+    * synthetic corpus the gate is perf-neutral (planted dups make 95% of
+    * docs candidates — 110k pairs at sf0.1, where the verify joins'
+    * array payload dominates at ~2.4 s); at a production near-dup rate
+    * (a few %) it is the difference between shingling the corpus and
+    * shingling the dup population. Exact-Jaccard elements are 8-byte
+    * xxhash64 values — the dedup_ngram_jaccard collision stance.
     */
   private val dedupMinhashEst = Q(
     "dedup_minhash_est",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      val sigs = Tables.spread(Tables.documents(s, dir)
-          .where(col("text").isNotNull).select("doc_id", "text"))
-        .select(col("doc_id"), expr("minhash_sig(text)").as("mh"),
-          expr("""array_distinct(transform(
-                    CASE WHEN length(text) < 5 THEN array(text)
-                    ELSE transform(sequence(1, length(text) - 4),
-                      i -> substring(text, i, 5)) END,
-                    sx -> xxhash64(sx)))""").as("sh"))
-        .withColumn("n", size(col("sh")).cast("long"))
-        .localCheckpoint(eager = true) // bands + both verify sides
+      val docs = Tables.documents(s, dir)
+        .where(col("text").isNotNull).select("doc_id", "text")
+      val sigs = Tables.spread(docs)
+        .select(col("doc_id"), expr("minhash_sig(text)").as("mh"))
+        .localCheckpoint(eager = true) // bands + both mh verify sides
       val bandCols = (0 until NumHashes / BandSize).map { bd =>
         val cols = (0 until BandSize)
           .map(r => element_at(col("mh"), bd * BandSize + r + 1))
@@ -843,11 +845,25 @@ object DedupQueries {
         .join(long.select(col("band_hash"), col("doc_id").as("b")), "band_hash")
         .where(col("a") < col("b"))
         .select(col("a"), col("b")).distinct()
+        .localCheckpoint(eager = true) // candidate-doc gate + verify joins
+      val candDocs = pairs.select(col("a").as("doc_id"))
+        .union(pairs.select(col("b"))).distinct()
+      val sh = Tables.spread(docs.join(candDocs, Seq("doc_id"), "left_semi"))
+        .select(col("doc_id"),
+          expr("""array_distinct(transform(
+                    CASE WHEN length(text) < 5 THEN array(text)
+                    ELSE transform(sequence(1, length(text) - 4),
+                      i -> substring(text, i, 5)) END,
+                    sx -> xxhash64(sx)))""").as("sh"))
+        .withColumn("n", size(col("sh")).cast("long"))
+        .localCheckpoint(eager = true) // both verify sides
       pairs
-        .join(sigs.select(col("doc_id").as("a"), col("mh").as("ma"),
-          col("sh").as("sa"), col("n").as("na")), "a")
-        .join(sigs.select(col("doc_id").as("b"), col("mh").as("mb"),
-          col("sh").as("sb"), col("n").as("nb")), "b")
+        .join(sigs.select(col("doc_id").as("a"), col("mh").as("ma")), "a")
+        .join(sigs.select(col("doc_id").as("b"), col("mh").as("mb")), "b")
+        .join(sh.select(col("doc_id").as("a"), col("sh").as("sa"),
+          col("n").as("na")), "a")
+        .join(sh.select(col("doc_id").as("b"), col("sh").as("sb"),
+          col("n").as("nb")), "b")
         .select(col("a"), col("b"),
           expr("CAST(size(filter(zip_with(ma, mb, (x, y) -> x = y), v -> v)) AS BIGINT)")
             .as("agree"),

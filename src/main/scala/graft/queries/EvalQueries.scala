@@ -206,12 +206,17 @@ object EvalQueries {
     * near-dup candidate (a) is to its reference twin (b): clipped modified
     * 1-/2-gram precisions, the brevity penalty, and the smoothed log-BLEU.
     *
-    * Scale shape: the generate-then-verify scaffold again — per-doc
-    * (n, gram, cnt) counts are ONE checkpointed pre-aggregate (map-side
-    * combine collapses within-doc repeats; grams ship as 8-byte xxhash64
-    * keys, not text), and the clipped-match join fans out by the candidate
-    * list × candidate grams, never any block². Determinism: counts are
-    * exact BIGINT; `ln` is IEEE-identical on both engines (the
+    * Scale shape: the generate-then-verify scaffold again — candidate
+    * pairs come first (checkpointed), and the per-doc (n, gram, cnt)
+    * pre-aggregate runs ONLY over documents a candidate pair references
+    * (one semi-join gates the tokenize pass), so gram-counting cost
+    * scales with the near-dup population, not the corpus (perf-neutral on
+    * this dup-dense synthetic corpus — 95% of docs are candidates; the
+    * clipped-match fan-out of 110k pairs × candidate grams is what the
+    * ~4 s at sf0.1 buys). Grams ship as 8-byte xxhash64 keys, not
+    * text; the clipped-match join fans out by the candidate list ×
+    * candidate grams, never any block². Determinism: counts are exact
+    * BIGINT; `ln` is IEEE-identical on both engines (the
     * text_unigram_nll precedent) and is floor-quantized to micro-nats
     * immediately; the brevity penalty is a floor of one double division
     * of the same two integers on both engines.
@@ -221,7 +226,12 @@ object EvalQueries {
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val docs = Tables.documents(s, dir)
-      val grams = Tables.spread(docs.select("doc_id", "text"))
+      val pairs = graft.dedup.DedupQueries.minhashCandidatePairs(docs)
+        .localCheckpoint(eager = true) // candidate-doc gate + verify join
+      val candDocs = pairs.select(col("a").as("doc_id"))
+        .union(pairs.select(col("b"))).distinct()
+      val grams = Tables.spread(docs.select("doc_id", "text")
+          .join(candDocs, Seq("doc_id"), "left_semi"))
         .select(col("doc_id"), explode(expr(
           """concat(
                transform(word_ngrams(text, 1, false),
@@ -233,7 +243,7 @@ object EvalQueries {
         .localCheckpoint(eager = true) // a-side, b-side, and ref-length passes
       val refLen = grams.where(col("n") === 1)
         .groupBy(col("doc_id")).agg(sum(col("cnt")).as("r"))
-      val pv = graft.dedup.DedupQueries.minhashCandidatePairs(docs)
+      val pv = pairs
         .join(grams.select(col("doc_id").as("a"), col("n"), col("gh"),
           col("cnt").as("ca")), "a")
         .join(grams.select(col("doc_id").as("b"), col("n"), col("gh"),

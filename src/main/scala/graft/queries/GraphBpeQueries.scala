@@ -680,7 +680,112 @@ object GraphBpeQueries {
             ORDER BY n.cn DESC, jaccard_ppm DESC, n.u, n.v
             LIMIT 20"""))
 
+  /** Newman modularity readout of the LPA communities — the quality score
+    * community detection is judged by (Q = Σ_c [e_c/m − (d_c/2m)²]):
+    * per community its node count, degree mass d_c, internal edge count
+    * e_c, and the GLOBAL modularity as an exact integer fraction
+    * q_num/q_den = Σ_c(4·m·e_c − d_c²) / 4m² — emitting numerator and
+    * denominator separately keeps the whole query division-free, which
+    * sidesteps the one true cross-engine hazard here (Spark `div`
+    * truncates toward zero, DuckDB `//` floors — they disagree on
+    * NEGATIVE quotients, and modularity can be negative).
+    *
+    * Scale shape: e_c is the one-direction edge list joined to labels on
+    * both endpoints (node-keyed shuffles); d_c is a degree aggregate
+    * joined to labels; the community rollup is label-keyed partial
+    * aggregation and the global total is one scalar broadcast back.
+    * BIGINT bound: |4·m·e_c| ≤ 4m², so the numerator stays exact while
+    * 2m < ~2×10⁹ edges per graph — beyond that, promote to DECIMAL(38).
+    */
+  private val graphModularity = Q(
+    "graph_modularity",
+    (s, dir) => {
+      val Offset = 1000000L
+      val fwd = Tables.events(s, dir)
+        .filter(col("event_type") === "signup")
+        .select(col("user_id").as("src"),
+          (get_json_object(col("props"), "$.k").cast("long") + Offset).as("dst"))
+        .distinct()
+        .localCheckpoint(eager = true) // m + e_in + und derive from this
+      val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(eager = true) // both vote rounds + degrees
+      def vote(labels: DataFrame): DataFrame =
+        und.join(labels, col("src") === col("node"))
+          .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("dst"))
+          .agg(min(struct(-col("cnt"), col("label"))).as("m"))
+          .select(col("dst").as("node"), col("m.label").as("label"))
+      val l0 = und.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+      val labels = vote(vote(l0)).localCheckpoint(eager = true) // 3 consumers
+      val m = fwd.count()
+      val eIn = fwd
+        .join(labels.select(col("node").as("src"), col("label").as("la")), "src")
+        .join(labels.select(col("node").as("dst"), col("label").as("lb")), "dst")
+        .where(col("la") === col("lb"))
+        .groupBy(col("la")).agg(count(lit(1)).as("e_in"))
+        .select(col("la").as("label"), col("e_in"))
+      val stats = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .join(labels, col("src") === col("node"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_sum"))
+      val co = stats.join(eIn, Seq("label"), "left")
+        .withColumn("e_in", coalesce(col("e_in"), lit(0L)))
+        .withColumn("num",
+          lit(4L) * lit(m) * col("e_in") - col("d_sum") * col("d_sum"))
+      val tot = co.agg(sum(col("num")).as("q_num"))
+      co.crossJoin(broadcast(tot))
+        .select(col("label"), col("n_nodes"), col("d_sum"), col("e_in"),
+          col("q_num"), lit(4L * m * m).as("q_den"))
+    },
+    Some("""WITH fwd AS (SELECT DISTINCT user_id AS src,
+                  1000000 + CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
+                FROM events WHERE event_type = 'signup'),
+            und AS (SELECT src, dst FROM fwd
+                    UNION ALL SELECT dst, src FROM fwd),
+            l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+            v1 AS (
+              SELECT dst AS node, label FROM (
+                SELECT dst, label,
+                  row_number() OVER (PARTITION BY dst
+                    ORDER BY count(*) DESC, label) AS rn
+                FROM und JOIN l0 ON und.src = l0.node
+                GROUP BY dst, label)
+              WHERE rn = 1),
+            v2 AS (
+              SELECT dst AS node, label FROM (
+                SELECT dst, label,
+                  row_number() OVER (PARTITION BY dst
+                    ORDER BY count(*) DESC, label) AS rn
+                FROM und JOIN v1 ON und.src = v1.node
+                GROUP BY dst, label)
+              WHERE rn = 1),
+            mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM fwd),
+            ein AS (
+              SELECT la.label, CAST(count(*) AS BIGINT) AS e_in
+              FROM fwd
+              JOIN v2 la ON la.node = fwd.src
+              JOIN v2 lb ON lb.node = fwd.dst
+              WHERE la.label = lb.label
+              GROUP BY la.label),
+            st AS (
+              SELECT v2.label, CAST(count(*) AS BIGINT) AS n_nodes,
+                CAST(sum(d.deg) AS BIGINT) AS d_sum
+              FROM (SELECT src, CAST(count(*) AS BIGINT) AS deg
+                    FROM und GROUP BY src) d
+              JOIN v2 ON v2.node = d.src
+              GROUP BY v2.label),
+            co AS (
+              SELECT st.label, st.n_nodes, st.d_sum,
+                coalesce(ein.e_in, 0) AS e_in,
+                4 * mm.m * coalesce(ein.e_in, 0) - st.d_sum * st.d_sum AS num
+              FROM st LEFT JOIN ein USING (label), mm),
+            tot AS (SELECT CAST(sum(num) AS BIGINT) AS q_num FROM co)
+            SELECT co.label, co.n_nodes, co.d_sum, co.e_in,
+              tot.q_num, CAST(4 * mm.m * mm.m AS BIGINT) AS q_den
+            FROM co, tot, mm"""))
+
   val all: Seq[Q] = Seq(joinMultiwayRevenue, graphPagerank, bpeMergeTopk,
     bpeEncode, graphLabelProp, graphTriangles, graphKcore,
-    graphCommonNeighbors)
+    graphCommonNeighbors, graphModularity)
 }
