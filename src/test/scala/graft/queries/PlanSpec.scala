@@ -712,4 +712,52 @@ class PlanSpec extends SparkSpec {
       "per-query top-k no longer uses the k-bounded Aggregator")
     assert(!p.contains("CartesianProduct"), "scoring join degenerated to a cartesian")
   }
+
+  test("index_inverted: bounded TakeOrdered term selection, broadcast back") {
+    val p = plan("index_inverted")
+    // term selection must be a per-partition partial top-k, never a
+    // vocab-wide rank window or global sort-then-limit on one reducer
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("windowspecdefinition"),
+      "term selection regressed to a vocab-wide rank window")
+    // the 20-row selected-term frame joins back broadcast
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("sim_knn_graph and eval_mrr: Aggregator top-k, no rank window") {
+    Seq("sim_knn_graph", "eval_mrr").foreach { n =>
+      val p = plan(n)
+      assert(p.toLowerCase.contains("topkbyvalue"),
+        s"$n no longer uses the k-bounded Aggregator")
+      assert(!p.contains("windowspecdefinition"),
+        s"$n regressed to a rank window over every scored row")
+    }
+  }
+
+  test("dedup_minhash_est: verify joins stay equi-keyed on the pair list") {
+    // band-hash pair generation and the candidate-doc semi-join run behind
+    // eager localCheckpoints, so the FINAL plan only shows the verify
+    // stage — assert that stage is pure hash equi-joins (the logical plan
+    // pins the semi gate instead)
+    val q = graft.SparkEntry.queries("dedup_minhash_est")(spark, dir)
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "estimator verify degenerated past the equi joins")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("join_scd2_pit: equi-keyed PIT join, range as post-join predicate") {
+    val p = plan("join_scd2_pit")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "PIT join lost its user_id equi key — interval cross product")
+  }
+
+  test("streak_islands: one per-user window, argmax without a second sort") {
+    val p = plan("streak_islands")
+    val windows = p.linesIterator.count(_.contains("windowspecdefinition"))
+    assert(windows <= 2, // one Window node prints its spec twice at most
+      s"streaks grew extra windows: $windows spec mentions")
+    assert(p.contains("partial_") || p.contains("HashAggregate"),
+      "island rollup lost partial aggregation")
+  }
 }
