@@ -82,5 +82,89 @@ object IndexQueries {
                  ' ' ORDER BY doc_id) AS postings
              FROM pb GROUP BY term, block, df, cf"""))
 
-  val all: Seq[Q] = Seq(indexInverted)
+  /** Incremental index maintenance — the retrieval twin of
+    * dedup_incremental / sim_ivf_incremental (same md5-byte batch split:
+    * bucket < 51 ≈ 20% is the incoming crawl, the rest is the standing
+    * lake index): for every term the BATCH touches, the delta-encoded
+    * batch postings to append plus lake-vs-batch df/cf stats and a
+    * new-term flag — the ingest readout an index maintainer appends and
+    * monitors.
+    *
+    * Scale shape: batch work scales with the batch — the postings
+    * assembly and stats group only batch rows, and the lake side joins in
+    * keyed by the BATCH's terms (at production scale that side is a
+    * stored term-stats lookup, not a recompute; here it derives from the
+    * same one checkpointed tokenize pass). Output is bounded by the batch
+    * vocabulary.
+    */
+  private val indexIncremental = Q(
+    "index_incremental",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val bkt =
+        """(instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1)) - 1) * 16 +
+           (instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 2, 1)) - 1)"""
+      val tf = Tables.spread(Tables.documents(s, dir).select("doc_id", "text"))
+        .withColumn("bucket", expr(bkt).cast("long"))
+        .select(col("doc_id"), col("bucket"),
+          explode(expr("word_ngrams(text, 1, false)")).as("term"))
+        .groupBy(col("term"), col("doc_id"), col("bucket"))
+        .agg(count(lit(1)).as("tf"))
+        .localCheckpoint(eager = true) // lake stats + batch stats
+      val lake = tf.where(col("bucket") >= 51)
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df_lake"), sum(col("tf")).as("cf_lake"))
+      val batch = tf.where(col("bucket") < 51)
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df_batch"), sum(col("tf")).as("cf_batch"),
+          sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("ps"))
+        .select(col("term"), col("df_batch"), col("cf_batch"),
+          expr("""array_join(transform(ps, (p, i) -> concat(
+                    CAST(p.doc_id - IF(i = 0, CAST(0 AS BIGINT),
+                      element_at(ps, i).doc_id) AS STRING),
+                    ':', CAST(p.tf AS STRING))), ' ')""").as("postings"))
+      batch.join(lake, Seq("term"), "left")
+        .select(col("term"), col("df_batch"), col("cf_batch"),
+          coalesce(col("df_lake"), lit(0L)).as("df_lake"),
+          coalesce(col("cf_lake"), lit(0L)).as("cf_lake"),
+          (coalesce(col("df_lake"), lit(0L)) + col("df_batch")).as("df_total"),
+          (coalesce(col("df_lake"), lit(0L)) === 0L).as("is_new_term"),
+          col("postings"))
+    },
+    Some {
+      val byte =
+        """(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+           (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"""
+      s"""WITH tok AS (
+            SELECT doc_id, $byte AS bucket, unnest(list_filter(
+              string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS term
+            FROM documents),
+          tf AS (
+            SELECT term, doc_id, bucket, CAST(count(*) AS BIGINT) AS tf
+            FROM tok GROUP BY term, doc_id, bucket),
+          lake AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS df_lake,
+              CAST(sum(tf) AS BIGINT) AS cf_lake
+            FROM tf WHERE bucket >= 51 GROUP BY term),
+          bt AS (
+            SELECT term, doc_id, tf,
+              doc_id - coalesce(lag(doc_id) OVER (PARTITION BY term
+                ORDER BY doc_id), 0) AS delta
+            FROM tf WHERE bucket < 51),
+          bs AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS df_batch,
+              CAST(sum(tf) AS BIGINT) AS cf_batch,
+              string_agg(CAST(delta AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+                ' ' ORDER BY doc_id) AS postings
+            FROM bt GROUP BY term)
+          SELECT bs.term, bs.df_batch, bs.cf_batch,
+            coalesce(lake.df_lake, 0) AS df_lake,
+            coalesce(lake.cf_lake, 0) AS cf_lake,
+            coalesce(lake.df_lake, 0) + bs.df_batch AS df_total,
+            coalesce(lake.df_lake, 0) = 0 AS is_new_term,
+            bs.postings
+          FROM bs LEFT JOIN lake USING (term)"""
+    })
+
+  val all: Seq[Q] = Seq(indexInverted, indexIncremental)
 }

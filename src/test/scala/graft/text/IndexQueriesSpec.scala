@@ -43,6 +43,41 @@ class IndexQueriesSpec extends SparkSpec {
     }
   }
 
+  test("index_incremental: batch-only postings, stats match a local split recompute") {
+    val docs = graft.queries.Tables.documents(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    def md5b(id: Long): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      ((h(0) >> 4) & 0xF) * 16 + (h(0) & 0xF)
+    }
+    def toks(t: String) = t.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).toSeq
+    val perDoc = docs.map { case (d, t) =>
+      (d, md5b(d) < 51, toks(t).groupBy(identity).map { case (w, v) => w -> v.size.toLong })
+    }
+    def stats(batch: Boolean): Map[String, (Long, Long)] =
+      perDoc.filter(_._2 == batch).flatMap { case (_, _, m) => m.toSeq }
+        .groupBy(_._1)
+        .map { case (w, xs) => w -> ((xs.size.toLong, xs.map(_._2).sum)) }
+    val (bs, ls) = (stats(true), stats(false))
+    val rows = Registry.queries("index_incremental")(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("term")).toSet === bs.keySet,
+      "output must cover exactly the batch vocabulary")
+    rows.foreach { r =>
+      val t = r.getAs[String]("term")
+      assert((r.getAs[Long]("df_batch"), r.getAs[Long]("cf_batch")) === bs(t))
+      assert((r.getAs[Long]("df_lake"), r.getAs[Long]("cf_lake")) ===
+        ls.getOrElse(t, (0L, 0L)))
+      assert(r.getAs[Boolean]("is_new_term") === !ls.contains(t))
+      // postings decode to strictly-increasing batch doc ids, count = df_batch
+      val ids = r.getAs[String]("postings").split(" ")
+        .map(_.split(":")(0).toLong).scanLeft(0L)(_ + _).tail
+      assert(ids.length.toLong === r.getAs[Long]("df_batch"))
+      assert(ids.toSeq == ids.sorted.toSeq && ids.distinct.length == ids.length)
+      ids.foreach(id => assert(md5b(id) < 51, s"non-batch doc $id in postings"))
+    }
+  }
+
   test("text_badwords routes every injected severity class") {
     val byId = Registry.queries("text_badwords")(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
