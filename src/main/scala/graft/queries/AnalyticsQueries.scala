@@ -858,10 +858,110 @@ object AnalyticsQueries {
               ON s.user_id = m.user_id AND s.len = m.ml
             GROUP BY m.user_id, m.n_active_days, m.n_streaks, m.ml"""))
 
+  // Week-over-week growth — the period-over-period trend readout every
+  // metrics dashboard leads with. Calendar lag is a self-join on
+  // (event_type, day − 7), not a row-offset window: lag(7) over daily
+  // rows silently compares the wrong days the moment a day is missing,
+  // while the join keys the comparison on the calendar. Scale: two
+  // partial-aggregated daily rollups joined on a tiny composite key;
+  // growth quantized by flooring the one double division both engines
+  // compute from identical integers (floor of the same correctly-rounded
+  // double — the §7.4.1 rule for possibly-negative quotients, where
+  // integer div/`//` would diverge).
+  private val trendWowGrowth = Q(
+    "trend_wow_growth",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          expr("CAST(round(value * 100.0, 0) AS BIGINT)").as("vc"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("cnt"), sum(col("vc")).as("cents"))
+        .localCheckpoint(eager = true) // current side + lagged side
+      daily.join(daily.select(col("event_type"),
+          (col("day") + 7L).as("day"), col("cnt").as("prev_cnt"),
+          col("cents").as("prev_cents")),
+          Seq("event_type", "day"))
+        .select(col("event_type"), col("day"), col("cnt"), col("prev_cnt"),
+          col("cents"), col("prev_cents"),
+          expr("""CAST(floor(CAST((cnt - prev_cnt) * 10000 AS DOUBLE)
+                     / CAST(prev_cnt AS DOUBLE)) AS BIGINT)""")
+            .as("cnt_growth_bp"),
+          expr("""CASE WHEN prev_cents = 0 THEN NULL
+                  ELSE CAST(floor(CAST((cents - prev_cents) * 10000 AS DOUBLE)
+                     / CAST(prev_cents AS DOUBLE)) AS BIGINT) END""")
+            .as("cents_growth_bp"))
+    },
+    Some("""WITH daily AS (
+              SELECT event_type, epoch_ns(ts) // 1000 // 86400000000 AS day,
+                CAST(count(*) AS BIGINT) AS cnt,
+                CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT)
+                  AS cents
+              FROM events GROUP BY event_type, 2)
+            SELECT c.event_type, c.day, c.cnt, p.cnt AS prev_cnt,
+              c.cents, p.cents AS prev_cents,
+              CAST(floor(CAST((c.cnt - p.cnt) * 10000 AS DOUBLE)
+                / CAST(p.cnt AS DOUBLE)) AS BIGINT) AS cnt_growth_bp,
+              CASE WHEN p.cents = 0 THEN NULL
+              ELSE CAST(floor(CAST((c.cents - p.cents) * 10000 AS DOUBLE)
+                / CAST(p.cents AS DOUBLE)) AS BIGINT) END AS cents_growth_bp
+            FROM daily c JOIN daily p
+              ON p.event_type = c.event_type AND p.day = c.day - 7"""))
+
+  // Seasonal anomaly detection: each day's event count z-scored against
+  // its event type's OWN day-of-week baseline — the decomposition that
+  // stops every Saturday from alerting as a dip. Day-of-week comes from
+  // pure epoch-day arithmetic ((day + 4) % 7, 1970-01-01 = Thursday) so
+  // both engines agree without touching calendar functions. Exact BIGINT
+  // (n, Σ, Σ²) per (type, dow) — ≤ 7·|types| baseline cells — broadcast
+  // back over the daily rollup; the anomaly_zscore determinism recipe.
+  private val trendDowAnomaly = Q(
+    "trend_dow_anomaly",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("dow", expr("(day + 4) % 7"))
+        .localCheckpoint(eager = true) // baseline + scoring sides
+      val base = daily.groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n"), sum(col("cnt")).as("sv"),
+          sum(expr("cnt * cnt")).as("svv"))
+      daily.join(broadcast(base), Seq("event_type", "dow"))
+        .withColumn("z", expr(
+          """round((CAST(cnt AS DOUBLE) - CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+               / nullif(sqrt((CAST(svv AS DOUBLE)
+                   - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+                 / CAST(n AS DOUBLE)), 0.0), 4) + 0.0"""))
+        .select(col("event_type"), col("day"), col("dow"), col("cnt"),
+          coalesce(col("z"), lit(0.0)).as("z"),
+          (abs(coalesce(col("z"), lit(0.0))) > 2.0).as("anomaly"))
+    },
+    Some("""WITH daily AS (
+              SELECT event_type, epoch_ns(ts) // 1000 // 86400000000 AS day,
+                CAST(count(*) AS BIGINT) AS cnt
+              FROM events GROUP BY event_type, 2),
+            wd AS (SELECT event_type, day, cnt, (day + 4) % 7 AS dow FROM daily),
+            base AS (
+              SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(cnt) AS BIGINT) AS sv,
+                CAST(sum(cnt * cnt) AS BIGINT) AS svv
+              FROM wd GROUP BY event_type, dow)
+            SELECT w.event_type, w.day, w.dow, w.cnt,
+              coalesce(z, 0.0) AS z, abs(coalesce(z, 0.0)) > 2.0 AS anomaly
+            FROM (SELECT w.event_type, w.day, w.dow, w.cnt,
+                    round((CAST(w.cnt AS DOUBLE) - CAST(b.sv AS DOUBLE) / CAST(b.n AS DOUBLE))
+                      / nullif(sqrt((CAST(b.svv AS DOUBLE)
+                          - CAST(b.sv AS DOUBLE) * CAST(b.sv AS DOUBLE) / CAST(b.n AS DOUBLE))
+                        / CAST(b.n AS DOUBLE)), 0.0), 4) + 0.0 AS z
+                  FROM wd w JOIN base b
+                    ON b.event_type = w.event_type AND b.dow = w.dow) w"""))
+
   val all: Seq[Q] =
     Seq(funnelSteps, cohortRetention, sessionWindowAgg, eventTransitions,
       windowRollingStats, cdcScd2, resampleFfill, rfmSegments,
       rollingActiveUsers, rollingActiveHll, attributionMultitouch,
       experimentTtest, cdcLogCompact, abSrmCheck, funnelWindow,
-      joinScd2Pit, streakIslands)
+      joinScd2Pit, streakIslands, trendWowGrowth, trendDowAnomaly)
 }
