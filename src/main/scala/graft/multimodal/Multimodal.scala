@@ -375,6 +375,64 @@ object MultimodalQueries {
            FROM t, (SELECT unnest(range(0, 7)) AS w)"""
     })
 
+  /** Scene-cut detection over the sampled frames — the shot-boundary
+    * step video curation runs before captioning/sampling (a cut = the
+    * inter-frame luma delta exceeding a threshold). Unlike the
+    * explode-then-lag-window formulation, the whole frame sequence lives
+    * in ONE row's array math: luma per frame, adjacent deltas, cut count,
+    * a cut bitmask, and the max delta — per-row codegen riding the scan,
+    * nothing shuffles, no per-doc window sort. A real decoder changes the
+    * per-frame luma source, not this shape.
+    */
+  private val multimodalScenecut = Q(
+    "multimodal_scenecut",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val hexVal = (c: String) => s"(instr('0123456789abcdef', $c) - 1)"
+      Multimodal.attachPayload(Tables.documents(s, dir))
+        .select(col("doc_id"), lower(hex(col("payload"))).as("h"))
+        .withColumn("lum", expr(
+          s"""transform(sequence(0, 3), f -> aggregate(transform(sequence(1, 4),
+                i -> ${hexVal("substr(substring(h, f * 8 + 1, 8), 2*i - 1, 1)")} * 16
+                   + ${hexVal("substr(substring(h, f * 8 + 1, 8), 2*i, 1)")}),
+              0L, (acc, v) -> acc + v))"""))
+        .withColumn("deltas", expr(
+          "transform(sequence(1, 3), f -> abs(element_at(lum, f + 1) - element_at(lum, f)))"))
+        .select(col("doc_id"),
+          element_at(col("lum"), 1).as("luma0_x4"),
+          expr("CAST(size(filter(deltas, d -> d > 256)) AS BIGINT)").as("n_cuts"),
+          expr("""aggregate(sequence(1, 3), CAST(0 AS BIGINT),
+                    (acc, f) -> acc + IF(element_at(deltas, CAST(f AS INT)) > 256,
+                      shiftleft(CAST(1 AS BIGINT), CAST(f AS INT)), CAST(0 AS BIGINT)))""")
+            .as("cut_mask"),
+          expr("CAST(array_max(deltas) AS BIGINT)").as("max_delta"))
+    },
+    Some("""WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
+            l AS (
+              SELECT doc_id,
+                list_transform(range(0, 4), f -> CAST(list_sum(
+                  list_transform(range(1, 5),
+                    i -> (instr('0123456789abcdef',
+                            substr(substr(h, f * 8 + 1, 8), CAST(2*i - 1 AS INTEGER), 1)) - 1) * 16
+                       + (instr('0123456789abcdef',
+                            substr(substr(h, f * 8 + 1, 8), CAST(2*i AS INTEGER), 1)) - 1)))
+                  AS BIGINT)) AS lum
+              FROM m),
+            d AS (
+              SELECT doc_id, lum[1] AS luma0_x4,
+                list_transform(range(1, 4),
+                  f -> abs(lum[CAST(f + 1 AS INTEGER)] - lum[CAST(f AS INTEGER)]))
+                  AS deltas
+              FROM l)
+            SELECT doc_id, luma0_x4,
+              CAST(len(list_filter(deltas, x -> x > 256)) AS BIGINT) AS n_cuts,
+              CAST(list_sum(list_transform(range(1, 4),
+                f -> CASE WHEN deltas[CAST(f AS INTEGER)] > 256
+                     THEN 1 << f ELSE 0 END)) AS BIGINT) AS cut_mask,
+              CAST(list_max(deltas) AS BIGINT) AS max_delta
+            FROM d"""))
+
   val all: Seq[Q] = Seq(multimodalDecode, multimodalFrames, multimodalResize,
-    multimodalPhash, dedupMultimodalClusters, multimodalAudioEnergy)
+    multimodalPhash, dedupMultimodalClusters, multimodalAudioEnergy,
+    multimodalScenecut)
 }
