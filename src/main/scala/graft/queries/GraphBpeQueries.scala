@@ -785,7 +785,66 @@ object GraphBpeQueries {
               tot.q_num, CAST(4 * mm.m * mm.m AS BIGINT) AS q_den
             FROM co, tot, mm"""))
 
+  /** Degree assortativity (Newman's r) of the signup graph — do
+    * high-degree nodes attach to other hubs (r > 0, social-graph-like) or
+    * to leaves (r < 0, bipartite/hub-and-spoke like this one)? The
+    * graph-health readout that distinguishes organic linking from
+    * spam-farm stars. Pearson correlation of (deg_u, deg_v) over the
+    * DIRECTED edge list (both directions — the standard symmetric form,
+    * so the u- and v-moment sums coincide).
+    *
+    * Scale shape: one degree aggregate, two node-keyed joins decorating
+    * the edge list, one scalar moment aggregate — every sum exact BIGINT
+    * (bounded by m·maxdeg², safe to ~10⁹ edges here). The correlation's
+    * sqrt forces ONE double expression, floored to micro units — both
+    * engines floor the same correctly-rounded value (§7.4.1); the moment
+    * sums ship alongside so the exact-integer part is fully auditable.
+    */
+  private val graphAssortativity = Q(
+    "graph_assortativity",
+    (s, dir) => {
+      val und = signupEdges(s, dir).localCheckpoint(eager = true)
+      val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(eager = true) // decorates both endpoints
+      und
+        .join(deg.select(col("src"), col("deg").as("du")), "src")
+        .join(deg.select(col("src").as("dst"), col("deg").as("dv")), "dst")
+        .agg(count(lit(1)).as("m"),
+          sum(col("du") * col("dv")).as("s_uv"),
+          sum(col("du")).as("s_u"),
+          sum(expr("du * du")).as("s_uu"))
+        .select(col("m"), col("s_uv"), col("s_u"), col("s_uu"),
+          expr("""CAST(floor(
+                    (CAST(m AS DOUBLE) * CAST(s_uv AS DOUBLE)
+                      - CAST(s_u AS DOUBLE) * CAST(s_u AS DOUBLE))
+                    / nullif(CAST(m AS DOUBLE) * CAST(s_uu AS DOUBLE)
+                      - CAST(s_u AS DOUBLE) * CAST(s_u AS DOUBLE), 0.0)
+                    * 1000000.0) AS BIGINT)""").as("assort_micro"))
+    },
+    Some("""WITH fwd AS (SELECT DISTINCT user_id AS src,
+                  1000000 + CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
+                FROM events WHERE event_type = 'signup'),
+            und AS (SELECT src, dst FROM fwd
+                    UNION ALL SELECT dst, src FROM fwd),
+            deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+                    FROM und GROUP BY src),
+            mom AS (
+              SELECT CAST(count(*) AS BIGINT) AS m,
+                CAST(sum(a.deg * b.deg) AS BIGINT) AS s_uv,
+                CAST(sum(a.deg) AS BIGINT) AS s_u,
+                CAST(sum(a.deg * a.deg) AS BIGINT) AS s_uu
+              FROM und e JOIN deg a ON a.src = e.src
+                         JOIN deg b ON b.src = e.dst)
+            SELECT m, s_uv, s_u, s_uu,
+              CAST(floor(
+                (CAST(m AS DOUBLE) * CAST(s_uv AS DOUBLE)
+                  - CAST(s_u AS DOUBLE) * CAST(s_u AS DOUBLE))
+                / nullif(CAST(m AS DOUBLE) * CAST(s_uu AS DOUBLE)
+                  - CAST(s_u AS DOUBLE) * CAST(s_u AS DOUBLE), 0.0)
+                * 1000000.0) AS BIGINT) AS assort_micro
+            FROM mom"""))
+
   val all: Seq[Q] = Seq(joinMultiwayRevenue, graphPagerank, bpeMergeTopk,
     bpeEncode, graphLabelProp, graphTriangles, graphKcore,
-    graphCommonNeighbors, graphModularity)
+    graphCommonNeighbors, graphModularity, graphAssortativity)
 }

@@ -768,7 +768,106 @@ object MiningQueries {
           FROM topk GROUP BY q_id, q_label"""
     })
 
+  /** Kendall-τ rank stability of the truncated (Matryoshka) index: over
+    * each query's full-dim top-10, how consistently does the 16-dim
+    * prefix cosine ORDER those same candidates? τ complements
+    * embed_mrl_recall's set overlap — a truncated index can retrieve the
+    * right ten and still rank them uselessly. Concordant/discordant
+    * counts are exact integers over the C(10,2) in-list pairs; τ itself
+    * ships as the exact fraction tau_num/tau_den (C − D can be negative
+    * — the graph_modularity division rule).
+    *
+    * Scale shape: candidate generation is the k-bounded TopKByValue;
+    * everything after operates on ≤ 10 rows per query (the re-rank
+    * window and the 45-pair self-join are bounded by k², not the
+    * corpus).
+    */
+  private val evalKendallTau = Q(
+    "eval_kendall_tau",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val vecs = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          expr("slice(embedding, 1, 16)").as("emb16"),
+          expr(dotExpr("embedding", "embedding")).as("n64"),
+          expr("dot_ordered(slice(embedding, 1, 16), slice(embedding, 1, 16))")
+            .as("n16"))
+        .localCheckpoint(eager = true)
+      val queries = vecs.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("emb16").as("q_emb16"), col("n64").as("q_n64"),
+          col("n16").as("q_n16"))
+      val scored = vecs.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (expr(dotExpr("embedding", "q_emb")) / sqrt(col("n64") * col("q_n64")))
+            .as("cos64"),
+          (expr("dot_ordered(emb16, q_emb16)") / sqrt(col("n16") * col("q_n16")))
+            .as("cos16"))
+        .localCheckpoint(eager = true) // top-k pass + cos16 lookup
+      val tk = udaf(new graft.functions.TopKByValue(NdcgK),
+        graft.functions.TopKByValue.inputEncoder)
+      val top = scored.groupBy(col("q_id"))
+        .agg(tk(col("cos64"), col("vec_id")).as("t"))
+        .select(col("q_id"), posexplode(col("t")).as(Seq("pos", "e")))
+        .select(col("q_id"), col("e._2").as("vec_id"),
+          (col("pos") + 1).cast("long").as("rk64"))
+      val w16 = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos16").desc, col("vec_id"))
+      val ranked = top
+        .join(scored.select(col("q_id"), col("vec_id"), col("cos16")),
+          Seq("q_id", "vec_id"))
+        .withColumn("rk16", row_number().over(w16).cast("long")) // ≤ 10 rows/query
+        .localCheckpoint(eager = true) // both sides of the pair join
+      val pairs = ranked.as("x").join(ranked.as("y"),
+          col("x.q_id") === col("y.q_id") && col("x.rk64") < col("y.rk64"))
+        .select(col("x.q_id").as("q_id"),
+          (col("x.rk16") < col("y.rk16")).cast("long").as("conc"))
+      pairs.groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("conc")).as("concordant"))
+        .select(col("q_id"), col("n_pairs"), col("concordant"),
+          (col("n_pairs") - col("concordant")).as("discordant"),
+          (lit(2L) * col("concordant") - col("n_pairs")).as("tau_num"),
+          col("n_pairs").as("tau_den"))
+    },
+    Some {
+      def dot(a: String, b: String, d: Int) =
+        s"list_sum(list_transform(range(1, ${d + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+      s"""WITH v AS (
+            SELECT vec_id, embedding,
+              ${dot("embedding", "embedding", 64)} AS n64,
+              ${dot("embedding", "embedding", 16)} AS n16
+            FROM embeddings),
+          scored AS MATERIALIZED (
+            SELECT q.vec_id AS q_id, a.vec_id,
+              ${dot("a.embedding", "q.embedding", 64)}
+                / sqrt(a.n64 * q.n64) AS cos64,
+              ${dot("a.embedding", "q.embedding", 16)}
+                / sqrt(a.n16 * q.n16) AS cos16
+            FROM v a JOIN v q ON q.vec_id < 5 AND a.vec_id <> q.vec_id),
+          top AS (
+            SELECT q_id, vec_id, cos16, CAST(rk AS BIGINT) AS rk64 FROM (
+              SELECT q_id, vec_id, cos16, row_number() OVER (PARTITION BY q_id
+                ORDER BY cos64 DESC, vec_id) AS rk
+              FROM scored)
+            WHERE rk <= $NdcgK),
+          ranked AS (
+            SELECT q_id, vec_id, rk64, CAST(row_number() OVER (
+              PARTITION BY q_id ORDER BY cos16 DESC, vec_id) AS BIGINT) AS rk16
+            FROM top),
+          pr AS (
+            SELECT x.q_id, CAST(CASE WHEN x.rk16 < y.rk16 THEN 1 ELSE 0 END
+              AS BIGINT) AS conc
+            FROM ranked x JOIN ranked y
+              ON x.q_id = y.q_id AND x.rk64 < y.rk64)
+          SELECT q_id, CAST(count(*) AS BIGINT) AS n_pairs,
+            CAST(sum(conc) AS BIGINT) AS concordant,
+            CAST(count(*) - sum(conc) AS BIGINT) AS discordant,
+            CAST(2 * sum(conc) - count(*) AS BIGINT) AS tau_num,
+            CAST(count(*) AS BIGINT) AS tau_den
+          FROM pr GROUP BY q_id"""
+    })
+
   val all: Seq[Q] =
     Seq(mineBitext, textNovelty, qualityEnsemble, selectMmr, mineHardNegatives,
-      evalNdcg, embedMrlRecall, evalMrr)
+      evalNdcg, embedMrlRecall, evalMrr, evalKendallTau)
 }

@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Brute-force twins for the rank-stability and graph-health readouts. */
+class RankGraphStatSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("eval_kendall_tau matches a local pair count over the top-10") {
+    val raw = Tables.embeddings(spark, sfDir).collect().map { r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Seq[Float]]("embedding").toArray
+    }.toMap
+    def dot(a: Array[Float], b: Array[Float], d: Int): Double = {
+      var acc = 0.0; var i = 0
+      while (i < d) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def cos(a: Long, q: Long, d: Int): Double =
+      dot(raw(a), raw(q), d) / math.sqrt(dot(raw(a), raw(a), d) * dot(raw(q), raw(q), d))
+    val got = Registry.queries("eval_kendall_tau")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("q_id") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("concordant"),
+          r.getAs[Long]("tau_num"), r.getAs[Long]("tau_den")))).toMap
+    assert(got.size === 5)
+    (0L until 5L).foreach { q =>
+      val top = raw.keys.filter(_ != q).toSeq
+        .map(v => (v, cos(v, q, 64))).sortBy { case (v, c) => (-c, v) }
+        .take(10).map(_._1)
+      val rk64 = top.zipWithIndex.toMap
+      val rk16 = top.sortBy(v => (-cos(v, q, 16), v)).zipWithIndex.toMap
+      val pairs = for {
+        i <- top.indices; j <- top.indices if rk64(top(i)) < rk64(top(j))
+      } yield if (rk16(top(i)) < rk16(top(j))) 1L else 0L
+      val (n, c) = (pairs.size.toLong, pairs.sum)
+      assert(got(q) === ((n, c, 2 * c - n, n)), s"q=$q")
+      assert(n === 45L)
+    }
+  }
+
+  test("graph_assortativity matches a local moment recompute; bipartite graph is disassortative") {
+    val fwd = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("src"),
+        (get_json_object(col("props"), "$.k").cast("long") + 1000000L).as("dst"))
+      .distinct().collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")))
+    val und = fwd ++ fwd.map(e => (e._2, e._1))
+    val deg = und.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
+    val m = und.length.toLong
+    val sUv = und.map { case (u, v) => deg(u) * deg(v) }.sum
+    val sU = und.map { case (u, _) => deg(u) }.sum
+    val sUu = und.map { case (u, _) => deg(u) * deg(u) }.sum
+    val r = Registry.queries("graph_assortativity")(spark, sfDir).collect().head
+    assert(r.getAs[Long]("m") === m)
+    assert(r.getAs[Long]("s_uv") === sUv)
+    assert(r.getAs[Long]("s_u") === sU)
+    assert(r.getAs[Long]("s_uu") === sUu)
+    val expected = math.floor(
+      (m.toDouble * sUv - sU.toDouble * sU) /
+        (m.toDouble * sUu - sU.toDouble * sU) * 1e6).toLong
+    assert(r.getAs[Long]("assort_micro") === expected)
+    // user↔item bipartite graphs are disassortative by construction
+    assert(r.getAs[Long]("assort_micro") < 0L)
+  }
+}
