@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The product-analytics queries a Kissmetrics warehouse exists to serve
@@ -181,45 +182,56 @@ object AnalyticsQueries {
   // partitions); the change filter drops consecutive repeats BEFORE the
   // lead() that assigns validity, so the second window runs over the
   // (much smaller) change table, not the raw stream.
+  /** The type-2 dimension both cdc_scd2 and join_scd2_pit build: tier
+    * changes with [valid_from, valid_to] microsecond bounds per user
+    * (valid_to null on the open version). Shared so the PIT consumer can
+    * never drift from the dimension the build query emits. */
+  private[queries] def scd2Dim(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = Tables.events(s, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        expr("CASE WHEN value < 50.0 THEN 'low' WHEN value < 150.0 THEN 'mid' " +
+          "ELSE 'high' END").as("tier"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    src
+      .withColumn("prev_tier", lag(col("tier"), 1).over(w))
+      .where(col("prev_tier").isNull || col("prev_tier") =!= col("tier"))
+      .withColumn("valid_to", lead(col("us"), 1).over(w) - lit(1L))
+      .select(col("user_id"), col("tier"), col("us").as("valid_from"),
+        col("valid_to"))
+  }
+
+  /** Oracle CTE chain ending in `dim(user_id, tier, valid_from,
+    * valid_to)`; splice after `WITH`. */
+  private[queries] val scd2OracleCte: String =
+    """src AS (
+         SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+           CASE WHEN value < 50.0 THEN 'low' WHEN value < 150.0 THEN 'mid'
+                ELSE 'high' END AS tier
+         FROM events WHERE event_type = 'purchase'),
+       dim AS (
+         SELECT user_id, tier, us AS valid_from,
+           lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - 1
+             AS valid_to
+         FROM (
+           SELECT user_id, event_id, us, tier,
+             lag(tier) OVER (PARTITION BY user_id ORDER BY us, event_id)
+               AS prev_tier
+           FROM src)
+         WHERE prev_tier IS NULL OR prev_tier <> tier)"""
+
   private val cdcScd2 = Q(
     "cdc_scd2",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val src = Tables.events(s, dir)
-        .where(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id"),
-          unix_micros(col("ts")).as("us"),
-          expr("CASE WHEN value < 50.0 THEN 'low' WHEN value < 150.0 THEN 'mid' " +
-            "ELSE 'high' END").as("tier"))
-      val wAll = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
-      val changes = src
-        .withColumn("prev_tier", lag(col("tier"), 1).over(wAll))
-        .where(col("prev_tier").isNull || col("prev_tier") =!= col("tier"))
-      val wChg = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
-      changes
-        .withColumn("valid_to", lead(col("us"), 1).over(wChg) - lit(1L))
-        .select(col("user_id"), col("tier"), col("us").as("valid_from"),
-          col("valid_to"),
-          col("valid_to").isNull.as("is_current"))
-    },
-    Some("""WITH src AS (
-              SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
-                CASE WHEN value < 50.0 THEN 'low' WHEN value < 150.0 THEN 'mid'
-                     ELSE 'high' END AS tier
-              FROM events WHERE event_type = 'purchase'),
-            chg AS (
-              SELECT * FROM (
-                SELECT user_id, event_id, us, tier,
-                  lag(tier) OVER (PARTITION BY user_id ORDER BY us, event_id)
-                    AS prev_tier
-                FROM src)
-              WHERE prev_tier IS NULL OR prev_tier <> tier)
-            SELECT user_id, tier, us AS valid_from,
-              lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - 1
-                AS valid_to,
-              (lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - 1)
-                IS NULL AS is_current
-            FROM chg"""))
+    (s, dir) =>
+      scd2Dim(s, dir)
+        .select(col("user_id"), col("tier"), col("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current")),
+    Some(s"""WITH $scd2OracleCte
+             SELECT user_id, tier, valid_from, valid_to,
+               valid_to IS NULL AS is_current
+             FROM dim"""))
 
   // Time-series resampling onto an hourly grid with forward-fill — the
   // gap-filling feature-engineering op (resample + LOCF): each user's
@@ -757,20 +769,7 @@ object AnalyticsQueries {
   private val joinScd2Pit = Q(
     "join_scd2_pit",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val src = Tables.events(s, dir)
-        .where(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id"),
-          unix_micros(col("ts")).as("us"),
-          expr("CASE WHEN value < 50.0 THEN 'low' WHEN value < 150.0 THEN 'mid' " +
-            "ELSE 'high' END").as("tier"))
-      val wAll = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
-      val dim = src
-        .withColumn("prev_tier", lag(col("tier"), 1).over(wAll))
-        .where(col("prev_tier").isNull || col("prev_tier") =!= col("tier"))
-        .withColumn("valid_to", lead(col("us"), 1).over(wAll) - lit(1L))
-        .select(col("user_id"), col("tier"), col("us").as("valid_from"),
-          col("valid_to"))
+      val dim = scd2Dim(s, dir)
       val facts = Tables.events(s, dir)
         .where(col("event_type") === "view")
         .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
@@ -782,21 +781,7 @@ object AnalyticsQueries {
         .select(col("event_id"), facts("user_id").as("user_id"), col("us"),
           coalesce(col("tier"), lit("none")).as("tier"))
     },
-    Some("""WITH src AS (
-              SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
-                CASE WHEN value < 50.0 THEN 'low' WHEN value < 150.0 THEN 'mid'
-                     ELSE 'high' END AS tier
-              FROM events WHERE event_type = 'purchase'),
-            dim AS (
-              SELECT user_id, tier, us AS valid_from,
-                lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - 1
-                  AS valid_to
-              FROM (
-                SELECT user_id, event_id, us, tier,
-                  lag(tier) OVER (PARTITION BY user_id ORDER BY us, event_id)
-                    AS prev_tier
-                FROM src)
-              WHERE prev_tier IS NULL OR prev_tier <> tier),
+    Some(s"""WITH $scd2OracleCte,
             facts AS (
               SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
               FROM events WHERE event_type = 'view')

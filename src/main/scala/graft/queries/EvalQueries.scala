@@ -240,9 +240,16 @@ object EvalQueries {
                  g -> named_struct('n', 2, 'gh', xxhash64(g))))""")).as("g"))
         .groupBy(col("doc_id"), col("g.n").as("n"), col("g.gh").as("gh"))
         .agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(eager = true) // a-side, b-side, and ref-length passes
-      val refLen = grams.where(col("n") === 1)
-        .groupBy(col("doc_id")).agg(sum(col("cnt")).as("r"))
+        .localCheckpoint(eager = true) // a-side and b-side clipped-match passes
+      // reference length comes from the DOCUMENT, not from gram rows: a
+      // token-free reference has no gram rows, and deriving r from them
+      // would drop the pair on this side while the oracle (whose rl CTE
+      // always has a row, r = 0) keeps it — a latent cross-engine
+      // row-count mismatch on digits/punctuation-only docs
+      val refLen = docs.select("doc_id", "text")
+        .join(candDocs, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          size(expr("word_ngrams(text, 1, false)")).cast("long").as("r"))
       val pv = pairs
         .join(grams.select(col("doc_id").as("a"), col("n"), col("gh"),
           col("cnt").as("ca")), "a")

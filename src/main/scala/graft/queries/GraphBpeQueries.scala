@@ -278,51 +278,66 @@ object GraphBpeQueries {
   // edge list materializes once and feeds both rounds. Fixed 2-round
   // unroll keeps the plan finite for the oracle; a production run loops
   // with the Components convergence discipline.
+  /** The 2-round LPA pipeline shared by graph_label_propagation and
+    * graph_modularity: (fwd one-direction edges, und checkpointed
+    * undirected edges, labels after two synchronous votes). Shared so the
+    * modularity readout scores exactly the clustering the sibling query
+    * emits (ModularitySpec asserts that coupling). */
+  private[queries] def lpaPieces(s: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val Offset = 1000000L
+    val fwd = Tables.events(s, dir)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("src"),
+        (get_json_object(col("props"), "$.k").cast("long") + Offset).as("dst"))
+      .distinct()
+      .localCheckpoint(eager = true) // und derives from it; modularity re-reads it
+    val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(eager = true) // both vote rounds read this edge list
+    def vote(labels: DataFrame): DataFrame =
+      und.join(labels, col("src") === col("node"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(min(struct(-col("cnt"), col("label"))).as("m"))
+        .select(col("dst").as("node"), col("m.label").as("label"))
+    val l0 = und.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    (fwd, und, vote(vote(l0)))
+  }
+
+  /** Oracle CTE chain ending in `v2(node, label)`; splice after `WITH`. */
+  private[queries] val lpaOracleCte: String =
+    """fwd AS (SELECT DISTINCT user_id AS src,
+            1000000 + CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
+          FROM events WHERE event_type = 'signup'),
+      und AS (SELECT src, dst FROM fwd
+              UNION ALL SELECT dst, src FROM fwd),
+      l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+      v1 AS (
+        SELECT dst AS node, label FROM (
+          SELECT dst, label,
+            row_number() OVER (PARTITION BY dst
+              ORDER BY count(*) DESC, label) AS rn
+          FROM und JOIN l0 ON und.src = l0.node
+          GROUP BY dst, label)
+        WHERE rn = 1),
+      v2 AS (
+        SELECT dst AS node, label FROM (
+          SELECT dst, label,
+            row_number() OVER (PARTITION BY dst
+              ORDER BY count(*) DESC, label) AS rn
+          FROM und JOIN v1 ON und.src = v1.node
+          GROUP BY dst, label)
+        WHERE rn = 1)"""
+
   private val graphLabelProp = Q(
     "graph_label_propagation",
     (s, dir) => {
-      val Offset = 1000000L
-      val fwd = Tables.events(s, dir)
-        .filter(col("event_type") === "signup")
-        .select(col("user_id").as("src"),
-          (get_json_object(col("props"), "$.k").cast("long") + Offset).as("dst"))
-        .distinct()
-      val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint(eager = true) // both vote rounds read this edge list
-      def vote(labels: DataFrame): DataFrame =
-        und.join(labels, col("src") === col("node"))
-          .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
-          .groupBy(col("dst"))
-          .agg(min(struct(-col("cnt"), col("label"))).as("m"))
-          .select(col("dst").as("node"), col("m.label").as("label"))
-      val l0 = und.select(col("src").as("node")).distinct()
-        .select(col("node"), col("node").as("label"))
-      val l2 = vote(vote(l0))
-      l2.select(col("node"), col("label"))
+      val (_, _, labels) = lpaPieces(s, dir)
+      labels.select(col("node"), col("label"))
     },
-    Some("""WITH fwd AS (SELECT DISTINCT user_id AS src,
-                  1000000 + CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
-                FROM events WHERE event_type = 'signup'),
-            und AS (SELECT src, dst FROM fwd
-                    UNION ALL SELECT dst, src FROM fwd),
-            l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
-            v1 AS (
-              SELECT dst AS node, label FROM (
-                SELECT dst, label,
-                  row_number() OVER (PARTITION BY dst
-                    ORDER BY count(*) DESC, label) AS rn
-                FROM und JOIN l0 ON und.src = l0.node
-                GROUP BY dst, label)
-              WHERE rn = 1),
-            v2 AS (
-              SELECT dst AS node, label FROM (
-                SELECT dst, label,
-                  row_number() OVER (PARTITION BY dst
-                    ORDER BY count(*) DESC, label) AS rn
-                FROM und JOIN v1 ON und.src = v1.node
-                GROUP BY dst, label)
-              WHERE rn = 1)
-            SELECT node, label FROM v2"""))
+    Some(s"""WITH $lpaOracleCte
+             SELECT node, label FROM v2"""))
 
   // Triangle counting + global clustering coefficient over the
   // co-purchase graph (two parts are adjacent iff some order contains
@@ -700,24 +715,8 @@ object GraphBpeQueries {
   private val graphModularity = Q(
     "graph_modularity",
     (s, dir) => {
-      val Offset = 1000000L
-      val fwd = Tables.events(s, dir)
-        .filter(col("event_type") === "signup")
-        .select(col("user_id").as("src"),
-          (get_json_object(col("props"), "$.k").cast("long") + Offset).as("dst"))
-        .distinct()
-        .localCheckpoint(eager = true) // m + e_in + und derive from this
-      val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint(eager = true) // both vote rounds + degrees
-      def vote(labels: DataFrame): DataFrame =
-        und.join(labels, col("src") === col("node"))
-          .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
-          .groupBy(col("dst"))
-          .agg(min(struct(-col("cnt"), col("label"))).as("m"))
-          .select(col("dst").as("node"), col("m.label").as("label"))
-      val l0 = und.select(col("src").as("node")).distinct()
-        .select(col("node"), col("node").as("label"))
-      val labels = vote(vote(l0)).localCheckpoint(eager = true) // 3 consumers
+      val (fwd, und, rawLabels) = lpaPieces(s, dir)
+      val labels = rawLabels.localCheckpoint(eager = true) // 3 consumers
       val m = fwd.count()
       val eIn = fwd
         .join(labels.select(col("node").as("src"), col("label").as("la")), "src")
@@ -738,28 +737,7 @@ object GraphBpeQueries {
         .select(col("label"), col("n_nodes"), col("d_sum"), col("e_in"),
           col("q_num"), lit(4L * m * m).as("q_den"))
     },
-    Some("""WITH fwd AS (SELECT DISTINCT user_id AS src,
-                  1000000 + CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
-                FROM events WHERE event_type = 'signup'),
-            und AS (SELECT src, dst FROM fwd
-                    UNION ALL SELECT dst, src FROM fwd),
-            l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
-            v1 AS (
-              SELECT dst AS node, label FROM (
-                SELECT dst, label,
-                  row_number() OVER (PARTITION BY dst
-                    ORDER BY count(*) DESC, label) AS rn
-                FROM und JOIN l0 ON und.src = l0.node
-                GROUP BY dst, label)
-              WHERE rn = 1),
-            v2 AS (
-              SELECT dst AS node, label FROM (
-                SELECT dst, label,
-                  row_number() OVER (PARTITION BY dst
-                    ORDER BY count(*) DESC, label) AS rn
-                FROM und JOIN v1 ON und.src = v1.node
-                GROUP BY dst, label)
-              WHERE rn = 1),
+    Some(s"""WITH $lpaOracleCte,
             mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM fwd),
             ein AS (
               SELECT la.label, CAST(count(*) AS BIGINT) AS e_in

@@ -618,27 +618,56 @@ object MiningQueries {
     * comma-joined id strings so the output stays array-free for the
     * oracle hash.
     */
+  /** (q_id, vec_id, cos64, cos16) for the 5-query Matryoshka evaluation
+    * set — every corpus row scored against every query at full dim AND
+    * the 16-dim prefix in one broadcast-query scan. Checkpointed: shared
+    * by embed_mrl_recall and eval_kendall_tau (and by kendall's two
+    * internal passes). */
+  private def mrlScored(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val vecs = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        expr("slice(embedding, 1, 16)").as("emb16"),
+        expr(dotExpr("embedding", "embedding")).as("n64"),
+        expr("dot_ordered(slice(embedding, 1, 16), slice(embedding, 1, 16))")
+          .as("n16"))
+      .localCheckpoint(eager = true) // query side + corpus side
+    val queries = vecs.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("emb16").as("q_emb16"), col("n64").as("q_n64"),
+        col("n16").as("q_n16"))
+    vecs.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (expr(dotExpr("embedding", "q_emb")) / sqrt(col("n64") * col("q_n64")))
+          .as("cos64"),
+        (expr("dot_ordered(emb16, q_emb16)") / sqrt(col("n16") * col("q_n16")))
+          .as("cos16"))
+      .localCheckpoint(eager = true)
+  }
+
+  /** Oracle CTE chain ending in `scored(q_id, vec_id, cos64, cos16)`. */
+  private def mrlScoredOracleCte: String = {
+    def dot(a: String, b: String, d: Int) =
+      s"list_sum(list_transform(range(1, ${d + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    s"""v AS (
+          SELECT vec_id, embedding,
+            ${dot("embedding", "embedding", 64)} AS n64,
+            ${dot("embedding", "embedding", 16)} AS n16
+          FROM embeddings),
+        scored AS MATERIALIZED (
+          SELECT q.vec_id AS q_id, a.vec_id,
+            ${dot("a.embedding", "q.embedding", 64)}
+              / sqrt(a.n64 * q.n64) AS cos64,
+            ${dot("a.embedding", "q.embedding", 16)}
+              / sqrt(a.n16 * q.n16) AS cos16
+          FROM v a JOIN v q ON q.vec_id < 5 AND a.vec_id <> q.vec_id)"""
+  }
+
   private val embedMrlRecall = Q(
     "embed_mrl_recall",
     (s, dir) => {
-      graft.functions.GraftFunctions.register(s)
-      val vecs = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding"),
-          expr("slice(embedding, 1, 16)").as("emb16"),
-          expr(dotExpr("embedding", "embedding")).as("n64"),
-          expr("dot_ordered(slice(embedding, 1, 16), slice(embedding, 1, 16))")
-            .as("n16"))
-        .localCheckpoint(eager = true) // query side + corpus side
-      val queries = vecs.where(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("emb16").as("q_emb16"), col("n64").as("q_n64"),
-          col("n16").as("q_n16"))
-      val scored = vecs.join(broadcast(queries), col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          (expr(dotExpr("embedding", "q_emb")) / sqrt(col("n64") * col("q_n64")))
-            .as("cos64"),
-          (expr("dot_ordered(emb16, q_emb16)") / sqrt(col("n16") * col("q_n16")))
-            .as("cos16"))
+      val scored = mrlScored(s, dir)
       val tk = udaf(new graft.functions.TopKByValue(3),
         graft.functions.TopKByValue.inputEncoder)
       scored.groupBy(col("q_id"))
@@ -655,20 +684,7 @@ object MiningQueries {
         .withColumn("recall_ppm", expr("n_overlap * 1000000 div 3"))
     },
     Some {
-      def dot(a: String, b: String, d: Int) =
-        s"list_sum(list_transform(range(1, ${d + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
-      s"""WITH v AS (
-            SELECT vec_id, embedding,
-              ${dot("embedding", "embedding", 64)} AS n64,
-              ${dot("embedding", "embedding", 16)} AS n16
-            FROM embeddings),
-          scored AS MATERIALIZED (
-            SELECT q.vec_id AS q_id, a.vec_id,
-              ${dot("a.embedding", "q.embedding", 64)}
-                / sqrt(a.n64 * q.n64) AS cos64,
-              ${dot("a.embedding", "q.embedding", 16)}
-                / sqrt(a.n16 * q.n16) AS cos16
-            FROM v a JOIN v q ON q.vec_id < 5 AND a.vec_id <> q.vec_id),
+      s"""WITH $mrlScoredOracleCte,
           r64 AS (
             SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
               ORDER BY cos64 DESC, vec_id) AS rk
@@ -785,25 +801,7 @@ object MiningQueries {
   private val evalKendallTau = Q(
     "eval_kendall_tau",
     (s, dir) => {
-      graft.functions.GraftFunctions.register(s)
-      val vecs = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding"),
-          expr("slice(embedding, 1, 16)").as("emb16"),
-          expr(dotExpr("embedding", "embedding")).as("n64"),
-          expr("dot_ordered(slice(embedding, 1, 16), slice(embedding, 1, 16))")
-            .as("n16"))
-        .localCheckpoint(eager = true)
-      val queries = vecs.where(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("emb16").as("q_emb16"), col("n64").as("q_n64"),
-          col("n16").as("q_n16"))
-      val scored = vecs.join(broadcast(queries), col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          (expr(dotExpr("embedding", "q_emb")) / sqrt(col("n64") * col("q_n64")))
-            .as("cos64"),
-          (expr("dot_ordered(emb16, q_emb16)") / sqrt(col("n16") * col("q_n16")))
-            .as("cos16"))
-        .localCheckpoint(eager = true) // top-k pass + cos16 lookup
+      val scored = mrlScored(s, dir) // top-k pass + cos16 lookup
       val tk = udaf(new graft.functions.TopKByValue(NdcgK),
         graft.functions.TopKByValue.inputEncoder)
       val top = scored.groupBy(col("q_id"))
@@ -830,20 +828,7 @@ object MiningQueries {
           col("n_pairs").as("tau_den"))
     },
     Some {
-      def dot(a: String, b: String, d: Int) =
-        s"list_sum(list_transform(range(1, ${d + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
-      s"""WITH v AS (
-            SELECT vec_id, embedding,
-              ${dot("embedding", "embedding", 64)} AS n64,
-              ${dot("embedding", "embedding", 16)} AS n16
-            FROM embeddings),
-          scored AS MATERIALIZED (
-            SELECT q.vec_id AS q_id, a.vec_id,
-              ${dot("a.embedding", "q.embedding", 64)}
-                / sqrt(a.n64 * q.n64) AS cos64,
-              ${dot("a.embedding", "q.embedding", 16)}
-                / sqrt(a.n16 * q.n16) AS cos16
-            FROM v a JOIN v q ON q.vec_id < 5 AND a.vec_id <> q.vec_id),
+      s"""WITH $mrlScoredOracleCte,
           top AS (
             SELECT q_id, vec_id, cos16, CAST(rk AS BIGINT) AS rk64 FROM (
               SELECT q_id, vec_id, cos16, row_number() OVER (PARTITION BY q_id

@@ -10,7 +10,16 @@ final case class TierEvent(user: Long, us: Long, eventId: Long, tier: String)
 /** The open (current) dimension version carried per user. */
 final case class TierState(tier: String, fromUs: Long)
 
-/** A CLOSED dimension version — emitted the moment a change supersedes it. */
+/** A CLOSED dimension version — emitted the moment a change supersedes it.
+  *
+  * Edge: two different-tier events in the SAME microsecond produce a
+  * degenerate interval (validTo = validFrom − 1) — deliberately identical
+  * to the batch `cdc_scd2` build (the pinned equivalence), and harmless
+  * downstream: no fact timestamp can land inside an empty interval, so
+  * the point-in-time join skips it. Consumers treating intervals as
+  * `BETWEEN` must tolerate validTo < validFrom rather than assume
+  * well-formedness.
+  */
 final case class TierInterval(user: Long, tier: String, validFrom: Long,
                               validTo: Long)
 
