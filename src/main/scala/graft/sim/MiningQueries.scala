@@ -820,12 +820,23 @@ object MiningQueries {
           col("x.q_id") === col("y.q_id") && col("x.rk64") < col("y.rk64"))
         .select(col("x.q_id").as("q_id"),
           (col("x.rk16") < col("y.rk16")).cast("long").as("conc"))
+      // Spearman ρ over the same two rankings (no ties by construction —
+      // both are row_numbers): ρ = 1 − 6Σd²/(n(n²−1)), shipped as the
+      // exact fraction rho_num/rho_den like τ
+      val spearman = ranked.groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("(rk64 - rk16) * (rk64 - rk16)")).as("sd2"))
+        .select(col("q_id"),
+          (col("n") * (col("n") * col("n") - 1L) - lit(6L) * col("sd2"))
+            .as("rho_num"),
+          (col("n") * (col("n") * col("n") - 1L)).as("rho_den"))
       pairs.groupBy(col("q_id"))
         .agg(count(lit(1)).as("n_pairs"), sum(col("conc")).as("concordant"))
         .select(col("q_id"), col("n_pairs"), col("concordant"),
           (col("n_pairs") - col("concordant")).as("discordant"),
           (lit(2L) * col("concordant") - col("n_pairs")).as("tau_num"),
           col("n_pairs").as("tau_den"))
+        .join(broadcast(spearman), "q_id")
     },
     Some {
       s"""WITH $mrlScoredOracleCte,
@@ -843,13 +854,23 @@ object MiningQueries {
             SELECT x.q_id, CAST(CASE WHEN x.rk16 < y.rk16 THEN 1 ELSE 0 END
               AS BIGINT) AS conc
             FROM ranked x JOIN ranked y
-              ON x.q_id = y.q_id AND x.rk64 < y.rk64)
-          SELECT q_id, CAST(count(*) AS BIGINT) AS n_pairs,
-            CAST(sum(conc) AS BIGINT) AS concordant,
-            CAST(count(*) - sum(conc) AS BIGINT) AS discordant,
-            CAST(2 * sum(conc) - count(*) AS BIGINT) AS tau_num,
-            CAST(count(*) AS BIGINT) AS tau_den
-          FROM pr GROUP BY q_id"""
+              ON x.q_id = y.q_id AND x.rk64 < y.rk64),
+          kt AS (
+            SELECT q_id, CAST(count(*) AS BIGINT) AS n_pairs,
+              CAST(sum(conc) AS BIGINT) AS concordant,
+              CAST(count(*) - sum(conc) AS BIGINT) AS discordant,
+              CAST(2 * sum(conc) - count(*) AS BIGINT) AS tau_num,
+              CAST(count(*) AS BIGINT) AS tau_den
+            FROM pr GROUP BY q_id),
+          sp AS (
+            SELECT q_id,
+              CAST(count(*) * (count(*) * count(*) - 1)
+                - 6 * sum((rk64 - rk16) * (rk64 - rk16)) AS BIGINT) AS rho_num,
+              CAST(count(*) * (count(*) * count(*) - 1) AS BIGINT) AS rho_den
+            FROM ranked GROUP BY q_id)
+          SELECT kt.q_id, kt.n_pairs, kt.concordant, kt.discordant,
+            kt.tau_num, kt.tau_den, sp.rho_num, sp.rho_den
+          FROM kt JOIN sp USING (q_id)"""
     })
 
   val all: Seq[Q] =

@@ -20,10 +20,12 @@ class RankGraphStatSpec extends SparkSpec {
     }
     def cos(a: Long, q: Long, d: Int): Double =
       dot(raw(a), raw(q), d) / math.sqrt(dot(raw(a), raw(a), d) * dot(raw(q), raw(q), d))
-    val got = Registry.queries("eval_kendall_tau")(spark, sfDir).collect()
-      .map(r => r.getAs[Long]("q_id") ->
+    val rows = Registry.queries("eval_kendall_tau")(spark, sfDir).collect()
+    val got = rows.map(r => r.getAs[Long]("q_id") ->
         ((r.getAs[Long]("n_pairs"), r.getAs[Long]("concordant"),
           r.getAs[Long]("tau_num"), r.getAs[Long]("tau_den")))).toMap
+    val gotRho = rows.map(r => r.getAs[Long]("q_id") ->
+      ((r.getAs[Long]("rho_num"), r.getAs[Long]("rho_den")))).toMap
     assert(got.size === 5)
     (0L until 5L).foreach { q =>
       val top = raw.keys.filter(_ != q).toSeq
@@ -37,6 +39,8 @@ class RankGraphStatSpec extends SparkSpec {
       val (n, c) = (pairs.size.toLong, pairs.sum)
       assert(got(q) === ((n, c, 2 * c - n, n)), s"q=$q")
       assert(n === 45L)
+      val sd2 = top.map(v => { val d = rk64(v) - rk16(v); (d * d).toLong }).sum
+      assert(gotRho(q) === ((10L * 99L - 6L * sd2, 10L * 99L)), s"q=$q rho")
     }
   }
 
