@@ -1237,6 +1237,95 @@ object CurationQueries {
           FROM chunks c JOIN dfc USING (chunk_md5)"""
     })
 
+  /** Green-list watermark detection (Kirchenbauer et al. 2023, simplified
+    * to a keyed bigram rule): a watermarking LLM biases each token toward
+    * the "green" half of the vocab given its predecessor — here green ⇔
+    * md5(prev ⊕ '_' ⊕ tok) has an even leading byte — so watermarked text
+    * shows a green-bigram fraction far above the natural 1/2 and the
+    * one-proportion z-test flags it. The contamination gate a
+    * training-data pipeline runs to keep (marked) synthetic text out of
+    * pretraining corpora.
+    *
+    * The corpus is organic (null distribution, z ≈ 0), so a POSITIVE is
+    * injected: every doc_id % 41 = 3 document is replaced by a
+    * greedily-constructed all-green token chain. That chain is computed
+    * ONCE in Scala over the bounded 4-token vocab and spliced into BOTH
+    * engines as the same literal (the eval_ndcg shared-constant trick) —
+    * no cross-engine search, every list entry exercised.
+    *
+    * Scale shape: per-row bigram array math riding the scan (the bigrams
+    * explode only into a per-doc count aggregate — actually not even
+    * that: counts fold in-core via aggregate()); ONE sqrt double floored
+    * to micro units per doc (§7.4.1 floor rule).
+    */
+  private val textWatermarkDetect = Q(
+    "text_watermark_detect",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, dir)
+        .withColumn("wtext",
+          when(col("doc_id") % 41 === 3, lit(watermarkChain))
+            .otherwise(col("text")))
+        .withColumn("toks", expr("word_ngrams(wtext, 1, false)"))
+        .withColumn("n_bigrams", (size(col("toks")) - 1).cast("long"))
+        .where(col("n_bigrams") >= 1)
+        .withColumn("n_green", expr(
+          s"""aggregate(sequence(1, CAST(n_bigrams AS INT)), CAST(0 AS BIGINT),
+                (acc, i) -> acc + IF((${md5Byte(
+                  "concat(element_at(toks, i), '_', element_at(toks, i + 1))")}) % 2 = 0,
+                  CAST(1 AS BIGINT), CAST(0 AS BIGINT)))"""))
+        .select(col("doc_id"), col("n_bigrams"), col("n_green"),
+          expr("n_green * 1000000 div n_bigrams").as("green_ppm"),
+          expr("""CAST(floor(CAST(2 * n_green - n_bigrams AS DOUBLE)
+                    / sqrt(CAST(n_bigrams AS DOUBLE)) * 1000000.0) AS BIGINT)""")
+            .as("z_micro"))
+        .withColumn("watermarked", col("z_micro") > 2000000L)
+    },
+    Some(s"""WITH w AS (
+               SELECT doc_id,
+                 CASE WHEN doc_id % 41 = 3 THEN '$watermarkChain'
+                      ELSE text END AS wtext
+               FROM documents),
+             t AS (
+               SELECT doc_id, list_filter(
+                 string_split_regex(lower(wtext), '[^a-z]+'), x -> x <> '') AS toks
+               FROM w),
+             g AS (
+               SELECT doc_id, CAST(len(toks) - 1 AS BIGINT) AS n_bigrams,
+                 CAST(list_sum(list_transform(range(1, len(toks)),
+                   i -> CASE WHEN (${md5Byte(
+                     "toks[CAST(i AS INTEGER)] || '_' || toks[CAST(i + 1 AS INTEGER)]")}) % 2 = 0
+                        THEN 1 ELSE 0 END)) AS BIGINT) AS n_green
+               FROM t
+               WHERE len(toks) >= 2)
+             SELECT doc_id, n_bigrams, n_green,
+               n_green * 1000000 // n_bigrams AS green_ppm,
+               CAST(floor(CAST(2 * n_green - n_bigrams AS DOUBLE)
+                 / sqrt(CAST(n_bigrams AS DOUBLE)) * 1000000.0) AS BIGINT)
+                 AS z_micro,
+               CAST(floor(CAST(2 * n_green - n_bigrams AS DOUBLE)
+                 / sqrt(CAST(n_bigrams AS DOUBLE)) * 1000000.0) AS BIGINT)
+                 > 2000000 AS watermarked
+             FROM g"""))
+
+  /** The 30-token all-green chain: from 'aa', greedily append the first
+    * vocab token whose bigram hashes green. Computed once here, spliced
+    * into both engines as the same literal. */
+  private[text] lazy val watermarkChain: String = {
+    val vocab = Seq("aa", "bb", "cc", "dd")
+    def md5b(sx: String): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(sx.getBytes("UTF-8"))
+      ((h(0) >> 4) & 0xF) * 16 + (h(0) & 0xF)
+    }
+    val out = scala.collection.mutable.ArrayBuffer("aa")
+    while (out.size < 30) {
+      val prev = out.last
+      out += vocab.find(u => md5b(s"${prev}_$u") % 2 == 0).getOrElse(vocab.head)
+    }
+    out.mkString(" ")
+  }
+
   val all: Seq[Q] = Seq(sampleHash, sampleStratified, sampleReservoir,
     textPiiScrub,
     textEditDistance, packSequences, vocabTopk, contaminationCheck,
@@ -1244,5 +1333,6 @@ object CurationQueries {
     textRepetition, sampleDomainMix, sampleTemperature, sampleImportance,
     dedupLines, shardShuffle, shardManifest, qualityLogreg, docChunking,
     qualityGopherRules,
-    textCodeDetect, corpusDrift, tokenizerCoverage, docChunkingCdc)
+    textCodeDetect, corpusDrift, tokenizerCoverage, docChunkingCdc,
+    textWatermarkDetect)
 }
