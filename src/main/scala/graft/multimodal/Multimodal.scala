@@ -432,7 +432,86 @@ object MultimodalQueries {
               CAST(list_max(deltas) AS BIGINT) AS max_delta
             FROM d"""))
 
+  /** VAD segmentation — the step after windowed energy: merge consecutive
+    * active windows into speech SEGMENTS (what actually feeds a
+    * transcriber), reporting per record the segment count, the longest
+    * run, and total active windows. The whole run-length analysis is an
+    * in-core `aggregate` fold over the 7-window activity array — one row
+    * in, one row out, nothing shuffles (the oracle mirrors it as the
+    * gaps-and-islands window formulation over the exploded windows; both
+    * are exact, which doubles as a cross-formulation check of the
+    * islands idiom itself).
+    */
+  private val multimodalVadSegments = Q(
+    "multimodal_vad_segments",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val hexVal = (c: String) => s"(instr('0123456789abcdef', $c) - 1)"
+      val byteAt = (j: String) =>
+        s"(${hexVal(s"substr(h, 2 * ($j) - 1, 1)")} * 16 + ${hexVal(s"substr(h, 2 * ($j), 1)")})"
+      Multimodal.attachPayload(Tables.documents(s, dir))
+        .select(col("doc_id"), lower(hex(col("payload"))).as("h"))
+        .withColumn("energies", expr(
+          s"""transform(sequence(0, 6), w ->
+                aggregate(transform(sequence(1, 4),
+                  i -> CAST(${byteAt("w * 2 + i")} AS BIGINT)
+                     * CAST(${byteAt("w * 2 + i")} AS BIGINT)),
+                0L, (acc, v) -> acc + v))"""))
+        .withColumn("tot", expr("aggregate(energies, 0L, (a, v) -> a + v)"))
+        .withColumn("act", expr("transform(energies, e -> e * 7 > tot)"))
+        .select(col("doc_id"),
+          expr("CAST(size(filter(act, a -> a)) AS BIGINT)").as("n_active"),
+          expr("""CAST(size(filter(sequence(1, 7), i ->
+                    element_at(act, i) AND
+                    (i = 1 OR NOT element_at(act, i - 1)))) AS BIGINT)""")
+            .as("n_segments"),
+          expr("""aggregate(act, named_struct('cur', CAST(0 AS BIGINT),
+                                              'best', CAST(0 AS BIGINT)),
+                    (acc, a) -> IF(a,
+                      named_struct('cur', acc.cur + 1,
+                        'best', greatest(acc.best, acc.cur + 1)),
+                      named_struct('cur', CAST(0 AS BIGINT), 'best', acc.best)),
+                    acc -> acc.best)""").as("longest_segment"))
+    },
+    Some {
+      val hexVal = (c: String) => s"(instr('0123456789abcdef', $c) - 1)"
+      val byteAt = (j: String) =>
+        s"(${hexVal(s"substr(h, 2 * ($j) - 1, 1)")} * 16 + ${hexVal(s"substr(h, 2 * ($j), 1)")})"
+      s"""WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
+           e AS (
+             SELECT doc_id,
+               list_transform(range(0, 7), w ->
+                 CAST(list_sum(list_transform(range(1, 5),
+                   i -> CAST(${byteAt("w * 2 + i")} AS BIGINT)
+                      * CAST(${byteAt("w * 2 + i")} AS BIGINT)))
+                   AS BIGINT)) AS energies
+             FROM m),
+           wins AS (
+             SELECT doc_id, w,
+               energies[CAST(w + 1 AS INT)] * 7
+                 > CAST(list_sum(energies) AS BIGINT) AS active
+             FROM e, (SELECT unnest(range(0, 7)) AS w)),
+           act AS (SELECT doc_id, w FROM wins WHERE active),
+           isl AS (
+             SELECT doc_id,
+               w - row_number() OVER (PARTITION BY doc_id ORDER BY w) AS grp
+             FROM act),
+           seg AS (
+             SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS len
+             FROM isl GROUP BY doc_id, grp),
+           roll AS (
+             SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_active,
+               CAST(count(*) AS BIGINT) AS n_segments,
+               CAST(max(len) AS BIGINT) AS longest_segment
+             FROM seg GROUP BY doc_id)
+           SELECT e.doc_id,
+             coalesce(r.n_active, 0) AS n_active,
+             coalesce(r.n_segments, 0) AS n_segments,
+             coalesce(r.longest_segment, 0) AS longest_segment
+           FROM e LEFT JOIN roll r ON r.doc_id = e.doc_id"""
+    })
+
   val all: Seq[Q] = Seq(multimodalDecode, multimodalFrames, multimodalResize,
     multimodalPhash, dedupMultimodalClusters, multimodalAudioEnergy,
-    multimodalScenecut)
+    multimodalScenecut, multimodalVadSegments)
 }

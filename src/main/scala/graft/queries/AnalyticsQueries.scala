@@ -943,10 +943,79 @@ object AnalyticsQueries {
                   FROM wd w JOIN base b
                     ON b.event_type = w.event_type AND b.dow = w.dow) w"""))
 
+  // Usage-concentration readout: exact Gini coefficient of per-user event
+  // counts plus the top-decile share — the "do 10% of users generate 90%
+  // of traffic" dashboard number. The eval_auc_rank discipline again:
+  // both statistics look like they need a corpus sort (all-pairs |xi−xj|
+  // for Gini, a global rank for the decile) but the per-user count lives
+  // on a BOUNDED lattice, so everything folds into the count-of-counts
+  // histogram — the Gini numerator is a histogram self-join (bounded²
+  // cells), the decile walk is a cumulative window over the same bounded
+  // frame, and Gini ships as an exact integer fraction (no division).
+  private val eventsConcentration = Q(
+    "events_concentration",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hist = Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("c")).agg(count(lit(1)).as("nc"))
+        .localCheckpoint(eager = true) // totals + gini self-join + decile walk
+      val tot = hist.agg(sum(col("nc")).as("n"),
+        sum(col("c") * col("nc")).as("total"))
+      val gini = hist.select(col("c").as("cx"), col("nc").as("nx"))
+        .crossJoin(hist.select(col("c").as("cy"), col("nc").as("ny")))
+        .agg(sum(col("nx") * col("ny") * abs(col("cx") - col("cy")))
+          .as("gini_num"))
+      val w = Window.orderBy(col("c").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val topd = hist
+        .withColumn("cum_before", coalesce(sum(col("nc")).over(w), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .select(expr("""greatest(CAST(0 AS BIGINT),
+                          least(nc, n div 10 - cum_before)) * c""").as("ev"))
+        .agg(sum(col("ev")).as("topd_events"))
+      tot.crossJoin(gini).crossJoin(topd)
+        .select(col("n").as("n_users"), col("total").as("total_events"),
+          col("gini_num"), (lit(2L) * col("n") * col("total")).as("gini_den"),
+          expr("n div 10").as("topd_users"), col("topd_events"),
+          expr("topd_events * 1000000 div total").as("topd_share_ppm"))
+    },
+    Some("""WITH uc AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY user_id),
+            hist AS (
+              SELECT c, CAST(count(*) AS BIGINT) AS nc FROM uc GROUP BY c),
+            tot AS (
+              SELECT CAST(sum(nc) AS BIGINT) AS n,
+                CAST(sum(c * nc) AS BIGINT) AS total
+              FROM hist),
+            gini AS (
+              SELECT CAST(sum(x.nc * y.nc * abs(x.c - y.c)) AS BIGINT)
+                AS gini_num
+              FROM hist x, hist y),
+            walk AS (
+              SELECT c, nc, coalesce(sum(nc) OVER (ORDER BY c DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS cum_before
+              FROM hist),
+            topd AS (
+              SELECT CAST(sum(greatest(0,
+                least(nc, tot.n // 10 - cum_before)) * c) AS BIGINT)
+                AS topd_events
+              FROM walk, tot)
+            SELECT tot.n AS n_users, tot.total AS total_events,
+              gini.gini_num, CAST(2 * tot.n * tot.total AS BIGINT) AS gini_den,
+              CAST(tot.n // 10 AS BIGINT) AS topd_users,
+              topd.topd_events,
+              CAST(topd.topd_events * 1000000 // tot.total AS BIGINT)
+                AS topd_share_ppm
+            FROM tot, gini, topd"""))
+
   val all: Seq[Q] =
     Seq(funnelSteps, cohortRetention, sessionWindowAgg, eventTransitions,
       windowRollingStats, cdcScd2, resampleFfill, rfmSegments,
       rollingActiveUsers, rollingActiveHll, attributionMultitouch,
       experimentTtest, cdcLogCompact, abSrmCheck, funnelWindow,
-      joinScd2Pit, streakIslands, trendWowGrowth, trendDowAnomaly)
+      joinScd2Pit, streakIslands, trendWowGrowth, trendDowAnomaly,
+      eventsConcentration)
 }
