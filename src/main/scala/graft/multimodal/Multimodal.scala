@@ -329,51 +329,66 @@ object MultimodalQueries {
     * Scale: per-row array math riding the scan; the window explode is a
     * 7× generate with no shuffle anywhere.
     */
+  // ---- shared windowed-energy derivation (audio-energy + VAD segments) ----
+  // One definition of the window scheme (7 windows of 4 samples, stride 2)
+  // and the activity threshold (e·7 > Σe) on BOTH engines, so the
+  // segmentation query is structurally derived from the same activity
+  // flags the energy query reports (ConcentrationVadSpec cross-checks
+  // them row-for-row).
+
+  private def hexVal(c: String) = s"(instr('0123456789abcdef', $c) - 1)"
+  private def byteAt(j: String) =
+    s"(${hexVal(s"substr(h, 2 * ($j) - 1, 1)")} * 16 + ${hexVal(s"substr(h, 2 * ($j), 1)")})"
+
+  /** Spark frame (doc_id, energies ARRAY<BIGINT>[7], tot) over the
+    * hex-encoded payload. */
+  private def energyFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    Multimodal.attachPayload(Tables.documents(s, dir))
+      .select(col("doc_id"), lower(hex(col("payload"))).as("h"))
+      .withColumn("energies", expr(
+        s"""transform(sequence(0, 6), w ->
+              aggregate(transform(sequence(1, 4),
+                i -> CAST(${byteAt("w * 2 + i")} AS BIGINT)
+                   * CAST(${byteAt("w * 2 + i")} AS BIGINT)),
+              0L, (acc, v) -> acc + v))"""))
+      .withColumn("tot", expr("aggregate(energies, 0L, (a, v) -> a + v)"))
+  }
+
+  /** Oracle CTE chain ending in `t(doc_id, energies, tot)`. */
+  private val energyOracleCte: String =
+    s"""m AS (SELECT doc_id, md5(text) AS h FROM documents),
+       e AS (
+         SELECT doc_id,
+           list_transform(range(0, 7), w ->
+             CAST(list_sum(list_transform(range(1, 5),
+               i -> CAST(${byteAt("w * 2 + i")} AS BIGINT)
+                  * CAST(${byteAt("w * 2 + i")} AS BIGINT)))
+               AS BIGINT)) AS energies
+         FROM m),
+       t AS (
+         SELECT doc_id, energies,
+           CAST(list_sum(energies) AS BIGINT) AS tot
+         FROM e)"""
+
   private val multimodalAudioEnergy = Q(
     "multimodal_audio_energy",
     (s, dir) => {
       import org.apache.spark.sql.functions._
-      val hexVal = (c: String) => s"(instr('0123456789abcdef', $c) - 1)"
-      val byteAt = (j: String) =>
-        s"(${hexVal(s"substr(h, 2 * ($j) - 1, 1)")} * 16 + ${hexVal(s"substr(h, 2 * ($j), 1)")})"
-      Multimodal.attachPayload(Tables.documents(s, dir))
-        .select(col("doc_id"), lower(hex(col("payload"))).as("h"))
-        .withColumn("energies", expr(
-          s"""transform(sequence(0, 6), w ->
-                aggregate(transform(sequence(1, 4),
-                  i -> CAST(${byteAt("w * 2 + i")} AS BIGINT)
-                     * CAST(${byteAt("w * 2 + i")} AS BIGINT)),
-                0L, (acc, v) -> acc + v))"""))
-        .withColumn("tot", expr("aggregate(energies, 0L, (a, v) -> a + v)"))
+      energyFrame(s, dir)
         .select(col("doc_id"), col("tot"),
           posexplode(col("energies")).as(Seq("win", "energy")))
         .select(col("doc_id"), col("win").cast("long").as("win"),
           expr("CAST(win * 2 AS BIGINT)").as("start_sample"),
           col("energy"), (col("energy") * 7L > col("tot")).as("active"))
     },
-    Some {
-      val hexVal = (c: String) => s"(instr('0123456789abcdef', $c) - 1)"
-      val byteAt = (j: String) =>
-        s"(${hexVal(s"substr(h, 2 * ($j) - 1, 1)")} * 16 + ${hexVal(s"substr(h, 2 * ($j), 1)")})"
-      s"""WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
-           e AS (
-             SELECT doc_id,
-               list_transform(range(0, 7), w ->
-                 CAST(list_sum(list_transform(range(1, 5),
-                   i -> CAST(${byteAt("w * 2 + i")} AS BIGINT)
-                      * CAST(${byteAt("w * 2 + i")} AS BIGINT)))
-                   AS BIGINT)) AS energies
-             FROM m),
-           t AS (
-             SELECT doc_id, energies,
-               CAST(list_sum(energies) AS BIGINT) AS tot
-             FROM e)
+    Some(s"""WITH $energyOracleCte
            SELECT doc_id, CAST(w AS BIGINT) AS win,
              CAST(w * 2 AS BIGINT) AS start_sample,
              energies[CAST(w + 1 AS INT)] AS energy,
              energies[CAST(w + 1 AS INT)] * 7 > tot AS active
-           FROM t, (SELECT unnest(range(0, 7)) AS w)"""
-    })
+           FROM t, (SELECT unnest(range(0, 7)) AS w)"""))
 
   /** Scene-cut detection over the sampled frames — the shot-boundary
     * step video curation runs before captioning/sampling (a cut = the
@@ -446,18 +461,7 @@ object MultimodalQueries {
     "multimodal_vad_segments",
     (s, dir) => {
       import org.apache.spark.sql.functions._
-      val hexVal = (c: String) => s"(instr('0123456789abcdef', $c) - 1)"
-      val byteAt = (j: String) =>
-        s"(${hexVal(s"substr(h, 2 * ($j) - 1, 1)")} * 16 + ${hexVal(s"substr(h, 2 * ($j), 1)")})"
-      Multimodal.attachPayload(Tables.documents(s, dir))
-        .select(col("doc_id"), lower(hex(col("payload"))).as("h"))
-        .withColumn("energies", expr(
-          s"""transform(sequence(0, 6), w ->
-                aggregate(transform(sequence(1, 4),
-                  i -> CAST(${byteAt("w * 2 + i")} AS BIGINT)
-                     * CAST(${byteAt("w * 2 + i")} AS BIGINT)),
-                0L, (acc, v) -> acc + v))"""))
-        .withColumn("tot", expr("aggregate(energies, 0L, (a, v) -> a + v)"))
+      energyFrame(s, dir)
         .withColumn("act", expr("transform(energies, e -> e * 7 > tot)"))
         .select(col("doc_id"),
           expr("CAST(size(filter(act, a -> a)) AS BIGINT)").as("n_active"),
@@ -474,23 +478,11 @@ object MultimodalQueries {
                     acc -> acc.best)""").as("longest_segment"))
     },
     Some {
-      val hexVal = (c: String) => s"(instr('0123456789abcdef', $c) - 1)"
-      val byteAt = (j: String) =>
-        s"(${hexVal(s"substr(h, 2 * ($j) - 1, 1)")} * 16 + ${hexVal(s"substr(h, 2 * ($j), 1)")})"
-      s"""WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
-           e AS (
-             SELECT doc_id,
-               list_transform(range(0, 7), w ->
-                 CAST(list_sum(list_transform(range(1, 5),
-                   i -> CAST(${byteAt("w * 2 + i")} AS BIGINT)
-                      * CAST(${byteAt("w * 2 + i")} AS BIGINT)))
-                   AS BIGINT)) AS energies
-             FROM m),
+      s"""WITH $energyOracleCte,
            wins AS (
              SELECT doc_id, w,
-               energies[CAST(w + 1 AS INT)] * 7
-                 > CAST(list_sum(energies) AS BIGINT) AS active
-             FROM e, (SELECT unnest(range(0, 7)) AS w)),
+               energies[CAST(w + 1 AS INT)] * 7 > tot AS active
+             FROM t, (SELECT unnest(range(0, 7)) AS w)),
            act AS (SELECT doc_id, w FROM wins WHERE active),
            isl AS (
              SELECT doc_id,
@@ -504,11 +496,11 @@ object MultimodalQueries {
                CAST(count(*) AS BIGINT) AS n_segments,
                CAST(max(len) AS BIGINT) AS longest_segment
              FROM seg GROUP BY doc_id)
-           SELECT e.doc_id,
+           SELECT t.doc_id,
              coalesce(r.n_active, 0) AS n_active,
              coalesce(r.n_segments, 0) AS n_segments,
              coalesce(r.longest_segment, 0) AS longest_segment
-           FROM e LEFT JOIN roll r ON r.doc_id = e.doc_id"""
+           FROM t LEFT JOIN roll r ON r.doc_id = t.doc_id"""
     })
 
   val all: Seq[Q] = Seq(multimodalDecode, multimodalFrames, multimodalResize,

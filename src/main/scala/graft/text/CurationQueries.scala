@@ -1321,7 +1321,11 @@ object CurationQueries {
     val out = scala.collection.mutable.ArrayBuffer("aa")
     while (out.size < 30) {
       val prev = out.last
-      out += vocab.find(u => md5b(s"${prev}_$u") % 2 == 0).getOrElse(vocab.head)
+      // fail at construction, not in a distant spec, if a vocab/hash edit
+      // ever leaves some token without a green successor — the chain's
+      // whole contract is all-green
+      out += vocab.find(u => md5b(s"${prev}_$u") % 2 == 0).getOrElse(
+        sys.error(s"watermark vocab has no green successor for '$prev'"))
     }
     out.mkString(" ")
   }
