@@ -270,5 +270,74 @@ object MixQueries {
                (w_raw * 1000000) // wt.tw AS weight_ppm
              FROM w, wt"""))
 
-  val all: Seq[Q] = Seq(qualityPplBuckets, mixTokenBudget, mixDoremi)
+  /** Two-phase (midtraining/anneal) mixture planning — the now-standard
+    * recipe of spending the last slice of the token budget on a
+    * quality-skewed mixture: phase 1 (90% of the half-corpus budget)
+    * allocates per source proportional to raw token mass, phase 2 (the
+    * 10% anneal) proportional to QUALITY-GATED token mass (tokens of
+    * docs passing the engine's standard gate, n_tok ≥ 20 ∧ n_chars ≥
+    * 100) — so high-quality sources are upweighted exactly when the
+    * model is most shaped by its data.
+    *
+    * Scale shape: one per-doc scan folds into a per-source aggregate
+    * (≤ #sources rows), totals broadcast back; every allocation is
+    * integer `div` on positive quantities (remainders are un-allocated
+    * slack, not redistributed — deterministic and auditable).
+    */
+  private val mixAnnealSchedule = Q(
+    "mix_anneal_schedule",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val perSource = Tables.documents(s, dir)
+        .select(col("source"), col("n_chars"),
+          size(expr(tokenizeExpr)).cast("long").as("n_tok"))
+        .withColumn("pass", (col("n_tok") >= 20L && col("n_chars") >= 100L)
+          .cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"),
+          sum(col("pass")).as("n_pass"),
+          sum(col("pass") * col("n_tok")).as("qtokens"))
+      val tot = perSource.agg(sum(col("tokens")).as("total"),
+        sum(col("qtokens")).as("qtotal"))
+      perSource.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("tokens"), col("qtokens"),
+          expr("(n_pass * 1000000) div n_docs").as("pass_ppm"),
+          expr("(((total div 2) * 9 div 10) * tokens) div total")
+            .as("p1_tokens"),
+          expr("""CASE WHEN qtotal = 0 THEN CAST(0 AS BIGINT)
+                  ELSE (((total div 2) div 10) * qtokens) div qtotal END""")
+            .as("p2_tokens"))
+        .withColumn("planned_tokens", col("p1_tokens") + col("p2_tokens"))
+    },
+    Some("""WITH per_doc AS (
+              SELECT source, n_chars,
+                CAST(len(list_filter(string_split_regex(lower(text),
+                  '[^a-z]+'), t -> t <> '')) AS BIGINT) AS n_tok
+              FROM documents),
+            per_source AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS tokens,
+                CAST(sum(CASE WHEN n_tok >= 20 AND n_chars >= 100
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+                CAST(sum(CASE WHEN n_tok >= 20 AND n_chars >= 100
+                  THEN n_tok ELSE 0 END) AS BIGINT) AS qtokens
+              FROM per_doc GROUP BY source),
+            tot AS (
+              SELECT CAST(sum(tokens) AS BIGINT) AS total,
+                CAST(sum(qtokens) AS BIGINT) AS qtotal
+              FROM per_source)
+            SELECT source, n_docs, tokens, qtokens,
+              (n_pass * 1000000) // n_docs AS pass_ppm,
+              (((total // 2) * 9 // 10) * tokens) // total AS p1_tokens,
+              CASE WHEN qtotal = 0 THEN CAST(0 AS BIGINT)
+                ELSE (((total // 2) // 10) * qtokens) // qtotal END
+                AS p2_tokens,
+              (((total // 2) * 9 // 10) * tokens) // total
+                + CASE WHEN qtotal = 0 THEN CAST(0 AS BIGINT)
+                  ELSE (((total // 2) // 10) * qtokens) // qtotal END
+                AS planned_tokens
+            FROM per_source, tot"""))
+
+  val all: Seq[Q] = Seq(qualityPplBuckets, mixTokenBudget, mixDoremi,
+    mixAnnealSchedule)
 }

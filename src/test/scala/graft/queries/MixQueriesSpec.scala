@@ -65,4 +65,31 @@ class MixQueriesSpec extends SparkSpec {
       assert(r.getAs[Long]("weight_ppm") > 0L, "floor keeps every source alive")
     }
   }
+
+  test("mix_anneal_schedule conserves the 90/10 budget and skews the anneal to quality") {
+    val rows = Registry.queries("mix_anneal_schedule")(spark, sfDir).collect()
+    assert(rows.length > 1)
+    val total = rows.map(_.getAs[Long]("tokens")).sum
+    val budget = total / 2
+    val p1 = rows.map(_.getAs[Long]("p1_tokens")).sum
+    val p2 = rows.map(_.getAs[Long]("p2_tokens")).sum
+    // integer div leaves < 1 token of slack per source and phase
+    assert(p1 <= budget * 9 / 10 && p1 > budget * 9 / 10 - rows.length)
+    assert(p2 <= budget / 10 && p2 > budget / 10 - rows.length)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("planned_tokens") ===
+        r.getAs[Long]("p1_tokens") + r.getAs[Long]("p2_tokens"))
+      assert(r.getAs[Long]("qtokens") <= r.getAs[Long]("tokens"))
+    }
+    // the anneal phase gives a perfectly-passing source at least its
+    // proportional phase-1 share (quality mass >= its token share of
+    // quality totals when every doc passes)
+    val qtotal = rows.map(_.getAs[Long]("qtokens")).sum
+    rows.filter(_.getAs[Long]("pass_ppm") == 1000000L).foreach { r =>
+      val tokShare = r.getAs[Long]("tokens").toDouble / total
+      val qShare = r.getAs[Long]("qtokens").toDouble / qtotal
+      assert(qShare >= tokShare - 1e-9,
+        s"all-pass source ${r.getAs[String]("source")} must not lose anneal share")
+    }
+  }
 }
