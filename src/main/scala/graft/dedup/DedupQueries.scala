@@ -49,7 +49,15 @@ object DedupQueries {
     * 100 TB (an explode+hash-aggregate would shuffle |doc|×|shingles|
     * rows on doc_id).
     */
-  def minhashSignatures(docs: DataFrame, spreadInput: Boolean = true): DataFrame = {
+  def minhashSignatures(docs: DataFrame, spreadInput: Boolean = true): DataFrame =
+    minhashSignaturesFull(docs, spreadInput).drop("mh")
+
+  /** Like [[minhashSignatures]] but keeps the raw 12-slot `mh` array
+    * alongside the band columns — the shape [[CandidateArtifacts]]
+    * checkpoints once per session so the estimator audit can reuse the
+    * same materialized pass the band queries read. */
+  private[graft] def minhashSignaturesFull(
+      docs: DataFrame, spreadInput: Boolean = true): DataFrame = {
     // the native one-pass expression (graft.functions.MinHashSignature):
     // no shingle array, no 12 interpreted array_min(transform(...)) passes,
     // whole signature inside whole-stage codegen — bit-identical to the
@@ -66,7 +74,7 @@ object DedupQueries {
       val cols = (0 until BandSize).map(r => element_at(col("mh"), b * BandSize + r + 1))
       md5(concat_ws("_", cols: _*)).as(s"band$b")
     }
-    sig.select(col("doc_id") +: bands: _*)
+    sig.select(col("doc_id") +: col("mh") +: bands: _*)
   }
 
   private[graft] def minhashOracle: String = {
@@ -91,7 +99,7 @@ object DedupQueries {
 
   private val dedupMinhash = Q(
     "dedup_minhash",
-    (s, dir) => minhashSignatures(Tables.documents(s, dir)),
+    (s, dir) => CandidateArtifacts.signatures(s, dir).drop("mh"),
     Some(minhashOracle))
 
   /** Shared oracle CTE prefix for anything built on the LSH candidate
@@ -125,8 +133,9 @@ object DedupQueries {
         (0 until NumHashes / BandSize)
           .map(b => s"$b, band$b").mkString(", ") + ") AS (band_no, band_hash)")
 
-  def minhashCandidatePairs(docs: DataFrame): DataFrame = {
-    val sig = minhashSignatures(docs).repartition(col("doc_id"))
+  /** Band self-join over an already-materialized (or exchange-reusable)
+    * signature frame — the "generate" half of generate-then-verify. */
+  private[graft] def pairsFromSignatures(sig: DataFrame): DataFrame = {
     val long = stackBands(sig)
     val a = long.select(col("band_hash"), col("doc_id").as("a"))
     val b = long.select(col("band_hash"), col("doc_id").as("b"))
@@ -134,9 +143,12 @@ object DedupQueries {
       .select(col("a"), col("b")).distinct()
   }
 
+  def minhashCandidatePairs(docs: DataFrame): DataFrame =
+    pairsFromSignatures(minhashSignatures(docs).repartition(col("doc_id")))
+
   private val dedupMinhashPairs = Q(
     "dedup_minhash_pairs",
-    (s, dir) => minhashCandidatePairs(Tables.documents(s, dir)),
+    (s, dir) => CandidateArtifacts.pairs(s, dir),
     Some {
       val bandUnion = (0 until NumHashes / BandSize)
         .map(b => s"SELECT doc_id, band$b AS band_hash FROM sig")
@@ -213,7 +225,7 @@ object DedupQueries {
       // task — the intersect already runs parallel inside the join stage,
       // and an extra exchange would shuffle the gram payloads again
       // (measured 1.7x slower at sf0.1).
-      val verified = minhashCandidatePairs(docs)
+      val verified = CandidateArtifacts.pairs(s, dir)
         .join(grams.select(col("doc_id").as("a"), col("grams").as("ga"),
           col("n").as("na")), "a")
         .join(grams.select(col("doc_id").as("b"), col("grams").as("gb"),
@@ -277,7 +289,7 @@ object DedupQueries {
   private[graft] def clusterAssignments(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col}
     val docs = Tables.documents(s, dir)
-    val pairs = minhashCandidatePairs(docs)
+    val pairs = CandidateArtifacts.pairs(s, dir)
     // pairs are DISTINCT (a < b, non-null) by construction — skip the
     // CC normalize distinct (a full edge-set shuffle)
     val cc = graft.identity.Components.connectedComponents(pairs,
@@ -376,7 +388,7 @@ object DedupQueries {
         .withColumn("s_de", score(" der "))
         .withColumn("s_es", score(" el "))
         .withColumn("s_fr", score(" le "))
-      val dupSide = minhashCandidatePairs(docs)
+      val dupSide = CandidateArtifacts.pairs(s, dir)
         .select(col("b").as("doc_id")).distinct()
       feat
         .where(col("n_tokens") >= 20 && col("n_chars") >= 100)
@@ -526,7 +538,7 @@ object DedupQueries {
     "dedup_incremental",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val long = stackBands(minhashSignatures(docs))
+      val long = stackBands(CandidateArtifacts.signatures(s, dir))
       val bucketExpr = expr(
         """(instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1)) - 1) * 16 +
            (instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 2, 1)) - 1)""")
@@ -832,20 +844,11 @@ object DedupQueries {
       graft.functions.GraftFunctions.register(s)
       val docs = Tables.documents(s, dir)
         .where(col("text").isNotNull).select("doc_id", "text")
-      val sigs = Tables.spread(docs)
-        .select(col("doc_id"), expr("minhash_sig(text)").as("mh"))
-        .localCheckpoint(eager = true) // bands + both mh verify sides
-      val bandCols = (0 until NumHashes / BandSize).map { bd =>
-        val cols = (0 until BandSize)
-          .map(r => element_at(col("mh"), bd * BandSize + r + 1))
-        md5(concat_ws("_", cols: _*)).as(s"band$bd")
-      }
-      val long = stackBands(sigs.select(col("doc_id") +: bandCols: _*))
-      val pairs = long.select(col("band_hash"), col("doc_id").as("a"))
-        .join(long.select(col("band_hash"), col("doc_id").as("b")), "band_hash")
-        .where(col("a") < col("b"))
-        .select(col("a"), col("b")).distinct()
-        .localCheckpoint(eager = true) // candidate-doc gate + verify joins
+      // signatures + candidate pairs come from the session-shared
+      // checkpointed artifact (CandidateArtifacts) — the whole LSH family
+      // reads ONE materialized shingle+minhash pass
+      val sigs = CandidateArtifacts.signatures(s, dir).select("doc_id", "mh")
+      val pairs = CandidateArtifacts.pairs(s, dir)
       val candDocs = pairs.select(col("a").as("doc_id"))
         .union(pairs.select(col("b"))).distinct()
       val sh = Tables.spread(docs.join(candDocs, Seq("doc_id"), "left_semi"))

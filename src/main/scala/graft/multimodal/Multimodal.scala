@@ -286,7 +286,7 @@ object MultimodalQueries {
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val docs = Tables.documents(s, dir)
-      val textPairs = graft.dedup.DedupQueries.minhashCandidatePairs(docs)
+      val textPairs = graft.dedup.CandidateArtifacts.pairs(s, dir)
         .select(col("a"), col("b"))
       val imgPairs = phashPairs(docs)
         .where(col("hamming") <= 3L).select(col("a"), col("b"))

@@ -226,8 +226,9 @@ object EvalQueries {
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val docs = Tables.documents(s, dir)
-      val pairs = graft.dedup.DedupQueries.minhashCandidatePairs(docs)
-        .localCheckpoint(eager = true) // candidate-doc gate + verify join
+      // session-shared checkpointed candidate pairs (CandidateArtifacts)
+      // — already materialized for the candidate-doc gate + verify join
+      val pairs = graft.dedup.CandidateArtifacts.pairs(s, dir)
       val candDocs = pairs.select(col("a").as("doc_id"))
         .union(pairs.select(col("b"))).distinct()
       val grams = Tables.spread(docs.select("doc_id", "text")

@@ -112,7 +112,7 @@ object CurationQueries {
     (s, dir) => {
       val docs = Tables.documents(s, dir)
       val heads = docs.select(col("doc_id"), substring(col("text"), 1, 100).as("head"))
-      val joined = graft.dedup.DedupQueries.minhashCandidatePairs(docs)
+      val joined = graft.dedup.CandidateArtifacts.pairs(s, dir)
         .join(heads.select(col("doc_id").as("a"), col("head").as("ha")), "a")
         .join(heads.select(col("doc_id").as("b"), col("head").as("hb")), "b")
       // The joined pair list is BYTES-small but CPU-heavy (O(len²) DP per
@@ -344,8 +344,9 @@ object CurationQueries {
     "contamination_fuzzy",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val sig = graft.dedup.DedupQueries.minhashSignatures(docs)
-        .localCheckpoint(eager = true)
+      // session-shared checkpointed signatures (already materialized —
+      // no per-query localCheckpoint needed)
+      val sig = graft.dedup.CandidateArtifacts.signatures(s, dir).drop("mh")
       val benchIds = docs
         .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
         .orderBy(col("h"), col("doc_id")).limit(100)

@@ -57,11 +57,20 @@ class PlanSpec extends SparkSpec {
   }
 
   test("ngram jaccard verifies LSH candidates, not all-pairs blocks") {
+    // candidate generation (band_hash self-join) now lives behind the
+    // session-shared CandidateArtifacts checkpoint — pin its shape on the
+    // generator itself, and pin that the consuming query reads the
+    // checkpoint instead of re-pairing
+    val gen = graft.dedup.DedupQueries
+      .minhashCandidatePairs(Tables.documents(spark, dir))
+      .queryExecution.executedPlan.toString
+    assert(gen.contains("band_hash"), gen.take(2000))
+    assert(!gen.contains("lang"), "jaccard pair join regressed to lang/source blocking")
     val p = plan("dedup_ngram_jaccard")
-    // candidate generation joins on band_hash; the all-pairs formulation
-    // joined on (lang, source) — a corpus-sized block join at scale
-    assert(p.contains("band_hash"), p.take(2000))
-    assert(!p.contains("lang"), "jaccard pair join regressed to lang/source blocking")
+    assert(p.contains("Scan ExistingRDD"),
+      "ngram jaccard no longer reads the checkpointed candidate artifact")
+    assert(!p.contains("minhash_sig"),
+      "ngram jaccard re-runs the signature pass instead of reusing the artifact")
   }
 
   test("tfidf has no forced vocabulary broadcast") {
@@ -216,11 +225,35 @@ class PlanSpec extends SparkSpec {
   }
 
   test("minhash signatures plan has no aggregate (fused expression)") {
-    val p = plan("dedup_minhash")
-    assert(!p.contains("HashAggregate"),
+    // the generator itself: fused native expression, no explode/groupBy
+    val gen = graft.dedup.DedupQueries
+      .minhashSignaturesFull(Tables.documents(spark, dir))
+      .queryExecution.executedPlan.toString
+    assert(!gen.contains("HashAggregate"),
       "signature computation regressed to an aggregate")
-    assert(p.contains("minhash_sig") || p.contains("minhashsignature") ||
-      p.toLowerCase.contains("minhash"), p.take(2000))
+    assert(gen.contains("minhash_sig") || gen.toLowerCase.contains("minhash"),
+      gen.take(2000))
+    // the registered query reads the session-shared checkpoint
+    val p = plan("dedup_minhash")
+    assert(p.contains("Scan ExistingRDD"),
+      "dedup_minhash no longer reads the checkpointed artifact")
+  }
+
+  test("LSH family shares ONE signature/candidate artifact (no per-query rebuild)") {
+    val family = Seq("dedup_minhash", "dedup_minhash_pairs", "dedup_ngram_jaccard",
+      "dedup_minhash_est", "text_edit_distance", "eval_bleu",
+      "dedup_incremental", "contamination_fuzzy")
+    val before = graft.dedup.CandidateArtifacts.buildCount
+    val plans = family.map(n => n ->
+      graft.SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString)
+    val after = graft.dedup.CandidateArtifacts.buildCount
+    assert(after - before <= 1,
+      s"artifact rebuilt ${after - before} times across the family")
+    // no family member re-runs the signature expression in its own plan
+    plans.foreach { case (n, p) =>
+      assert(!p.contains("minhash_sig"),
+        s"$n re-computes minhash signatures instead of reading the artifact")
+    }
   }
 
   test("event_transitions window is per-user, never a global sort") {
