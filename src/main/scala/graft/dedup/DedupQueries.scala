@@ -208,10 +208,12 @@ object DedupQueries {
         // hash each gram to a LONG before the checkpoint: the intersect
         // only needs equality, so 8-byte elements replace ~25-byte strings
         // in the checkpointed arrays and in both pair-side joins (~3×
-        // smaller payload, integer compares in array_intersect); the
-        // string-exact DuckDB oracle would flag a 64-bit collision
+        // smaller payload); word_gram_hash_counts emits the distinct-hash
+        // set SORTED, so the pair-level intersection is an allocation-free
+        // linear merge (sorted_intersect_count) instead of a per-pair hash
+        // set. The string-exact DuckDB oracle would flag a 64-bit collision
         .select(col("doc_id"),
-          expr("transform(word_ngrams(text, 3, true), g -> xxhash64(g))").as("grams"))
+          expr("word_gram_hash_counts(text, 3).gh").as("grams"))
         .select(col("doc_id"), col("grams"), size(col("grams")).cast("long").as("n"))
         // one materialized gram pass feeding BOTH pair sides, instead of
         // re-tokenizing the corpus per side (measured 2.9 s → 2.1 s at
@@ -231,7 +233,7 @@ object DedupQueries {
         .join(grams.select(col("doc_id").as("b"), col("grams").as("gb"),
           col("n").as("nb")), "b")
         .select(col("a"), col("b"),
-          size(array_intersect(col("ga"), col("gb"))).cast("long").as("inter"),
+          expr("sorted_intersect_count(ga, gb)").as("inter"),
           col("na"), col("nb"))
       // containment (|∩|/|A|, |∩|/|B|) rides the same verified frame for
       // free — the asymmetric signal that catches a short doc quoted
@@ -851,13 +853,12 @@ object DedupQueries {
       val pairs = CandidateArtifacts.pairs(s, dir)
       val candDocs = pairs.select(col("a").as("doc_id"))
         .union(pairs.select(col("b"))).distinct()
+      // native one-pass shingle-set builder: sorted distinct xxhash64 of
+      // every 5-char window (identical values to the old
+      // array_distinct(transform(..., xxhash64)) chain, pre-sorted so the
+      // pair-level intersection is an allocation-free linear merge)
       val sh = Tables.spread(docs.join(candDocs, Seq("doc_id"), "left_semi"))
-        .select(col("doc_id"),
-          expr("""array_distinct(transform(
-                    CASE WHEN length(text) < 5 THEN array(text)
-                    ELSE transform(sequence(1, length(text) - 4),
-                      i -> substring(text, i, 5)) END,
-                    sx -> xxhash64(sx)))""").as("sh"))
+        .select(col("doc_id"), expr("char_shingle_hashes(text)").as("sh"))
         .withColumn("n", size(col("sh")).cast("long"))
         .localCheckpoint(eager = true) // both verify sides
       pairs
@@ -870,7 +871,7 @@ object DedupQueries {
         .select(col("a"), col("b"),
           expr("CAST(size(filter(zip_with(ma, mb, (x, y) -> x = y), v -> v)) AS BIGINT)")
             .as("agree"),
-          size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
+          expr("sorted_intersect_count(sa, sb)").as("inter"),
           col("na"), col("nb"))
         .select(col("a"), col("b"), col("agree"),
           expr(s"agree * 1000000 div $NumHashes").as("est_ppm"),

@@ -81,6 +81,18 @@ object GraftFunctions {
   private val rpInfo = extInfo(classOf[RpProject].getName, "rp_project",
     "_FUNC_(embedding) - 8 signed-random-projection BIGINT sums over floor(x*1000) components")
 
+  private val shingleInfo = extInfo(classOf[CharShingleHashes].getName, "char_shingle_hashes",
+    "_FUNC_(text) - sorted distinct xxhash64 of every 5-char shingle, one pass")
+
+  private val gramCntInfo = extInfo(classOf[WordGramHashCounts].getName, "word_gram_hash_counts",
+    "_FUNC_(text, n) - struct(gh, cnt, tot): sorted distinct word-n-gram hashes + multiplicities")
+
+  private val interCntInfo = extInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count",
+    "_FUNC_(a, b) - |a intersect b| over two sorted BIGINT arrays, linear merge")
+
+  private val summinInfo = extInfo(classOf[SortedSumMin].getName, "sorted_summin",
+    "_FUNC_(agh, acnt, bgh, bcnt) - sum of min multiplicities over matching sorted hashes")
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("winnow_fps"), winnowInfo,
@@ -109,6 +121,18 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("rp_project"), rpInfo,
       (exprs: Seq[Expression]) => RpProject(exprs.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("char_shingle_hashes"), shingleInfo,
+      (exprs: Seq[Expression]) => CharShingleHashes(exprs.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("word_gram_hash_counts"), gramCntInfo,
+      (exprs: Seq[Expression]) => WordGramHashCounts(exprs(0), exprs(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("sorted_intersect_count"), interCntInfo,
+      (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("sorted_summin"), summinInfo,
+      (exprs: Seq[Expression]) => SortedSumMin(exprs(0), exprs(1), exprs(2), exprs(3)))
   }
 }
 

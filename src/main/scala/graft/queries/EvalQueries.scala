@@ -231,40 +231,38 @@ object EvalQueries {
       val pairs = graft.dedup.CandidateArtifacts.pairs(s, dir)
       val candDocs = pairs.select(col("a").as("doc_id"))
         .union(pairs.select(col("b"))).distinct()
-      val grams = Tables.spread(docs.select("doc_id", "text")
+      // per candidate doc, ONE native pass per n builds the sorted
+      // (gram-hash, multiplicity) table + total gram count; the clipped
+      // match m_n then costs a linear merge per pair (sorted_summin)
+      // instead of pushing |pairs|×|grams per doc| rows through a join +
+      // re-aggregate (the old shape's dominant cost). tot doubles as the
+      // reference length r (unigram tot of the b side) — the DOCUMENT-
+      // derived length, so a token-free reference still emits its row
+      // with r = 0 like the oracle's always-present rl CTE.
+      val per = Tables.spread(docs.select("doc_id", "text")
           .join(candDocs, Seq("doc_id"), "left_semi"))
-        .select(col("doc_id"), explode(expr(
-          """concat(
-               transform(word_ngrams(text, 1, false),
-                 g -> named_struct('n', 1, 'gh', xxhash64(g))),
-               transform(word_ngrams(text, 2, false),
-                 g -> named_struct('n', 2, 'gh', xxhash64(g))))""")).as("g"))
-        .groupBy(col("doc_id"), col("g.n").as("n"), col("g.gh").as("gh"))
-        .agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(eager = true) // a-side and b-side clipped-match passes
-      // reference length comes from the DOCUMENT, not from gram rows: a
-      // token-free reference has no gram rows, and deriving r from them
-      // would drop the pair on this side while the oracle (whose rl CTE
-      // always has a row, r = 0) keeps it — a latent cross-engine
-      // row-count mismatch on digits/punctuation-only docs
-      val refLen = docs.select("doc_id", "text")
-        .join(candDocs, Seq("doc_id"), "left_semi")
         .select(col("doc_id"),
-          size(expr("word_ngrams(text, 1, false)")).cast("long").as("r"))
-      val pv = pairs
-        .join(grams.select(col("doc_id").as("a"), col("n"), col("gh"),
-          col("cnt").as("ca")), "a")
-        .join(grams.select(col("doc_id").as("b"), col("n"), col("gh"),
-          col("cnt").as("cb")), Seq("b", "n", "gh"), "left")
-        .groupBy(col("a"), col("b"))
-        .agg(
-          sum(when(col("n") === 1, least(col("ca"), coalesce(col("cb"), lit(0L))))
-            .otherwise(lit(0L))).as("m1"),
-          sum(when(col("n") === 1, col("ca")).otherwise(lit(0L))).as("t1"),
-          sum(when(col("n") === 2, least(col("ca"), coalesce(col("cb"), lit(0L))))
-            .otherwise(lit(0L))).as("m2"),
-          sum(when(col("n") === 2, col("ca")).otherwise(lit(0L))).as("t2"))
-      pv.join(refLen.withColumnRenamed("doc_id", "b"), "b")
+          expr("word_gram_hash_counts(text, 1)").as("u"),
+          expr("word_gram_hash_counts(text, 2)").as("v"))
+        .localCheckpoint(eager = true) // a-side and b-side clipped-match passes
+      // the a-side (candidate) stays an INNER semantics on having tokens:
+      // a token-free candidate (digits/punctuation-only, t1 = 0) emits no
+      // gram rows in the oracle's gc CTE, so its pairs drop on BOTH
+      // engines — mirrored here by the t1 > 0 filter (ADVICE r04: this
+      // drop is intentional and engine-consistent; documented, not fixed,
+      // because BLEU of an empty candidate is undefined)
+      pairs
+        .join(per.select(col("doc_id").as("a"), col("u").as("ua"),
+          col("v").as("va")), "a")
+        .join(per.select(col("doc_id").as("b"), col("u").as("ub"),
+          col("v").as("vb")), "b")
+        .select(col("a"), col("b"),
+          expr("sorted_summin(ua.gh, ua.cnt, ub.gh, ub.cnt)").as("m1"),
+          col("ua.tot").as("t1"),
+          expr("sorted_summin(va.gh, va.cnt, vb.gh, vb.cnt)").as("m2"),
+          col("va.tot").as("t2"),
+          col("ub.tot").as("r"))
+        .where(col("t1") > 0)
         .select(col("a"), col("b"), col("m1"), col("t1"), col("m2"), col("t2"),
           expr("""CAST(floor(least(0.0, 1.0 - CAST(r AS DOUBLE)
                      / CAST(t1 AS DOUBLE)) * 1000000.0) AS BIGINT)""")
