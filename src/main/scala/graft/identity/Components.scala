@@ -233,8 +233,17 @@ object Components {
     * the 100 TB version), then maps back and picks the min *string* per
     * component as canonical.
     */
+  /** @param collisionFree when true, dictionary ids come from a
+    *   zipWithIndex over the distinct identities instead of xxhash64 —
+    *   two distinct strings can NEVER share a numeric id, at the cost of
+    *   one extra pass + checkpoint over the (deduplicated) id dictionary.
+    *   Use for identity resolution at 10⁹+ ids, where a silent hash
+    *   over-merge would corrupt every downstream join; the default hash
+    *   path stays for lower-stakes near-dup clustering (collision odds
+    *   ~n²/2⁶⁵, and the blast radius is one merged cluster). */
   def connectedComponentsString(edges: DataFrame,
-      driverFinishEdges: Long = 1000000L): DataFrame = {
+      driverFinishEdges: Long = 1000000L,
+      collisionFree: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val cols = edges.columns
@@ -255,14 +264,30 @@ object Components {
       return spark.createDataset(unionFindMin(pairs.iterator).toSeq)
         .toDF("id", "canonical_id")
     }
-    val dict = e.select($"a".as("id")).union(e.select($"b".as("id")))
-      .distinct()
-      .withColumn("nid", xxhash64($"id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // xxhash64 collisions are possible in principle; at reference scale the
-    // id space is people (≤ billions) and a collision merely over-merges one
-    // pair — acceptable for this operator; a collision-free variant would
-    // zipWithIndex the dictionary.
+    val ids = e.select($"a".as("id")).union(e.select($"b".as("id"))).distinct()
+    val dict = (if (collisionFree) {
+      // zipWithIndex: one extra job over the distinct ids, ids assigned
+      // 0..n-1 — injective by construction. Checkpoint eagerly: the index
+      // an id receives depends on partition layout, so a lazy recompute
+      // between the le and withId joins could silently renumber ids;
+      // the checkpoint pins one assignment for all three consumers.
+      spark.createDataFrame(
+        ids.select($"id").rdd.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row(r.getString(0), i)
+        },
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("nid",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+        .localCheckpoint(eager = true)
+    } else {
+      // xxhash64 collisions are possible in principle; at reference scale
+      // the id space is people (≤ billions) and a collision merely
+      // over-merges one pair — acceptable for near-dup clustering; pass
+      // collisionFree = true where an over-merge is unacceptable.
+      ids.withColumn("nid", xxhash64($"id"))
+    }).persist(StorageLevel.MEMORY_AND_DISK)
     val le = e.join(dict.withColumnRenamed("id", "a").withColumnRenamed("nid", "na"), "a")
       .join(dict.withColumnRenamed("id", "b").withColumnRenamed("nid", "nb"), "b")
       .select($"na", $"nb")

@@ -186,6 +186,46 @@ class ComponentsSpec extends SparkSpec {
     assert(distributed == got)
   }
 
+  test("collisionFree dictionary keeps xxhash64-colliding ids in separate components") {
+    import spark.implicits._
+    // engineered XXH64(seed 42) collision: the 16-byte string was built by
+    // inverting the <32-byte finalization path (avalanche, chunk round and
+    // the P1/P2 multiplies are all bijective mod 2^64) so both hash to
+    // 8524165555185383493 — verified against Spark's own xxhash64 below
+    val s1 = "kemubcrd"
+    val s2 = "pxprestdSJUI0Hvm"
+    val hashes = Seq(s1, s2).toDF("s").selectExpr("xxhash64(s)")
+      .as[Long].collect()
+    assert(hashes(0) == hashes(1) && hashes(0) == 8524165555185383493L,
+      s"collision pair no longer collides under Spark xxhash64: ${hashes.toSeq}")
+    // two disjoint components, one touching each colliding id; force the
+    // distributed dictionary path (driverFinishEdges = 0 — the driver
+    // union-find works on strings and cannot collide)
+    val edges = Seq((s1, "left-peer"), (s2, "right-peer")).toDF("a", "b")
+    val hashed = Components.connectedComponentsString(edges, driverFinishEdges = 0L)
+      .as[(String, String)].collect().toMap
+    // documents the hazard: the default hash dictionary over-merges
+    assert(hashed.values.toSet.size == 1,
+      s"expected the hash path to over-merge the engineered collision: $hashed")
+    val safe = Components.connectedComponentsString(edges, driverFinishEdges = 0L,
+      collisionFree = true).as[(String, String)].collect().toMap
+    assert(safe(s1) == Seq(s1, "left-peer").min)
+    assert(safe(s2) == Seq(s2, "right-peer").min)
+    assert(safe.values.toSet.size == 2,
+      s"collisionFree path merged colliding ids: $safe")
+  }
+
+  test("collisionFree agrees with the hash path on collision-free graphs") {
+    import spark.implicits._
+    val edges = Seq(("anon-9", "user@x"), ("user@x", "anon-1"), ("z", "y"))
+      .toDF("a", "b")
+    val hashed = Components.connectedComponentsString(edges, driverFinishEdges = 0L)
+      .as[(String, String)].collect().toMap
+    val safe = Components.connectedComponentsString(edges, driverFinishEdges = 0L,
+      collisionFree = true).as[(String, String)].collect().toMap
+    assert(safe == hashed)
+  }
+
   test("self-loops and duplicate edges are harmless") {
     val got = sparkCC(Seq((1L, 1L), (1L, 2L), (1L, 2L), (2L, 1L)))
     assert(got == Map(1L -> 1L, 2L -> 1L))
