@@ -380,8 +380,11 @@ object GraphBpeQueries {
   }
 
   /** (n_nodes, n_edges, n_wedges, n_triangles, clustering_bp) for an
-    * undirected simple graph given as distinct (a < b) pairs. */
-  private[queries] def triangleStats(pairs: DataFrame): DataFrame = {
+    * undirected simple graph given as distinct (a < b) pairs.
+    * @param pruneListener observes the adaptive bloom-prune decision
+    *   (BenchTriangles asserts the pruned path engaged at 10 M edges). */
+  private[graft] def triangleStats(pairs: DataFrame,
+      pruneListener: BloomPrune.AdaptivePrune => Unit = _ => ()): DataFrame = {
       // the pair list is usually the expensive part (a fact-table
       // self-join upstream) — build it ONCE; deg is likewise shared by
       // the orientation and the wedge totals (un-checkpointed, the
@@ -425,14 +428,18 @@ object GraphBpeQueries {
       // SAME stage that generates it (BloomPrune: distributed build,
       // native codegen probe), and only survivors (true triangles + fpp)
       // reach the exchange. False positives pass through to the exact
-      // join; no false negatives. The filter is sized from the real edge
-      // count — a driver-side count on the already-checkpointed edge
-      // list, reused as the n_edges output literal. At 100 TB the bloom
-      // bits grow ~1.8 B/edge; past ~50M edges the prune stops paying and
-      // the plain closure join below is the standard Σ od² cost you
-      // accept. Each unordered triangle is counted exactly once because
-      // the closing edge exists in exactly ONE orientation —
-      // TriangleSpec's random-graph brute-force check pins this.
+      // join; no false negatives. The filter is BUDGET-sized from the
+      // real edge count (a driver-side count on the already-checkpointed
+      // edge list, reused as the n_edges output literal): fpp 0.001 while
+      // the bits fit the 256 MB budget, then degrading fpp as edges grow
+      // — the prune still kills ~90% of the wedge shuffle at fpp 0.1 —
+      // and only past ~1.5 B edges (achievable fpp ≥ 0.5, filter passes
+      // most wedges anyway) does pruneAdaptive hand back the unpruned
+      // stream and the closure join pays the standard Σ od² cost. Each
+      // unordered triangle is counted exactly once because the closing
+      // edge exists in exactly ONE orientation — TriangleSpec's
+      // random-graph brute-force check pins this; BenchTriangles measures
+      // the pruned path engaged on a 10 M-edge graph.
       val nEdges = oriented.count()
       // shuffle_hash hints: both joins key on longs with an edge-list-sized
       // build side — hashing it beats sort-merge's two sorts, and the
@@ -447,11 +454,10 @@ object GraphBpeQueries {
       val closing = oriented
         .select(col("u").as("wu"), col("v").as("wv"),
           xxhash64(col("u"), col("v")).as("ek"))
-      val pruned =
-        if (nEdges > 0 && nEdges <= 50000000L)
-          BloomPrune.prune(wedges, "ek", closing.select(col("ek")), "ek",
-            expectedItems = math.max(nEdges, 1000L), fpp = 0.001)
-        else wedges
+      val ap = BloomPrune.pruneAdaptive(wedges, "ek",
+        closing.select(col("ek")), "ek", nKeys = math.max(nEdges, 1000L))
+      pruneListener(ap)
+      val pruned = ap.df
       val tri = pruned
         .join(closing.hint("shuffle_hash"), Seq("wu", "wv", "ek"))
         .agg(count(lit(1)).as("n_triangles"))

@@ -49,4 +49,26 @@ class BloomPruneSpec extends SparkSpec {
       .as[String].collect().toSet
     assert(Set("b", "d").subsetOf(kept))
   }
+
+  test("pruneAdaptive: fpp floor at small n, graceful degrade, fallback past budget") {
+    import org.apache.spark.sql.functions.col
+    val fact = spark.range(100).toDF("k")
+    val dim = spark.range(0, 100, 2).toDF("k")
+    // small n: the floor fpp applies, filter engages, semantics = prune
+    val small = BloomPrune.pruneAdaptive(fact, "k", dim, "k", nKeys = 50)
+    assert(small.engaged && small.fpp == 0.001)
+    val kept = small.df.select(col("k")).as[Long].collect().toSet
+    assert((0L until 100L by 2).forall(kept.contains)) // no false negatives
+    // over-budget: fpp degrades but the filter still pays (scaled-down
+    // 1 KB budget, 5 k keys → ~1.6 bits/key → fpp ~0.46 — same geometry
+    // as 256 MB against ~1.3 B keys)
+    val mid = BloomPrune.pruneAdaptive(fact, "k", dim, "k", nKeys = 5000L,
+      maxFilterBytes = 1024L)
+    assert(mid.engaged && mid.fpp > 0.001 && mid.fpp < 0.5, mid.toString)
+    // past the crossover (achievable fpp ≥ 0.5) the filter can't pay:
+    // the unpruned frame comes back unchanged
+    val huge = BloomPrune.pruneAdaptive(fact, "k", dim, "k", nKeys = 20000L,
+      maxFilterBytes = 1024L)
+    assert(!huge.engaged && (huge.df eq fact))
+  }
 }
