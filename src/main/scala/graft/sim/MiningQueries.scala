@@ -554,7 +554,13 @@ object MiningQueries {
         .groupBy(col("q_id"), col("q_label"))
         .agg(sum(when(col("label") === col("q_label"), col("d_micro"))
           .otherwise(lit(0L))).as("dcg_micro"))
-        .join(broadcast(nRel), "q_id")
+        // LEFT join + coalesce: a query whose label has zero same-label
+        // corpus rows has no nRel row — an inner join would silently drop
+        // it, leaving the documented n_rel = 0 → -1 branch unreachable
+        // (ADVICE r04). With the left join the degenerate query emits its
+        // row with dcg_micro = 0 and ndcg_ppm = -1 on both engines.
+        .join(broadcast(nRel), Seq("q_id"), "left")
+        .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
         .select(col("q_id"), col("q_label").cast("long").as("q_label"),
           col("n_rel"), col("dcg_micro"),
           expr(s"""CASE WHEN n_rel = 0 THEN -1
@@ -595,13 +601,14 @@ object MiningQueries {
                 THEN [${disc.mkString(", ")}][CAST(rk AS INT)]
                 ELSE 0 END) AS BIGINT) AS dcg_micro
             FROM topk GROUP BY q_id, q_label)
-          SELECT d.q_id, CAST(d.q_label AS BIGINT) AS q_label, n.n_rel,
+          SELECT d.q_id, CAST(d.q_label AS BIGINT) AS q_label,
+            coalesce(n.n_rel, 0) AS n_rel,
             d.dcg_micro,
-            CASE WHEN n.n_rel = 0 THEN -1
+            CASE WHEN coalesce(n.n_rel, 0) = 0 THEN -1
             ELSE (d.dcg_micro * 1000000)
               // [${cum.mkString(", ")}][CAST(least(n.n_rel, $NdcgK) AS INT)]
             END AS ndcg_ppm
-          FROM dcg d JOIN nrel n USING (q_id)"""
+          FROM dcg d LEFT JOIN nrel n USING (q_id)"""
     })
 
   /** Matryoshka (MRL) truncation evaluation: how much retrieval quality

@@ -25,6 +25,22 @@ import graft.queries.{Q, Tables}
   */
 object MixQueries {
 
+  /** Phase-1/phase-2 anneal allocations over columns (tokens, total,
+    * qtokens, qtotal) — shared by mix_anneal_schedule and the overflow
+    * spec. Products promoted to DECIMAL(38,0): budget × tokens is two
+    * corpus-scale BIGINTs and passes 2^63 at a ~10^10-token corpus with
+    * a dominant source; DECIMAL(38,0) holds any BIGINT×BIGINT product
+    * exactly (≤ 8.6e37 < 1e38) and `div` floors back to BIGINT, agreeing
+    * with the DuckDB HUGEINT twin (MixAnnealOverflowSpec pins both above
+    * 2^63 against BigInt arithmetic). */
+  private[graft] val P1TokensExpr: String =
+    """(CAST((CAST(total div 2 AS DECIMAL(38,0)) * 9) div 10
+         AS DECIMAL(38,0)) * tokens) div total"""
+  private[graft] val P2TokensExpr: String =
+    """CASE WHEN qtotal = 0 THEN CAST(0 AS BIGINT)
+       ELSE (CAST((total div 2) div 10 AS DECIMAL(38,0))
+         * qtokens) div qtotal END"""
+
   private val tokenizeExpr = "word_ngrams(text, 1, false)"
 
   /** Perplexity head/middle/tail per language. Unigram NLL per token is
@@ -299,14 +315,13 @@ object MixQueries {
           sum(col("pass") * col("n_tok")).as("qtokens"))
       val tot = perSource.agg(sum(col("tokens")).as("total"),
         sum(col("qtokens")).as("qtotal"))
+      // allocation arithmetic: see P1TokensExpr/P2TokensExpr — promoted
+      // to DECIMAL(38,0) against the 2^63 product overflow (ADVICE r04)
       perSource.crossJoin(broadcast(tot))
         .select(col("source"), col("n_docs"), col("tokens"), col("qtokens"),
           expr("(n_pass * 1000000) div n_docs").as("pass_ppm"),
-          expr("(((total div 2) * 9 div 10) * tokens) div total")
-            .as("p1_tokens"),
-          expr("""CASE WHEN qtotal = 0 THEN CAST(0 AS BIGINT)
-                  ELSE (((total div 2) div 10) * qtokens) div qtotal END""")
-            .as("p2_tokens"))
+          expr(MixQueries.P1TokensExpr).as("p1_tokens"),
+          expr(MixQueries.P2TokensExpr).as("p2_tokens"))
         .withColumn("planned_tokens", col("p1_tokens") + col("p2_tokens"))
     },
     Some("""WITH per_doc AS (
@@ -328,13 +343,17 @@ object MixQueries {
               FROM per_source)
             SELECT source, n_docs, tokens, qtokens,
               (n_pass * 1000000) // n_docs AS pass_ppm,
-              (((total // 2) * 9 // 10) * tokens) // total AS p1_tokens,
+              CAST(((CAST(total // 2 AS HUGEINT) * 9 // 10) * tokens)
+                // total AS BIGINT) AS p1_tokens,
               CASE WHEN qtotal = 0 THEN CAST(0 AS BIGINT)
-                ELSE (((total // 2) // 10) * qtokens) // qtotal END
+                ELSE CAST((CAST((total // 2) // 10 AS HUGEINT) * qtokens)
+                  // qtotal AS BIGINT) END
                 AS p2_tokens,
-              (((total // 2) * 9 // 10) * tokens) // total
+              CAST(((CAST(total // 2 AS HUGEINT) * 9 // 10) * tokens)
+                // total AS BIGINT)
                 + CASE WHEN qtotal = 0 THEN CAST(0 AS BIGINT)
-                  ELSE (((total // 2) // 10) * qtokens) // qtotal END
+                  ELSE CAST((CAST((total // 2) // 10 AS HUGEINT) * qtokens)
+                    // qtotal AS BIGINT) END
                 AS planned_tokens
             FROM per_source, tot"""))
 
