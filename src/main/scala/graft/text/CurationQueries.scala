@@ -1034,7 +1034,7 @@ object CurationQueries {
           .agg(count(lit(1)).as("n_vocab"), sum(col("cnt")).as("covered"))
           .select(lit(v.toLong).as("v"), col("n_vocab"), col("covered"))
       }.reduce(_ unionAll _)
-      covered.crossJoin(total)
+      covered.crossJoin(broadcast(total)) // 1-row total — hint like siblings
         .select(col("v"), col("n_vocab"), col("covered"),
           expr("(covered * 1000000) div total").as("coverage_ppm"))
     },

@@ -235,7 +235,7 @@ object TextQueries {
       val df_ = tf.groupBy(col("term"))
         .agg(countDistinct(col("doc_id")).as("df"))
       val scored = tf.join(df_, "term")
-        .crossJoin(n)
+        .crossJoin(broadcast(n)) // 1-row total — hint like every sibling site
         .withColumn("tfidf",
           round(col("tf") * log(col("n_docs") / col("df")), 6))
       val w = Window.partitionBy(col("doc_id"))

@@ -73,14 +73,29 @@ class PlanSpec extends SparkSpec {
       "ngram jaccard re-runs the signature pass instead of reusing the artifact")
   }
 
-  test("tfidf has no forced vocabulary broadcast") {
+  test("tfidf: only the 1-row total broadcasts; vocabulary side unhinted") {
     val q = graft.SparkEntry.queries("text_tfidf")(spark, dir)
-    // the logical plan must carry no broadcast hint on the vocabulary-sized
-    // document-frequency side (AQE may still choose broadcast from observed
-    // size at small SF — that's fine; a forced hint at 100 TB is not)
-    val logical = q.queryExecution.analyzed.toString
-    assert(!logical.contains("ResolvedHint"),
-      "text_tfidf carries a forced broadcast hint")
+    // the 1-row corpus-count frame carries an explicit broadcast hint
+    // (every scalar-total site does); the vocabulary-sized document-
+    // frequency side must NOT (AQE may still choose broadcast from
+    // observed size at small SF — that's fine; a forced hint at 100 TB
+    // is not)
+    val hinted = q.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hinted.nonEmpty, "text_tfidf lost its 1-row total broadcast hint")
+    assert(hinted.forall(_.child.maxRows.exists(_ <= 1L)),
+      "a vocabulary-sized side carries a forced broadcast hint")
+  }
+
+  test("tokenizer_coverage: the 1-row total broadcasts, nothing else is hinted") {
+    val q = graft.SparkEntry.queries("tokenizer_coverage")(spark, dir)
+    val hinted = q.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hinted.nonEmpty, "tokenizer_coverage lost its 1-row total broadcast hint")
+    assert(hinted.forall(_.child.maxRows.exists(_ <= 1L)),
+      "a vocabulary-sized side carries a forced broadcast hint")
   }
 
   test("vocab_topk is a partial top-k over partial-agg counts") {
