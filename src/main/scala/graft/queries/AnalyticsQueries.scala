@@ -433,6 +433,18 @@ object AnalyticsQueries {
     },
     None)
 
+  // Deterministic companion for the rows-only sketch query above (the
+  // approx_stats_frame pattern): the SAME pipeline's output projected to
+  // its deterministic column — the day keys that survive the dau⋈wau
+  // join — hash-compared against DuckDB. A wiring regression (wrong day
+  // arithmetic, a join that drops or duplicates days) fails this oracle;
+  // the estimates stay pinned by RollingHllSpec's error bounds.
+  private val rollingActiveHllFrame = Q(
+    "rolling_active_hll_frame",
+    (s, dir) => rollingActiveHll.run(s, dir).select(col("day_no")),
+    Some("""SELECT DISTINCT epoch_ns(ts) // 1000 // 86400000000 AS day_no
+            FROM events"""))
+
   // Multi-touch attribution — the marketing query a Kissmetrics warehouse
   // ultimately funds: every purchase splits credit across the user's
   // clicks in a 7-day lookback, LINEAR (1/n each) and TIME-DECAY
@@ -1014,7 +1026,8 @@ object AnalyticsQueries {
   val all: Seq[Q] =
     Seq(funnelSteps, cohortRetention, sessionWindowAgg, eventTransitions,
       windowRollingStats, cdcScd2, resampleFfill, rfmSegments,
-      rollingActiveUsers, rollingActiveHll, attributionMultitouch,
+      rollingActiveUsers, rollingActiveHll, rollingActiveHllFrame,
+      attributionMultitouch,
       experimentTtest, cdcLogCompact, abSrmCheck, funnelWindow,
       joinScd2Pit, streakIslands, trendWowGrowth, trendDowAnomaly,
       eventsConcentration)

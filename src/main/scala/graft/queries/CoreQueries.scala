@@ -827,6 +827,19 @@ object CoreQueries {
         count(lit(1)).as("cnt")),
     None)
 
+  // Deterministic companion for the rows-only sketch query above: the
+  // SAME pipeline's output, projected to its deterministic columns
+  // (group keys + exact count) and hash-compared against DuckDB — a
+  // wiring regression in approx_stats (wrong table, wrong group key,
+  // dropped rows) now fails a real oracle instead of hiding behind
+  // "sketch output is engine-specific". The sketch VALUES stay pinned by
+  // their error-bound spec.
+  private val approxStatsFrame = Q(
+    "approx_stats_frame",
+    (s, dir) => approxStats.run(s, dir).select(col("event_type"), col("cnt")),
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY event_type"""))
+
   val all: Seq[Q] = Seq(
     scanProject, filterAlias, filterLike, filterInNotContains,
     deriveEventColumns, sanitizeColumns, aggCounts, aggMaxLength,
@@ -837,5 +850,5 @@ object CoreQueries {
     asofJoin, asofJoinNative, asofJoinForward, asofJoinNearest,
     asofJoinTolerance, mergeUpsert,
     rangeJoin,
-    windowFuncs, exactPercentiles, approxStats)
+    windowFuncs, exactPercentiles, approxStats, approxStatsFrame)
 }
