@@ -37,6 +37,33 @@ object BenchPipeline {
 
     val base = Files.createTempDirectory("graft-bench-pipe")
     val in = base.resolve("in"); Files.createDirectory(in)
+    BenchData.writeCorpus(in, rows, files)
+
+    val out = base.resolve("out").toString
+    // one untimed tiny run so JIT/codegen/parquet-writer setup is not
+    // charged to the measured pass (the graft.Bench warmup discipline)
+    val warm = base.resolve("warm"); Files.createDirectory(warm)
+    Files.writeString(warm.resolve("1.json"),
+      """{"_p":"w","_n":"pageview","_t":"1700000000"}""" + "\n")
+    Pipeline.run(spark, warm.toString, base.resolve("warmout").toString, None)
+
+    val t0 = System.nanoTime()
+    val (nEvents, _) = Pipeline.run(spark, in.toString, out, None)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val nIdentity = spark.read.parquet(s"$out/identity").count()
+    println(f"""{"metric":"pipeline_rows_per_sec","value":${nEvents / sec}%.0f,"rows":$nEvents,"sec":$sec%.2f,"identity_rows":$nIdentity}""")
+    spark.stop()
+  }
+}
+
+/** Deterministic reference-shaped NDJSON corpus shared by BenchPipeline
+  * (batch) and BenchStreamPipeline/StreamPipelineE2ESpec (streaming):
+  * every 50th line an alias event, every 29th an 'updated email' edge
+  * pair, every 97th dirty (unescaped inner quote — the repair path),
+  * every 997th blank (skipped). No RNG — both paths see byte-identical
+  * input. */
+private[graft] object BenchData {
+  def writeCorpus(in: java.nio.file.Path, rows: Int, files: Int): Unit = {
     val perFile = rows / files
     var id = 0
     (1 to files).foreach { f =>
@@ -56,22 +83,7 @@ object BenchPipeline {
         else
           sb.append(s"""{"_p":"$p","_n":"pageview","_t":"$ts","page":"/p/${id % 1000}","ua-type":"bot$id"}""" + "\n")
       }
-      Files.writeString(in.resolve(s"$f.json"), sb.toString)
+      java.nio.file.Files.writeString(in.resolve(s"$f.json"), sb.toString)
     }
-
-    val out = base.resolve("out").toString
-    // one untimed tiny run so JIT/codegen/parquet-writer setup is not
-    // charged to the measured pass (the graft.Bench warmup discipline)
-    val warm = base.resolve("warm"); Files.createDirectory(warm)
-    Files.writeString(warm.resolve("1.json"),
-      """{"_p":"w","_n":"pageview","_t":"1700000000"}""" + "\n")
-    Pipeline.run(spark, warm.toString, base.resolve("warmout").toString, None)
-
-    val t0 = System.nanoTime()
-    val (nEvents, _) = Pipeline.run(spark, in.toString, out, None)
-    val sec = (System.nanoTime() - t0) / 1e9
-    val nIdentity = spark.read.parquet(s"$out/identity").count()
-    println(f"""{"metric":"pipeline_rows_per_sec","value":${nEvents / sec}%.0f,"rows":$nEvents,"sec":$sec%.2f,"identity_rows":$nIdentity}""")
-    spark.stop()
   }
 }

@@ -98,7 +98,7 @@ object Pipeline {
     (nEvents, wm.getOrElse(-1L))
   }
 
-  private def truncateIfExists(connect: () => java.sql.Connection,
+  private[graft] def truncateIfExists(connect: () => java.sql.Connection,
                                table: String): Unit = {
     val conn = connect()
     try {

@@ -151,6 +151,20 @@ object JdbcSink {
     }
   }
 
+  /** Ensure a (non-unique) index on the idempotency key column — probe
+    * JDBC metadata first (no IF NOT EXISTS for indexes in every dialect). */
+  private def ensureKeyIndex(conn: Connection, table: String, keyCol: String): Unit = {
+    val idxName = Sanitize.key(s"${table}_${keyCol}_idx").replace("\"", "")
+    val rs = conn.getMetaData.getIndexInfo(null, null,
+      Sanitize.key(table).replace("\"", ""), false, false)
+    val exists =
+      try Iterator.continually(rs).takeWhile(_.next())
+        .exists(r => Option(r.getString("INDEX_NAME")).contains(idxName))
+      finally rs.close()
+    if (!exists)
+      execute(conn, s"""CREATE INDEX "$idxName" ON ${ident(table)} (${ident(keyCol)})""")
+  }
+
   private def tableExists(conn: Connection, table: String): Boolean = {
     val rs = conn.getMetaData.getTables(null, null,
       Sanitize.key(table).replace("\"", ""), null)
@@ -216,6 +230,11 @@ object JdbcSink {
     val conn = connect()
     try {
       ensureAndEvolve(conn, table, df.schema, maxVarchar)
+      // the key anti-join is an index lookup per staged row WITH this
+      // index, a full target scan per staged row WITHOUT it (quadratic —
+      // measured: the 500 k-row BenchStreamPipeline never finished) —
+      // any warehouse doing keyed idempotent loads wants this index
+      ensureKeyIndex(conn, table, keyCol)
       if (tableExists(conn, staging)) execute(conn, s"DROP TABLE ${ident(staging)}")
       execute(conn, createTableSql(staging, df.schema, maxVarchar)
         .replace("CREATE TABLE IF NOT EXISTS", "CREATE TABLE"))
