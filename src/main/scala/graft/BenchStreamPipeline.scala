@@ -54,14 +54,14 @@ object BenchStreamPipeline {
     // sink write commits but before its checkpoint commit
     val r1 = graft.streaming.StreamPipeline.drain(spark, in.toString, ckpt,
       "tb_event_stream", connect _, maxFilesPerTrigger = 8,
-      crashAfterBatch = Some(1L))
+      crashAfterBatch = Some(1L), dedupHorizon = "45 days")
     val crashed = r1.failure.isDefined
     val ins1 = r1.inserted
     // restart from the same checkpoint: batch 1 replays (its rows are
     // already in Derby), the idempotent sink inserts 0 for it, the
     // remaining batches drain
     val r2 = graft.streaming.StreamPipeline.drain(spark, in.toString, ckpt,
-      "tb_event_stream", connect _, maxFilesPerTrigger = 8)
+      "tb_event_stream", connect _, maxFilesPerTrigger = 8, dedupHorizon = "45 days")
     r2.failure.foreach(e => throw e)
     val ins2 = r2.inserted
     val sec = (System.nanoTime() - t0) / 1e9

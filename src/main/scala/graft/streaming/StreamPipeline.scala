@@ -42,12 +42,18 @@ object StreamPipeline {
   def drain(spark: SparkSession, inDir: String, checkpointDir: String,
       table: String, connect: () => java.sql.Connection,
       maxFilesPerTrigger: Int, crashAfterBatch: Option[Long] = None,
-      maxVarchar: Int = 4000): DrainResult = {
+      maxVarchar: Int = 4000, dedupHorizon: String = "10 minutes"): DrainResult = {
     val inserted = new AtomicLong(0L)
     val q = StreamIngest.readEvents(spark, inDir, Some(maxFilesPerTrigger))
       // in-stream dedup: the reader's md5hash fingerprint, state bounded
-      // by the watermark horizon (StreamDedup semantics, key pre-computed)
-      .withWatermark("ts", "10 minutes")
+      // by the watermark horizon (StreamDedup semantics, key pre-computed).
+      // The horizon must exceed the source's EVENT-TIME disorder: the file
+      // source orders by modification time, and a file whose events sit
+      // more than `dedupHorizon` behind the watermark is dropped as late
+      // (observed: same-millisecond mod-time ties reordered the bench
+      // corpus's files under load and silently dropped a whole batch with
+      // a 10-minute horizon against a 23-day event-time span)
+      .withWatermark("ts", dedupHorizon)
       .dropDuplicatesWithinWatermark("md5hash")
       .writeStream
       .trigger(Trigger.AvailableNow())

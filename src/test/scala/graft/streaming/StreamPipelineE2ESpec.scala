@@ -36,14 +36,15 @@ class StreamPipelineE2ESpec extends SparkSpec {
     // write (rows of batches 0 and 1 are in Derby; checkpoint knows only
     // batch 0 completed)
     val r1 = StreamPipeline.drain(spark, in.toString, ckpt, "tb_e2e",
-      connect _, maxFilesPerTrigger = 2, crashAfterBatch = Some(1L))
+      connect _, maxFilesPerTrigger = 2, crashAfterBatch = Some(1L),
+      dedupHorizon = "45 days")
     assert(r1.failure.isDefined, "injected crash did not fire")
     assert(r1.inserted > 0, "no rows landed before the crash")
 
     // restart from the same checkpoint: batch 1 REPLAYS; its rows are
     // already in the warehouse, so the idempotent sink inserts 0 for it
     val r2 = StreamPipeline.drain(spark, in.toString, ckpt, "tb_e2e",
-      connect _, maxFilesPerTrigger = 2)
+      connect _, maxFilesPerTrigger = 2, dedupHorizon = "45 days")
     assert(r2.failure.isEmpty, s"restart failed: ${r2.failure}")
 
     val landed = {
@@ -54,6 +55,7 @@ class StreamPipelineE2ESpec extends SparkSpec {
         rs.next(); rs.getLong(1)
       } finally c.close()
     }
+    info(s"inserted run1=${r1.inserted} run2=${r2.inserted} landed=$landed expected=$expected")
     assert(landed == expected,
       s"warehouse $landed != batch distinct-fingerprint count $expected")
     assert(r1.inserted + r2.inserted == expected,
