@@ -782,6 +782,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("eval_bleu: one tokenize pass behind the checkpoint; clipped match is a merge, not a re-aggregate") {
+    val p = plan("eval_bleu")
+    // per-doc gram tables build ONCE at checkpoint construction — a
+    // word_gram_hash_counts in the executed plan means a side re-tokenizes
+    assert(!p.contains("word_gram_hash_counts"),
+      "a bleu side re-tokenizes instead of reading the checkpointed gram tables")
+    assert(p.contains("Scan ExistingRDD"), p.take(1000))
+    // m1/m2 are per-pair sorted merges — the old shape pushed
+    // |pairs|×|grams| rows through a join + groupBy(a, b) re-aggregate
+    assert(p.contains("sorted_summin"),
+      "clipped-match counts no longer use the sorted-merge kernel")
+    assert(!p.contains("windowspecdefinition"), "bleu grew a rank window")
+    val pairAggs = p.linesIterator.count(l =>
+      l.contains("hashpartitioning(a#") || l.contains("hashpartitioning(b#"))
+    assert(pairAggs == 0,
+      s"bleu re-aggregates per pair again ($pairAggs pair-keyed exchanges)")
+  }
+
+  test("est + jaccard: exact intersections are sorted merges, not per-pair hash sets") {
+    for (name <- Seq("dedup_minhash_est", "dedup_ngram_jaccard")) {
+      val p = plan(name)
+      assert(p.contains("sorted_intersect_count"),
+        s"$name lost the sorted-merge intersection kernel")
+      assert(!p.contains("array_intersect"),
+        s"$name regressed to array_intersect (per-pair hash set + array alloc)")
+    }
+  }
+
   test("dedup_minhash_est: verify joins stay equi-keyed on the pair list") {
     // band-hash pair generation and the candidate-doc semi-join run behind
     // eager localCheckpoints, so the FINAL plan only shows the verify
