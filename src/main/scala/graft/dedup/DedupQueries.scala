@@ -689,9 +689,15 @@ object DedupQueries {
 
   /** Exploded (doc_id, fp) view of [[winnowFpArrays]] — the inverted-index
     * input shape (docs with no full window disappear, like the original
-    * window formulation). */
+    * window formulation). The fp key is xxhash64 of the selected md5
+    * fingerprint: winnowing SELECTION runs on md5 strings (lexicographic
+    * window-min, oracle-identical), but downstream only needs key
+    * EQUALITY — 8-byte longs in the checkpoint, the df aggregate and the
+    * pair self-join instead of 32-char strings (the dedup_substring
+    * ship-hashes-not-text lesson; same 64-bit collision stance). */
   private[graft] def winnowFingerprints(docs: DataFrame): DataFrame =
-    winnowFpArrays(docs).select(col("doc_id"), explode(col("fps")).as("fp"))
+    winnowFpArrays(docs).select(col("doc_id"),
+      explode(expr("transform(fps, f -> xxhash64(f))")).as("fp"))
 
   // Per-doc winnowing rollup. Docs too short for one full window keep a
   // row with n_fp = 0 (empty fingerprint array). The rollup reads the
