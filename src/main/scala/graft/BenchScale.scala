@@ -81,10 +81,14 @@ object BenchScale {
       else {
         val fn = SparkEntry.queries(name)
         val re = sfs.map { case (label, dir) =>
+          // a FAILED rep must not contribute a (fast) elapsed time — a
+          // transient OOM would otherwise let min() erase a genuine
+          // super-linear sample
           val best = (1 to 3).map { _ =>
             val t0 = System.nanoTime()
-            try consume(fn(spark, dir)) catch { case _: Throwable => -1L }
-            (System.nanoTime() - t0) / 1e9
+            val ok = try { consume(fn(spark, dir)); true }
+              catch { case _: Throwable => false }
+            if (ok) (System.nanoTime() - t0) / 1e9 else Double.MaxValue
           }.min
           label -> math.min(best, times(name)(label))
         }.toMap

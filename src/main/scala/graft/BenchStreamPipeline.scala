@@ -54,7 +54,7 @@ object BenchStreamPipeline {
     // sink write commits but before its checkpoint commit
     val r1 = graft.streaming.StreamPipeline.drain(spark, in.toString, ckpt,
       "tb_event_stream", connect _, maxFilesPerTrigger = 8,
-      crashAfterBatch = Some(1L), dedupHorizon = "45 days")
+      dedupHorizon = "45 days", crashAfterBatch = Some(1L))
     val crashed = r1.failure.isDefined
     val ins1 = r1.inserted
     // restart from the same checkpoint: batch 1 replays (its rows are

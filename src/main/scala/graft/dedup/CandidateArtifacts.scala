@@ -58,6 +58,12 @@ object CandidateArtifacts {
 
   private def get(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     synchronized {
+      // drop entries whose session has been stopped (tests that restart
+      // sessions): their checkpointed RDDs died with the session, and
+      // keeping the key would pin the stopped session on the heap for
+      // the JVM lifetime. Live-session entries are bounded by the number
+      // of corpus dirs (3 in the harness).
+      cache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
       cache.getOrElseUpdate((s, dir), {
         builds += 1
         val docs = Tables.documents(s, dir)

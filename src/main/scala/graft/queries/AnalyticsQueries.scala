@@ -442,8 +442,13 @@ object AnalyticsQueries {
   private val rollingActiveHllFrame = Q(
     "rolling_active_hll_frame",
     (s, dir) => rollingActiveHll.run(s, dir).select(col("day_no")),
+    // ts IS NOT NULL mirrors the Spark side's behavior on a null-ts row:
+    // its null day_no cannot survive the dau⋈wau equi-join (the wau
+    // explode of sequence(null, null+6) emits no rows), while a bare
+    // DISTINCT here would emit the NULL day — a latent row-count mismatch
+    // if the fixture ever grows null timestamps
     Some("""SELECT DISTINCT epoch_ns(ts) // 1000 // 86400000000 AS day_no
-            FROM events"""))
+            FROM events WHERE ts IS NOT NULL"""))
 
   // Multi-touch attribution — the marketing query a Kissmetrics warehouse
   // ultimately funds: every purchase splits credit across the user's

@@ -41,18 +41,21 @@ object StreamPipeline {
     */
   def drain(spark: SparkSession, inDir: String, checkpointDir: String,
       table: String, connect: () => java.sql.Connection,
-      maxFilesPerTrigger: Int, crashAfterBatch: Option[Long] = None,
-      maxVarchar: Int = 4000, dedupHorizon: String = "10 minutes"): DrainResult = {
+      maxFilesPerTrigger: Int, dedupHorizon: String,
+      crashAfterBatch: Option[Long] = None,
+      maxVarchar: Int = 4000): DrainResult = {
     val inserted = new AtomicLong(0L)
     val q = StreamIngest.readEvents(spark, inDir, Some(maxFilesPerTrigger))
       // in-stream dedup: the reader's md5hash fingerprint, state bounded
       // by the watermark horizon (StreamDedup semantics, key pre-computed).
-      // The horizon must exceed the source's EVENT-TIME disorder: the file
-      // source orders by modification time, and a file whose events sit
-      // more than `dedupHorizon` behind the watermark is dropped as late
-      // (observed: same-millisecond mod-time ties reordered the bench
-      // corpus's files under load and silently dropped a whole batch with
-      // a 10-minute horizon against a 23-day event-time span)
+      // `dedupHorizon` is deliberately REQUIRED (no default): it must
+      // exceed the source's EVENT-TIME disorder — the file source orders
+      // by modification time, and a file whose events sit more than the
+      // horizon behind the watermark is dropped as late (observed: with a
+      // 10-minute default, same-millisecond mod-time ties reordered the
+      // bench corpus's files under load and silently dropped a whole
+      // 1998-row batch against its 23-day event-time span). Forcing the
+      // caller to size it makes that a decision, not an accident.
       .withWatermark("ts", dedupHorizon)
       .dropDuplicatesWithinWatermark("md5hash")
       .writeStream
@@ -95,7 +98,12 @@ object StreamPipeline {
           org.apache.spark.sql.types.StringType,
           org.apache.spark.sql.types.StringType)))
     val edges = graft.identity.IdentityEdges.fromEvents(events)
-    val closure = graft.identity.Components.connectedComponentsString(edges)
+    // collisionFree: this IS identity resolution — the case the flag was
+    // built for (a silent xxhash64 over-merge here corrupts every
+    // downstream join of tb_identity); the zipWithIndex dictionary costs
+    // one extra pass over the distinct ids
+    val closure = graft.identity.Components.connectedComponentsString(edges,
+      collisionFree = true)
       .withColumnRenamed("id", "alias")
       .withColumnRenamed("canonical_id", "id")
       .localCheckpoint(eager = true)

@@ -36,8 +36,8 @@ class StreamPipelineE2ESpec extends SparkSpec {
     // write (rows of batches 0 and 1 are in Derby; checkpoint knows only
     // batch 0 completed)
     val r1 = StreamPipeline.drain(spark, in.toString, ckpt, "tb_e2e",
-      connect _, maxFilesPerTrigger = 2, crashAfterBatch = Some(1L),
-      dedupHorizon = "45 days")
+      connect _, maxFilesPerTrigger = 2, dedupHorizon = "45 days",
+      crashAfterBatch = Some(1L))
     assert(r1.failure.isDefined, "injected crash did not fire")
     assert(r1.inserted > 0, "no rows landed before the crash")
 
