@@ -32,16 +32,31 @@ import org.apache.spark.storage.StorageLevel
   * Once the live edge count (already known from the convergence signature —
   * no extra job) drops below `driverFinishEdges`, the remainder is collected
   * and finished with one in-memory union-find, and the result re-distributed.
-  * The threshold bounds driver memory (4M edges ≈ tens of MB), so the
-  * operator stays distributed exactly while the data is big and skips the
-  * fixed-overhead tail — on a 1000-executor cluster this saves the same
-  * rounds it saves at bench scale.
+  * The threshold bounds driver memory — honestly: 1M collected edges are
+  * ~16 MB of raw longs but several hundred MB TRANSIENT as boxed tuples +
+  * union-find HashMap + the LocalRelation the result re-distributes
+  * through (~100 B/edge all-in), which is why the default is 1M and not
+  * "whatever fits as primitives". The operator stays distributed exactly
+  * while the data is big and skips the fixed-overhead tail — on a
+  * 1000-executor cluster this saves the same rounds it saves at bench
+  * scale; raise the threshold only with driver heap to match.
   */
 object Components {
 
   /** Edge-count threshold below which CC finishes with a driver-side
-    * union-find instead of more star rounds. */
-  val DefaultDriverFinishEdges: Long = 4000000L
+    * union-find instead of more star rounds. ~100 B/edge transient
+    * driver footprint (boxed tuples + HashMap + LocalRelation) — 1M
+    * edges ≈ low hundreds of MB, safe on a default driver heap. */
+  val DefaultDriverFinishEdges: Long = 1000000L
+
+  /** String ordering by UTF-8 bytes (unsigned) — the order Spark's
+    * UTF8String binary comparison (and so `min` on a string column) uses.
+    * Equivalent to code-point order; differs from `Ordering[String]`
+    * (UTF-16 code units) exactly on supplementary-plane characters. */
+  private[identity] val Utf8Ordering: Ordering[String] = (a: String, b: String) =>
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   /** Release the block-manager storage behind a `localCheckpoint`ed
     * DataFrame. `Dataset.unpersist` can't: the checkpointed RDD is persisted
@@ -154,7 +169,10 @@ object Components {
         .select($"v".as("u"), $"m".as("v"))
         .union(reattach)
         .where($"u" =!= $"v")
-        .select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
+        // already canonical — no greatest/least needed: every emitted row
+        // is (x, m) with m the group min, so x >= m, and equality just
+        // filtered; ComponentsSpec's brute-force union-find comparisons
+        // pin the equivalence
         .distinct()
     }
 
@@ -260,9 +278,16 @@ object Components {
     if (edgeCount <= driverFinishEdges) {
       // Small graph: skip the dictionary hashing + three joins entirely —
       // one collect + union-find, canonical = min string per component.
+      // Canonical selection uses UTF-8 BYTE order, not Ordering[String]
+      // (UTF-16 code units): Spark's min($"id") on the distributed path
+      // compares UTF8String binary, and the two orders DISAGREE for
+      // supplementary-plane characters (surrogates sort low in UTF-16) —
+      // without this the same data could flip canonical ids as it grows
+      // across the driverFinishEdges threshold.
       val pairs = e.as[(String, String)].collect()
-      return spark.createDataset(unionFindMin(pairs.iterator).toSeq)
-        .toDF("id", "canonical_id")
+      val result = unionFindMin(pairs.iterator)(Components.Utf8Ordering).toSeq
+      unpersistCheckpoint(e)
+      return spark.createDataset(result).toDF("id", "canonical_id")
     }
     val ids = e.select($"a".as("id")).union(e.select($"b".as("id"))).distinct()
     val dict = (if (collisionFree) {
@@ -291,9 +316,14 @@ object Components {
     val le = e.join(dict.withColumnRenamed("id", "a").withColumnRenamed("nid", "na"), "a")
       .join(dict.withColumnRenamed("id", "b").withColumnRenamed("nid", "nb"), "b")
       .select($"na", $"nb")
-    // le is distinct by construction (dict maps distinct string edges);
-    // a hash-collision self-loop or duplicate is harmless to the star
-    // iterations, so skip the redundant edge-set shuffle
+    // le is NEARLY distinct: dict maps distinct DIRECTED string pairs, so
+    // a caller that mixed orientations (("A","B") and ("B","A") — e.g. an
+    // incremental union of prior alias→canonical assignments with new
+    // person→alias edges) yields both numeric orientations here, which
+    // canonicalize to duplicates inside CC. That is correctness-neutral
+    // (duplicates are idempotent under the star min-aggregations) and at
+    // worst doubles round-0 edge counts — accepted to skip the full
+    // edge-set re-distinct shuffle. Hash-collision self-loops likewise.
     val cc = connectedComponents(le, inputDistinct = true)
     val withId = cc.join(dict, cc("node") === dict("nid")).select($"id", $"component")
     val canon = withId.groupBy($"component").agg(min($"id").as("canonical_id"))
@@ -302,7 +332,15 @@ object Components {
     // every downstream action recompute (and re-hash) the dictionary.
     val out = withId.join(canon, "component").select($"id", $"canonical_id")
       .localCheckpoint(eager = true)
+    // `out` is materialized — release every upstream block this function
+    // pinned: the cached (and, collision-free, checkpointed) dictionary
+    // and the normalized string-edge checkpoint. Without the explicit
+    // release a per-micro-batch caller (IdentityStream) accumulates
+    // edge-set-sized executor blocks until the ContextCleaner happens to
+    // notice the dead RDD objects.
     dict.unpersist()
+    unpersistCheckpoint(dict)
+    unpersistCheckpoint(e)
     out
   }
 }

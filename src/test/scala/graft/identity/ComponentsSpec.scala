@@ -226,6 +226,24 @@ class ComponentsSpec extends SparkSpec {
     assert(safe == hashed)
   }
 
+  test("canonical string agrees across the driver/distributed threshold for non-BMP ids") {
+    import spark.implicits._
+    // U+FFFF vs U+10000: Ordering[String] (UTF-16 code units) says
+    // U+10000 < U+FFFF (surrogates sort low); Spark's UTF8String binary
+    // min says U+FFFF < U+10000. The driver union-find uses the UTF-8
+    // comparator so the SAME data yields the SAME canonical id on both
+    // sides of the driverFinishEdges threshold.
+    val bmp = "￿"
+    val supp = new String(Character.toChars(0x10000))
+    val edges = Seq((supp, bmp)).toDF("a", "b")
+    val small = Components.connectedComponentsString(edges)
+      .as[(String, String)].collect().toMap
+    val dist = Components.connectedComponentsString(edges, driverFinishEdges = 0L)
+      .as[(String, String)].collect().toMap
+    assert(small == dist, s"canonical flipped across the threshold: $small vs $dist")
+    assert(small(supp) == bmp, "canonical is not the UTF-8 minimum")
+  }
+
   test("self-loops and duplicate edges are harmless") {
     val got = sparkCC(Seq((1L, 1L), (1L, 2L), (1L, 2L), (2L, 1L)))
     assert(got == Map(1L -> 1L, 2L -> 1L))
