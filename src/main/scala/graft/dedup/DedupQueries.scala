@@ -102,29 +102,26 @@ object DedupQueries {
     (s, dir) => CandidateArtifacts.signatures(s, dir).drop("mh"),
     Some(minhashOracle))
 
-  /** Shared oracle CTE prefix for anything built on the LSH candidate
-    * pairs: `sig` (signatures+bands), `long` (unpivoted bands), `cand`
-    * (distinct a<b candidate pairs). Splice as `WITH $candPairsOracleCte,
-    * ...`. */
-  private[graft] def candPairsOracleCte: String = {
+  /** `sig` (signatures+bands) + `long` (unpivoted bands) — the CTE prefix
+    * every banded-LSH oracle builds on (ONE definition: an edit here is
+    * the only way to change the band table for every oracle at once). */
+  private[graft] def sigLongOracleCte: String = {
     val bandUnion = (0 until NumHashes / BandSize)
       .map(b => s"SELECT doc_id, band$b AS band_hash FROM sig")
       .mkString(" UNION ALL ")
     s"""sig AS ($minhashOracle),
-        long AS ($bandUnion),
+        long AS ($bandUnion)"""
+  }
+
+  /** [[sigLongOracleCte]] + `cand` (distinct a<b candidate pairs).
+    * Splice as `WITH $candPairsOracleCte, ...`. */
+  private[graft] def candPairsOracleCte: String =
+    s"""$sigLongOracleCte,
         cand AS (
           SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
           FROM long a JOIN long b
             ON a.band_hash = b.band_hash AND a.doc_id < b.doc_id)"""
-  }
 
-  /** LSH candidate pairs: documents sharing any band hash.
-    * Signatures get a hash-exchange on doc_id first: both sides of the
-    * self-join then hang off the SAME canonicalized Exchange, so
-    * ReuseExchange computes the shingle+minhash pipeline exactly once —
-    * no driver-side materialization barrier, and the reused exchange holds
-    * signatures (tiny) rather than text (huge), which is the right
-    * trade at 100 TB too. */
   /** Unpivot a signature frame's band0..bandN columns into
     * (doc_id, band_no, band_hash) rows. */
   private[graft] def stackBands(sig: DataFrame): DataFrame =
@@ -143,22 +140,23 @@ object DedupQueries {
       .select(col("a"), col("b")).distinct()
   }
 
+  /** LSH candidate pairs: documents sharing any band hash.
+    * Signatures get a hash-exchange on doc_id first: both sides of the
+    * self-join then hang off the SAME canonicalized Exchange, so
+    * ReuseExchange computes the shingle+minhash pipeline exactly once —
+    * no driver-side materialization barrier, and the reused exchange holds
+    * signatures (tiny) rather than text (huge), which is the right
+    * trade at 100 TB too. (Registry consumers read the session-shared
+    * [[CandidateArtifacts]] instead; this entry point serves callers with
+    * their own corpus frames — streaming, tests, pipelines.) */
   def minhashCandidatePairs(docs: DataFrame): DataFrame =
     pairsFromSignatures(minhashSignatures(docs).repartition(col("doc_id")))
 
   private val dedupMinhashPairs = Q(
     "dedup_minhash_pairs",
     (s, dir) => CandidateArtifacts.pairs(s, dir),
-    Some {
-      val bandUnion = (0 until NumHashes / BandSize)
-        .map(b => s"SELECT doc_id, band$b AS band_hash FROM sig")
-        .mkString(" UNION ALL ")
-      s"""WITH sig AS ($minhashOracle),
-          long AS ($bandUnion)
-          SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-          FROM long a JOIN long b
-            ON a.band_hash = b.band_hash AND a.doc_id < b.doc_id"""
-    })
+    Some(s"""WITH $candPairsOracleCte
+          SELECT a, b FROM cand"""))
 
   /** SimHash: 16 "bits", bit i = sign of Σ_tokens (±1 by parity of hex digit
     * i of md5(token)). Multiplicity-weighted (raw token stream, not set).
@@ -248,15 +246,7 @@ object DedupQueries {
           .as("contain_b"))
     },
     Some {
-      val bandUnion = (0 until NumHashes / BandSize)
-        .map(b => s"SELECT doc_id, band$b AS band_hash FROM sig")
-        .mkString(" UNION ALL ")
-      s"""WITH sig AS ($minhashOracle),
-          long AS ($bandUnion),
-          cand AS (
-            SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-            FROM long a JOIN long b
-              ON a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+      s"""WITH $candPairsOracleCte,
           g AS (
             SELECT doc_id, grams, CAST(len(grams) AS BIGINT) AS n
             FROM (SELECT doc_id,
@@ -288,32 +278,17 @@ object DedupQueries {
   /** doc_id → near-dup cluster id (min doc_id of the component; singleton
     * docs are their own cluster). Shared by `dedup_clusters` and the
     * leakage-safe split. */
-  private[graft] def clusterAssignments(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{coalesce, col}
-    val docs = Tables.documents(s, dir)
-    val pairs = CandidateArtifacts.pairs(s, dir)
-    // pairs are DISTINCT (a < b, non-null) by construction — skip the
-    // CC normalize distinct (a full edge-set shuffle)
-    val cc = graft.identity.Components.connectedComponents(pairs,
-      inputDistinct = true)
-    docs.select(col("doc_id"))
-      .join(cc, col("doc_id") === col("node"), "left")
-      .select(col("doc_id"),
-        coalesce(col("component"), col("doc_id")).as("cluster"))
-  }
+  private[graft] def clusterAssignments(s: SparkSession, dir: String): DataFrame =
+    // session-shared: ONE CC pass over the SPANNING band edges serves the
+    // whole cluster family (see CandidateArtifacts.clusters — components
+    // provably equal the full-pair-list closure the oracle computes)
+    CandidateArtifacts.clusters(s, dir)
 
   /** CTE chain ending in `clusters(doc_id, cluster)`; splice after a
     * `WITH RECURSIVE` prefix. */
   private[graft] def clustersOracleCte: String = {
-    val bandUnion = (0 until NumHashes / BandSize)
-      .map(b => s"SELECT doc_id, band$b AS band_hash FROM sig")
-      .mkString(" UNION ALL ")
-    s"""sig AS ($minhashOracle),
-        long AS ($bandUnion),
-        pairs AS (
-          SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
-          FROM long a JOIN long b
-            ON a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+    s"""$candPairsOracleCte,
+        pairs AS (SELECT a AS u, b AS v FROM cand),
         und AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
         nodes AS (SELECT DISTINCT u AS node FROM und),
         reach(node, r) AS (
@@ -400,15 +375,8 @@ object DedupQueries {
         .select(col("doc_id"), col("n_chars"), col("n_tokens"))
     },
     Some {
-      val bandUnion = (0 until NumHashes / BandSize)
-        .map(b => s"SELECT doc_id, band$b AS band_hash FROM sig")
-        .mkString(" UNION ALL ")
-      s"""WITH sig AS ($minhashOracle),
-          long AS ($bandUnion),
-          dup_side AS (
-            SELECT DISTINCT b.doc_id
-            FROM long a JOIN long b
-              ON a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+      s"""WITH $candPairsOracleCte,
+          dup_side AS (SELECT DISTINCT b AS doc_id FROM cand),
           feat AS (
             SELECT doc_id, n_chars,
                    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
@@ -561,14 +529,10 @@ object DedupQueries {
           (coalesce(col("n_src"), lit(0L)) > 0).cast("long").as("is_dup"))
     },
     Some {
-      val bandUnion = (0 until NumHashes / BandSize)
-        .map(b => s"SELECT doc_id, band$b AS band_hash FROM sig")
-        .mkString(" UNION ALL ")
       def byte(c: String) =
         s"""(instr('0123456789abcdef', substr(md5(CAST($c AS VARCHAR)), 1, 1)) - 1) * 16 +
             (instr('0123456789abcdef', substr(md5(CAST($c AS VARCHAR)), 2, 1)) - 1)"""
-      s"""WITH sig AS ($minhashOracle),
-          long AS ($bandUnion),
+      s"""WITH $sigLongOracleCte,
           wb AS (SELECT doc_id, band_hash, ${byte("doc_id")} AS bucket FROM long),
           hits AS (
             SELECT n.doc_id, CAST(count(DISTINCT o.doc_id) AS BIGINT) AS n_src
@@ -605,9 +569,14 @@ object DedupQueries {
     // One tokenize pass; the checkpoint holds each doc's gram-hash ARRAY
     // (8 B/gram), so the per-doc window count is a map-side size() and
     // only the corpus-frequency aggregate ever explodes it.
+    // coalesce(text, ''): a NULL-text doc must report (0, 0, NULL) like
+    // the oracle's empty-gram branch — without it word_ngrams propagates
+    // NULL and size(NULL) diverges from the oracle's 0 (latent on the
+    // null-free fixture, real in production)
     val ga = Tables.spread(docs.select("doc_id", "text"))
       .select(col("doc_id"),
-        expr("transform(word_ngrams(text, 8, true), g -> xxhash64(g))").as("ghs"))
+        expr("transform(word_ngrams(coalesce(text, ''), 8, true), g -> xxhash64(g))")
+          .as("ghs"))
       .localCheckpoint(eager = true)
     val g = ga.select(col("doc_id"), explode(col("ghs")).as("gh"))
     // grams are per-doc distinct, so count(*) per hash = document
@@ -641,7 +610,7 @@ object DedupQueries {
       val gram8 = (0 until 8).map(j => s"toks[i+$j]").mkString("concat_ws(' ', ", ", ", ")")
       s"""WITH t AS (
             SELECT doc_id,
-              list_filter(string_split_regex(lower(text), '[^a-z]+'),
+              list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z]+'),
                 x -> x <> '') AS toks
             FROM documents),
           g AS (
@@ -683,8 +652,11 @@ object DedupQueries {
     */
   private[graft] def winnowFpArrays(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    // coalesce(text, ''): NULL-text docs keep an empty-fingerprint row
+    // (n_fp = 0) like the oracle's LEFT JOIN + coalesce, instead of a
+    // NULL array whose size() diverges
     Tables.spread(docs.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), expr("winnow_fps(text, 4, 4)").as("fps"))
+      .select(col("doc_id"), expr("winnow_fps(coalesce(text, ''), 4, 4)").as("fps"))
   }
 
   /** Exploded (doc_id, fp) view of [[winnowFpArrays]] — the inverted-index
@@ -715,7 +687,7 @@ object DedupQueries {
       val gram4 = (0 until 4).map(j => s"toks[i+$j]").mkString("concat_ws(' ', ", ", ", ")")
       s"""WITH t AS (
             SELECT doc_id,
-              list_filter(string_split_regex(lower(text), '[^a-z]+'),
+              list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z]+'),
                 x -> x <> '') AS toks
             FROM documents),
           g AS (
@@ -763,7 +735,7 @@ object DedupQueries {
       val gram4 = (0 until 4).map(j => s"toks[i+$j]").mkString("concat_ws(' ', ", ", ", ")")
       s"""WITH t AS (
             SELECT doc_id,
-              list_filter(string_split_regex(lower(text), '[^a-z]+'),
+              list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z]+'),
                 x -> x <> '') AS toks
             FROM documents),
           g AS (

@@ -286,7 +286,9 @@ object MultimodalQueries {
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val docs = Tables.documents(s, dir)
-      val textPairs = graft.dedup.CandidateArtifacts.pairs(s, dir)
+      // spanning band edges, not the pairwise list: connectivity-equal
+      // for the CC below, linear in a hot band instead of quadratic
+      val textPairs = graft.dedup.CandidateArtifacts.clusterEdges(s, dir)
         .select(col("a"), col("b"))
       val imgPairs = phashPairs(docs)
         .where(col("hamming") <= 3L).select(col("a"), col("b"))
