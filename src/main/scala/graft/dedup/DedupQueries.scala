@@ -355,16 +355,11 @@ object DedupQueries {
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val docs = Tables.documents(s, dir)
-      def score(marker: String) =
-        ((length(col("text")) - length(regexp_replace(col("text"), marker, ""))) /
-          marker.length).cast("long")
-      val feat = docs
+      // shared langid scoring chain (graft.text.LangId) — the English
+      // gate below is the ladder's "en" branch condition
+      val feat = graft.text.LangId.withScores(docs
         .withColumn("n_tokens",
-          size(expr("word_ngrams(text, 1, false)")).cast("long"))
-        .withColumn("s_en", score(" the "))
-        .withColumn("s_de", score(" der "))
-        .withColumn("s_es", score(" el "))
-        .withColumn("s_fr", score(" le "))
+          size(expr("word_ngrams(text, 1, false)")).cast("long")))
       val dupSide = CandidateArtifacts.pairs(s, dir)
         .select(col("b").as("doc_id")).distinct()
       feat

@@ -16,7 +16,9 @@ import graft.identity.Components
   * against a single LIMIT-1 match and misses the merge).
   *
   * Per micro-batch: new (person, alias) edges ∪ previous assignments →
-  * closure (Components.mergeIncremental) → write a NEW generation directory
+  * closure (Components.connectedComponentsString with the collision-free
+  * dictionary — the string-id analog of Components.mergeIncremental's
+  * union-then-close pattern) → write a NEW generation directory
   * → atomically repoint a MANIFEST file at it. Assignments are themselves
   * edges (node — canonical), so the union's closure is exact and the
   * per-batch cost scales with the delta graph's diameter, not history size.
@@ -63,8 +65,14 @@ object IdentityStream {
       val prev = liveGen(storeDir)
       val existing = readAssignments(spark, storeDir)
         .select(col("alias_id").as("person"), col("canonical_id").as("alias"))
+      // collisionFree: this store IS identity resolution, and assignments
+      // feed back as edges into every later batch — a silent xxhash64
+      // over-merge would be PERMANENT in the store (the refreshIdentity
+      // policy; hash ids only engage above driverFinishEdges, exactly
+      // where the continuously-growing store ends up)
       val merged = Components
-        .connectedComponentsString(existing.union(newEdges))
+        .connectedComponentsString(existing.union(newEdges),
+          collisionFree = true)
         .withColumnRenamed("id", "alias_id")
       val n = prev.map(_.stripPrefix("gen-").toLong + 1).getOrElse(0L)
       val gen = s"gen-$n"

@@ -34,13 +34,13 @@ object StatefulSessions {
     * Exposed for direct unit testing without a streaming harness.
     */
   def advance(events: Seq[Long], state: Option[SessionState], gapUs: Long)
-      : (Seq[(SessionState, Boolean)], Option[SessionState]) = {
+      : (Seq[SessionState], Option[SessionState]) = {
     var open = state
-    val closed = Seq.newBuilder[(SessionState, Boolean)]
+    val closed = Seq.newBuilder[SessionState]
     events.sorted.foreach { us =>
       open match {
         case Some(s) if us - s.lastUs > gapUs =>
-          closed += ((s, true))
+          closed += s
           open = Some(SessionState(us, us, 1))
         case Some(s) =>
           open = Some(SessionState(s.startUs, us, s.nEvents + 1))
@@ -86,7 +86,7 @@ object StatefulSessions {
                 timeoutMs.foreach(st.setTimeoutDuration)
               case None => st.remove()
             }
-            closed.map { case (s, _) => toClosed(person, s) }.iterator
+            closed.map(s => toClosed(person, s)).iterator
           }
       }
   }

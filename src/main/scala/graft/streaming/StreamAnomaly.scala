@@ -57,7 +57,13 @@ object StreamAnomaly {
           if (math.abs(z) > threshold) hits += ((us, vq, z, st.n))
         }
       }
-      st = MomentState(st.n + 1, st.sv + vq, st.svv + vq * vq)
+      // exact overflow detection, not silent wrap: a wrapped svv makes
+      // varPop <= 0 and the guard above would silently DISABLE detection
+      // for exactly the largest-value accounts — fail loudly instead
+      // (|v| >= ~3e9 cents in one event, or ~9e6 events at ~1e6 cents,
+      // overflow the sum of squares)
+      st = MomentState(st.n + 1, Math.addExact(st.sv, vq),
+        Math.addExact(st.svv, Math.multiplyExact(vq, vq)))
     }
     (hits.result(), st)
   }

@@ -30,26 +30,14 @@ object StreamCurate {
   /** Per-row curation: works identically on a batch or streaming frame. */
   def curate(df: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    def score(marker: String) =
-      ((length(col("text")) - length(regexp_replace(col("text"), marker, ""))) /
-        marker.length).cast("long")
-    df.withColumn("n_tokens",
-        size(expr("word_ngrams(text, 1, false)")).cast("long"))
-      .withColumn("s_en", score(" the "))
-      .withColumn("s_de", score(" der "))
-      .withColumn("s_es", score(" el "))
-      .withColumn("s_fr", score(" le "))
+    graft.text.LangId.withScores(
+      df.withColumn("n_tokens",
+        size(expr("word_ngrams(text, 1, false)")).cast("long")))
       .select(
         col("doc_id"),
         col("n_tokens"),
         (col("n_tokens") >= 20 && length(col("text")) >= 100).as("quality_ok"),
-        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
-          col("s_en") >= col("s_fr") && col("s_en") > 0, "en")
-          .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr") &&
-            col("s_de") > 0, "de")
-          .when(col("s_es") >= col("s_fr") && col("s_es") > 0, "es")
-          .when(col("s_fr") > 0, "fr")
-          .otherwise("und").as("lang_pred"),
+        graft.text.LangId.ladder.as("lang_pred"),
         regexp_replace(
           regexp_replace(col("text"), "[a-z0-9]+@[a-z.]+[a-z]", "<EMAIL>"),
           "[+]1-555-[0-9]{4}", "<PHONE>").as("scrubbed"))

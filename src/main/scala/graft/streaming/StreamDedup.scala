@@ -25,10 +25,16 @@ object StreamDedup {
     * @param events streaming frame with an event-time column `ts`
     * @param fingerprintCols columns hashed into the dedup key
     * @param delayThreshold how late a duplicate may arrive and still be
-    *                       suppressed (also bounds the state retention)
+    *                       suppressed (also bounds the state retention).
+    *                       REQUIRED, no default (the StreamPipeline.drain
+    *                       rule): it must exceed the source's event-time
+    *                       disorder — a file source's mod-time ties can
+    *                       reorder whole files, and rows landing below
+    *                       the watermark are silently DROPPED as late,
+    *                       not deduped. Sizing it is a caller decision.
     */
   def dedup(events: DataFrame, fingerprintCols: Seq[String],
-            delayThreshold: String = "10 minutes"): DataFrame =
+            delayThreshold: String): DataFrame =
     events
       .withColumn("md5hash",
         md5(concat_ws("", fingerprintCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)))

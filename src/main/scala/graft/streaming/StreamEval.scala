@@ -29,25 +29,10 @@ object StreamEval {
     * (graft.text.TextQueries) applied per row: occurrences of each
     * language's marker token by exact integer length arithmetic, argmax
     * through the fixed en > de > es > fr priority ladder. */
-  def predictions(docs: DataFrame): DataFrame = {
-    def score(marker: String) =
-      ((length(col("text")) - length(regexp_replace(col("text"), marker, ""))) /
-        marker.length).cast("long")
-    docs
-      .withColumn("s_en", score(" the "))
-      .withColumn("s_de", score(" der "))
-      .withColumn("s_es", score(" el "))
-      .withColumn("s_fr", score(" le "))
-      .withColumn("lang_pred",
-        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
-          col("s_en") >= col("s_fr") && col("s_en") > 0, "en")
-          .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr") &&
-            col("s_de") > 0, "de")
-          .when(col("s_es") >= col("s_fr") && col("s_es") > 0, "es")
-          .when(col("s_fr") > 0, "fr")
-          .otherwise("und"))
+  def predictions(docs: DataFrame): DataFrame =
+    graft.text.LangId.withScores(docs)
+      .withColumn("lang_pred", graft.text.LangId.ladder)
       .drop("s_en", "s_de", "s_es", "s_fr")
-  }
 
   /** Per-window confusion cells for the langid gate.
     *

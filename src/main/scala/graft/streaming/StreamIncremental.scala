@@ -39,9 +39,17 @@ object StreamIncremental {
     }
     graft.functions.GraftFunctions.register(stream.sparkSession)
     val sig = DedupQueries.minhashSignatures(stream, spreadInput = false)
-    val probe = (0 until NumHashes / BandSize)
-      .map(b => call_function("bloom_might_contain", lit(bits), col(s"band$b")))
-      .reduce(_ || _)
-    sig.select(col("doc_id"), probe.cast("long").as("maybe_dup"))
+    // ONE filter literal + ONE probe expression instance: the per-band
+    // OR-of-probes shape embedded the multi-MB serialized filter once PER
+    // BAND in the plan (4x task-binary weight) and deserialized it once
+    // per expression instance per executor. exists() over the stacked
+    // band array probes the same four hashes against a single literal;
+    // the lambda runs interpreted, but it is 4 membership tests per row
+    // against work that is dominated by the minhash pass anyway.
+    val bandArr = array((0 until NumHashes / BandSize).map(b => col(s"band$b")): _*)
+    val bitsLit = lit(bits)
+    sig.select(col("doc_id"),
+      exists(bandArr, h => call_function("bloom_might_contain", bitsLit, h))
+        .cast("long").as("maybe_dup"))
   }
 }

@@ -31,7 +31,9 @@ object StreamJoin {
     * watermark proves no click can arrive).
     *
     * @param clicks    streaming frame: user_id, click ts (event time)
-    * @param purchases streaming frame: user_id, purchase ts (event time)
+    * @param purchases streaming frame: user_id, purchase ts (event time),
+    *                  value (purchase amount, carried through as
+    *                  purchase_value)
     * @param horizon   attribution window, e.g. "30 minutes"
     * @param lateness  max out-of-order delay tolerated per side
     */

@@ -45,7 +45,16 @@ object StreamPipeline {
       crashAfterBatch: Option[Long] = None,
       maxVarchar: Int = 4000): DrainResult = {
     val inserted = new AtomicLong(0L)
-    val q = StreamIngest.readEvents(spark, inDir, Some(maxFilesPerTrigger))
+    val events = StreamIngest.readEvents(spark, inDir, Some(maxFilesPerTrigger))
+    // null-ts rows (lenient parse leaves ts null for missing/malformed
+    // time fields) must NOT enter the watermarked dedup — their event
+    // time would read as always-late and the rows would silently vanish
+    // while the batch path loads them. They bypass the stateful dedup;
+    // exactly-once still holds for them through the idempotent sink's
+    // md5hash anti-join (which covers cross-batch replays for ALL rows).
+    val withTs = events.where(org.apache.spark.sql.functions.col("ts").isNotNull)
+    val noTs = events.where(org.apache.spark.sql.functions.col("ts").isNull)
+    val q = withTs
       // in-stream dedup: the reader's md5hash fingerprint, state bounded
       // by the watermark horizon (StreamDedup semantics, key pre-computed).
       // `dedupHorizon` is deliberately REQUIRED (no default): it must
@@ -58,6 +67,7 @@ object StreamPipeline {
       // caller to size it makes that a decision, not an accident.
       .withWatermark("ts", dedupHorizon)
       .dropDuplicatesWithinWatermark("md5hash")
+      .unionByName(noTs)
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)

@@ -36,16 +36,7 @@ object StreamWeb {
     val blocked = WebQueries.blockedHosts.toDF("host")
     val gated = WebQueries.normalizeUrls(df)
       .join(broadcast(blocked), Seq("host"), "left_anti")
-    WebQueries.extractHtml(gated)
-      .withColumn("content_len", length(col("content")).cast("long"))
-      .withColumn("link_density_ppm", expr(
-        """CASE WHEN length(content) = 0 THEN CAST(0 AS BIGINT)
-           ELSE (CAST(1000000 AS BIGINT) * link_chars) div length(content)
-           END"""))
-      .where(col("content_len") >= 100L && col("link_density_ppm") <= 300000L)
-      .select(col("doc_id"), col("url_norm"), col("host"), col("domain"),
-        col("n_links"), col("link_density_ppm"), col("content_len"),
-        col("content"))
+    WebQueries.gateBoilerplate(gated)
   }
 
   /** Drain `srcDir` (parquet page files) through the curation chain into

@@ -71,25 +71,12 @@ object TextQueries {
   // so the score ties resolve through the priority chain deterministically.
   private val textLangid = Q(
     "text_langid",
-    (s, dir) => {
-      def score(marker: String) =
-        ((length(col("text")) - length(regexp_replace(col("text"), marker, ""))) /
-          marker.length).cast("long")
-      Tables.documents(s, dir)
-        .withColumn("s_en", score(" the "))
-        .withColumn("s_de", score(" der "))
-        .withColumn("s_es", score(" el "))
-        .withColumn("s_fr", score(" le "))
+    (s, dir) =>
+      // LangId: THE definition (shared with the streaming twins)
+      LangId.withScores(Tables.documents(s, dir))
         .select(
           col("doc_id"), col("lang"), col("s_en"), col("s_de"), col("s_es"), col("s_fr"),
-          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
-            col("s_en") >= col("s_fr") && col("s_en") > 0, "en")
-            .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr") &&
-              col("s_de") > 0, "de")
-            .when(col("s_es") >= col("s_fr") && col("s_es") > 0, "es")
-            .when(col("s_fr") > 0, "fr")
-            .otherwise("und").as("lang_pred"))
-    },
+          LangId.ladder.as("lang_pred")),
     Some("""SELECT doc_id, lang, s_en, s_de, s_es, s_fr,
             CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
                  WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
@@ -113,22 +100,8 @@ object TextQueries {
   private val evalLangidConfusion = Q(
     "eval_langid_confusion",
     (s, dir) => {
-      def score(marker: String) =
-        ((length(col("text")) - length(regexp_replace(col("text"), marker, ""))) /
-          marker.length).cast("long")
-      val pred = Tables.documents(s, dir)
-        .withColumn("s_en", score(" the "))
-        .withColumn("s_de", score(" der "))
-        .withColumn("s_es", score(" el "))
-        .withColumn("s_fr", score(" le "))
-        .select(col("lang"),
-          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
-            col("s_en") >= col("s_fr") && col("s_en") > 0, "en")
-            .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr") &&
-              col("s_de") > 0, "de")
-            .when(col("s_es") >= col("s_fr") && col("s_es") > 0, "es")
-            .when(col("s_fr") > 0, "fr")
-            .otherwise("und").as("lang_pred"))
+      val pred = LangId.withScores(Tables.documents(s, dir))
+        .select(col("lang"), LangId.ladder.as("lang_pred"))
       val conf = pred.groupBy(col("lang"), col("lang_pred"))
         .agg(count(lit(1)).as("n"))
       val truth = conf.groupBy(col("lang")).agg(sum(col("n")).as("n_true"))

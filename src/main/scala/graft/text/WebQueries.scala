@@ -180,6 +180,24 @@ object WebQueries {
   /** Extraction stage on a frame carrying an `html` column: adds
     * n_links / link_chars / content. Shared by the oracle-checked query
     * and [[graft.WebPipeline]]. */
+  /** extractHtml + the boilerplate gate (min content length, max link
+    * density) + the curated-page projection — ONE definition shared by
+    * the batch WebPipeline and StreamWeb (before this helper the block
+    * was copy-pasted byte-for-byte; a threshold tweak in one silently
+    * de-synced the other's pinned stream ≡ batch equivalence). */
+  private[graft] def gateBoilerplate(pages: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    extractHtml(pages)
+      .withColumn("content_len", length(col("content")).cast("long"))
+      .withColumn("link_density_ppm", expr(
+        """CASE WHEN length(content) = 0 THEN CAST(0 AS BIGINT)
+           ELSE (CAST(1000000 AS BIGINT) * link_chars) div length(content)
+           END"""))
+      .where(col("content_len") >= 100L && col("link_density_ppm") <= 300000L)
+      .select(col("doc_id"), col("url_norm"), col("host"), col("domain"),
+        col("n_links"), col("link_density_ppm"), col("content_len"),
+        col("content"))
+
   private[graft] def extractHtml(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     df
       .withColumn("noscript", regexp_replace(

@@ -25,7 +25,7 @@ class StatefulSessionsSpec extends SparkSpec {
     val later = Gap + 200000000L
     val (closed, open) = StatefulSessions.advance(
       Seq(0L, 100000000L, later), None, Gap)
-    assert(closed.map(_._1) == Seq(SessionState(0L, 100000000L, 2)))
+    assert(closed == Seq(SessionState(0L, 100000000L, 2)))
     assert(open.contains(SessionState(later, later, 1)))
   }
 
