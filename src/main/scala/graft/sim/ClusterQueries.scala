@@ -105,16 +105,27 @@ object ClusterQueries {
     var it = 0
     var done = false
     while (it < maxIters && !done) {
-      cent = lloydStep(assigned, qf)
-      val next = assign(qf, cent).localCheckpoint(eager = true)
+      // centroids are k rows — checkpoint them eagerly so the superseded
+      // ASSIGNMENT checkpoint (corpus-sized) can actually be released:
+      // plain Dataset.unpersist is a NO-OP on a localCheckpoint'ed frame
+      // (the RDD is persisted outside the CacheManager — the
+      // Components.unpersistCheckpoint rationale), and a lazy cent would
+      // still read the assignment we are about to drop.
+      val newCent = lloydStep(assigned, qf).localCheckpoint(eager = true)
+      val next = assign(qf, newCent).localCheckpoint(eager = true)
       val nextObj = objective(next)
       done = nextObj >= obj - math.abs(tol * obj)
-      assigned.unpersist() // release the superseded round's checkpoint
+      graft.identity.Components.unpersistCheckpoint(assigned)
+      if (it > 0) graft.identity.Components.unpersistCheckpoint(cent)
+      cent = newCent
       assigned = next
       obj = nextObj
       objs += obj
       it += 1
     }
+    // the final assignment round is not part of the return value — the
+    // returned centroids are materialized above
+    graft.identity.Components.unpersistCheckpoint(assigned)
     (cent, it, objs.toSeq)
   }
 
@@ -250,9 +261,12 @@ object ClusterQueries {
         .withColumn("rn", row_number().over(wProbe))
         .where(col("rn") <= 2)
         .select(col("q_id"), col("cid").as("cell"))
-      val queries = emb.where(col("vec_id") < 20)
+      // query vectors + norms come from the already-checkpointed vecs
+      // frame — a fresh embeddings scan re-ran the 64-term self-dot for
+      // nothing
+      val queries = vecs.where(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          expr("dot_ordered(embedding, embedding)").as("q_norm2"))
+          col("norm2").as("q_norm2"))
       val probeSet = probes.join(queries, "q_id")
       val wTop = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("vec_id"))

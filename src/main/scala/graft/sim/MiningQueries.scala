@@ -41,19 +41,23 @@ object MiningQueries {
 
   private def dotExpr(a: String, b: String): String = s"dot_ordered($a, $b)"
 
-  /** Mean of the top-K cosines per `key`, summed in descending order. */
+  /** Mean of the top-K cosines per `key`, summed in descending order —
+    * via the k-bounded TopKByValue Aggregator (map-side ≤ K rows per
+    * key), NOT a rank window: the window idiom hash-partitions and sorts
+    * the full |src|×|tgt| scored frame per side only to keep K rows per
+    * key. The aggregator returns (value, id) pairs already in descending
+    * value order, so the fold order (and the mean) is identical; ties at
+    * the K boundary carry equal values either way. */
   private def knnMean(scored: DataFrame, key: String, other: String,
       out: String): DataFrame = {
-    val w = Window.partitionBy(col(key)).orderBy(col("cos").desc, col(other))
-    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= K)
-      .groupBy(col(key))
-      .agg(collect_list(col("cos")).as("cs"), count(lit(1)).as("n"))
+    val tk = udaf(new graft.functions.TopKByValue(K),
+      graft.functions.TopKByValue.inputEncoder)
+    scored.groupBy(col(key))
+      .agg(tk(col("cos"), col(other)).as("top"))
       .select(col(key), (expr(
-        """aggregate(
-             array_sort(cs, (l, r) -> CASE WHEN l > r THEN -1
-                                           WHEN l < r THEN 1 ELSE 0 END),
+        """aggregate(transform(top, e -> e._1),
              CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
-        / col("n").cast("double")).as(out))
+        / size(col("top")).cast("double")).as(out))
   }
 
   private val mineBitext = Q(
@@ -253,9 +257,9 @@ object MiningQueries {
       def z(sc: String, sums: String, sq: String): org.apache.spark.sql.Column =
         expr(s"""coalesce(
              round((CAST($sc AS DOUBLE) - CAST($sums AS DOUBLE) / CAST(n AS DOUBLE))
-               / nullif(sqrt((CAST($sq AS DOUBLE)
+               / nullif(sqrt(greatest((CAST($sq AS DOUBLE)
                    - CAST($sums AS DOUBLE) * CAST($sums AS DOUBLE) / CAST(n AS DOUBLE))
-                 / CAST(n AS DOUBLE)), 0.0), 4) + 0.0, 0.0)""")
+                 / CAST(n AS DOUBLE), 0.0)), 0.0), 4) + 0.0, 0.0)""")
       sig.crossJoin(broadcast(stats))
         .withColumn("z_len", z("s_len", "len_s", "len_ss"))
         .withColumn("z_lex", z("s_lex", "lex_s", "lex_ss"))
@@ -287,17 +291,17 @@ object MiningQueries {
             z AS (
               SELECT doc_id, s_len, s_lex, s_alpha,
                 coalesce(round((CAST(s_len AS DOUBLE) - CAST(len_s AS DOUBLE) / CAST(n AS DOUBLE))
-                  / nullif(sqrt((CAST(len_ss AS DOUBLE)
+                  / nullif(sqrt(greatest((CAST(len_ss AS DOUBLE)
                       - CAST(len_s AS DOUBLE) * CAST(len_s AS DOUBLE) / CAST(n AS DOUBLE))
-                    / CAST(n AS DOUBLE)), 0.0), 4) + 0.0, 0.0) AS z_len,
+                    / CAST(n AS DOUBLE), 0.0)), 0.0), 4) + 0.0, 0.0) AS z_len,
                 coalesce(round((CAST(s_lex AS DOUBLE) - CAST(lex_s AS DOUBLE) / CAST(n AS DOUBLE))
-                  / nullif(sqrt((CAST(lex_ss AS DOUBLE)
+                  / nullif(sqrt(greatest((CAST(lex_ss AS DOUBLE)
                       - CAST(lex_s AS DOUBLE) * CAST(lex_s AS DOUBLE) / CAST(n AS DOUBLE))
-                    / CAST(n AS DOUBLE)), 0.0), 4) + 0.0, 0.0) AS z_lex,
+                    / CAST(n AS DOUBLE), 0.0)), 0.0), 4) + 0.0, 0.0) AS z_lex,
                 coalesce(round((CAST(s_alpha AS DOUBLE) - CAST(alpha_s AS DOUBLE) / CAST(n AS DOUBLE))
-                  / nullif(sqrt((CAST(alpha_ss AS DOUBLE)
+                  / nullif(sqrt(greatest((CAST(alpha_ss AS DOUBLE)
                       - CAST(alpha_s AS DOUBLE) * CAST(alpha_s AS DOUBLE) / CAST(n AS DOUBLE))
-                    / CAST(n AS DOUBLE)), 0.0), 4) + 0.0, 0.0) AS z_alpha
+                    / CAST(n AS DOUBLE), 0.0)), 0.0), 4) + 0.0, 0.0) AS z_alpha
               FROM sig, stats)
             SELECT doc_id, s_len, s_lex, s_alpha, z_len, z_lex, z_alpha,
               round((z_len + z_lex + z_alpha) / 3.0, 4) + 0.0 AS score,

@@ -453,11 +453,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Scan ExistingRDD"), p.take(1000))
   }
 
-  test("mine_bitext: k-NN and best-mate windows partition per vector, never globally") {
+  test("mine_bitext: Aggregator k-NN means; only the best-mate window remains, per-vector") {
     val p = plan("mine_bitext")
-    // three windows: fwd (per src), bwd (per tgt), best mate (per src).
-    // An unpartitioned spec here would funnel the full scored frame
-    // through one task at scale.
+    // fwd/bwd k-NN means ride the k-bounded TopKByValue Aggregator
+    // (map-side ≤ K rows/key) — a rank window there would sort the full
+    // |src|×|tgt| scored frame twice
+    assert(p.toLowerCase.contains("topkbyvalue"),
+      "k-NN denominators regressed to rank windows over the scored frame")
+    // one window may remain: the best-mate pick, partitioned per src
     val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
     assert(windows.nonEmpty, p.take(2000))
     windows.foreach { w =>
