@@ -214,9 +214,9 @@ object ClusterQueries {
           col("rk"))
     },
     Some {
-      val dot = "list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
-      val na  = "list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))"
-      val nq  = "list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
+      val dot = SimOracle.dot("a.embedding", "q.embedding")
+      val na  = SimOracle.dot("a.embedding", "a.embedding")
+      val nq  = SimOracle.dot("q.embedding", "q.embedding")
       s"""WITH $kmeansOracleCte
           SELECT q_id, vec_id, round(cos, 6) AS cos, rk
           FROM (SELECT q_id, vec_id, cos,
@@ -281,9 +281,9 @@ object ClusterQueries {
           col("rk"))
     },
     Some {
-      val dot = "list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
-      val na  = "list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))"
-      val nq  = "list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
+      val dot = SimOracle.dot("a.embedding", "q.embedding")
+      val na  = SimOracle.dot("a.embedding", "a.embedding")
+      val nq  = SimOracle.dot("q.embedding", "q.embedding")
       s"""WITH $kmeansOracleCte,
           probes AS (
             SELECT vec_id AS q_id, cid AS cell
@@ -347,9 +347,9 @@ object ClusterQueries {
           (coalesce(col("n_similar"), lit(0L)) === 0L).as("keep"))
     },
     Some {
-      val dot = "list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
-      val na  = "list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))"
-      val nb  = "list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+      val dot = SimOracle.dot("a.embedding", "b.embedding")
+      val na  = SimOracle.dot("a.embedding", "a.embedding")
+      val nb  = SimOracle.dot("b.embedding", "b.embedding")
       s"""WITH $kmeansOracleCte,
           sim AS (
             SELECT cb.vec_id, CAST(count(*) AS BIGINT) AS n_similar

@@ -95,8 +95,7 @@ object MiningQueries {
           (col("margin") > lit(1.0)).as("accepted"))
     },
     Some {
-      def dot(a: String, b: String) =
-        s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+      def dot(a: String, b: String) = SimOracle.dot(a, b)
       s"""WITH v AS (
             SELECT e.vec_id, d.lang, e.embedding,
               ${dot("e.embedding", "e.embedding")} AS norm2
@@ -376,7 +375,7 @@ object MiningQueries {
       }.toDF("rk", "doc_id", "rel_ppm", "score")
     },
     Some {
-      val dotAB = "list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+      val dotAB = SimOracle.dot("a.embedding", "b.embedding")
       def stage(i: Int): String = {
         val prev = (1 until i).map(j => s"SELECT * FROM s$j").mkString(" UNION ALL ")
         val selectedCte = if (i == 1) "" else s"sel$i AS MATERIALIZED ($prev),"
@@ -475,8 +474,7 @@ object MiningQueries {
           (col("e._1") > coalesce(col("pos_cos"), lit(-2.0))).as("outranks_pos"))
     },
     Some {
-      def dot(a: String, b: String) =
-        s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+      def dot(a: String, b: String) = SimOracle.dot(a, b)
       s"""WITH v AS (
             SELECT vec_id, label, embedding,
               ${dot("embedding", "embedding")} AS norm2
@@ -573,8 +571,7 @@ object MiningQueries {
               CAST(least(n_rel, $NdcgK) AS INT)) END""").as("ndcg_ppm"))
     },
     Some {
-      def dot(a: String, b: String) =
-        s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+      def dot(a: String, b: String) = SimOracle.dot(a, b)
       def log2(x: Double) = math.log(x) / math.log(2.0)
       val disc = (1 to NdcgK).map(p => math.round(1e6 / log2(p + 1.0)))
       val cum = disc.scanLeft(0L)(_ + _).tail
@@ -765,8 +762,7 @@ object MiningQueries {
             "ELSE 1000000 div fr END").as("rr_ppm"))
     },
     Some {
-      def dot(a: String, b: String) =
-        s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+      def dot(a: String, b: String) = SimOracle.dot(a, b)
       s"""WITH v AS (
             SELECT vec_id, label, embedding,
               ${dot("embedding", "embedding")} AS norm2

@@ -100,9 +100,9 @@ object SimQueries {
     (s, dir) =>
       bruteForceTopK(Tables.embeddings(s, dir), col("q_id") < 5, 3),
     Some {
-      val dot = "list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
-      val na  = "list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))"
-      val nq  = "list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
+      val dot = SimOracle.dot("a.embedding", "q.embedding")
+      val na  = SimOracle.dot("a.embedding", "a.embedding")
+      val nq  = SimOracle.dot("q.embedding", "q.embedding")
       s"""SELECT q_id, vec_id, round(cos, 6) AS cos, rk
           FROM (SELECT q_id, vec_id, cos,
                   CAST(row_number() OVER (PARTITION BY q_id
@@ -144,9 +144,9 @@ object SimQueries {
     (s, dir) =>
       bucketedTopK(Tables.embeddings(s, dir), col("q_id") < 20, 3),
     Some {
-      val dot = "list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
-      val na  = "list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))"
-      val nq  = "list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
+      val dot = SimOracle.dot("a.embedding", "q.embedding")
+      val na  = SimOracle.dot("a.embedding", "a.embedding")
+      val nq  = SimOracle.dot("q.embedding", "q.embedding")
       s"""WITH b AS (${lshOracle()})
           SELECT q_id, vec_id, round(cos, 6) AS cos, rk
           FROM (SELECT q_id, vec_id, cos,
@@ -196,9 +196,9 @@ object SimQueries {
           (coalesce(col("cos"), lit(-1.0)) > 0.9).as("near_dup"))
     },
     Some {
-      val dot = "list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
-      val na  = "list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))"
-      val nq  = "list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
+      val dot = SimOracle.dot("a.embedding", "q.embedding")
+      val na  = SimOracle.dot("a.embedding", "a.embedding")
+      val nq  = SimOracle.dot("q.embedding", "q.embedding")
       s"""WITH b AS (${lshOracle()}),
           top1 AS (
             SELECT q_id, b_id, cos FROM (
@@ -263,8 +263,7 @@ object SimQueries {
         .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rk"))
     },
     Some {
-      def dot(a: String, b: String) =
-        s"list_sum(list_transform(range(1, 65), i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)))"
+      def dot(a: String, b: String) = SimOracle.dot(s"$a.embedding", s"$b.embedding")
       def norm(a: String) = dot(a, a)
       s"""WITH assigned AS (
             SELECT vec_id, cell FROM (
@@ -343,9 +342,9 @@ object SimQueries {
         MultiprobePlanes),
     Some {
       val P = MultiprobePlanes
-      val dot = "list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
-      val na  = "list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))"
-      val nq  = "list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
+      val dot = SimOracle.dot("a.embedding", "q.embedding")
+      val na  = SimOracle.dot("a.embedding", "a.embedding")
+      val nq  = SimOracle.dot("q.embedding", "q.embedding")
       val flips = s"SELECT vec_id AS q_id, bucket AS probe FROM b WHERE vec_id < 20" +:
         (1 to P).map(j =>
           s"""SELECT vec_id, substr(bucket, 1, ${j - 1}) ||
@@ -556,9 +555,9 @@ object SimQueries {
           (count(lit(1)) === 2L).as("mutual"))
     },
     Some {
-      val dot = "list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
-      val na  = "list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))"
-      val nb  = "list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+      val dot = SimOracle.dot("a.embedding", "b.embedding")
+      val na  = SimOracle.dot("a.embedding", "a.embedding")
+      val nb  = SimOracle.dot("b.embedding", "b.embedding")
       s"""WITH bk AS (${lshOracle()}),
           directed AS (
             SELECT a_id, b_id, cos FROM (
