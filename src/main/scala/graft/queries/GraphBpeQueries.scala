@@ -828,7 +828,58 @@ object GraphBpeQueries {
                 * 1000000.0) AS BIGINT) AS assort_micro
             FROM mom"""))
 
+  /** Degree distribution + CCDF of the signup graph — the power-law
+    * diagnostic every graph-quality audit starts from (a heavy tail that
+    * suddenly fattens means bot rings or scraper farms joined the
+    * identity graph; the CCDF column is what gets plotted on log-log
+    * axes). Reference analogue: the per-key cardinality profiling the
+    * reference's schema pass does per table
+    * (/root/reference/src/KissmetricsToDatabase.php:238-258), lifted to
+    * the graph domain.
+    *
+    * Scale shape: one edge-keyed degree aggregate (the only
+    * corpus-sized shuffle), then a |distinct degrees|-sized frequency
+    * table — hundreds of rows even at 10⁹ nodes, so the unpartitioned
+    * CCDF window and the broadcast scalar total are driver-trivial by
+    * construction (the trained-centroid pattern: big → tiny → window
+    * the tiny). Integer-exact output: counts are BIGINT, the CCDF is a
+    * floor-divided ppm of two exact integers — no doubles anywhere.
+    */
+  private val graphDegreeDist = Q(
+    "graph_degree_dist",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val deg = signupEdges(s, dir)
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val dist = deg.groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+        .localCheckpoint(eager = true) // feeds the total AND the window
+      // deg is distinct post-groupBy: the desc window has no ties, and
+      // the default RANGE UNBOUNDED PRECEDING..CURRENT ROW frame is the
+      // same on both engines.
+      dist
+        .crossJoin(broadcast(dist.agg(sum(col("n_nodes")).as("n_total"))))
+        .withColumn("n_ge",
+          sum(col("n_nodes")).over(Window.orderBy(col("deg").desc)))
+        .select(col("deg"), col("n_nodes"),
+          expr("(n_ge * 1000000) div n_total").as("ccdf_ppm"))
+    },
+    Some("""WITH fwd AS (SELECT DISTINCT user_id AS src,
+                  1000000 + CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
+                FROM events WHERE event_type = 'signup'),
+            und AS (SELECT src, dst FROM fwd
+                    UNION ALL SELECT dst, src FROM fwd),
+            deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+                    FROM und GROUP BY src),
+            dist AS (SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
+                     FROM deg GROUP BY deg),
+            tot AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS n_total FROM dist)
+            SELECT deg, n_nodes,
+              (CAST(sum(n_nodes) OVER (ORDER BY deg DESC) AS BIGINT)
+                * 1000000) // n_total AS ccdf_ppm
+            FROM dist, tot"""))
+
   val all: Seq[Q] = Seq(joinMultiwayRevenue, graphPagerank, bpeMergeTopk,
     bpeEncode, graphLabelProp, graphTriangles, graphKcore,
-    graphCommonNeighbors, graphModularity, graphAssortativity)
+    graphCommonNeighbors, graphModularity, graphAssortativity,
+    graphDegreeDist)
 }

@@ -625,7 +625,53 @@ object TextQueries {
             JOIN top t USING (w1)
             JOIN cont c ON c.w2 = b.w2, tot tt"""))
 
+  /** Per-language sentence segmentation stats — the curation readout the
+    * Gopher/C4 rule families key off (mean sentence length and
+    * sentences-per-doc are their repetition/boilerplate signals; docs
+    * that segment to zero sentences are the no-terminal-punctuation
+    * class C4 drops outright, mirrored by the n_sent > 0 filter on both
+    * engines). Segmenter: split on terminal-punctuation runs `[.!?]+`,
+    * keep segments with any non-whitespace — the same regex class on
+    * Java regex and RE2, no engine divergence.
+    *
+    * Scale shape: one per-row segmentation pass riding the scan (no
+    * explode — only the two counts leave the row), then one
+    * LANG-cardinality aggregate. Ratios are floor-divided integer
+    * centi-units; no doubles anywhere.
+    */
+  private val textSentenceStats = Q(
+    "text_sentence_stats",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, dir)
+        .withColumn("n_sent", size(expr(
+          "filter(split(text, '[.!?]+'), x -> trim(x) <> '')")).cast("long"))
+        .withColumn("n_tok", size(expr(tokenizeExpr)).cast("long"))
+        .where(col("n_sent") > 0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_sent")).as("n_sentences"),
+          sum(col("n_tok")).as("n_tokens"))
+        .select(col("lang"), col("n_docs"), col("n_sentences"), col("n_tokens"),
+          expr("(n_tokens * 100) div n_sentences").as("toks_per_sent_x100"),
+          expr("(n_sentences * 100) div n_docs").as("sents_per_doc_x100"))
+    },
+    Some("""SELECT lang, n_docs, n_sentences, n_tokens,
+              (n_tokens * 100) // n_sentences AS toks_per_sent_x100,
+              (n_sentences * 100) // n_docs AS sents_per_doc_x100
+            FROM (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(n_sent) AS BIGINT) AS n_sentences,
+                    CAST(sum(n_tok) AS BIGINT) AS n_tokens
+                  FROM (SELECT lang,
+                          CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+                            x -> trim(x) <> '')) AS BIGINT) AS n_sent,
+                          CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                            t -> t <> '')) AS BIGINT) AS n_tok
+                        FROM documents)
+                  WHERE n_sent > 0 GROUP BY lang)"""))
+
   val all: Seq[Q] = Seq(textTokens, textQuality, textLangid, textFingerprint,
     tokenCount, textTfidf, textUnigramNll, textBm25, textEntropy, corpusStats,
-    textBigramNll, textReadability, lmKnBigram, evalLangidConfusion)
+    textBigramNll, textReadability, lmKnBigram, evalLangidConfusion,
+    textSentenceStats)
 }
