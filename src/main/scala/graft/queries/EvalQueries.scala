@@ -312,5 +312,92 @@ object EvalQueries {
                 / 2.0 * 1000000.0) AS BIGINT) AS prec_log_micro
             FROM pv JOIN rl ON rl.doc_id = pv.b)"""))
 
-  val all: Seq[Q] = Seq(evalAucRank, evalCalibrationBins, evalRateCi, evalBleu)
+  /** Pairwise ROUGE-1/2 recall (Lin 2004) over the same LSH candidate
+    * pairs — the recall twin of eval_bleu (summarization evals and
+    * reference-coverage audits read this side): clipped n-gram matches
+    * over the REFERENCE gram totals instead of the candidate's. The
+    * clipped sum Σ min(cnt_a, cnt_b) is symmetric, so the verify kernel
+    * is byte-identical to BLEU's; only the denominators change, which
+    * makes this query ALL-integer — no ln, no doubles, nothing to
+    * quantize.
+    *
+    * Scale shape: identical to eval_bleu — pairs from the shared
+    * CandidateArtifacts checkpoint, one semi-join-gated per-doc
+    * (gram-hash, multiplicity) pass, linear sorted-merge per pair.
+    * Drop semantics, mirrored on both engines: a token-free candidate
+    * (t1 = 0, no gc rows → oracle inner-join drop) and a token-free
+    * reference (r1 = 0, no rt row) both drop the pair — ROUGE of an
+    * empty side is undefined; a single-token reference keeps its row
+    * with rouge2_ppm = -1 (no reference bigrams to recall).
+    */
+  private val evalRougeN = Q(
+    "eval_rouge_n",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, dir)
+      val pairs = graft.dedup.CandidateArtifacts.pairs(s, dir)
+      val candDocs = pairs.select(col("a").as("doc_id"))
+        .union(pairs.select(col("b"))).distinct()
+      val per = Tables.spread(docs.select("doc_id", "text")
+          .join(candDocs, Seq("doc_id"), "left_semi"))
+        .select(col("doc_id"),
+          expr("word_gram_hash_counts(text, 1)").as("u"),
+          expr("word_gram_hash_counts(text, 2)").as("v"))
+        .localCheckpoint(eager = true) // a-side and b-side passes
+      pairs
+        .join(per.select(col("doc_id").as("a"), col("u").as("ua"),
+          col("v").as("va")), "a")
+        .join(per.select(col("doc_id").as("b"), col("u").as("ub"),
+          col("v").as("vb")), "b")
+        .select(col("a"), col("b"),
+          expr("sorted_summin(ua.gh, ua.cnt, ub.gh, ub.cnt)").as("m1"),
+          col("ua.tot").as("t1"),
+          expr("sorted_summin(va.gh, va.cnt, vb.gh, vb.cnt)").as("m2"),
+          col("ub.tot").as("r1"),
+          col("vb.tot").as("r2"))
+        .where(col("t1") > 0 && col("r1") > 0)
+        .select(col("a"), col("b"), col("m1"), col("m2"), col("r1"), col("r2"),
+          expr("(m1 * 1000000) div r1").as("rouge1_ppm"),
+          expr("CASE WHEN r2 = 0 THEN -1 " +
+            "ELSE (m2 * 1000000) div r2 END").as("rouge2_ppm"))
+    },
+    Some(s"""WITH ${graft.dedup.DedupQueries.candPairsOracleCte},
+          tok AS (
+            SELECT doc_id, list_filter(
+              string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS toks
+            FROM documents),
+          g AS (
+            SELECT doc_id, 1 AS n, unnest(toks) AS gram FROM tok
+            UNION ALL
+            SELECT doc_id, 2 AS n, unnest(
+              CASE WHEN len(toks) < 2 THEN []
+              ELSE list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i + 1]) END) AS gram
+            FROM tok),
+          gc AS (
+            SELECT doc_id, n, gram, CAST(count(*) AS BIGINT) AS cnt
+            FROM g GROUP BY doc_id, n, gram),
+          m AS (
+            SELECT c.a, c.b,
+              CAST(sum(CASE WHEN x.n = 1
+                THEN least(x.cnt, coalesce(y.cnt, 0)) ELSE 0 END) AS BIGINT) AS m1,
+              CAST(sum(CASE WHEN x.n = 2
+                THEN least(x.cnt, coalesce(y.cnt, 0)) ELSE 0 END) AS BIGINT) AS m2
+            FROM cand c
+            JOIN gc x ON x.doc_id = c.a
+            LEFT JOIN gc y ON y.doc_id = c.b AND y.n = x.n AND y.gram = x.gram
+            GROUP BY c.a, c.b),
+          rt AS (
+            SELECT doc_id,
+              CAST(sum(CASE WHEN n = 1 THEN cnt ELSE 0 END) AS BIGINT) AS r1,
+              CAST(sum(CASE WHEN n = 2 THEN cnt ELSE 0 END) AS BIGINT) AS r2
+            FROM gc GROUP BY doc_id)
+          SELECT a, b, m1, m2, r1, r2,
+            (m1 * 1000000) // r1 AS rouge1_ppm,
+            CASE WHEN r2 = 0 THEN -1
+              ELSE (m2 * 1000000) // r2 END AS rouge2_ppm
+          FROM m JOIN rt ON rt.doc_id = m.b"""))
+
+  val all: Seq[Q] = Seq(evalAucRank, evalCalibrationBins, evalRateCi, evalBleu,
+    evalRougeN)
 }

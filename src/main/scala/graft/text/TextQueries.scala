@@ -670,8 +670,53 @@ object TextQueries {
                         FROM documents)
                   WHERE n_sent > 0 GROUP BY lang)"""))
 
+  /** Per-document lexical diversity — type-token ratio and hapax share,
+    * the boilerplate/template detector in the quality family (machine-
+    * generated spinner text has abnormally LOW TTR; keyword-stuffed spam
+    * abnormally high): distinct types, hapax legomena (multiplicity-1
+    * tokens), both as floor-divided ppm of exact integers.
+    *
+    * Scale shape: the text_tokens explode with doc_id kept — the
+    * (doc, token) aggregate map-side combines within each document's
+    * rows, then the per-doc rollup is a second combine-friendly
+    * aggregate; nothing wider than (doc, token) ever shuffles. Docs
+    * with zero tokens vanish on both engines by construction (explode /
+    * unnest of an empty list emits no rows) — the same no-token drop
+    * class as text_sentence_stats.
+    */
+  private val textLexicalDiversity = Q(
+    "text_lexical_diversity",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.spread(Tables.documents(s, dir).select("doc_id", "text"))
+        .select(col("doc_id"), explode(expr(tokenizeExpr)).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_types"),
+          sum(col("cnt")).as("n_tokens"),
+          sum((col("cnt") === 1).cast("long")).as("n_hapax"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+          expr("(n_types * 1000000) div n_tokens").as("ttr_ppm"),
+          expr("(n_hapax * 1000000) div n_types").as("hapax_ppm"))
+    },
+    Some("""SELECT doc_id, n_tokens, n_types, n_hapax,
+              (n_types * 1000000) // n_tokens AS ttr_ppm,
+              (n_hapax * 1000000) // n_types AS hapax_ppm
+            FROM (SELECT doc_id,
+                    CAST(count(*) AS BIGINT) AS n_types,
+                    CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                    CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_hapax
+                  FROM (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS cnt
+                        FROM (SELECT doc_id, unnest(string_split_regex(
+                                lower(text), '[^a-z]+')) AS token
+                              FROM documents)
+                        WHERE token <> '' GROUP BY doc_id, token)
+                  GROUP BY doc_id)"""))
+
   val all: Seq[Q] = Seq(textTokens, textQuality, textLangid, textFingerprint,
     tokenCount, textTfidf, textUnigramNll, textBm25, textEntropy, corpusStats,
     textBigramNll, textReadability, lmKnBigram, evalLangidConfusion,
-    textSentenceStats)
+    textSentenceStats, textLexicalDiversity)
 }
