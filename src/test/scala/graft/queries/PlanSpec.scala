@@ -256,7 +256,7 @@ class PlanSpec extends SparkSpec {
 
   test("LSH family shares ONE signature/candidate artifact (no per-query rebuild)") {
     val family = Seq("dedup_minhash", "dedup_minhash_pairs", "dedup_ngram_jaccard",
-      "dedup_minhash_est", "text_edit_distance", "eval_bleu",
+      "dedup_minhash_est", "text_edit_distance", "eval_bleu", "eval_rouge_n",
       "dedup_incremental", "contamination_fuzzy")
     val before = graft.dedup.CandidateArtifacts.buildCount
     val plans = family.map(n => n ->
@@ -838,5 +838,41 @@ class PlanSpec extends SparkSpec {
       s"streaks grew extra windows: $windows spec mentions")
     assert(p.contains("partial_") || p.contains("HashAggregate"),
       "island rollup lost partial aggregation")
+  }
+
+  test("graph_degree_dist: CCDF window runs behind the checkpoint, total broadcasts") {
+    // the distribution table is eagerly checkpointed, so the FINAL plan
+    // must be: scan-of-checkpoint -> broadcast 1-row total -> window —
+    // no corpus-sized aggregate may appear above the checkpoint scan
+    val p = plan("graph_degree_dist")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "scalar total lost its broadcast: " + p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "1-row total joined via sort-merge")
+  }
+
+  test("text_sentence_stats: scan + one lang aggregate, no join, no window") {
+    val p = plan("text_sentence_stats")
+    assert(!p.contains("Join"), "sentence stats grew a join")
+    assert(!p.contains("Window"), "sentence stats grew a window")
+    assert(p.contains("HashAggregate") && p.contains("partial_"),
+      "lang rollup lost partial aggregation: " + p.take(2000))
+  }
+
+  test("text_lexical_diversity: two combine-friendly aggregates, no window") {
+    val p = plan("text_lexical_diversity")
+    assert(!p.contains("Window"), "lexical diversity grew a window")
+    assert(!p.contains("Join"), "lexical diversity grew a join")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      "per-doc rollup lost partial aggregation: " + p.take(2000))
+  }
+
+  test("eval_rouge_n: verify joins stay equi-keyed on the pair list") {
+    val p = plan("eval_rouge_n")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "ROUGE verify degenerated past the equi joins")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(2000))
+    assert(p.contains("sorted_summin"),
+      "ROUGE lost the sorted-merge clipped-match kernel")
   }
 }
