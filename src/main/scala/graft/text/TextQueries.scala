@@ -627,12 +627,15 @@ object TextQueries {
 
   /** Per-language sentence segmentation stats — the curation readout the
     * Gopher/C4 rule families key off (mean sentence length and
-    * sentences-per-doc are their repetition/boilerplate signals; docs
-    * that segment to zero sentences are the no-terminal-punctuation
-    * class C4 drops outright, mirrored by the n_sent > 0 filter on both
-    * engines). Segmenter: split on terminal-punctuation runs `[.!?]+`,
-    * keep segments with any non-whitespace — the same regex class on
-    * Java regex and RE2, no engine divergence.
+    * sentences-per-doc are their repetition/boilerplate signals). The
+    * n_sent > 0 filter drops only EMPTY and punctuation/whitespace-only
+    * texts on both engines; a doc with no terminal punctuation at all
+    * segments to ONE sentence (the whole text) and is kept. Segmenter:
+    * split on terminal-punctuation runs `[.!?]+` (the same regex class
+    * on Java regex and RE2), keep segments with any non-whitespace —
+    * non-whitespace is checked with an explicit ' \t\n\r' trim set
+    * because bare trim() strips only spaces on BOTH engines, which
+    * would count a pure-newline segment as a sentence.
     *
     * Scale shape: one per-row segmentation pass riding the scan (no
     * explode — only the two counts leave the row), then one
@@ -645,7 +648,8 @@ object TextQueries {
       graft.functions.GraftFunctions.register(s)
       Tables.documents(s, dir)
         .withColumn("n_sent", size(expr(
-          "filter(split(text, '[.!?]+'), x -> trim(x) <> '')")).cast("long"))
+          "filter(split(text, '[.!?]+'), x -> trim(BOTH ' \\t\\n\\r' FROM x) <> '')"))
+          .cast("long"))
         .withColumn("n_tok", size(expr(tokenizeExpr)).cast("long"))
         .where(col("n_sent") > 0)
         .groupBy(col("lang"))
@@ -664,7 +668,7 @@ object TextQueries {
                     CAST(sum(n_tok) AS BIGINT) AS n_tokens
                   FROM (SELECT lang,
                           CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
-                            x -> trim(x) <> '')) AS BIGINT) AS n_sent,
+                            x -> trim(x, e' \t\n\r') <> '')) AS BIGINT) AS n_sent,
                           CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
                             t -> t <> '')) AS BIGINT) AS n_tok
                         FROM documents)

@@ -101,7 +101,9 @@ class DegreeDistSentenceSpec extends SparkSpec {
       .select(col("lang"), col("text")).collect()
       .map(r => (r.getAs[String]("lang"), r.getAs[String]("text")))
     val local = docs.map { case (lang, text) =>
-      val nSent = text.split("[.!?]+", -1).count(_.trim.nonEmpty).toLong
+      // the engines' non-whitespace check is the explicit ' \t\n\r' set
+      val nSent = text.split("[.!?]+", -1)
+        .count(_.exists(c => !" \t\n\r".contains(c))).toLong
       val nTok = text.toLowerCase.split("[^a-z]+", -1).count(_.nonEmpty).toLong
       (lang, nSent, nTok)
     }.filter(_._2 > 0L)
