@@ -72,9 +72,22 @@ object CurationPipeline {
   }
 
   /** Run the pipeline, write parquet partitioned by (split, shard),
-    * return per-stage counts for the run report. */
+    * return per-stage counts for the run report.
+    *
+    * @param artifactDir when set, the LSH artifacts (signatures /
+    *   candidate pairs / clusters) are loaded from this directory if its
+    *   snapshot key matches the current corpus fingerprint, and rebuilt +
+    *   persisted there otherwise — the production pattern: dedup
+    *   artifacts land once per corpus snapshot and every downstream run
+    *   (and every other consumer) reads them instead of re-running the
+    *   signature pass (ArtifactPersistSpec pins reuse and stale-key
+    *   invalidation). */
   def run(spark: SparkSession, srcDir: String, outDir: String,
-      shards: Int = 16): Counts = {
+      shards: Int = 16, artifactDir: Option[String] = None): Counts = {
+    artifactDir.foreach { ad =>
+      val reused = graft.dedup.CandidateArtifacts.ensure(spark, srcDir, ad)
+      println(s"""{"artifact_snapshot":"$ad","reused":$reused}""")
+    }
     val docs = Tables.documents(spark, srcDir)
     val cleaned = graft.streaming.StreamCurate.curate(docs)
       .where(col("quality_ok"))
@@ -88,7 +101,8 @@ object CurationPipeline {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: CurationPipeline <srcDir> <outDir> [shards]")
+    require(args.length >= 2,
+      "usage: CurationPipeline <srcDir> <outDir> [shards] [artifactDir]")
     val spark = SparkSession.builder()
       .appName("graft-curation")
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
@@ -97,7 +111,8 @@ object CurationPipeline {
       .getOrCreate()
     try {
       val c = run(spark, args(0), args(1),
-        if (args.length > 2) args(2).toInt else 16)
+        if (args.length > 2) args(2).toInt else 16,
+        if (args.length > 3) Some(args(3)) else None)
       println(s"""{"raw":${c.raw},"cleaned":${c.cleaned},""" +
         s""""exact_deduped":${c.exactDeduped},"near_deduped":${c.nearDeduped}}""")
     } finally spark.stop()

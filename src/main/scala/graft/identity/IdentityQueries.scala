@@ -17,33 +17,21 @@ import graft.queries.{Q, Tables}
   */
 object IdentityQueries {
 
-  /** Namespace separator between user_id and props.k alias ids. 2^40, not
-    * a "big enough" decimal: the two id spaces must be PROVABLY disjoint
-    * — with the old 10^6 offset a user_id of 1,000,005 collided with
-    * alias k=5 and silently merged two unrelated clusters (latent at
-    * bench scale, corrupting at any realistic population; both engines
-    * shared the bug, so the oracle agreed with the wrong answer). 2^40
-    * (~1.1e12) clears any credible user population while keeping
-    * offset + k far from BIGINT overflow. */
-  private val Offset = 1L << 40
+  // The user_id / props.k namespace offset is hoisted to
+  // [[GraphArtifacts.Offset]] (2^40) so the whole signup-graph family
+  // (identity, pagerank, LPA, k-core, assortativity, degree_dist) shares
+  // ONE provably-disjoint id space; see the rationale there.
 
   private val identityComponents = Q(
     "identity_components",
-    (s, dir) => {
-      val edges = Tables.events(s, dir)
-        .filter(col("event_type") === "signup")
-        // try_cast, not cast: Spark 4 runs ANSI mode, where one malformed
-        // (non-numeric) props.k would abort the whole query instead of
-        // skipping the row; the null it yields is dropped by the CC
-        // normalize filter (oracle mirrors with TRY_CAST + null filter).
-        // No .distinct() here: connectedComponents' normalize already
-        // canonicalizes + distincts the edge set — an outer distinct was
-        // a second full edge shuffle for nothing.
-        .select(col("user_id").as("src"),
-          (expr("try_cast(get_json_object(props, '$.k') AS LONG)") + Offset)
-            .as("dst"))
-      Components.connectedComponents(edges)
-    },
+    (s, dir) =>
+      // the session-shared checkpointed edge artifact (try_cast + null
+      // filter + distinct live THERE, next to the oracle CTE that mirrors
+      // them). fwd is distinct, null-free, and self-loop-free with
+      // src < dst guaranteed by the namespace offset — exactly the CC
+      // inputDistinct contract, so normalize skips its edge re-shuffle.
+      Components.connectedComponents(GraphArtifacts.fwd(s, dir),
+        inputDistinct = true),
     Some(s"""WITH RECURSIVE $componentsOracleCte
       SELECT node, component FROM comp"""))
 
@@ -52,15 +40,13 @@ object IdentityQueries {
     * only; the Spark side is the O(E log N) star iteration.
     */
   private def componentsOracleCte: String =
-    // the null/self-loop filter mirrors the Spark-side CC normalize: a
-    // row with null user_id or unparseable k contributes NO edge (and no
-    // node) on either engine — without it the oracle would keep a node
-    // the Spark side drops, a latent row-count mismatch
-    s"""edges AS (SELECT DISTINCT user_id AS u,
-                  $Offset + TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS v
-                FROM events WHERE event_type = 'signup'),
-      ok AS (SELECT u, v FROM edges
-             WHERE u IS NOT NULL AND v IS NOT NULL AND u <> v),
+    // fwdOracle carries the null filter that mirrors the Spark-side edge
+    // artifact: a row with null user_id or unparseable k contributes NO
+    // edge (and no node) on either engine — without it the oracle would
+    // keep a node the Spark side drops, a latent row-count mismatch.
+    // (u <> v is vacuous under the namespace offset.)
+    s"""${GraphArtifacts.fwdOracle},
+      ok AS (SELECT src AS u, dst AS v FROM fwd),
       und AS (SELECT u, v FROM ok UNION SELECT v, u FROM ok),
       nodes AS (SELECT DISTINCT u AS node FROM und),
       reach(node, r) AS (

@@ -73,15 +73,11 @@ object GraphBpeQueries {
   private val graphPagerank = Q(
     "graph_pagerank",
     (s, dir) => {
-      val Offset = 1000000L
-      val fwd = Tables.events(s, dir)
-        .filter(col("event_type") === "signup")
-        .select(col("user_id").as("src"),
-          (get_json_object(col("props"), "$.k").cast("long") + Offset).as("dst"))
-        .distinct()
-      val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint(eager = true) // both iterations read this edge list
-      val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      // session-shared checkpointed artifacts (GraphArtifacts: 2^40
+      // offset + try_cast + null filter — ADVICE r05); both iterations
+      // read the one materialized edge RDD
+      val und = graft.identity.GraphArtifacts.und(s, dir)
+      val deg = graft.identity.GraphArtifacts.deg(s, dir)
       val withDeg = und.join(deg, "src")
       // r0 = 1 for every node, so round 1's per-edge contribution is
       // 1/deg — quantized per row, summed exactly.
@@ -100,13 +96,9 @@ object GraphBpeQueries {
           expr("0.15 + 0.85 * (CAST(c2 AS DOUBLE) / 1000000000000.0)").as("r2"))
       r2.select(col("node"), round(col("r2"), 4).as("rank"))
     },
-    Some("""WITH fwd AS (SELECT DISTINCT user_id AS src,
-                  1000000 + CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
-                FROM events WHERE event_type = 'signup'),
-            und AS (SELECT src, dst FROM fwd
-                    UNION ALL SELECT dst, src FROM fwd),
-            deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
-                    FROM und GROUP BY src),
+    Some(s"""WITH ${graft.identity.GraphArtifacts.fwdOracle},
+            ${graft.identity.GraphArtifacts.undOracle},
+            ${graft.identity.GraphArtifacts.degOracle},
             wd AS (SELECT und.src, und.dst, deg.deg
                    FROM und JOIN deg ON und.src = deg.src),
             r1 AS (SELECT dst AS node,
@@ -285,15 +277,10 @@ object GraphBpeQueries {
     * emits (ModularitySpec asserts that coupling). */
   private[queries] def lpaPieces(s: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, DataFrame, DataFrame) = {
-    val Offset = 1000000L
-    val fwd = Tables.events(s, dir)
-      .filter(col("event_type") === "signup")
-      .select(col("user_id").as("src"),
-        (get_json_object(col("props"), "$.k").cast("long") + Offset).as("dst"))
-      .distinct()
-      .localCheckpoint(eager = true) // und derives from it; modularity re-reads it
-    val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(eager = true) // both vote rounds read this edge list
+    // session-shared checkpointed artifacts (GraphArtifacts): fwd feeds
+    // modularity's internal-edge count, und feeds both vote rounds
+    val fwd = graft.identity.GraphArtifacts.fwd(s, dir)
+    val und = graft.identity.GraphArtifacts.und(s, dir)
     def vote(labels: DataFrame): DataFrame =
       und.join(labels, col("src") === col("node"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
@@ -307,11 +294,8 @@ object GraphBpeQueries {
 
   /** Oracle CTE chain ending in `v2(node, label)`; splice after `WITH`. */
   private[queries] val lpaOracleCte: String =
-    """fwd AS (SELECT DISTINCT user_id AS src,
-            1000000 + CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
-          FROM events WHERE event_type = 'signup'),
-      und AS (SELECT src, dst FROM fwd
-              UNION ALL SELECT dst, src FROM fwd),
+    s"""${graft.identity.GraphArtifacts.fwdOracle},
+      ${graft.identity.GraphArtifacts.undOracle},
       l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
       v1 AS (
         SELECT dst AS node, label FROM (
@@ -384,12 +368,15 @@ object GraphBpeQueries {
     * @param pruneListener observes the adaptive bloom-prune decision
     *   (BenchTriangles asserts the pruned path engaged at 10 M edges). */
   private[graft] def triangleStats(pairs: DataFrame,
-      pruneListener: BloomPrune.AdaptivePrune => Unit = _ => ()): DataFrame = {
+      pruneListener: BloomPrune.AdaptivePrune => Unit = _ => (),
+      pairsCheckpointed: Boolean = false): DataFrame = {
       // the pair list is usually the expensive part (a fact-table
       // self-join upstream) — build it ONCE; deg is likewise shared by
       // the orientation and the wedge totals (un-checkpointed, the
-      // totals branch silently re-ran the whole upstream self-join)
-      val p = pairs.localCheckpoint(eager = true)
+      // totals branch silently re-ran the whole upstream self-join).
+      // pairsCheckpointed: callers handing a GraphArtifacts checkpoint
+      // skip the redundant re-materialization.
+      val p = if (pairsCheckpointed) pairs else pairs.localCheckpoint(eager = true)
       val deg = p.select(col("a").as("node"))
         .union(p.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -471,25 +458,12 @@ object GraphBpeQueries {
 
   private val graphTriangles = Q(
     "graph_triangles",
-    (s, dir) => {
-      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-      // Within-order co-purchase pairs WITHOUT a fact self-join: one
-      // groupBy collapses the order to its distinct sorted part set
-      // (orders are small — TPC-H ≤ 7 items — so the C(k,2) explode is
-      // in-core array math riding the aggregate, not a join), then one
-      // distinct over the pair stream. One exchange of lineitem instead
-      // of two plus a join; measured 2.5 → 1.8 s for the pair stage at
-      // sf0.1 with identical output (the self-join form shuffled the
-      // scan twice and the join output besides).
-      val pairs = li.groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-        .select(explode(expr(
-          "flatten(transform(ps, (x, i) -> " +
-            "transform(slice(ps, i + 2, size(ps)), " +
-            "y -> struct(x AS a, y AS b))))")).as("p"))
-        .select(col("p.a"), col("p.b")).distinct()
-      triangleStats(pairs)
-    },
+    (s, dir) =>
+      // the co-purchase pair list is the session-shared checkpointed
+      // artifact (GraphArtifacts.coPairs — one groupBy-and-explode pass
+      // over lineitem, no fact self-join; rationale lives there)
+      triangleStats(graft.identity.GraphArtifacts.coPairs(s, dir),
+        pairsCheckpointed = true),
     Some("""WITH pairs AS (
               SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
               FROM lineitem x JOIN lineitem y
@@ -540,21 +514,19 @@ object GraphBpeQueries {
   private val KCoreRounds = 8
 
   /** The undirected signup bipartite edge list (user ↔ offset+props.k) —
-    * same construction as graph_pagerank above. */
+    * the session-shared checkpointed artifact (kept as a named alias
+    * because KCoreSpec / DegreeDistSentenceSpec recount through it). */
   private[graft] def signupEdges(s: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
-    val fwd = Tables.events(s, dir)
-      .filter(col("event_type") === "signup")
-      .select(col("user_id").as("src"),
-        (get_json_object(col("props"), "$.k").cast("long") + 1000000L).as("dst"))
-      .distinct()
-    fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-  }
+      dir: String): DataFrame = graft.identity.GraphArtifacts.und(s, dir)
 
   private val graphKcore = Q(
     "graph_kcore",
     (s, dir) => {
-      var edges = signupEdges(s, dir).localCheckpoint(eager = true)
+      // the base edge list is the SHARED artifact — never unpersist it;
+      // per-round peeled lists are this query's own checkpoints and are
+      // released as soon as superseded
+      val base = signupEdges(s, dir)
+      var edges = base
       var nEdges = edges.count()
       var round = 0
       var converged = false
@@ -567,7 +539,7 @@ object GraphBpeQueries {
           .localCheckpoint(eager = true)
         val n = next.count()
         converged = n == nEdges
-        graft.identity.Components.unpersistCheckpoint(edges)
+        if (edges ne base) graft.identity.Components.unpersistCheckpoint(edges)
         edges = next
         nEdges = n
         round += 1
@@ -596,9 +568,7 @@ object GraphBpeQueries {
                     JOIN n$i a ON a.node = e.src
                     JOIN n$i b ON b.node = e.dst)"""
       }.mkString(",\n")
-      s"""WITH fwd AS MATERIALIZED (SELECT DISTINCT user_id AS src,
-                1000000 + CAST(json_extract_string(props, '$$.k') AS BIGINT) AS dst
-              FROM events WHERE event_type = 'signup'),
+      s"""WITH ${graft.identity.GraphArtifacts.fwdOracle},
           e0 AS MATERIALIZED (SELECT src, dst FROM fwd
                  UNION ALL SELECT dst, src FROM fwd),
           $peel,
@@ -787,9 +757,9 @@ object GraphBpeQueries {
   private val graphAssortativity = Q(
     "graph_assortativity",
     (s, dir) => {
-      val und = signupEdges(s, dir).localCheckpoint(eager = true)
-      val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .localCheckpoint(eager = true) // decorates both endpoints
+      // shared checkpointed artifacts; deg decorates both endpoints
+      val und = graft.identity.GraphArtifacts.und(s, dir)
+      val deg = graft.identity.GraphArtifacts.deg(s, dir)
       und
         .join(deg.select(col("src"), col("deg").as("du")), "src")
         .join(deg.select(col("src").as("dst"), col("deg").as("dv")), "dst")
@@ -805,13 +775,9 @@ object GraphBpeQueries {
                       - CAST(s_u AS DOUBLE) * CAST(s_u AS DOUBLE), 0.0)
                     * 1000000.0) AS BIGINT)""").as("assort_micro"))
     },
-    Some("""WITH fwd AS (SELECT DISTINCT user_id AS src,
-                  1000000 + CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
-                FROM events WHERE event_type = 'signup'),
-            und AS (SELECT src, dst FROM fwd
-                    UNION ALL SELECT dst, src FROM fwd),
-            deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
-                    FROM und GROUP BY src),
+    Some(s"""WITH ${graft.identity.GraphArtifacts.fwdOracle},
+            ${graft.identity.GraphArtifacts.undOracle},
+            ${graft.identity.GraphArtifacts.degOracle},
             mom AS (
               SELECT CAST(count(*) AS BIGINT) AS m,
                 CAST(sum(a.deg * b.deg) AS BIGINT) AS s_uv,
@@ -849,8 +815,7 @@ object GraphBpeQueries {
     "graph_degree_dist",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val deg = signupEdges(s, dir)
-        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val deg = graft.identity.GraphArtifacts.deg(s, dir)
       val dist = deg.groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
         .localCheckpoint(eager = true) // feeds the total AND the window
       // deg is distinct post-groupBy: the desc window has no ties, and
@@ -863,13 +828,9 @@ object GraphBpeQueries {
         .select(col("deg"), col("n_nodes"),
           expr("(n_ge * 1000000) div n_total").as("ccdf_ppm"))
     },
-    Some("""WITH fwd AS (SELECT DISTINCT user_id AS src,
-                  1000000 + CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
-                FROM events WHERE event_type = 'signup'),
-            und AS (SELECT src, dst FROM fwd
-                    UNION ALL SELECT dst, src FROM fwd),
-            deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
-                    FROM und GROUP BY src),
+    Some(s"""WITH ${graft.identity.GraphArtifacts.fwdOracle},
+            ${graft.identity.GraphArtifacts.undOracle},
+            ${graft.identity.GraphArtifacts.degOracle},
             dist AS (SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
                      FROM deg GROUP BY deg),
             tot AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS n_total FROM dist)

@@ -47,4 +47,26 @@ class ClusterSpanningSpec extends SparkSpec {
     assert(cp(59L) == 0L)
     assert(cp(101L) == 100L)
   }
+
+  test("null-text docs never enter the band self-join (no md5('') clique)") {
+    // ADVICE r05: if null-text docs were signed, concat_ws would skip the
+    // null minhash elements and every such doc would share band md5('') —
+    // a quadratic candidate clique on a null-heavy corpus. The pre-signing
+    // `text IS NOT NULL` filter in minhashSignaturesFull is the guard;
+    // pin it end-to-end through signatures AND pairs.
+    import spark.implicits._
+    val docs = Seq[(java.lang.Long, String)](
+      (1L, null), (2L, null), (3L, null), (4L, null),
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappaX"))
+      .toDF("doc_id", "text")
+    val sig = DedupQueries.minhashSignaturesFull(docs, spreadInput = false)
+    assert(sig.where(col("doc_id") < 10L).count() == 0,
+      "null-text docs received signatures")
+    val pairs = DedupQueries.pairsFromSignatures(sig.localCheckpoint(eager = true))
+      .as[(Long, Long)].collect().toSet
+    assert(!pairs.exists { case (a, b) => a < 10L || b < 10L },
+      s"null-text docs formed candidate pairs: $pairs")
+    assert(pairs.contains((10L, 11L)), "the planted near-dup pair vanished")
+  }
 }

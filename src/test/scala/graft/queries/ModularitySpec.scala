@@ -13,11 +13,9 @@ class ModularitySpec extends SparkSpec {
   test("graph_modularity matches a local recompute over the LPA communities") {
     val labels = Registry.queries("graph_label_propagation")(spark, sfDir)
       .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
-    val fwd = Tables.events(spark, sfDir)
-      .filter(col("event_type") === "signup")
-      .select(col("user_id").as("src"),
-        (get_json_object(col("props"), "$.k").cast("long") + 1000000L).as("dst"))
-      .distinct().collect()
+    // the same shared edge artifact the query consumes (2^40 offset,
+    // try_cast, null filter) — the recompute below is still independent
+    val fwd = graft.identity.GraphArtifacts.fwd(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")))
     val m = fwd.length.toLong
     val eIn = fwd.filter { case (a, b) => labels(a) == labels(b) }

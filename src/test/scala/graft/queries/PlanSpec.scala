@@ -271,6 +271,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("graph family shares ONE edge/degree artifact set (no per-query rebuild)") {
+    val family = Seq("identity_components", "identity_graph_stats",
+      "graph_pagerank", "graph_label_propagation", "graph_modularity",
+      "graph_kcore", "graph_assortativity", "graph_degree_dist",
+      "graph_triangles")
+    val before = graft.identity.GraphArtifacts.buildCount
+    val plans = family.map(n => n ->
+      graft.SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString)
+    val after = graft.identity.GraphArtifacts.buildCount
+    // four artifacts exist (fwd, und, deg, coPairs) — each built at most once
+    assert(after - before <= 4,
+      s"graph artifacts rebuilt ${after - before} times across the family")
+    // no family member re-derives the signup edge list from the events
+    // scan in its own plan: the edge artifact is a checkpointed RDD
+    plans.filterNot(_._1 == "graph_triangles").foreach { case (n, p) =>
+      assert(p.contains("Scan ExistingRDD"),
+        s"$n no longer reads the checkpointed graph artifact")
+      assert(!p.contains("get_json_object"),
+        s"$n re-derives signup edges from events instead of the artifact")
+    }
+  }
+
   test("event_transitions window is per-user, never a global sort") {
     val p = plan("event_transitions")
     val windowLine = p.linesIterator.find(_.contains("Window ")).getOrElse("")
