@@ -93,6 +93,9 @@ object GraftFunctions {
   private val summinInfo = extInfo(classOf[SortedSumMin].getName, "sorted_summin",
     "_FUNC_(agh, acnt, bgh, bcnt) - sum of min multiplicities over matching sorted hashes")
 
+  private val lcsInfo = extInfo(classOf[LcsLength].getName, "lcs_len",
+    "_FUNC_(a, b) - longest-common-subsequence length of two STRING arrays (ROUGE-L)")
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("winnow_fps"), winnowInfo,
@@ -133,6 +136,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("sorted_summin"), summinInfo,
       (exprs: Seq[Expression]) => SortedSumMin(exprs(0), exprs(1), exprs(2), exprs(3)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("lcs_len"), lcsInfo,
+      (exprs: Seq[Expression]) => LcsLength(exprs(0), exprs(1)))
   }
 }
 

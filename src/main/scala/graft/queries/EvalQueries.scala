@@ -398,6 +398,81 @@ object EvalQueries {
               ELSE (m2 * 1000000) // r2 END AS rouge2_ppm
           FROM m JOIN rt ON rt.doc_id = m.b"""))
 
+  /** ROUGE-L recall over the live candidate pairs — the LCS member of the
+    * eval family (ROUGE-1/2 are clipped-count recalls; ROUGE-L rewards
+    * IN-ORDER overlap, so shuffled boilerplate scores low here while
+    * scoring high on rouge1). Same generate-then-verify scale shape as
+    * eval_rouge_n: tokenization runs once per candidate DOC behind a
+    * checkpoint, the per-PAIR work is the native `lcs_len` DP
+    * ([[graft.functions.LcsLength]]) over the first 32 tokens — a
+    * declared cap (the text_edit_distance 100-char-head stance) that
+    * bounds the quadratic DP at 1024 cells/pair regardless of document
+    * length. Integer-exact: lcs, lengths, and a floor-divided ppm recall
+    * against the reference (b) side; -1 flags an empty reference, never
+    * a division.
+    *
+    * The oracle replays the SAME DP as a recursive CTE carrying the dp
+    * row as a LIST (one step per a-token), using the prefix-max
+    * reformulation dp_i[j] = max(dp_{i-1}[j], max_{k≤j}(dp_{i-1}[k-1] +
+    * eq(b_k, a_i))) — no intra-row sequential dependency, so each step
+    * is one list_transform. RougeLSpec pins Spark-vs-local-DP equality on
+    * the live pairs plus hand-checked sequences.
+    */
+  private val evalRougeL = Q(
+    "eval_rouge_l",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, dir)
+      val pairs = graft.dedup.CandidateArtifacts.pairs(s, dir)
+      val candDocs = pairs.select(col("a").as("doc_id"))
+        .union(pairs.select(col("b"))).distinct()
+      val per = Tables.spread(docs.select(col("doc_id"), col("text"))
+          .join(candDocs, Seq("doc_id"), "left_semi"))
+        .select(col("doc_id"),
+          expr("slice(word_ngrams(text, 1, false), 1, 32)").as("toks"))
+        .localCheckpoint(eager = true) // a-side and b-side passes
+      // the joined pair frame is bytes-small but CPU-heavy (the DP) —
+      // spread it so AQE's size-based coalesce can't serialize the pass
+      Tables.spread(pairs
+        .join(per.select(col("doc_id").as("a"), col("toks").as("ta")), "a")
+        .join(per.select(col("doc_id").as("b"), col("toks").as("tb")), "b"))
+        .select(col("a"), col("b"),
+          expr("lcs_len(ta, tb)").as("lcs"),
+          expr("CAST(size(ta) AS BIGINT)").as("na"),
+          expr("CAST(size(tb) AS BIGINT)").as("nb"))
+        .select(col("a"), col("b"), col("lcs"), col("na"), col("nb"),
+          expr("CASE WHEN nb = 0 THEN -1 " +
+            "ELSE (lcs * 1000000) div nb END").as("rougel_ppm"))
+    },
+    Some(s"""WITH RECURSIVE ${graft.dedup.DedupQueries.candPairsOracleCte},
+          tok AS (
+            SELECT doc_id, list_slice(list_filter(
+              string_split_regex(lower(text), '[^a-z]+'), t -> t <> ''),
+              1, 32) AS toks
+            FROM documents),
+          pt AS (
+            SELECT c.a, c.b, x.toks AS ta, y.toks AS tb,
+                   len(x.toks) AS na, len(y.toks) AS nb
+            FROM cand c
+            JOIN tok x ON x.doc_id = c.a
+            JOIN tok y ON y.doc_id = c.b),
+          rec AS (
+            SELECT a, b, ta, tb, na, nb, 0 AS i,
+                   list_transform(range(0, nb + 1), x -> 0) AS dp
+            FROM pt
+            UNION ALL
+            SELECT a, b, ta, tb, na, nb, i + 1,
+              list_prepend(0, list_transform(range(1, nb + 1), j ->
+                greatest(dp[j + 1], list_max(list_transform(range(1, j + 1), k ->
+                  dp[k] + CASE WHEN tb[k] = ta[i + 1] THEN 1 ELSE 0 END)))))
+            FROM rec WHERE i < na)
+          SELECT a, b, CAST(dp[nb + 1] AS BIGINT) AS lcs,
+                 CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+                 CASE WHEN nb = 0 THEN CAST(-1 AS BIGINT)
+                   ELSE CAST((dp[nb + 1] * 1000000) // nb AS BIGINT)
+                 END AS rougel_ppm
+          FROM rec WHERE i = na"""))
+
   val all: Seq[Q] = Seq(evalAucRank, evalCalibrationBins, evalRateCi, evalBleu,
-    evalRougeN)
+    evalRougeN, evalRougeL)
 }
