@@ -131,6 +131,7 @@ object JdbcSink {
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.nonEmpty) {
         val conn = connect()
+        SinkGauge.enter()
         try {
           conn.setAutoCommit(false)
           val ps = conn.prepareStatement(sql)
@@ -146,7 +147,7 @@ object JdbcSink {
           conn.commit()
         } catch {
           case e: Throwable => conn.rollback(); throw e
-        } finally conn.close()
+        } finally { SinkGauge.exit(); conn.close() }
       }
     }
   }
