@@ -124,29 +124,11 @@ object CandidateArtifacts {
   // frames, so consumers are agnostic to where the artifact came from.
   // ---------------------------------------------------------------------
 
-  /** Deterministic fingerprint of the corpus `documents` table: xor-fold
-    * of xxhash64(path, length, modification time) over the table's files
-    * (Hadoop FileSystem — works for local dirs and object stores alike).
-    * Any rewrite changes file names (Spark writes fresh UUID part files)
-    * or at minimum lengths/mtimes, so a stale key can only mean an
-    * unchanged corpus. Content hashing would cost a full corpus read —
-    * exactly what persistence exists to avoid. */
-  def corpusFingerprint(s: SparkSession, corpusDir: String): String = {
-    val path = new org.apache.hadoop.fs.Path(s"$corpusDir/documents.parquet")
-    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(path, true)
-    var acc = 0L
-    var n = 0
-    while (it.hasNext) {
-      val f = it.next()
-      val h = scala.util.hashing.MurmurHash3.stringHash(
-        s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
-      // order-independent fold: listFiles order is fs-dependent
-      acc ^= (h.toLong << 32) | (java.lang.Integer.rotateLeft(h, 13).toLong & 0xffffffffL)
-      n += 1
-    }
-    f"$n%d-$acc%016x"
-  }
+  /** Fingerprint of the corpus `documents` table — the snapshot key the
+    * persisted artifacts are stamped with ([[graft.queries.TableFingerprint]]
+    * has the rationale: file metadata, not content). */
+  def corpusFingerprint(s: SparkSession, corpusDir: String): String =
+    graft.queries.TableFingerprint.of(s, s"$corpusDir/documents.parquet")
 
   private val KeyFile = "_corpus_key"
 

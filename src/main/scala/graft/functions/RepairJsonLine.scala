@@ -96,6 +96,10 @@ object GraftFunctions {
   private val lcsInfo = extInfo(classOf[LcsLength].getName, "lcs_len",
     "_FUNC_(a, b) - longest-common-subsequence length of two STRING arrays (ROUGE-L)")
 
+  private val charCntInfo = extInfo(classOf[CharGramHashCounts].getName,
+    "char_gram_hash_counts",
+    "_FUNC_(text) - struct(gh, cnt, tot): sorted distinct 5-char-shingle hashes + multiplicities")
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("winnow_fps"), winnowInfo,
@@ -139,6 +143,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("lcs_len"), lcsInfo,
       (exprs: Seq[Expression]) => LcsLength(exprs(0), exprs(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("char_gram_hash_counts"), charCntInfo,
+      (exprs: Seq[Expression]) => CharGramHashCounts(exprs.head))
   }
 }
 

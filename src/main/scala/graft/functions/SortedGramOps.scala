@@ -89,6 +89,69 @@ object CharShingleHashes {
   }
 }
 
+case class CharGramHashCounts(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_gram_hash_counts requires STRING, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("gh", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("cnt", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("tot", LongType, nullable = false)))
+  override def prettyName: String = "char_gram_hash_counts"
+
+  override def nullSafeEval(text: Any): Any =
+    CharGramHashCounts.compute(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.CharGramHashCounts.compute($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharGramHashCounts =
+    copy(child = newChild)
+}
+
+object CharGramHashCounts {
+
+  /** `char_gram_hash_counts(text)` → struct(gh, cnt, tot): sorted
+    * distinct xxhash64 of every 5-char window (the CharShingleHashes
+    * windowing, including the <5-char whole-text fallback), each hash's
+    * MULTIPLICITY, and the total window count — the chrF counterpart of
+    * word_gram_hash_counts, feeding sorted_summin's clipped match. */
+  def compute(text: UTF8String): InternalRow = {
+    val n = text.numChars()
+    val hashes =
+      if (n < 5) Array(XxHash64Function.hash(text, StringType, 42L))
+      else {
+        val out = new Array[Long](n - 4)
+        var i = 0
+        while (i < n - 4) {
+          out(i) = XxHash64Function.hash(
+            text.substringSQL(i + 1, 5), StringType, 42L)
+          i += 1
+        }
+        out
+      }
+    java.util.Arrays.sort(hashes)
+    val m = hashes.length
+    val gh = new Array[Long](m)
+    val cnt = new Array[Long](m)
+    var w = 0
+    var i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m && hashes(j) == hashes(i)) j += 1
+      gh(w) = hashes(i); cnt(w) = (j - i).toLong; w += 1
+      i = j
+    }
+    InternalRow(
+      new GenericArrayData(java.util.Arrays.copyOf(gh, w)),
+      new GenericArrayData(java.util.Arrays.copyOf(cnt, w)),
+      m.toLong)
+  }
+}
+
 case class WordGramHashCounts(left: Expression, right: Expression)
   extends BinaryExpression {
 

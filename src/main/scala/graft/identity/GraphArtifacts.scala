@@ -152,6 +152,68 @@ object GraphArtifacts {
     fwdCache.clear(); undCache.clear(); degCache.clear(); coPairCache.clear()
   }
 
+  // ---------------------------------------------------------------------
+  // Parquet persistence — the CandidateArtifacts pattern for the graph
+  // family: edge/degree/pair artifacts land once per corpus snapshot,
+  // stamped with a fingerprint over BOTH source tables (events drives
+  // the signup graph, lineitem drives the co-purchase pairs); a later
+  // session loads instead of re-deriving, a changed corpus misses the
+  // key and rebuilds (GraphArtifactsSpec pins both paths).
+  // ---------------------------------------------------------------------
+
+  private val KeyFile = "_corpus_key"
+
+  /** Snapshot key: events fingerprint | lineitem fingerprint. */
+  def graphFingerprint(s: SparkSession, corpusDir: String): String =
+    graft.queries.TableFingerprint.of(s, s"$corpusDir/events.parquet") + "|" +
+      graft.queries.TableFingerprint.of(s, s"$corpusDir/lineitem.parquet")
+
+  /** Write fwd/und/deg/coPairs as parquet under `artifactDir`, stamped
+    * with [[graphFingerprint]]. */
+  def persistTo(s: SparkSession, corpusDir: String, artifactDir: String): Unit = {
+    Seq("fwd" -> fwd(s, corpusDir), "und" -> und(s, corpusDir),
+      "deg" -> deg(s, corpusDir), "copairs" -> coPairs(s, corpusDir))
+      .foreach { case (n, df) =>
+        df.write.mode("overwrite").parquet(s"$artifactDir/$n.parquet")
+      }
+    val key = new org.apache.hadoop.fs.Path(s"$artifactDir/$KeyFile")
+    val fs = key.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(key, true)
+    try out.write(graphFingerprint(s, corpusDir)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Seed the session caches from a persisted snapshot when its key
+    * matches the CURRENT corpus fingerprint; false on missing/stale key
+    * (stale artifacts must never serve a changed corpus). */
+  def loadFrom(s: SparkSession, corpusDir: String, artifactDir: String): Boolean = {
+    val key = new org.apache.hadoop.fs.Path(s"$artifactDir/$KeyFile")
+    val fs = key.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(key)) return false
+    val in = fs.open(key)
+    val stored = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    if (stored != graphFingerprint(s, corpusDir)) return false
+    fwdCache.put((s, corpusDir), s.read.parquet(s"$artifactDir/fwd.parquet"))
+    undCache.put((s, corpusDir), s.read.parquet(s"$artifactDir/und.parquet"))
+    degCache.put((s, corpusDir), s.read.parquet(s"$artifactDir/deg.parquet"))
+    coPairCache.put((s, corpusDir), s.read.parquet(s"$artifactDir/copairs.parquet"))
+    true
+  }
+
+  /** Load-or-build-and-persist; true when the snapshot was reused. */
+  def ensure(s: SparkSession, corpusDir: String, artifactDir: String): Boolean = {
+    val hit = loadFrom(s, corpusDir, artifactDir)
+    if (!hit) {
+      // a stale snapshot must not satisfy the session cache either
+      Seq(fwdCache, undCache, degCache, coPairCache)
+        .foreach(_.remove((s, corpusDir)))
+      persistTo(s, corpusDir, artifactDir)
+    }
+    hit
+  }
+
   private def memo(cache: ConcurrentHashMap[(SparkSession, String), DataFrame],
       s: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
     evictStopped(cache)

@@ -473,6 +473,75 @@ object EvalQueries {
                  END AS rougel_ppm
           FROM rec WHERE i = na"""))
 
+  /** chrF2 (Popović 2015) over the live candidate pairs — the
+    * character-level member of the eval family (BLEU/ROUGE are
+    * word-level; chrF is the standard robustness check for morphology
+    * and tokenization artifacts, and the engine's variant declares the
+    * 5-char shingle it uses everywhere else as the character n-gram).
+    * Clipped match m = Σ min(cnt_a, cnt_b) over shared 5-char shingles;
+    * precision = m/|a|, recall = m/|b|, and chrF2 = 5PR/(4P+R) reduces
+    * to the DIVISION-FREE integer form 5m/(4·tb + ta) (multiply num and
+    * den by ta·tb), so every output is one exact floor-divided ppm —
+    * no doubles, no zero-denominator case (tot ≥ 1 for any non-null
+    * text, and null-text docs never enter the candidate pairs).
+    *
+    * Scale shape: the eval_rouge_n pattern — one `char_gram_hash_counts`
+    * pass per candidate DOC behind a checkpoint (native kernel: sorted
+    * distinct shingle hashes + multiplicities), per-pair work a single
+    * allocation-free `sorted_summin` merge in codegen. The oracle
+    * rebuilds the same counts from raw 5-char substrings (the
+    * dedup_minhash_est window formulation) and clips via join+least —
+    * hash-vs-text equality is the documented 64-bit collision stance.
+    */
+  private val evalChrf = Q(
+    "eval_chrf",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val pairs = graft.dedup.CandidateArtifacts.pairs(s, dir)
+      val candDocs = pairs.select(col("a").as("doc_id"))
+        .union(pairs.select(col("b"))).distinct()
+      val per = Tables.spread(Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+          .join(candDocs, Seq("doc_id"), "left_semi"))
+        .select(col("doc_id"), expr("char_gram_hash_counts(text)").as("g"))
+        .localCheckpoint(eager = true) // a-side and b-side passes
+      pairs
+        .join(per.select(col("doc_id").as("a"), col("g").as("ga")), "a")
+        .join(per.select(col("doc_id").as("b"), col("g").as("gb")), "b")
+        .select(col("a"), col("b"),
+          expr("sorted_summin(ga.gh, ga.cnt, gb.gh, gb.cnt)").as("m"),
+          col("ga.tot").as("ta"), col("gb.tot").as("tb"))
+        .select(col("a"), col("b"), col("m"), col("ta"), col("tb"),
+          expr("(m * 1000000) div ta").as("prec_ppm"),
+          expr("(m * 1000000) div tb").as("rec_ppm"),
+          expr("(5 * m * 1000000) div (4 * tb + ta)").as("chrf2_ppm"))
+    },
+    Some(s"""WITH ${graft.dedup.DedupQueries.candPairsOracleCte},
+          g AS (
+            SELECT doc_id, unnest(
+              CASE WHEN length(text) < 5 THEN [text]
+              ELSE list_transform(range(1, length(text) - 3),
+                     i -> substr(text, i, 5)) END) AS gram
+            FROM documents),
+          gc AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt
+                 FROM g GROUP BY doc_id, gram),
+          tot AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS tot
+                  FROM gc GROUP BY doc_id),
+          mm AS (
+            SELECT c.a, c.b,
+              CAST(sum(least(x.cnt, coalesce(y.cnt, 0))) AS BIGINT) AS m
+            FROM cand c
+            JOIN gc x ON x.doc_id = c.a
+            LEFT JOIN gc y ON y.doc_id = c.b AND y.gram = x.gram
+            GROUP BY c.a, c.b)
+          SELECT mm.a, mm.b, mm.m, ta.tot AS ta, tb.tot AS tb,
+            (mm.m * 1000000) // ta.tot AS prec_ppm,
+            (mm.m * 1000000) // tb.tot AS rec_ppm,
+            (5 * mm.m * 1000000) // (4 * tb.tot + ta.tot) AS chrf2_ppm
+          FROM mm
+          JOIN tot ta ON ta.doc_id = mm.a
+          JOIN tot tb ON tb.doc_id = mm.b"""))
+
   val all: Seq[Q] = Seq(evalAucRank, evalCalibrationBins, evalRateCi, evalBleu,
-    evalRougeN, evalRougeL)
+    evalRougeN, evalRougeL, evalChrf)
 }

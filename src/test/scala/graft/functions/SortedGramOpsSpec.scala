@@ -62,6 +62,48 @@ class SortedGramOpsSpec extends SparkSpec {
     }
   }
 
+  test("char_gram_hash_counts = sorted hash histogram of the 5-char shingles") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val rows = texts.toDF("text")
+      .selectExpr("char_gram_hash_counts(text) AS fast",
+        // the SQL formulation: every 5-char window (whole-text fallback
+        // under 5 chars), hashed and histogrammed
+        """array_sort(transform(
+             CASE WHEN length(text) < 5 THEN array(text)
+             ELSE transform(sequence(1, length(text) - 4),
+                    i -> substring(text, i, 5)) END,
+             g -> xxhash64(g))) AS hs""")
+      .selectExpr("fast",
+        "array_sort(array_distinct(hs)) AS slow_gh",
+        "transform(array_sort(array_distinct(hs)), " +
+          "h -> size(filter(hs, x -> x = h))) AS slow_cnt",
+        "CAST(size(hs) AS BIGINT) AS slow_tot")
+      .collect()
+    rows.foreach { r =>
+      val fast = r.getStruct(0)
+      assert(fast.getSeq[Long](0) == r.getSeq[Long](1), s"gh: $r")
+      assert(fast.getSeq[Long](1).map(_.toLong) ==
+        r.getSeq[Int](2).map(_.toLong), s"cnt: $r")
+      assert(fast.getLong(2) == r.getLong(3), s"tot: $r")
+    }
+  }
+
+  test("chrF2 identities: identical docs score 1000000 ppm, disjoint score 0") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      ("the quick brown fox jumps", "the quick brown fox jumps"),
+      ("aaaaaaaaaa", "zzzzzzzzzz"))
+      .toDF("x", "y")
+      .selectExpr("char_gram_hash_counts(x) AS ga", "char_gram_hash_counts(y) AS gb")
+      .selectExpr("sorted_summin(ga.gh, ga.cnt, gb.gh, gb.cnt) AS m",
+        "ga.tot AS ta", "gb.tot AS tb")
+      .selectExpr("(5 * m * 1000000) div (4 * tb + ta) AS chrf2_ppm")
+      .collect().map(_.getLong(0)).toSeq
+    assert(df == Seq(1000000L, 0L), s"chrf2=$df")
+  }
+
   test("sorted_intersect_count = size(array_intersect) on sorted distinct arrays") {
     GraftFunctions.register(spark)
     import spark.implicits._

@@ -13,20 +13,22 @@ import graft.SparkSpec
   * (ANSI mode), and null endpoints contribute no edge. */
 class GraphArtifactsSpec extends SparkSpec {
 
-  private def corpus(): String = {
+  private def corpus(signups: Seq[(java.lang.Long, String)] = Seq(
+      (1L, """{"k": "5"}"""), (1L, """{"k": "5"}"""), // duplicate edge
+      (1000005L, """{"k": "99"}"""),                  // the collision probe
+      (2L, """{"k": "oops"}"""),                      // malformed k → no edge
+      (null, """{"k": "7"}"""),                       // null user → no edge
+      (3L, null)),                                    // null props → no edge
+      dir: String = Files.createTempDirectory("graft-ga").toString): String = {
     import spark.implicits._
-    val dir = Files.createTempDirectory("graft-ga").toString
     val ts = Timestamp.valueOf("2024-01-01 00:00:00")
-    Seq[(java.lang.Long, String, String, Timestamp)](
-      (1L, "signup", """{"k": "5"}""", ts),
-      (1L, "signup", """{"k": "5"}""", ts),           // duplicate edge
-      (1000005L, "signup", """{"k": "99"}""", ts),    // the collision probe
-      (2L, "signup", """{"k": "oops"}""", ts),        // malformed k → no edge
-      (null, "signup", """{"k": "7"}""", ts),         // null user → no edge
-      (3L, "signup", null, ts),                       // null props → no edge
-      (4L, "click", """{"k": "8"}""", ts))            // wrong event type
+    (signups.map { case (u, p) => (u, "signup", p, ts) } :+
+      ((4L: java.lang.Long), "click", """{"k": "8"}""", ts)) // wrong event type
       .toDF("user_id", "event_type", "props", "ts")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Seq((100L, 7L), (100L, 8L), (100L, 9L), (200L, 7L), (200L, 9L))
+      .toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     dir
   }
 
@@ -56,5 +58,34 @@ class GraphArtifactsSpec extends SparkSpec {
     assert(comp(1000005L) == comp(GraphArtifacts.Offset + 99L))
     assert(comp(1L) != comp(1000005L),
       "unrelated clusters merged — the namespace offset collision is back")
+  }
+
+  test("persist → load round-trip, fingerprint invalidation on corpus change") {
+    val dir = corpus()
+    val art = Files.createTempDirectory("graft-ga-art").toString
+    assert(!GraphArtifacts.ensure(spark, dir, art),
+      "ensure claimed a hit on an empty artifact dir")
+    def edges(): Set[(Long, Long)] = GraphArtifacts.fwd(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def pairs(): Set[(Long, Long)] = GraphArtifacts.coPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e1 = edges(); val p1 = pairs()
+    assert(p1 == Set((7L, 8L), (7L, 9L), (8L, 9L)), s"coPairs=$p1")
+
+    // unchanged corpus, cold session caches → parquet-backed reload
+    GraphArtifacts.invalidate()
+    assert(GraphArtifacts.ensure(spark, dir, art),
+      "unchanged corpus did not reuse the persisted snapshot")
+    assert(GraphArtifacts.fwd(spark, dir).queryExecution.executedPlan
+      .toString.contains("Scan parquet"), "loaded fwd is not parquet-backed")
+    assert(edges() == e1 && pairs() == p1)
+
+    // changed EVENTS table → stale key → rebuild with the new graph
+    GraphArtifacts.invalidate()
+    corpus(signups = Seq((42L, """{"k": "1"}""")), dir = dir)
+    assert(!GraphArtifacts.ensure(spark, dir, art),
+      "changed corpus reused a stale snapshot")
+    assert(edges() == Set((42L, GraphArtifacts.Offset + 1L)))
+    GraphArtifacts.invalidate()
   }
 }

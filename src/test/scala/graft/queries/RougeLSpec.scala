@@ -71,6 +71,29 @@ class RougeLSpec extends SparkSpec {
     }
   }
 
+  test("lcs_len equals the reference DP on 300 random token arrays") {
+    // deterministic scalacheck sampling (seeded — no Math.random in
+    // tests); a 6-token alphabet forces heavy repeats, the regime where
+    // LCS DP off-by-ones and the oracle's prefix-max reformulation
+    // would diverge from the textbook recurrence
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val tokGen = Gen.oneOf("a", "b", "c", "ab", "the", "cat")
+    val arrGen = Gen.listOf(tokGen).map(_.take(40))
+    def sample(size: Int, seed: Long): List[String] =
+      arrGen.apply(Gen.Parameters.default.withSize(size), Seed(seed))
+        .getOrElse(Nil)
+    val cases = (0 until 300).map(i =>
+      (sample(1 + i % 45, i.toLong), sample(1 + (i * 7) % 45, i + 1000L)))
+    val got = cases.toDF("ta", "tb")
+      .select(expr("lcs_len(ta, tb)")).collect().map(_.getLong(0))
+    cases.zip(got).foreach { case ((a, b), g) =>
+      assert(g == lcs(a, b), s"a=$a b=$b got=$g")
+    }
+  }
+
   test("ROUGE-L penalizes order: shuffled boilerplate scores below rouge-1") {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
