@@ -126,9 +126,9 @@ object GraphBpeQueries {
     "bpe_merge_topk",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      val vocab = Tables.spread(Tables.documents(s, dir).select(col("text")))
-        .select(explode(expr("word_ngrams(text, 1, false)")).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      // session-shared vocabulary artifact (TextArtifacts)
+      val vocab = graft.text.TextArtifacts.vocab(s, dir)
+        .select(col("token").as("w"), col("freq"))
       val pairs = vocab
         .select(col("freq"), explode(expr(
           """CASE WHEN length(w) < 2 THEN array()
@@ -199,12 +199,12 @@ object GraphBpeQueries {
     "bpe_encode",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      val docs = Tables.documents(s, dir)
-      val wc = Tables.spread(docs.select(col("doc_id"), col("text")))
-        .select(col("doc_id"), explode(expr("word_ngrams(text, 1, false)")).as("w"))
-        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(eager = true) // feeds merge learning AND per-doc totals
-      val vocab = wc.groupBy(col("w")).agg(sum(col("cnt")).as("freq"))
+      // session-shared artifacts: (doc, word, cnt) feeds the per-doc
+      // totals, the vocabulary feeds merge learning
+      val wc = graft.text.TextArtifacts.wordCounts(s, dir)
+        .select(col("doc_id"), col("token").as("w"), col("cnt"))
+      val vocab = graft.text.TextArtifacts.vocab(s, dir)
+        .select(col("token").as("w"), col("freq"))
       val merges = vocab
         .select(col("freq"), explode(expr(
           """CASE WHEN length(w) < 2 THEN array()
@@ -881,9 +881,8 @@ object GraphBpeQueries {
     "bpe_train",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      val vocab = Tables.spread(Tables.documents(s, dir).select(col("text")))
-        .select(explode(expr("word_ngrams(text, 1, false)")).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      val vocab = graft.text.TextArtifacts.vocab(s, dir)
+        .select(col("token").as("w"), col("freq"))
       var enc = vocab.select(col("w"), col("freq"),
         concat(lit(" "), expr("regexp_replace(w, '(.)', '$1 ')")).as("s"))
         .localCheckpoint(eager = true)

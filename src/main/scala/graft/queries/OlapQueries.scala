@@ -396,10 +396,9 @@ object OlapQueries {
               '_', token)), 1, 1)) - 1) * 16 +
             (instr('0123456789abcdef', substr(md5(concat('cms', CAST(j AS $cast),
               '_', token)), 2, 1)) - 1)"""
-      val counts = Tables.spread(Tables.documents(s, dir).select(col("text")))
-        .select(explode(expr("word_ngrams(text, 1, false)")).as("token"))
-        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(eager = true) // feeds cells + probes off one pass
+      // session-shared vocabulary checkpoint feeds cells + probes
+      val counts = graft.text.TextArtifacts.vocab(s, dir)
+        .select(col("token"), col("freq").as("cnt"))
       val cells = counts
         .select(col("token"), col("cnt"), explode(expr("sequence(0, 3)")).as("j"))
         .withColumn("bucket", expr(bucket("STRING")).cast("long"))

@@ -178,9 +178,9 @@ object CurationQueries {
     "vocab_topk",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      val counts = Tables.documents(s, dir)
-        .select(explode(expr(tokenizeExpr)).as("token"))
-        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      // session-shared vocabulary artifact (TextArtifacts)
+      val counts = TextArtifacts.vocab(s, dir)
+        .select(col("token"), col("freq").as("cnt"))
       val top = counts.orderBy(col("cnt").desc, col("token")).limit(200)
       val w = Window.orderBy(col("cnt").desc, col("token"))
       top.withColumn("rk", row_number().over(w).cast("long"))
@@ -542,15 +542,10 @@ object CurationQueries {
       graft.functions.GraftFunctions.register(s)
       val docs = Tables.documents(s, dir)
       // Everything downstream — both model fits AND the per-doc scoring —
-      // is a function of (doc, token) COUNTS, so aggregate the exploded
-      // occurrences immediately (map-side combine collapses within-doc
-      // repeats before the exchange) and checkpoint the pre-aggregate:
-      // it is the distinct-pairs frame, several times smaller than the
-      // raw occurrence list the earlier form materialized.
-      val pre = Tables.spread(docs.select("doc_id", "text"))
-        .select(col("doc_id"), explode(expr(tokenizeExpr)).as("token"))
-        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(eager = true)
+      // is a function of (doc, token) COUNTS: exactly the session-shared
+      // TextArtifacts.wordCounts checkpoint (this query's private
+      // pre-aggregate was the prototype of that artifact).
+      val pre = TextArtifacts.wordCounts(s, dir)
       val benchIds = docs
         .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
         .orderBy(col("h"), col("doc_id")).limit(100)
@@ -807,12 +802,15 @@ object CurationQueries {
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val bucket = md5Byte("term")
-      Tables.documents(s, dir)
-        .select(col("doc_id"), explode(expr(tokenizeExpr)).as("term"))
+      // per-occurrence weight summed per doc ≡ cnt-weighted sum over the
+      // shared (doc, token, cnt) artifact
+      TextArtifacts.wordCounts(s, dir)
+        .select(col("doc_id"), col("token").as("term"), col("cnt"))
         .withColumn("w_milli",
           expr(s"CAST(($bucket) AS BIGINT) * 2654435761 % 2001 - 1000"))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tok"), sum(col("w_milli")).as("sw"))
+        .agg(sum(col("cnt")).as("n_tok"),
+          sum(col("cnt") * col("w_milli")).as("sw"))
         .select(col("doc_id"), col("n_tok"),
           expr("CAST(floor(CAST(sw AS DOUBLE) * 1000.0 / CAST(n_tok AS DOUBLE)) AS BIGINT)")
             .as("logit_micro"),
@@ -1023,11 +1021,9 @@ object CurationQueries {
     "tokenizer_coverage",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      val docs = Tables.documents(s, dir)
-      val freq = Tables.spread(docs.select(col("text")))
-        .select(explode(expr(tokenizeExpr)).as("token"))
-        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(eager = true) // one count pass feeds all tops + the total
+      // the session-shared vocabulary checkpoint feeds all tops + total
+      val freq = TextArtifacts.vocab(s, dir)
+        .select(col("token"), col("freq").as("cnt"))
       val total = freq.agg(sum(col("cnt")).as("total"))
       val covered = Seq(10, 100, 1000).map { v =>
         freq.orderBy(col("cnt").desc, col("token")).limit(v)

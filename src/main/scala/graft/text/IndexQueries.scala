@@ -34,11 +34,9 @@ object IndexQueries {
     "index_inverted",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      val tf = Tables.spread(Tables.documents(s, dir).select("doc_id", "text"))
-        .select(col("doc_id"), explode(expr("word_ngrams(text, 1, false)")).as("term"))
-        .groupBy(col("term"), col("doc_id"))
-        .agg(count(lit(1)).as("tf"))
-        .localCheckpoint(eager = true) // one tokenize pass: stats + postings
+      // the session-shared (doc, token, cnt) checkpoint: stats + postings
+      val tf = graft.text.TextArtifacts.wordCounts(s, dir)
+        .select(col("doc_id"), col("token").as("term"), col("cnt").as("tf"))
       val top = tf.groupBy(col("term"))
         .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
         .orderBy(col("df").desc, col("term")).limit(20)
@@ -104,13 +102,12 @@ object IndexQueries {
       val bkt =
         """(instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1)) - 1) * 16 +
            (instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 2, 1)) - 1)"""
-      val tf = Tables.spread(Tables.documents(s, dir).select("doc_id", "text"))
+      // bucket is a pure function of doc_id — derive it ON the shared
+      // (doc, token, cnt) artifact instead of re-tokenizing per bucket
+      val tf = graft.text.TextArtifacts.wordCounts(s, dir)
         .withColumn("bucket", expr(bkt).cast("long"))
         .select(col("doc_id"), col("bucket"),
-          explode(expr("word_ngrams(text, 1, false)")).as("term"))
-        .groupBy(col("term"), col("doc_id"), col("bucket"))
-        .agg(count(lit(1)).as("tf"))
-        .localCheckpoint(eager = true) // lake stats + batch stats
+          col("token").as("term"), col("cnt").as("tf"))
       val lake = tf.where(col("bucket") >= 51)
         .groupBy(col("term"))
         .agg(count(lit(1)).as("df_lake"), sum(col("tf")).as("cf_lake"))

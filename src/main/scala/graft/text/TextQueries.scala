@@ -17,16 +17,13 @@ object TextQueries {
     * WordNgramsSpec; the DuckDB oracles keep the SQL formulation). */
   private val tokenizeExpr = "word_ngrams(text, 1, false)"
 
-  // Global token frequency — explode + count, the canonical text op.
+  // Global token frequency — the session-shared vocabulary artifact
+  // (TextArtifacts: one tokenize+aggregate pass for the whole family).
   private val textTokens = Q(
     "text_tokens",
-    (s, dir) => {
-      graft.functions.GraftFunctions.register(s)
-      Tables.documents(s, dir)
-        .select(explode(expr(tokenizeExpr)).as("token"))
-        .groupBy(col("token"))
-        .agg(count(lit(1)).as("cnt"))
-    },
+    (s, dir) =>
+      TextArtifacts.vocab(s, dir)
+        .select(col("token"), col("freq").as("cnt")),
     Some("""SELECT token, CAST(count(*) AS BIGINT) AS cnt
             FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
                   FROM documents)
@@ -201,10 +198,9 @@ object TextQueries {
       graft.functions.GraftFunctions.register(s)
       val docs = Tables.documents(s, dir)
       val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-      val tf = docs
-        .select(col("doc_id"), explode(expr(tokenizeExpr)).as("term"))
-        .groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("tf"))
+      // the session-shared (doc, token, cnt) artifact IS the tf table
+      val tf = TextArtifacts.wordCounts(s, dir)
+        .select(col("doc_id"), col("token").as("term"), col("cnt").as("tf"))
       val df_ = tf.groupBy(col("term"))
         .agg(countDistinct(col("doc_id")).as("df"))
       val scored = tf.join(df_, "term")
@@ -252,16 +248,21 @@ object TextQueries {
     "text_unigram_nll",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      val toks = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(expr(tokenizeExpr)).as("token"))
-      val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      // session-shared artifacts: the (doc, token, cnt) pairs replace the
+      // raw occurrence stream (identical sums — a doc's k copies of a
+      // token contribute k·q whether summed as k rows or as cnt × q),
+      // and the model side is the shared vocabulary
+      val wc = TextArtifacts.wordCounts(s, dir)
+      val freq = TextArtifacts.vocab(s, dir)
+        .select(col("token"), col("freq").as("cnt"))
       val tot = freq.agg(sum(col("cnt")).as("total"))
-      toks.join(freq, "token")
+      wc.select(col("doc_id"), col("token"), col("cnt").as("occ"))
+        .join(freq, "token")
         .crossJoin(broadcast(tot))
         .withColumn("q", expr(
           "CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000.0, 0) AS BIGINT)"))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tok"), sum(col("q")).as("sq"))
+        .agg(sum(col("occ")).as("n_tok"), sum(col("occ") * col("q")).as("sq"))
         .select(col("doc_id"), col("n_tok"),
           round(-col("sq").cast("double") /
             (col("n_tok").cast("double") * lit(1000000.0)), 4).as("nll"))
@@ -304,11 +305,11 @@ object TextQueries {
       val dl = docs.select(col("doc_id"),
         size(expr(tokenizeExpr)).cast("long").as("dl"))
       val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      val tf = docs
-        .select(col("doc_id"), explode(expr(tokenizeExpr)).as("term"))
-        .where(col("term").isin("spark", "dup", "window"))
-        .groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("tf"))
+      // the IN-list filter rides the shared (doc, token, cnt) artifact —
+      // same bounded shape, no per-query tokenize pass
+      val tf = TextArtifacts.wordCounts(s, dir)
+        .where(col("token").isin("spark", "dup", "window"))
+        .select(col("doc_id"), col("token").as("term"), col("cnt").as("tf"))
       val df_ = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
       tf.join(broadcast(df_), "term")
         .join(dl, "doc_id")
@@ -462,8 +463,10 @@ object TextQueries {
         .select(col("doc_id"), explode(expr("word_ngrams(text, 2, false)")).as("bg"))
         .withColumn("w1", expr("substring_index(bg, ' ', 1)"))
       val cnt2 = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
-      val toks = docs.select(explode(expr(tokenizeExpr)).as("token"))
-      val cnt1 = toks.groupBy(col("token")).agg(count(lit(1)).as("c1"))
+      // unigram side = the shared vocabulary artifact (bigrams are this
+      // query's own n=2 stream)
+      val cnt1 = TextArtifacts.vocab(s, dir)
+        .select(col("token"), col("freq").as("c1"))
       val v = cnt1.agg(count(lit(1)).as("v"))
       bigrams
         .join(cnt2, "bg")
@@ -690,20 +693,15 @@ object TextQueries {
     */
   private val textLexicalDiversity = Q(
     "text_lexical_diversity",
-    (s, dir) => {
-      graft.functions.GraftFunctions.register(s)
-      Tables.spread(Tables.documents(s, dir).select("doc_id", "text"))
-        .select(col("doc_id"), explode(expr(tokenizeExpr)).as("token"))
-        .groupBy(col("doc_id"), col("token"))
-        .agg(count(lit(1)).as("cnt"))
+    (s, dir) =>
+      TextArtifacts.wordCounts(s, dir)
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_types"),
           sum(col("cnt")).as("n_tokens"),
           sum((col("cnt") === 1).cast("long")).as("n_hapax"))
         .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
           expr("(n_types * 1000000) div n_tokens").as("ttr_ppm"),
-          expr("(n_hapax * 1000000) div n_types").as("hapax_ppm"))
-    },
+          expr("(n_hapax * 1000000) div n_types").as("hapax_ppm")),
     Some("""SELECT doc_id, n_tokens, n_types, n_hapax,
               (n_types * 1000000) // n_tokens AS ttr_ppm,
               (n_hapax * 1000000) // n_types AS hapax_ppm

@@ -293,6 +293,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("text family shares ONE tokenize artifact (no per-query re-tokenize)") {
+    val family = Seq("text_tokens", "text_tfidf", "text_bm25",
+      "text_unigram_nll", "text_bigram_nll", "text_lexical_diversity",
+      "vocab_topk", "sample_importance", "quality_logreg",
+      "tokenizer_coverage", "sketch_countmin", "index_inverted",
+      "index_incremental", "bpe_merge_topk", "bpe_encode")
+    val before = graft.text.TextArtifacts.buildCount
+    val plans = family.map(n => n ->
+      graft.SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString)
+    val after = graft.text.TextArtifacts.buildCount
+    // two artifacts exist (wordCounts, vocab) — each built at most once
+    assert(after - before <= 2,
+      s"text artifacts rebuilt ${after - before} times across the family")
+    // no family member re-runs the tokenize expression in its own plan
+    // (text_bm25 keeps word_ngrams for its per-row doc-length column;
+    // text_bigram_nll keeps its own n=2 stream)
+    plans.filterNot(p => Set("text_bm25", "text_bigram_nll")(p._1))
+      .foreach { case (n, p) =>
+        assert(!p.contains("word_ngrams"),
+          s"$n re-tokenizes instead of reading the shared artifact")
+        assert(p.contains("Scan ExistingRDD"),
+          s"$n no longer reads the checkpointed tokenize artifact")
+      }
+  }
+
   test("event_transitions window is per-user, never a global sort") {
     val p = plan("event_transitions")
     val windowLine = p.linesIterator.find(_.contains("Window ")).getOrElse("")
