@@ -76,6 +76,61 @@ object TextArtifacts {
   /** Drop all cached artifacts (tests that restart sessions). */
   def invalidate(): Unit = { wcCache.clear(); vocabCache.clear() }
 
+  // ---------------------------------------------------------------------
+  // Parquet persistence — same contract as CandidateArtifacts /
+  // GraphArtifacts: word counts + vocabulary land once per corpus
+  // snapshot, stamped with the documents-table fingerprint; a stale key
+  // rebuilds (TextArtifactsSpec pins both paths).
+  // ---------------------------------------------------------------------
+
+  private val KeyFile = "_corpus_key"
+
+  private def fingerprint(s: SparkSession, corpusDir: String): String =
+    graft.queries.TableFingerprint.of(s, s"$corpusDir/documents.parquet")
+
+  /** Write wordCounts/vocab as parquet under `artifactDir`, stamped with
+    * the corpus fingerprint. */
+  def persistTo(s: SparkSession, corpusDir: String, artifactDir: String): Unit = {
+    wordCounts(s, corpusDir).write.mode("overwrite")
+      .parquet(s"$artifactDir/word_counts.parquet")
+    vocab(s, corpusDir).write.mode("overwrite")
+      .parquet(s"$artifactDir/vocab.parquet")
+    val key = new org.apache.hadoop.fs.Path(s"$artifactDir/$KeyFile")
+    val fs = key.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(key, true)
+    try out.write(fingerprint(s, corpusDir)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Seed the session caches from a persisted snapshot whose key matches
+    * the CURRENT corpus fingerprint; false on missing/stale key. */
+  def loadFrom(s: SparkSession, corpusDir: String, artifactDir: String): Boolean = {
+    val key = new org.apache.hadoop.fs.Path(s"$artifactDir/$KeyFile")
+    val fs = key.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(key)) return false
+    val in = fs.open(key)
+    val stored = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    if (stored != fingerprint(s, corpusDir)) return false
+    wcCache.put((s, corpusDir),
+      s.read.parquet(s"$artifactDir/word_counts.parquet"))
+    vocabCache.put((s, corpusDir),
+      s.read.parquet(s"$artifactDir/vocab.parquet"))
+    true
+  }
+
+  /** Load-or-build-and-persist; true when the snapshot was reused. */
+  def ensure(s: SparkSession, corpusDir: String, artifactDir: String): Boolean = {
+    val hit = loadFrom(s, corpusDir, artifactDir)
+    if (!hit) {
+      // a stale snapshot must not satisfy the session cache either
+      wcCache.remove((s, corpusDir)); vocabCache.remove((s, corpusDir))
+      persistTo(s, corpusDir, artifactDir)
+    }
+    hit
+  }
+
   private def memo(cache: ConcurrentHashMap[(SparkSession, String), DataFrame],
       s: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
     evictStopped(cache)
