@@ -77,7 +77,11 @@ object Bench {
     // line, and every per-query time below measures MARGINAL cost.
     // Without this, whichever family member ran first absorbed the build
     // (r5: dedup_incremental read 6× slower purely from run ordering).
-    val artifactBuilds: Seq[(String, () => Any)] = Seq(
+    // Skipped under SPARK_GRAFT_ONLY (the local-profiling loop): eagerly
+    // building all nine artifacts for one unrelated query would waste
+    // minutes per iteration; a filtered run that does consume an
+    // artifact simply pays its build inside the first timed rep.
+    val artifactBuilds: Seq[(String, () => Any)] = if (only.isDefined) Seq() else Seq(
       "lsh_signatures" -> (() => graft.dedup.CandidateArtifacts.signatures(spark, sfDir)),
       "lsh_pairs" -> (() => graft.dedup.CandidateArtifacts.pairs(spark, sfDir)),
       "lsh_clusters" -> (() => graft.dedup.CandidateArtifacts.clusters(spark, sfDir)),

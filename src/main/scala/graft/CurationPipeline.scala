@@ -86,7 +86,9 @@ object CurationPipeline {
       shards: Int = 16, artifactDir: Option[String] = None): Counts = {
     artifactDir.foreach { ad =>
       val reused = graft.dedup.CandidateArtifacts.ensure(spark, srcDir, ad)
-      println(s"""{"artifact_snapshot":"$ad","reused":$reused}""")
+      // '# ' prefix, not bare JSON: the run report below must stay the
+      // only parseable JSON line on stdout (the Bench.scala discipline)
+      println(s"# artifact_snapshot $ad reused=$reused")
     }
     val docs = Tables.documents(spark, srcDir)
     val cleaned = graft.streaming.StreamCurate.curate(docs)

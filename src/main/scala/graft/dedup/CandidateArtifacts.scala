@@ -130,48 +130,33 @@ object CandidateArtifacts {
   def corpusFingerprint(s: SparkSession, corpusDir: String): String =
     graft.queries.TableFingerprint.of(s, s"$corpusDir/documents.parquet")
 
-  private val KeyFile = "_corpus_key"
-
   /** Write signatures/pairs/clusters as parquet under `artifactDir`,
     * stamped with [[corpusFingerprint]] — call after building (or via
     * [[ensure]]). Overwrites any prior snapshot. */
-  def persistTo(s: SparkSession, corpusDir: String, artifactDir: String): Unit = {
-    signatures(s, corpusDir).write.mode("overwrite")
-      .parquet(s"$artifactDir/signatures.parquet")
-    pairs(s, corpusDir).write.mode("overwrite")
-      .parquet(s"$artifactDir/pairs.parquet")
-    clusters(s, corpusDir).write.mode("overwrite")
-      .parquet(s"$artifactDir/clusters.parquet")
-    val key = new org.apache.hadoop.fs.Path(s"$artifactDir/$KeyFile")
-    val fs = key.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val out = fs.create(key, true)
-    try out.write(corpusFingerprint(s, corpusDir)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+  def persistTo(s: SparkSession, corpusDir: String, artifactDir: String): Unit =
+    graft.queries.ArtifactStore.writeSnapshot(s, artifactDir,
+      corpusFingerprint(s, corpusDir),
+      Seq("signatures" -> signatures(s, corpusDir),
+        "pairs" -> pairs(s, corpusDir),
+        "clusters" -> clusters(s, corpusDir)))
 
-  /** If `artifactDir` holds artifacts stamped with the CURRENT corpus
-    * fingerprint, seed the session caches with the parquet-backed frames
-    * and return true; on a missing or stale key return false (caller
-    * rebuilds — [[ensure]] automates that). A stale key is the
-    * INVALIDATION path: artifacts from an older corpus snapshot must
-    * never serve a changed corpus. */
-  def loadFrom(s: SparkSession, corpusDir: String, artifactDir: String): Boolean = {
-    val key = new org.apache.hadoop.fs.Path(s"$artifactDir/$KeyFile")
-    val fs = key.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(key)) return false
-    val in = fs.open(key)
-    val stored = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    if (stored != corpusFingerprint(s, corpusDir)) return false
-    sigCache.put((s, corpusDir),
-      s.read.parquet(s"$artifactDir/signatures.parquet"))
-    pairCache.put((s, corpusDir),
-      s.read.parquet(s"$artifactDir/pairs.parquet"))
-    clusterCache.put((s, corpusDir),
-      s.read.parquet(s"$artifactDir/clusters.parquet"))
-    true
-  }
+  /** If `artifactDir` holds a COMPLETE snapshot stamped with the CURRENT
+    * corpus fingerprint, seed the session caches with the parquet-backed
+    * frames and return true; otherwise false (caller rebuilds —
+    * [[ensure]] automates that). A stale key is the INVALIDATION path:
+    * artifacts from an older corpus snapshot must never serve a changed
+    * corpus. */
+  def loadFrom(s: SparkSession, corpusDir: String, artifactDir: String): Boolean =
+    graft.queries.ArtifactStore.loadSnapshot(s, artifactDir,
+      corpusFingerprint(s, corpusDir),
+      Seq("signatures", "pairs", "clusters")) match {
+      case Some(m) =>
+        sigCache.put((s, corpusDir), m("signatures"))
+        pairCache.put((s, corpusDir), m("pairs"))
+        clusterCache.put((s, corpusDir), m("clusters"))
+        true
+      case None => false
+    }
 
   /** Load-or-build: seed the session from a fresh persisted snapshot, or
     * build from the corpus and persist the result. Returns true when the

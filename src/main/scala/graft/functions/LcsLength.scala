@@ -62,6 +62,9 @@ object LcsLength {
     val na = a.numElements()
     val nb = b.numElements()
     if (na == 0 || nb == 0) return 0L
+    // null ELEMENTS (the type checker accepts ARRAY<STRING> with
+    // containsNull, and the registry exposes lcs_len to arbitrary SQL)
+    // match nothing — SQL equality semantics, and no NPE
     val bt = new Array[UTF8String](nb)
     var j = 0
     while (j < nb) { bt(j) = b.getUTF8String(j); j += 1 }
@@ -74,7 +77,7 @@ object LcsLength {
       while (j <= nb) {
         val cur = dp(j)
         var m = if (dp(j) > dp(j - 1)) dp(j) else dp(j - 1)
-        if (ai.equals(bt(j - 1)) && prev + 1 > m) m = prev + 1
+        if (ai != null && ai.equals(bt(j - 1)) && prev + 1 > m) m = prev + 1
         dp(j) = m
         prev = cur
         j += 1

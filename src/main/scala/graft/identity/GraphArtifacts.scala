@@ -54,8 +54,19 @@ import graft.queries.Tables
 object GraphArtifacts {
 
   /** Namespace separator between user_id and props.k alias node ids —
-    * see the offset rationale in the object Scaladoc. */
+    * see the offset rationale in the object Scaladoc. Disjointness is
+    * ENFORCED, not assumed: [[fwd]] keeps only user_id ∈ [0, Offset) and
+    * k ∈ [0, [[MaxAliasKey]]), so a negative or huge numeric k can
+    * neither land back in user-id space (k = -Offset+5 → dst = 5, the
+    * old collision class in new clothes) nor overflow the addition
+    * (which would abort the whole query under ANSI mode — the exact
+    * single-bad-row failure try_cast exists to prevent). Out-of-range
+    * rows are data garbage and contribute no edge on either engine. */
   val Offset: Long = 1L << 40
+
+  /** Alias keys admitted to the graph: [0, 2^39) keeps dst strictly
+    * inside [Offset, Offset + 2^39), far from BIGINT overflow. */
+  val MaxAliasKey: Long = 1L << 39
 
   private val fwdCache = new ConcurrentHashMap[(SparkSession, String), DataFrame]
   private val undCache = new ConcurrentHashMap[(SparkSession, String), DataFrame]
@@ -82,9 +93,11 @@ object GraphArtifacts {
       Tables.events(s, dir)
         .filter(col("event_type") === "signup")
         .select(col("user_id").as("src"),
-          (expr("try_cast(get_json_object(props, '$.k') AS LONG)") + Offset)
-            .as("dst"))
-        .where(col("src").isNotNull && col("dst").isNotNull)
+          expr("try_cast(get_json_object(props, '$.k') AS LONG)").as("k"))
+        // range guards enforce the namespace disjointness (see Offset)
+        .where(col("src").isNotNull && col("src") >= 0 && col("src") < Offset &&
+          col("k").isNotNull && col("k") >= 0 && col("k") < MaxAliasKey)
+        .select(col("src"), (col("k") + Offset).as("dst"))
         .distinct()
         .localCheckpoint(eager = true)
     }
@@ -131,11 +144,12 @@ object GraphArtifacts {
     * lockstep (ADVICE r05). */
   val fwdOracle: String =
     s"""fwd AS (
-         SELECT DISTINCT user_id AS src,
-           $Offset + TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS dst
-         FROM events
-         WHERE event_type = 'signup' AND user_id IS NOT NULL
-           AND TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) IS NOT NULL)"""
+         SELECT DISTINCT src, $Offset + k AS dst FROM (
+           SELECT user_id AS src,
+             TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+           FROM events WHERE event_type = 'signup')
+         WHERE src IS NOT NULL AND src >= 0 AND src < $Offset
+           AND k IS NOT NULL AND k >= 0 AND k < $MaxAliasKey)"""
 
   /** Oracle CTE for [[und]] (requires [[fwdOracle]] spliced first). */
   val undOracle: String =
@@ -161,8 +175,6 @@ object GraphArtifacts {
   // key and rebuilds (GraphArtifactsSpec pins both paths).
   // ---------------------------------------------------------------------
 
-  private val KeyFile = "_corpus_key"
-
   /** Snapshot key: events fingerprint | lineitem fingerprint. */
   def graphFingerprint(s: SparkSession, corpusDir: String): String =
     graft.queries.TableFingerprint.of(s, s"$corpusDir/events.parquet") + "|" +
@@ -170,37 +182,27 @@ object GraphArtifacts {
 
   /** Write fwd/und/deg/coPairs as parquet under `artifactDir`, stamped
     * with [[graphFingerprint]]. */
-  def persistTo(s: SparkSession, corpusDir: String, artifactDir: String): Unit = {
-    Seq("fwd" -> fwd(s, corpusDir), "und" -> und(s, corpusDir),
-      "deg" -> deg(s, corpusDir), "copairs" -> coPairs(s, corpusDir))
-      .foreach { case (n, df) =>
-        df.write.mode("overwrite").parquet(s"$artifactDir/$n.parquet")
-      }
-    val key = new org.apache.hadoop.fs.Path(s"$artifactDir/$KeyFile")
-    val fs = key.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val out = fs.create(key, true)
-    try out.write(graphFingerprint(s, corpusDir)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+  def persistTo(s: SparkSession, corpusDir: String, artifactDir: String): Unit =
+    graft.queries.ArtifactStore.writeSnapshot(s, artifactDir,
+      graphFingerprint(s, corpusDir),
+      Seq("fwd" -> fwd(s, corpusDir), "und" -> und(s, corpusDir),
+        "deg" -> deg(s, corpusDir), "copairs" -> coPairs(s, corpusDir)))
 
-  /** Seed the session caches from a persisted snapshot when its key
-    * matches the CURRENT corpus fingerprint; false on missing/stale key
-    * (stale artifacts must never serve a changed corpus). */
-  def loadFrom(s: SparkSession, corpusDir: String, artifactDir: String): Boolean = {
-    val key = new org.apache.hadoop.fs.Path(s"$artifactDir/$KeyFile")
-    val fs = key.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(key)) return false
-    val in = fs.open(key)
-    val stored = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    if (stored != graphFingerprint(s, corpusDir)) return false
-    fwdCache.put((s, corpusDir), s.read.parquet(s"$artifactDir/fwd.parquet"))
-    undCache.put((s, corpusDir), s.read.parquet(s"$artifactDir/und.parquet"))
-    degCache.put((s, corpusDir), s.read.parquet(s"$artifactDir/deg.parquet"))
-    coPairCache.put((s, corpusDir), s.read.parquet(s"$artifactDir/copairs.parquet"))
-    true
-  }
+  /** Seed the session caches from a COMPLETE persisted snapshot whose
+    * key matches the CURRENT corpus fingerprint; false otherwise (stale
+    * artifacts must never serve a changed corpus). */
+  def loadFrom(s: SparkSession, corpusDir: String, artifactDir: String): Boolean =
+    graft.queries.ArtifactStore.loadSnapshot(s, artifactDir,
+      graphFingerprint(s, corpusDir),
+      Seq("fwd", "und", "deg", "copairs")) match {
+      case Some(m) =>
+        fwdCache.put((s, corpusDir), m("fwd"))
+        undCache.put((s, corpusDir), m("und"))
+        degCache.put((s, corpusDir), m("deg"))
+        coPairCache.put((s, corpusDir), m("copairs"))
+        true
+      case None => false
+    }
 
   /** Load-or-build-and-persist; true when the snapshot was reused. */
   def ensure(s: SparkSession, corpusDir: String, artifactDir: String): Boolean = {

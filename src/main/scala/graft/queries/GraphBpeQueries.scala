@@ -531,8 +531,12 @@ object GraphBpeQueries {
       var round = 0
       var converged = false
       while (!converged && round < KCoreRounds) {
-        val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-          .where(col("deg") >= KCoreK)
+        // round 0's degree frame IS the shared artifact — only peeled
+        // rounds re-aggregate (they must: edges shrank)
+        val deg0 =
+          if (round == 0) graft.identity.GraphArtifacts.deg(s, dir)
+          else edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        val keep = deg0.where(col("deg") >= KCoreK)
         val next = edges
           .join(keep.select(col("src")), Seq("src"), "left_semi")
           .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
@@ -549,7 +553,7 @@ object GraphBpeQueries {
       // peels away (the sf0.001 10-core), which hides the result shape
       val core = edges.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
         .select(col("src").as("node"), col("core_deg"))
-      signupEdges(s, dir).groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      graft.identity.GraphArtifacts.deg(s, dir)
         .select(col("src").as("node"), col("deg"))
         .join(core, Seq("node"), "left")
         .select(col("node"), col("deg"),

@@ -83,42 +83,28 @@ object TextArtifacts {
   // rebuilds (TextArtifactsSpec pins both paths).
   // ---------------------------------------------------------------------
 
-  private val KeyFile = "_corpus_key"
-
   private def fingerprint(s: SparkSession, corpusDir: String): String =
     graft.queries.TableFingerprint.of(s, s"$corpusDir/documents.parquet")
 
   /** Write wordCounts/vocab as parquet under `artifactDir`, stamped with
     * the corpus fingerprint. */
-  def persistTo(s: SparkSession, corpusDir: String, artifactDir: String): Unit = {
-    wordCounts(s, corpusDir).write.mode("overwrite")
-      .parquet(s"$artifactDir/word_counts.parquet")
-    vocab(s, corpusDir).write.mode("overwrite")
-      .parquet(s"$artifactDir/vocab.parquet")
-    val key = new org.apache.hadoop.fs.Path(s"$artifactDir/$KeyFile")
-    val fs = key.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val out = fs.create(key, true)
-    try out.write(fingerprint(s, corpusDir)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+  def persistTo(s: SparkSession, corpusDir: String, artifactDir: String): Unit =
+    graft.queries.ArtifactStore.writeSnapshot(s, artifactDir,
+      fingerprint(s, corpusDir),
+      Seq("word_counts" -> wordCounts(s, corpusDir),
+        "vocab" -> vocab(s, corpusDir)))
 
-  /** Seed the session caches from a persisted snapshot whose key matches
-    * the CURRENT corpus fingerprint; false on missing/stale key. */
-  def loadFrom(s: SparkSession, corpusDir: String, artifactDir: String): Boolean = {
-    val key = new org.apache.hadoop.fs.Path(s"$artifactDir/$KeyFile")
-    val fs = key.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(key)) return false
-    val in = fs.open(key)
-    val stored = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    if (stored != fingerprint(s, corpusDir)) return false
-    wcCache.put((s, corpusDir),
-      s.read.parquet(s"$artifactDir/word_counts.parquet"))
-    vocabCache.put((s, corpusDir),
-      s.read.parquet(s"$artifactDir/vocab.parquet"))
-    true
-  }
+  /** Seed the session caches from a COMPLETE persisted snapshot whose
+    * key matches the CURRENT corpus fingerprint; false otherwise. */
+  def loadFrom(s: SparkSession, corpusDir: String, artifactDir: String): Boolean =
+    graft.queries.ArtifactStore.loadSnapshot(s, artifactDir,
+      fingerprint(s, corpusDir), Seq("word_counts", "vocab")) match {
+      case Some(m) =>
+        wcCache.put((s, corpusDir), m("word_counts"))
+        vocabCache.put((s, corpusDir), m("vocab"))
+        true
+      case None => false
+    }
 
   /** Load-or-build-and-persist; true when the snapshot was reused. */
   def ensure(s: SparkSession, corpusDir: String, artifactDir: String): Boolean = {

@@ -80,6 +80,29 @@ class ArtifactPersistSpec extends SparkSpec {
     CandidateArtifacts.invalidate()
   }
 
+  test("an incomplete snapshot (key present, artifact missing) reads as stale") {
+    // a half-deleted snapshot must REBUILD, not throw out of loadFrom
+    val corpusDir = Files.createTempDirectory("graft-corpus-part").toString
+    val artDir = Files.createTempDirectory("graft-artifacts-part").toString
+    writeCorpus(corpusDir, corpusA)
+    CandidateArtifacts.ensure(spark, corpusDir, artDir)
+    // delete one artifact table but leave the key stamped
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(s"$artDir/pairs.parquet"))
+    CandidateArtifacts.invalidate()
+    assert(!CandidateArtifacts.loadFrom(spark, corpusDir, artDir),
+      "incomplete snapshot was loaded")
+    assert(!CandidateArtifacts.ensure(spark, corpusDir, artDir),
+      "ensure claimed a hit on an incomplete snapshot")
+    // the rewritten snapshot is whole again
+    CandidateArtifacts.invalidate()
+    assert(CandidateArtifacts.ensure(spark, corpusDir, artDir),
+      "repaired snapshot not reused")
+    CandidateArtifacts.invalidate()
+  }
+
   test("fingerprint is stable across listings and moves with the corpus") {
     val dir = Files.createTempDirectory("graft-corpus-fp").toString
     writeCorpus(dir, corpusA)

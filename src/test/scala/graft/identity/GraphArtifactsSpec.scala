@@ -18,7 +18,13 @@ class GraphArtifactsSpec extends SparkSpec {
       (1000005L, """{"k": "99"}"""),                  // the collision probe
       (2L, """{"k": "oops"}"""),                      // malformed k → no edge
       (null, """{"k": "7"}"""),                       // null user → no edge
-      (3L, null)),                                    // null props → no edge
+      (3L, null),                                     // null props → no edge
+      (5L, """{"k": "-1099511627771"}"""),            // negative k: would land
+                                                      //   back in user space
+      (6L, """{"k": "9223372036854775807"}"""),       // k near Long.Max: would
+                                                      //   overflow + Offset
+      (1099511627781L, """{"k": "1"}""")),            // user_id ≥ 2^40: would
+                                                      //   collide with aliases
       dir: String = Files.createTempDirectory("graft-ga").toString): String = {
     import spark.implicits._
     val ts = Timestamp.valueOf("2024-01-01 00:00:00")
@@ -32,11 +38,15 @@ class GraphArtifactsSpec extends SparkSpec {
     dir
   }
 
-  test("fwd: distinct, null-free, malformed-k dropped, namespaces disjoint") {
+  test("fwd: distinct, null-free, malformed/out-of-range k dropped, namespaces disjoint") {
     val dir = corpus()
     val fwd = GraphArtifacts.fwd(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val Off = GraphArtifacts.Offset
+    // the negative-k row (would alias dst back into user-id space), the
+    // near-Long.Max k (would abort the ANSI addition), and the
+    // over-Offset user_id (would collide with alias node ids) are all
+    // range-guarded out — no edge, no crash
     assert(fwd == Set((1L, Off + 5L), (1000005L, Off + 99L)), s"fwd=$fwd")
     // every alias node sits strictly above every credible user id
     assert(fwd.forall { case (u, a) => u < Off && a >= Off })

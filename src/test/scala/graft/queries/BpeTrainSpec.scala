@@ -34,8 +34,9 @@ class BpeTrainSpec extends SparkSpec {
           // STRING-REPLACE merge semantics, simulated in symbol space:
           // the pattern ' x y ' consumes the trailing separator, so the
           // symbol immediately after a merge can never START the next
-          // match (in 'a a a a', replace merges pairs 1 and 3, not 1 and
-          // 2 — the engines' replace and the oracle's agree on this).
+          // match — in 'a a a a' only the FIRST pair merges ([aa, a, a]);
+          // in 'a a a a a' pairs (1,2) and (4,5) merge ([aa, a, aa]).
+          // The engines' replace and the oracle agree on this.
           val b = Vector.newBuilder[String]
           var i = 0
           while (i < syms.length) {
