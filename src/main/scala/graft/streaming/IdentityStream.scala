@@ -56,11 +56,16 @@ object IdentityStream {
   /** Fold one batch of alias edges into the store. Exposed for direct
     * testing and for batch callers (Pipeline incremental mode). */
   def mergeBatch(spark: SparkSession, storeDir: String, edges: DataFrame): Unit = {
+    // checkpoint the delta ONCE: the isEmpty probe and the closure's
+    // union otherwise each re-run the filter+distinct (a shuffle) over
+    // the incoming batch
     val newEdges = edges
       .filter(col("person").isNotNull && col("alias").isNotNull &&
         col("alias") =!= "" && col("person") =!= "")
       .select(col("person"), col("alias"))
       .distinct()
+      .localCheckpoint(eager = true)
+    try {
     if (!newEdges.isEmpty) {
       val prev = liveGen(storeDir)
       val existing = readAssignments(spark, storeDir)
@@ -99,6 +104,7 @@ object IdentityStream {
         finally ls.close()
       stale.foreach(deleteRecursively)
     }
+    } finally Components.unpersistCheckpoint(newEdges)
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {

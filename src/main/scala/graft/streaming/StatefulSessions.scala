@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, OutputMode}
 
 /** One event for the stateful sessionizer (person + event-time micros). */
 final case class SessionEvent(person: String, us: Long)
@@ -32,6 +32,15 @@ object StatefulSessions {
   /** Pure per-group transition: fold sorted new events into the open
     * session, emitting a ClosedSession whenever a gap exceeds `gapUs`.
     * Exposed for direct unit testing without a streaming harness.
+    *
+    * Cross-batch disorder: within a batch events sort first, but a LATE
+    * event (us ≤ the open session's lastUs, arriving in a later batch)
+    * must not move the session boundary backwards — it ABSORBS into the
+    * open session (count up, start extended earlier if needed, lastUs
+    * monotone), the same late-data stance the sibling speed layers take
+    * (StreamStreaks' day guard, StreamAsOf's monotonic click guard).
+    * Without the min/max the state could regress lastUs below startUs
+    * and emit negative-duration sessions or spurious splits.
     */
   def advance(events: Seq[Long], state: Option[SessionState], gapUs: Long)
       : (Seq[SessionState], Option[SessionState]) = {
@@ -43,7 +52,8 @@ object StatefulSessions {
           closed += s
           open = Some(SessionState(us, us, 1))
         case Some(s) =>
-          open = Some(SessionState(s.startUs, us, s.nEvents + 1))
+          open = Some(SessionState(math.min(s.startUs, us),
+            math.max(s.lastUs, us), s.nEvents + 1))
         case None =>
           open = Some(SessionState(us, us, 1))
       }
@@ -66,8 +76,7 @@ object StatefulSessions {
                  timeoutMs: Option[Long] = None): Dataset[ClosedSession] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val timeoutConf = timeoutMs.fold[GroupStateTimeout](
-      GroupStateTimeout.NoTimeout())(_ => GroupStateTimeout.ProcessingTimeTimeout())
+    val timeoutConf = SpeedLayer.timeoutConf(timeoutMs)
     events.groupByKey(_.person)
       .flatMapGroupsWithState[SessionState, ClosedSession](
         OutputMode.Append(), timeoutConf) {

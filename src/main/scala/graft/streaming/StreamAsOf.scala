@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, OutputMode}
 
 /** One event of the interleaved click/purchase flow, keyed by user. */
 final case class FlowEvent(userId: Long, us: Long, isClick: Boolean, eventId: Long)
@@ -72,8 +72,7 @@ object StreamAsOf {
              timeoutMs: Option[Long] = None): Dataset[AttributedPurchase] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val timeoutConf = timeoutMs.fold[GroupStateTimeout](
-      GroupStateTimeout.NoTimeout())(_ => GroupStateTimeout.ProcessingTimeTimeout())
+    val timeoutConf = SpeedLayer.timeoutConf(timeoutMs)
     events.groupByKey(_.userId)
       .flatMapGroupsWithState[ClickState, AttributedPurchase](
         OutputMode.Append(), timeoutConf) {

@@ -36,8 +36,16 @@ object StreamDedup {
   def dedup(events: DataFrame, fingerprintCols: Seq[String],
             delayThreshold: String): DataFrame =
     events
-      .withColumn("md5hash",
-        md5(concat_ws("", fingerprintCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)))
+      // the ONE fingerprint definition (EventTransforms O15): md5 over
+      // unseparated concatenated values, reference fidelity — which also
+      // means the REFERENCE's collision class is inherited deliberately:
+      // ("x","yz") and ("xy","z") fingerprint identically, as they do in
+      // the warehouse the batch path backfills. Batch and stream must
+      // agree on identity byte-for-byte or replayed rows re-insert;
+      // callers needing boundary-safe keys dedup on a to_json/struct
+      // column upstream instead.
+      .withColumn("md5hash", graft.transform.EventTransforms.fingerprint(
+        fingerprintCols.map(c => coalesce(col(c).cast("string"), lit("")))))
       .withWatermark("ts", delayThreshold)
       .dropDuplicatesWithinWatermark("md5hash")
 }

@@ -59,6 +59,12 @@ object StreamDrift {
             windowDur: String = "1 hour",
             lateness: String = "10 minutes"): DataFrame = {
     require(ref.nonEmpty, "reference model is empty")
+    // OovKey (Long.MinValue) is the out-of-vocab sentinel: a reference
+    // token hashing exactly there would duplicate the key in `pairs` and
+    // the JSD would double-count it — astronomically unlikely (one
+    // specific xxhash64 value) but checked, not assumed
+    require(!ref.contains(OovKey),
+      "reference model contains the OOV sentinel key; rebuild with a different vocab")
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val refMap = typedLit(ref)
     val pairs = (ref.toSeq :+ (OovKey -> 0L)).sortBy(_._1)

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, OutputMode}
 
 /** One funnel event (user + step name + event-time micros). */
 final case class FunnelEvent(userId: Long, step: String, us: Long)
@@ -65,8 +65,7 @@ object StreamFunnel {
             timeoutMs: Option[Long] = None): Dataset[FunnelAdvance] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val timeoutConf = timeoutMs.fold[GroupStateTimeout](
-      GroupStateTimeout.NoTimeout())(_ => GroupStateTimeout.ProcessingTimeTimeout())
+    val timeoutConf = SpeedLayer.timeoutConf(timeoutMs)
     events.groupByKey(_.userId)
       .flatMapGroupsWithState[FunnelCursor, FunnelAdvance](
         OutputMode.Append(), timeoutConf) {

@@ -48,8 +48,17 @@ object StreamIncremental {
     // against work that is dominated by the minhash pass anyway.
     val bandArr = array((0 until NumHashes / BandSize).map(b => col(s"band$b")): _*)
     val bitsLit = lit(bits)
-    sig.select(col("doc_id"),
+    val flagged = sig.select(col("doc_id"),
       exists(bandArr, h => call_function("bloom_might_contain", bitsLit, h))
         .cast("long").as("maybe_dup"))
+    // null-text docs carry no signature (minhashSignatures filters them
+    // before signing) but must still EXIT the gate: the batch twin
+    // (dedup_incremental) emits is_dup = 0 for them via its left join,
+    // and a doc that silently vanishes here is neither quarantined nor
+    // passed. Union keeps the query state-free (a stream-stream join
+    // back onto the input would need watermark state).
+    val nullText = stream.where(col("text").isNull)
+      .select(col("doc_id"), lit(0L).as("maybe_dup"))
+    flagged.unionByName(nullText)
   }
 }

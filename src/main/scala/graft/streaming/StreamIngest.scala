@@ -41,9 +41,18 @@ object StreamIngest {
                  maxFilesPerTrigger: Option[Int] = None): DataFrame =
     NdjsonReader.events(readLines(spark, dir, maxFilesPerTrigger))
 
-  /** Drain-everything-then-stop ingest into parquet via foreachBatch — the
-    * reference's whole `process-files` command. Restart with the same
-    * checkpoint only processes new files (O3).
+  /** Drain-everything-then-stop ingest into parquet — the reference's
+    * whole `process-files` command. Restart with the same checkpoint only
+    * processes new files (O3).
+    *
+    * The built-in parquet STREAMING sink, not a foreachBatch append: the
+    * sink's `_spark_metadata` commit log records each batch's files
+    * atomically with the checkpoint, so a crash between data write and
+    * checkpoint commit replays the batch into the SAME file set —
+    * exactly-once landed rows. A blind `mode("append")` in foreachBatch
+    * would duplicate the replayed batch; the JDBC-shaped variant of this
+    * pipeline gets the same guarantee from the md5hash-idempotent sink
+    * instead (`StreamPipeline.drain`).
     */
   def ingestAvailableNow(spark: SparkSession, inDir: String, outDir: String,
                          checkpointDir: String): StreamingQuery =
@@ -51,12 +60,8 @@ object StreamIngest {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // batch = the transaction unit; swap parquet append for
-        // JdbcSink.writeEvolving for the Redshift-shaped sink
-        batch.write.mode("append").parquet(outDir)
-        ()
-      }
+      .format("parquet")
+      .option("path", outDir)
       .start()
 
   /** Event-time windowed counts with a late-data watermark — the gap the

@@ -36,6 +36,21 @@ class StatefulSessionsSpec extends SparkSpec {
     assert(open.contains(SessionState(0L, 150000000L, 3)))
   }
 
+  test("a late cross-batch event absorbs without regressing the boundary") {
+    // state open over [1000s, 2000s]; a 500s event arrives in a later
+    // batch: it joins the open session (count up, start extended) and
+    // lastUs stays monotone — without the guard the state regressed to
+    // lastUs=500s and later emitted a negative-duration session
+    val st = Some(SessionState(1000000000L, 2000000000L, 2))
+    val (closed, open) = StatefulSessions.advance(Seq(500000000L), st, Gap)
+    assert(closed.isEmpty)
+    assert(open.contains(SessionState(500000000L, 2000000000L, 3)))
+    // and a following in-order event still extends normally
+    val (closed2, open2) = StatefulSessions.advance(Seq(2100000000L), open, Gap)
+    assert(closed2.isEmpty)
+    assert(open2.contains(SessionState(500000000L, 2100000000L, 4)))
+  }
+
   // --- end-to-end through the streaming engine ---
 
   test("flatMapGroupsWithState closes sessions across micro-batches") {
