@@ -542,6 +542,143 @@ object EvalQueries {
           JOIN tot ta ON ta.doc_id = mm.a
           JOIN tot tb ON tb.doc_id = mm.b"""))
 
+  /** Word-level token F1 (the SQuAD/em-style answer-overlap metric) over
+    * the live candidate pairs — the harmonic-mean member of the overlap
+    * family (BLEU reads candidate precision, ROUGE reference recall, F1
+    * both at once): m = Σ min(cnt_a, cnt_b) over shared unigrams, and
+    * F1 = 2PR/(P+R) reduces to the DIVISION-FREE integer form
+    * 2m/(ta+tb), so every output is one exact floor-divided ppm — the
+    * eval_chrf algebra applied at the word level.
+    *
+    * Scale shape: identical to eval_chrf — pairs from the shared
+    * CandidateArtifacts checkpoint, one semi-join-gated
+    * `word_gram_hash_counts` pass per candidate doc, per-pair work one
+    * allocation-free `sorted_summin` merge. Drop semantics: a token-free
+    * side makes F1 undefined, so the pair drops on BOTH engines (the
+    * eval_bleu t1 = 0 stance; the oracle's inner joins on per-doc gram
+    * rows drop them structurally).
+    */
+  private val evalTokenF1 = Q(
+    "eval_token_f1",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val pairs = graft.dedup.CandidateArtifacts.pairs(s, dir)
+      val candDocs = pairs.select(col("a").as("doc_id"))
+        .union(pairs.select(col("b"))).distinct()
+      val per = Tables.spread(Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+          .join(candDocs, Seq("doc_id"), "left_semi"))
+        .select(col("doc_id"), expr("word_gram_hash_counts(text, 1)").as("g"))
+        .localCheckpoint(eager = true) // a-side and b-side passes
+      pairs
+        .join(per.select(col("doc_id").as("a"), col("g").as("ga")), "a")
+        .join(per.select(col("doc_id").as("b"), col("g").as("gb")), "b")
+        .select(col("a"), col("b"),
+          expr("sorted_summin(ga.gh, ga.cnt, gb.gh, gb.cnt)").as("m"),
+          col("ga.tot").as("ta"), col("gb.tot").as("tb"))
+        .where(col("ta") > 0 && col("tb") > 0)
+        .select(col("a"), col("b"), col("m"), col("ta"), col("tb"),
+          expr("(m * 1000000) div ta").as("prec_ppm"),
+          expr("(m * 1000000) div tb").as("rec_ppm"),
+          expr("(2 * m * 1000000) div (ta + tb)").as("f1_ppm"))
+    },
+    Some(s"""WITH ${graft.dedup.DedupQueries.candPairsOracleCte},
+          tok AS (
+            SELECT doc_id, list_filter(
+              string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS toks
+            FROM documents),
+          gc AS (
+            SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT doc_id, unnest(toks) AS gram FROM tok)
+            GROUP BY doc_id, gram),
+          tot AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS tot
+                  FROM gc GROUP BY doc_id),
+          mm AS (
+            SELECT c.a, c.b,
+              CAST(sum(least(x.cnt, coalesce(y.cnt, 0))) AS BIGINT) AS m
+            FROM cand c
+            JOIN gc x ON x.doc_id = c.a
+            LEFT JOIN gc y ON y.doc_id = c.b AND y.gram = x.gram
+            GROUP BY c.a, c.b)
+          SELECT mm.a, mm.b, mm.m, ta.tot AS ta, tb.tot AS tb,
+            (mm.m * 1000000) // ta.tot AS prec_ppm,
+            (mm.m * 1000000) // tb.tot AS rec_ppm,
+            (2 * mm.m * 1000000) // (ta.tot + tb.tot) AS f1_ppm
+          FROM mm
+          JOIN tot ta ON ta.doc_id = mm.a
+          JOIN tot tb ON tb.doc_id = mm.b"""))
+
+  /** Binomial coefficient C(m, k) for the three fixed k values as one
+    * arithmetic fragment — a product of k consecutive integers is exactly
+    * divisible by k!, so the single floor division is EXACT integer math
+    * (max magnitude 50!/40! ≈ 3.1e16, inside BIGINT). `m` is any integer
+    * SQL expression; `fdiv` is the engine's floor-divide spelling. */
+  private def binomSql(m: String, k: Int, fdiv: String): String =
+    if (k == 1) s"($m)"
+    else {
+      val kFact = (1 to k).map(_.toLong).product
+      val prod = (0 until k).map(i => s"(($m) - $i)").mkString(" * ")
+      s"(($prod) $fdiv $kFact)"
+    }
+
+  /** The CASE arm picking the right binomial ratio per k row. */
+  private def passAtKSql(fdiv: String): String = {
+    def arm(k: Int) =
+      s"""WHEN k = $k THEN CASE
+            WHEN n < $k THEN -1
+            WHEN n - n_pass < $k THEN 1000000
+            ELSE 1000000 - (${binomSql("n - n_pass", k, fdiv)} * 1000000)
+              $fdiv ${binomSql("n", k, fdiv)}
+          END"""
+    s"CASE ${arm(1)} ${arm(5)} ${arm(10)} ELSE -1 END"
+  }
+
+  /** Unbiased pass@k (Chen et al. 2021, the HumanEval estimator) of the
+    * rule gate over fixed 50-doc task bundles: per bundle (task_id =
+    * doc_id div 50) with n docs and n_pass gate-passers, pass@k =
+    * 1 − C(n−n_pass, k)/C(n, k) for k ∈ {1, 5, 10} — the probability a
+    * k-doc uniform draw from the bundle contains at least one usable doc,
+    * the sample-until-usable readout curation dashboards want next to the
+    * raw rate. ALL-integer: bundle sizes are ≤ 50 by construction, so
+    * both binomials are exact BIGINT products (see [[binomSql]]) and the
+    * output is one floor-divided ppm — no doubles anywhere. Degenerate
+    * bundles (n < k) report -1, never a negative binomial.
+    *
+    * Scale shape: one corpus aggregate folds documents to n_docs/50
+    * bundle rows; the k-expansion and the binomial arithmetic run on the
+    * folded frame only. The rule label reuses the family's gate
+    * (n_tok ≥ 20 AND n_chars ≥ 100 — the eval_rate_ci definition), so
+    * the label pass rides the same tokenize scan shape.
+    */
+  private val evalPassAtK = Q(
+    "eval_pass_at_k",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, dir)
+        .withColumn("n_tok", size(expr(tokenizeExpr)).cast("long"))
+        .groupBy(expr("doc_id div 50").as("task_id"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("n_tok") >= 20 && col("n_chars") >= 100).cast("long"))
+            .as("n_pass"))
+        .select(col("task_id"), col("n"), col("n_pass"),
+          explode(array(lit(1L), lit(5L), lit(10L))).as("k"))
+        .withColumn("pass_ppm", expr(passAtKSql("div")))
+    },
+    Some(s"""SELECT task_id, n, n_pass, k,
+               ${passAtKSql("//")} AS pass_ppm
+             FROM (SELECT doc_id // 50 AS task_id,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN n_tok >= 20 AND n_chars >= 100
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+                   FROM (SELECT doc_id, n_chars,
+                           CAST(len(list_filter(string_split_regex(
+                             lower(text), '[^a-z]+'), t -> t <> ''))
+                             AS BIGINT) AS n_tok
+                         FROM documents)
+                   GROUP BY 1)
+             CROSS JOIN (VALUES (CAST(1 AS BIGINT)), (CAST(5 AS BIGINT)),
+               (CAST(10 AS BIGINT))) ks(k)"""))
+
   val all: Seq[Q] = Seq(evalAucRank, evalCalibrationBins, evalRateCi, evalBleu,
-    evalRougeN, evalRougeL, evalChrf)
+    evalRougeN, evalRougeL, evalChrf, evalTokenF1, evalPassAtK)
 }

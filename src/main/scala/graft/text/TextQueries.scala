@@ -717,8 +717,90 @@ object TextQueries {
                         WHERE token <> '' GROUP BY doc_id, token)
                   GROUP BY doc_id)"""))
 
+  /** Zipf-law fit of the frequency spectrum: OLS slope of ln(freq) on
+    * ln(rank) over the top 500 vocabulary terms — the corpus-naturalness
+    * diagnostic (natural language sits near slope −1; template/boilerplate
+    * corpora flatten, OCR noise steepens the tail) read next to
+    * corpus_stats before a training mix ships.
+    *
+    * Scale shape: the vocab artifact folds the corpus once; the top-500
+    * cut is sort+limit (TakeOrderedAndProject — per-partition partial
+    * top-k, the vocab_topk shape), and the regression runs over ≤ 500
+    * rows into a 1-row frame. Determinism: ln(rank) and ln(freq) are
+    * floor-quantized to micro-nats FIRST (ln is IEEE-identical on both
+    * engines — the text_unigram_nll precedent), so the regression moment
+    * sums are EXACT BIGINTs in any aggregation order (max |Σxy| ≈
+    * 500·(7e6)·(2e7) ≈ 7e16, inside BIGINT); only the final slope/r²
+    * division touches doubles, once, on identical integer inputs
+    * (n·Σxy would overflow BIGINT, so each exact sum casts to DOUBLE
+    * before the one textually-identical closed-form expression). */
+  private val zipfSlopeSql =
+    """CAST(floor((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1000000.0)
+        AS BIGINT)"""
+  private val zipfR2Sql =
+    """CAST(floor((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          * (CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / ((CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * (CAST(n_terms AS DOUBLE) * CAST(syy AS DOUBLE)
+            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) * 1000000.0)
+        AS BIGINT)"""
+
+  private val textZipfFit = Q(
+    "text_zipf_fit",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val top = TextArtifacts.vocab(s, dir)
+        .orderBy(col("freq").desc, col("token")).limit(500)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("freq").desc, col("token"))
+      top
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .select(
+          expr("CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000000.0) AS BIGINT)")
+            .as("x"),
+          expr("CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000.0) AS BIGINT)")
+            .as("y"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("n_terms"), col("sx"), col("sy"),
+          expr(zipfSlopeSql).as("slope_ppm"),
+          expr(zipfR2Sql).as("r2_ppm"))
+    },
+    Some(s"""SELECT n_terms, sx, sy,
+               $zipfSlopeSql AS slope_ppm,
+               $zipfR2Sql AS r2_ppm
+             FROM (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(y * y) AS BIGINT) AS syy
+                   FROM (SELECT
+                           CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000000.0)
+                             AS BIGINT) AS x,
+                           CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000.0)
+                             AS BIGINT) AS y
+                         FROM (SELECT freq, CAST(row_number() OVER (
+                                   ORDER BY freq DESC, token) AS BIGINT) AS rk
+                               FROM (SELECT token,
+                                       CAST(count(*) AS BIGINT) AS freq
+                                     FROM (SELECT unnest(string_split_regex(
+                                             lower(text), '[^a-z]+')) AS token
+                                           FROM documents)
+                                     WHERE token <> '' GROUP BY token))
+                         WHERE rk <= 500))"""))
+
   val all: Seq[Q] = Seq(textTokens, textQuality, textLangid, textFingerprint,
     tokenCount, textTfidf, textUnigramNll, textBm25, textEntropy, corpusStats,
     textBigramNll, textReadability, lmKnBigram, evalLangidConfusion,
-    textSentenceStats, textLexicalDiversity)
+    textSentenceStats, textLexicalDiversity, textZipfFit)
 }

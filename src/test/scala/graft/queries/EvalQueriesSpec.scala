@@ -70,4 +70,78 @@ class EvalQueriesSpec extends SparkSpec {
       assert((hi - lo).toDouble <= maxW, s"width ${hi - lo} > $maxW at n=$n")
     }
   }
+
+  test("eval_pass_at_k equals an exact BigInt-binomial recount per bundle") {
+    import org.apache.spark.sql.functions._
+    // independent labels: the rule gate recomputed from raw text locally
+    val labels = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("n_chars")).collect()
+      .map { r =>
+        val nTok = Option(r.getAs[String]("text"))
+          .map(_.toLowerCase.split("[^a-z]+").count(_.nonEmpty)).getOrElse(0)
+        r.getAs[Long]("doc_id") ->
+          (nTok >= 20 && r.getAs[Long]("n_chars") >= 100L)
+      }
+    def binom(m: Long, k: Long): BigInt =
+      if (k > m) BigInt(0)
+      else (0L until k).map(i => BigInt(m - i)).product /
+        (1L to k).map(BigInt(_)).product
+    val expected = labels.groupBy { case (id, _) => id / 50 }.flatMap {
+      case (task, docs) =>
+        val n = docs.length.toLong
+        val np = docs.count(_._2).toLong
+        Seq(1L, 5L, 10L).map { k =>
+          val ppm =
+            if (n < k) -1L
+            else if (n - np < k) 1000000L
+            else 1000000L - (binom(n - np, k) * 1000000 / binom(n, k)).toLong
+          (task, k) -> (n, np, ppm)
+        }
+    }
+    val got = Registry.queries("eval_pass_at_k")(spark, sfDir).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val key = (r.getAs[Long]("task_id"), r.getAs[Long]("k"))
+      val (n, np, ppm) = expected(key)
+      assert(r.getAs[Long]("n") === n, s"$key n")
+      assert(r.getAs[Long]("n_pass") === np, s"$key n_pass")
+      assert(r.getAs[Long]("pass_ppm") === ppm, s"$key pass_ppm")
+    }
+    // monotonicity: for a fixed bundle with n ≥ 10, pass@1 ≤ pass@5 ≤ pass@10
+    got.groupBy(_.getAs[Long]("task_id")).values
+      .filter(_.forall(_.getAs[Long]("n") >= 10L)).foreach { rows =>
+        val byK = rows.map(r => r.getAs[Long]("k") ->
+          r.getAs[Long]("pass_ppm")).toMap
+        assert(byK(1L) <= byK(5L) && byK(5L) <= byK(10L))
+      }
+  }
+
+  test("eval_token_f1 equals a local bag-of-words recount on the live pairs") {
+    import org.apache.spark.sql.functions._
+    val rows = Registry.queries("eval_token_f1")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> Option(r.getAs[String]("text")))
+      .toMap
+    def bag(t: Option[String]): Map[String, Long] = t
+      .map(_.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong })
+      .getOrElse(Map.empty)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("a"), r.getAs[Long]("b"))
+      val (ba, bb) = (bag(docs(a)), bag(docs(b)))
+      val m = ba.keysIterator
+        .map(w => math.min(ba(w), bb.getOrElse(w, 0L))).sum
+      val (ta, tb) = (ba.values.sum, bb.values.sum)
+      assert(ta > 0 && tb > 0, s"($a,$b) empty side must have been dropped")
+      assert(r.getAs[Long]("m") === m, s"($a,$b) m")
+      assert(r.getAs[Long]("f1_ppm") === 2 * m * 1000000L / (ta + tb),
+        s"($a,$b) f1")
+      // F1 lies between precision and recall (harmonic-mean identity)
+      val (p, rec) = (r.getAs[Long]("prec_ppm"), r.getAs[Long]("rec_ppm"))
+      val f1 = r.getAs[Long]("f1_ppm")
+      assert(f1 <= math.max(p, rec) + 1 && f1 >= math.min(p, rec) - 1)
+    }
+  }
 }
