@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -679,6 +680,251 @@ object EvalQueries {
              CROSS JOIN (VALUES (CAST(1 AS BIGINT)), (CAST(5 AS BIGINT)),
                (CAST(10 AS BIGINT))) ks(k)"""))
 
+  /** Corpus-level generation diversity — distinct-1 / distinct-2 (Li et
+    * al., "A Diversity-Promoting Objective Function for Neural
+    * Conversation Models", NAACL 2016): the share of n-gram OCCURRENCES
+    * that are unique types, per language. The standard low-diversity
+    * alarm for model-generated or template corpora: `text_lexical_
+    * diversity` is the PER-DOCUMENT type-token ratio (spinner text
+    * inside one doc), this is the CROSS-document collapse detector — a
+    * corpus of a thousand distinct-looking docs sharing the same
+    * phrasebook scores high there and low here.
+    *
+    * Scale shape: one tokenize pass emits both gram orders
+    * (the eval_rouge_n union shape), the (lang, n, gram) pre-aggregate
+    * map-side combines within scan partitions, and the rollup per
+    * (lang, n) is combine-friendly counts — nothing wider than the
+    * bigram vocabulary ever shuffles, and the result is 2·#langs rows.
+    * Integer-exact: counts are BIGINT in any order, one floor-divided
+    * ppm at the end.
+    */
+  private val evalDistinctN = Q(
+    "eval_distinct_n",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val grams = Tables.spread(Tables.documents(s, dir)
+          .select(col("lang"), col("text")))
+        .select(col("lang"),
+          expr("word_ngrams(text, 1, false)").as("g1"),
+          expr("word_ngrams(text, 2, false)").as("g2"))
+        .select(col("lang"), explode(expr(
+          "array(struct(CAST(1 AS BIGINT) AS n, g1 AS gs)," +
+            " struct(CAST(2 AS BIGINT) AS n, g2 AS gs))")).as("x"))
+        .select(col("lang"), col("x.n").as("n"), explode(col("x.gs")).as("gram"))
+      grams
+        .groupBy(col("lang"), col("n"), col("gram"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("lang"), col("n"))
+        .agg(count(lit(1)).as("distinct_grams"),
+          sum(col("cnt")).as("total_grams"))
+        .select(col("lang"), col("n"), col("distinct_grams"), col("total_grams"),
+          expr("(distinct_grams * 1000000) div total_grams").as("distinct_ppm"))
+    },
+    Some("""WITH tok AS (
+              SELECT lang, list_filter(string_split_regex(lower(text),
+                '[^a-z]+'), t -> t <> '') AS toks
+              FROM documents),
+            g AS (
+              SELECT lang, CAST(1 AS BIGINT) AS n, unnest(toks) AS gram
+              FROM tok
+              UNION ALL
+              SELECT lang, CAST(2 AS BIGINT) AS n, unnest(
+                CASE WHEN len(toks) < 2 THEN []
+                ELSE list_transform(range(1, len(toks)),
+                  i -> toks[i] || ' ' || toks[i + 1]) END) AS gram
+              FROM tok),
+            gc AS (
+              SELECT lang, n, gram, CAST(count(*) AS BIGINT) AS cnt
+              FROM g GROUP BY lang, n, gram)
+            SELECT lang, n,
+              CAST(count(*) AS BIGINT) AS distinct_grams,
+              CAST(sum(cnt) AS BIGINT) AS total_grams,
+              (CAST(count(*) AS BIGINT) * 1000000)
+                // CAST(sum(cnt) AS BIGINT) AS distinct_ppm
+            FROM gc GROUP BY lang, n"""))
+
+  /** Bradley-Terry strength fitting over pairwise quality matches — the
+    * arena-style preference aggregation (Bradley & Terry 1952; the MM
+    * fixed-point of Hunter, "MM algorithms for generalized Bradley-Terry
+    * models", Ann. Statist. 2004; the Chatbot-Arena readout): sources
+    * play deterministic head-to-head matches (judged by the rule-gate
+    * quality proxy), and the fit turns the win matrix into per-source
+    * strengths p_i with p_i/(p_i+p_j) ≈ P(i beats j) — the principled
+    * upgrade over raw win RATE, which a lopsided match schedule biases.
+    *
+    * Matches: docs pair off within their md5 bucket (256 buckets — the
+    * engine's deterministic sampling convention; the bucket count is the
+    * production knob that scales with the corpus) in md5-shuffled order,
+    * adjacent ranks playing one match each — O(n) matches total, never
+    * the in-bucket quadratic. Winner = higher n_chars, tie → lower
+    * doc_id; same-source matches discard. The win matrix gets the
+    * standard add-one prior (one virtual win each direction per source
+    * pair), which keeps every MM denominator positive and the MLE finite
+    * on sparse schedules.
+    *
+    * MM solve: 15 fixed rounds of p_i ← W_i / Σ_j n_ij/(p_i+p_j), run in
+    * exact BigInt arithmetic (scale 10^12, renormalized to Σp = k·10^6
+    * ppm each round) on the DRIVER over the collected win matrix —
+    * k²-bounded by the source catalog, never corpus-sized (the bpe_train
+    * learned-table stance). The oracle replays the identical integer
+    * algebra as 15 unrolled HUGEINT stages, so both engines floor the
+    * same quotients; EvalQueriesSpec pins an independent recount.
+    */
+  private val BtRounds = 15
+  private val BtScale = BigInt(1000000000000L) // 10^12
+
+  /** Augmented ordered win matrix (si, sj, w, n) + real per-source stats:
+    * shared by the query and EvalQueriesSpec's independent solver. */
+  private[queries] def btMatrix(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.documents(s, dir)
+    val w = Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))
+    val matches = Tables.spread(docs
+        .select(col("doc_id"), col("source"), col("n_chars")))
+      .withColumn("bucket",
+        expr(md5Byte("CAST(doc_id AS STRING)")).cast("long"))
+      .withColumn("h", expr("md5(concat('pair', CAST(doc_id AS STRING)))"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("bucket"), expr("(rk + 1) div 2").as("m"))
+      .agg(count(lit(1)).as("nm"),
+        max(struct(col("n_chars"), (-col("doc_id")).as("neg"),
+          col("source"))).as("ws"),
+        min(struct(col("n_chars"), (-col("doc_id")).as("neg"),
+          col("source"))).as("ls"))
+      .where(col("nm") === 2 && col("ws.source") =!= col("ls.source"))
+      .select(col("ws.source").as("wsrc"), col("ls.source").as("lsrc"))
+      .localCheckpoint(eager = true) // feeds the matrix AND the real stats
+    val srcs = docs.select(col("source")).distinct()
+    val realw = matches.groupBy(col("wsrc"), col("lsrc"))
+      .agg(count(lit(1)).as("w"))
+    val grid = srcs.select(col("source").as("si"))
+      .crossJoin(broadcast(srcs.select(col("source").as("sj"))))
+      .where(col("si") =!= col("sj"))
+    val wmat = grid.join(broadcast(realw),
+        col("si") === col("wsrc") && col("sj") === col("lsrc"), "left")
+      .select(col("si"), col("sj"),
+        (lit(1L) + coalesce(col("w"), lit(0L))).as("w"))
+    val nmat = wmat.join(
+        wmat.select(col("si").as("sj2"), col("sj").as("si2"), col("w").as("wr")),
+        col("si") === col("si2") && col("sj") === col("sj2"))
+      .select(col("si"), col("sj"), col("w"), (col("w") + col("wr")).as("n"))
+    val rstat = srcs
+      .join(matches.groupBy(col("wsrc").as("source"))
+        .agg(count(lit(1)).as("wn")), Seq("source"), "left")
+      .join(matches.groupBy(col("lsrc").as("source"))
+        .agg(count(lit(1)).as("ln")), Seq("source"), "left")
+      .select(col("source"), coalesce(col("wn"), lit(0L)).as("wins"),
+        (coalesce(col("wn"), lit(0L)) + coalesce(col("ln"), lit(0L))).as("games"))
+    (nmat, rstat)
+  }
+
+  /** The 15-round integer MM solve over a collected (si, sj, w, n)
+    * matrix; exact BigInt throughout, floor division only on positive
+    * operands (= the oracle's HUGEINT `//`). */
+  private[queries] def btSolve(
+      mat: Seq[(String, String, Long, Long)]): Map[String, Long] = {
+    val srcs = mat.map(_._1).distinct.sorted
+    val k = BigInt(srcs.length)
+    val wTot = srcs.map(i => i -> BigInt(
+      mat.collect { case (si, _, w, _) if si == i => w }.sum)).toMap
+    var p = srcs.map(_ -> BigInt(1000000)).toMap
+    for (_ <- 1 to BtRounds) {
+      val d = srcs.map { i =>
+        i -> mat.collect { case (si, sj, _, n) if si == i =>
+          (BigInt(n) * BtScale) / (p(i) + p(sj))
+        }.sum
+      }.toMap
+      val praw = srcs.map(i => i -> (wTot(i) * BtScale) / d(i)).toMap
+      val sSum = praw.values.sum
+      p = srcs.map(i => i -> (praw(i) * k * BigInt(1000000)) / sSum).toMap
+    }
+    srcs.map(i => i -> p(i).toLong).toMap
+  }
+
+  private val evalEloBt = Q(
+    "eval_elo_bt",
+    (s, dir) => {
+      val (nmat, rstat) = btMatrix(s, dir)
+      val mat = nmat.collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSeq // k²-bounded: source catalog
+      val p = btSolve(mat)
+      import s.implicits._
+      val pDf = p.toSeq.toDF("source", "p_ppm")
+      rstat.join(broadcast(pDf), Seq("source"))
+        .select(col("source"), col("games"), col("wins"), col("p_ppm"))
+    },
+    Some {
+      val matchesCte =
+        s"""bkt AS (
+             SELECT doc_id, source, n_chars,
+               CAST(${md5Byte("CAST(doc_id AS VARCHAR)")} AS BIGINT) AS bucket,
+               md5('pair' || CAST(doc_id AS VARCHAR)) AS h
+             FROM documents),
+           rk AS (
+             SELECT *, CAST(row_number() OVER (PARTITION BY bucket
+               ORDER BY h, doc_id) AS BIGINT) AS rk FROM bkt),
+           grp AS (
+             SELECT bucket, (rk + 1) // 2 AS m, doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY bucket, (rk + 1) // 2
+                 ORDER BY n_chars DESC, doc_id) AS pos,
+               count(*) OVER (PARTITION BY bucket, (rk + 1) // 2) AS nm
+             FROM rk),
+           matches AS (
+             SELECT w.source AS wsrc, l.source AS lsrc
+             FROM grp w JOIN grp l ON l.bucket = w.bucket AND l.m = w.m
+             WHERE w.pos = 1 AND l.pos = 2 AND w.nm = 2
+               AND w.source <> l.source),
+           srcs AS (SELECT DISTINCT source FROM documents),
+           kk AS (SELECT CAST(count(*) AS HUGEINT) AS k FROM srcs),
+           realw AS (SELECT wsrc, lsrc, CAST(count(*) AS BIGINT) AS w
+                     FROM matches GROUP BY 1, 2),
+           grid AS (SELECT a.source AS si, b.source AS sj
+                    FROM srcs a, srcs b WHERE a.source <> b.source),
+           wmat AS (
+             SELECT g.si, g.sj, CAST(1 + coalesce(r.w, 0) AS BIGINT) AS w
+             FROM grid g LEFT JOIN realw r
+               ON r.wsrc = g.si AND r.lsrc = g.sj),
+           nmat AS (
+             SELECT x.si, x.sj, x.w + y.w AS n
+             FROM wmat x JOIN wmat y ON y.si = x.sj AND y.sj = x.si),
+           wins AS (SELECT si, CAST(sum(w) AS BIGINT) AS ww
+                    FROM wmat GROUP BY si),
+           p0 AS (SELECT source AS si, CAST(1000000 AS HUGEINT) AS p
+                  FROM srcs)"""
+      val rounds = (1 to BtRounds).map { r =>
+        s"""t$r AS (
+             SELECT n.si, CAST(n.n AS HUGEINT) * 1000000000000
+               // (pi.p + pj.p) AS t
+             FROM nmat n
+             JOIN p${r - 1} pi ON pi.si = n.si
+             JOIN p${r - 1} pj ON pj.si = n.sj),
+           d$r AS (SELECT si, sum(t) AS d FROM t$r GROUP BY si),
+           praw$r AS (
+             SELECT w.si, CAST(w.ww AS HUGEINT) * 1000000000000 // d.d AS p
+             FROM wins w JOIN d$r d ON d.si = w.si),
+           p$r AS MATERIALIZED (
+             SELECT si, p * (SELECT k FROM kk) * 1000000
+               // (SELECT sum(p) FROM praw$r) AS p
+             FROM praw$r)"""
+      }.mkString(",\n")
+      s"""WITH $matchesCte,
+          $rounds,
+          rstat AS (
+            SELECT s.source,
+              coalesce(wr.wn, CAST(0 AS BIGINT)) AS wins,
+              coalesce(wr.wn, CAST(0 AS BIGINT))
+                + coalesce(ls.ln, CAST(0 AS BIGINT)) AS games
+            FROM srcs s
+            LEFT JOIN (SELECT wsrc, CAST(count(*) AS BIGINT) AS wn
+                       FROM matches GROUP BY 1) wr ON wr.wsrc = s.source
+            LEFT JOIN (SELECT lsrc, CAST(count(*) AS BIGINT) AS ln
+                       FROM matches GROUP BY 1) ls ON ls.lsrc = s.source)
+          SELECT r.source, r.games, r.wins, CAST(p.p AS BIGINT) AS p_ppm
+          FROM rstat r JOIN p$BtRounds p ON p.si = r.source"""
+    })
+
   val all: Seq[Q] = Seq(evalAucRank, evalCalibrationBins, evalRateCi, evalBleu,
-    evalRougeN, evalRougeL, evalChrf, evalTokenF1, evalPassAtK)
+    evalRougeN, evalRougeL, evalChrf, evalTokenF1, evalPassAtK,
+    evalDistinctN, evalEloBt)
 }

@@ -357,6 +357,113 @@ object MixQueries {
                 AS planned_tokens
             FROM per_source, tot"""))
 
+  /** UniMax language-budget waterfilling (Chung et al., "UniMax: Fairer
+    * and More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining", ICLR 2023) — spread a total token budget across
+    * languages as uniformly as possible subject to a per-language epoch
+    * cap, REDISTRIBUTING what capped (low-resource) languages cannot
+    * absorb. `mix_token_budget` is the no-redistribution planner (equal
+    * split, leftover forfeited); this is the fair loop the paper argues
+    * for: repeatedly give every remaining language an equal share of the
+    * remaining budget, freezing any language whose cap is below its share.
+    *
+    * Exact closed form of that sequential loop — no driver iteration:
+    * process languages in ascending cap order; while cap_i ≤ fair_i
+    * (fair_i = remaining_i div remaining_langs_i) the language takes its
+    * whole cap, and from the FIRST i with cap_i > fair_i every later
+    * language takes the sequential fair split of what remains, which is
+    * exactly (R_p + j − 1) div m for the j-th of the m fair-regime
+    * members (sequential floor-division identity: splitting R over m
+    * takers one `div` at a time hands taker j exactly that amount).
+    * Ascending caps make strict re-entry into the cap regime impossible
+    * — fair shares move by at most 1 between steps while caps only grow,
+    * so later caps can at worst TIE the fair share, and min(cap, fair)
+    * takes the same value either way. MixUnimaxSpec pins the closed form
+    * against the literal loop on randomized cap/budget sets.
+    *
+    * Budget = 1.5× corpus tokens (a multi-epoch multilingual run), epoch
+    * cap 2.0: the fixture's en-scale language lands in the fair regime
+    * while tail languages cap out, exercising both branches.
+    *
+    * Scale shape: ONE map-side-combined token aggregate folds the corpus
+    * to a #langs-row frame; every window below runs over that bounded
+    * frame (the graph_degree_dist stance on unpartitioned windows). All
+    * arithmetic is non-negative BIGINT floor division — `greatest(r, 0)`
+    * keeps the one value that can go negative (past-budget prefix
+    * remainders on rows after the regime switch, whose fair value is
+    * never consumed) out of the truncate-vs-floor divergence zone.
+    */
+  private val mixUnimax = Q(
+    "mix_unimax",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val perLang = Tables.documents(s, dir)
+        .select(col("lang"), size(expr(tokenizeExpr)).cast("long").as("n_tok"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+      val tot = perLang.agg(sum(col("tokens")).as("total"),
+        count(lit(1)).as("k"))
+      val w = Window.orderBy(col("cap"), col("lang"))
+      val base = perLang.crossJoin(broadcast(tot))
+        .withColumn("budget", expr("(total * 3) div 2"))
+        .withColumn("cap", expr("tokens * 2"))
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("cum_prev", coalesce(sum(col("cap"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("r", expr("greatest(budget - cum_prev, CAST(0 AS BIGINT))"))
+        .withColumn("fair", expr("r div (k - i + 1)"))
+        .localCheckpoint(eager = true) // feeds the regime pick AND the rows
+      // first row whose cap exceeds its fair share = the regime switch;
+      // min(struct) carries that row's remaining budget out with it
+      val pRow = base.where(col("cap") > col("fair"))
+        .agg(min(struct(col("i"), col("r"))).as("pr"))
+        .select(col("pr.i").as("p"), col("pr.r").as("rp"))
+      base.crossJoin(broadcast(pRow))
+        .withColumn("alloc",
+          expr("""CASE WHEN p IS NULL OR i < p THEN cap
+                  ELSE (rp + (i - p)) div (k - p + 1) END"""))
+        .select(col("lang"), col("n_docs"), col("tokens"), col("budget"),
+          col("cap"), col("alloc"),
+          expr("""CASE WHEN tokens = 0 THEN CAST(0 AS BIGINT)
+                  ELSE (alloc * 1000) div tokens END""").as("epochs_milli"))
+    },
+    Some("""WITH per_lang AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(len(list_filter(string_split_regex(lower(text),
+                  '[^a-z]+'), t -> t <> ''))) AS BIGINT) AS tokens
+              FROM documents GROUP BY lang),
+            tot AS (
+              SELECT CAST(sum(tokens) AS BIGINT) AS total,
+                CAST(count(*) AS BIGINT) AS k
+              FROM per_lang),
+            caps AS (
+              SELECT lang, n_docs, tokens, tokens * 2 AS cap, total, k,
+                (total * 3) // 2 AS budget
+              FROM per_lang, tot),
+            base AS (
+              SELECT lang, n_docs, tokens, cap, k, budget,
+                CAST(row_number() OVER (ORDER BY cap, lang) AS BIGINT) AS i,
+                CAST(coalesce(sum(cap) OVER (ORDER BY cap, lang
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum_prev
+              FROM caps),
+            base2 AS (
+              SELECT *, greatest(budget - cum_prev, CAST(0 AS BIGINT)) AS r
+              FROM base),
+            base3 AS (
+              SELECT *, r // (k - i + 1) AS fair FROM base2),
+            pr AS (
+              SELECT min(i) AS p, arg_min(r, i) AS rp
+              FROM base3 WHERE cap > fair)
+            SELECT lang, n_docs, tokens, budget, cap, alloc,
+              CASE WHEN tokens = 0 THEN CAST(0 AS BIGINT)
+                   ELSE (alloc * 1000) // tokens END AS epochs_milli
+            FROM (
+              SELECT lang, n_docs, tokens, budget, cap,
+                CASE WHEN p IS NULL OR i < p THEN cap
+                     ELSE (rp + (i - p)) // (k - p + 1) END AS alloc
+              FROM base3, pr)"""))
+
   val all: Seq[Q] = Seq(qualityPplBuckets, mixTokenBudget, mixDoremi,
-    mixAnnealSchedule)
+    mixAnnealSchedule, mixUnimax)
 }

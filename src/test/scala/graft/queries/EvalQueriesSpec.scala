@@ -144,4 +144,85 @@ class EvalQueriesSpec extends SparkSpec {
       assert(f1 <= math.max(p, rec) + 1 && f1 >= math.min(p, rec) - 1)
     }
   }
+
+  test("eval_distinct_n equals a local n-gram recount per (lang, n)") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("text")).collect()
+      .map(r => r.getAs[String]("lang") -> Option(r.getAs[String]("text")))
+    def grams(t: Option[String], n: Int): Seq[String] = {
+      val toks = t.map(_.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty)
+      if (toks.length < n) Seq.empty
+      else toks.sliding(n).map(_.mkString(" ")).toSeq
+    }
+    val expected = (for {
+      n <- Seq(1, 2)
+      (lang, rows) <- docs.groupBy(_._1)
+    } yield {
+      val all = rows.toSeq.flatMap { case (_, t) => grams(t, n) }
+      (lang, n.toLong) -> (all.distinct.length.toLong, all.length.toLong)
+    }).filter(_._2._2 > 0).toMap
+    val got = Registry.queries("eval_distinct_n")(spark, sfDir).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val key = (r.getAs[String]("lang"), r.getAs[Long]("n"))
+      val (d, t) = expected(key)
+      assert(r.getAs[Long]("distinct_grams") === d, s"$key distinct")
+      assert(r.getAs[Long]("total_grams") === t, s"$key total")
+      assert(r.getAs[Long]("distinct_ppm") === d * 1000000L / t, s"$key ppm")
+    }
+  }
+
+  test("eval_elo_bt: matrix rebuilt from raw docs, strengths re-solved, invariants hold") {
+    import org.apache.spark.sql.functions._
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_chars")))
+    // replay the pairing: md5 bucket, md5-shuffled rank, adjacent ranks play
+    val matches = docs
+      .groupBy { case (id, _, _) =>
+        val h = md5hex(id.toString)
+        "0123456789abcdef".indexOf(h(0)) * 16 + "0123456789abcdef".indexOf(h(1))
+      }
+      .values.flatMap { members =>
+        members.toSeq
+          .sortBy { case (id, _, _) => (md5hex(s"pair$id"), id) }
+          .grouped(2).collect { case Seq(x, y) =>
+            // winner: higher n_chars, tie -> lower doc_id
+            val Seq(l, w) = Seq(x, y).sortBy(d => (d._3, -d._1))
+            (w._2, l._2)
+          }.filter { case (a, b) => a != b }
+      }.toSeq
+    val srcs = docs.map(_._2).distinct.sorted
+    val realw = matches.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val mat = for (i <- srcs; j <- srcs if i != j) yield {
+      val w = 1L + realw.getOrElse((i, j), 0L)
+      val n = w + 1L + realw.getOrElse((j, i), 0L)
+      (i, j, w, n)
+    }
+    val p = EvalQueries.btSolve(mat)
+    val got = Registry.queries("eval_elo_bt")(spark, sfDir).collect()
+    assert(got.length === srcs.length)
+    got.foreach { r =>
+      val s = r.getAs[String]("source")
+      assert(r.getAs[Long]("p_ppm") === p(s), s"$s strength")
+      assert(r.getAs[Long]("wins") ===
+        matches.count(_._1 == s).toLong, s"$s wins")
+      assert(r.getAs[Long]("games") ===
+        matches.count(m => m._1 == s || m._2 == s).toLong, s"$s games")
+    }
+    // each match contributes one win and two game slots
+    assert(got.map(_.getAs[Long]("wins")).sum === matches.length.toLong)
+    assert(got.map(_.getAs[Long]("games")).sum === 2L * matches.length)
+    // renormalization keeps sum(p) within a floor-loss of k * 1e6
+    val psum = got.map(_.getAs[Long]("p_ppm")).sum
+    assert(psum <= srcs.length * 1000000L &&
+      psum > srcs.length * 1000000L - srcs.length, s"psum=$psum")
+    assert(got.forall(_.getAs[Long]("p_ppm") > 0L))
+  }
 }
