@@ -363,13 +363,16 @@ object GraphBpeQueries {
         .select(col("e.u").as("u"), col("e.v").as("v"))
   }
 
-  /** (n_nodes, n_edges, n_wedges, n_triangles, clustering_bp) for an
-    * undirected simple graph given as distinct (a < b) pairs.
-    * @param pruneListener observes the adaptive bloom-prune decision
-    *   (BenchTriangles asserts the pruned path engaged at 10 M edges). */
-  private[graft] def triangleStats(pairs: DataFrame,
+  /** Orientation + bloom-pruned wedge-closure kernel shared by
+    * `graph_triangles` (counts the closed rows) and
+    * `graph_clustering_coeff` (explodes each closed row's three corners
+    * into per-node triangle counts): returns the degree frame
+    * (node, deg), one row (u, wu, wv) per unordered triangle — u the
+    * wedge center (lowest (deg, id) corner), (wu, wv) the closing
+    * oriented edge — and the oriented edge count. */
+  private[graft] def triangleClosure(pairs: DataFrame,
       pruneListener: BloomPrune.AdaptivePrune => Unit = _ => (),
-      pairsCheckpointed: Boolean = false): DataFrame = {
+      pairsCheckpointed: Boolean = false): (DataFrame, DataFrame, Long) = {
       // the pair list is usually the expensive part (a fact-table
       // self-join upstream) — build it ONCE; deg is likewise shared by
       // the orientation and the wedge totals (un-checkpointed, the
@@ -431,12 +434,16 @@ object GraphBpeQueries {
       // shuffle_hash hints: both joins key on longs with an edge-list-sized
       // build side — hashing it beats sort-merge's two sorts, and the
       // 41.6M-row wedge stream (probe side) never sorts at all
+      // the wedge center u rides along (one extra long per SURVIVING
+      // wedge only — the prune fires before the exchange) so the
+      // clustering-coefficient consumer can attribute each triangle to
+      // all three corners
       val wedges = oriented.select(col("u"), col("v").as("wu"), col("dv").as("d1"))
         .join(oriented.select(col("u"), col("v").as("wv"), col("dv").as("d2"))
           .hint("shuffle_hash"), "u")
         .where(col("d1") < col("d2") ||
           (col("d1") === col("d2") && col("wu") < col("wv")))
-        .select(col("wu"), col("wv"),
+        .select(col("u"), col("wu"), col("wv"),
           xxhash64(col("wu"), col("wv")).as("ek"))
       val closing = oriented
         .select(col("u").as("wu"), col("v").as("wv"),
@@ -444,10 +451,22 @@ object GraphBpeQueries {
       val ap = BloomPrune.pruneAdaptive(wedges, "ek",
         closing.select(col("ek")), "ek", nKeys = math.max(nEdges, 1000L))
       pruneListener(ap)
-      val pruned = ap.df
-      val tri = pruned
+      val closed = ap.df
         .join(closing.hint("shuffle_hash"), Seq("wu", "wv", "ek"))
-        .agg(count(lit(1)).as("n_triangles"))
+        .select(col("u"), col("wu"), col("wv"))
+      (deg, closed, nEdges)
+  }
+
+  /** (n_nodes, n_edges, n_wedges, n_triangles, clustering_bp) for an
+    * undirected simple graph given as distinct (a < b) pairs.
+    * @param pruneListener observes the adaptive bloom-prune decision
+    *   (BenchTriangles asserts the pruned path engaged at 10 M edges). */
+  private[graft] def triangleStats(pairs: DataFrame,
+      pruneListener: BloomPrune.AdaptivePrune => Unit = _ => (),
+      pairsCheckpointed: Boolean = false): DataFrame = {
+      val (deg, closed, nEdges) =
+        triangleClosure(pairs, pruneListener, pairsCheckpointed)
+      val tri = closed.agg(count(lit(1)).as("n_triangles"))
       val totals = deg.agg(count(lit(1)).as("n_nodes"),
         sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
       totals.crossJoin(tri).withColumn("n_edges", lit(nEdges))
@@ -494,6 +513,69 @@ object GraphBpeQueries {
                    CAST((3 * n_triangles * 10000) // n_wedges AS BIGINT)
                      AS clustering_bp
             FROM totals, ec, tri"""))
+
+  /** Per-node LOCAL clustering coefficient over the co-purchase graph —
+    * the node-level companion of `graph_triangles`' global transitivity:
+    * for each node v with deg(v) ≥ 2, the fraction of its neighbor pairs
+    * that are themselves adjacent, cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)),
+    * in integer basis points. The community-quality / spam-structure
+    * readout per entity (a crawler that co-occurs with everything has
+    * hub degree and near-zero cc; a tight product family has cc → 1).
+    *
+    * Shares [[triangleClosure]] — the degree-ordered orientation and the
+    * bloom-pruned wedge-closure stream — with `graph_triangles`; the only
+    * addition is attributing each closed triangle to its three corners
+    * (one explode of a 3-element array per TRIANGLE, not per wedge —
+    * triangles survive the prune, wedges don't) and one bounded groupBy.
+    * Top-25 by (tri, node) via TakeOrderedAndProject; the deg ≥ 2 filter
+    * is semantic (cc is undefined below two neighbors), applied
+    * identically in the oracle.
+    */
+  private val graphClusteringCoeff = Q(
+    "graph_clustering_coeff",
+    (s, dir) => {
+      val (deg, closed, _) = triangleClosure(
+        graft.identity.GraphArtifacts.coPairs(s, dir),
+        pairsCheckpointed = true)
+      val perNode = closed
+        .select(explode(array(col("u"), col("wu"), col("wv"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+      deg.where(col("deg") >= 2)
+        .join(perNode, Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          coalesce(col("tri"), lit(0L)).as("tri"))
+        .withColumn("cc_bp", expr("2 * tri * 10000 div (deg * (deg - 1))"))
+        .orderBy(col("tri").desc, col("node"))
+        .limit(25)
+    },
+    Some("""WITH pairs AS MATERIALIZED (
+              SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+              FROM lineitem x JOIN lineitem y
+                ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+            deg AS MATERIALIZED (
+              SELECT node, CAST(count(*) AS BIGINT) AS deg
+              FROM (SELECT a AS node FROM pairs
+                    UNION ALL SELECT b FROM pairs)
+              GROUP BY node),
+            tri3 AS (
+              -- each triangle once as a < b < c (pairs are canonical a < b)
+              SELECT p1.a AS x, p1.b AS y, p2.b AS z
+              FROM pairs p1
+              JOIN pairs p2 ON p2.a = p1.b
+              JOIN pairs p3 ON p3.a = p1.a AND p3.b = p2.b),
+            pn AS (
+              SELECT node, CAST(count(*) AS BIGINT) AS tri
+              FROM (SELECT x AS node FROM tri3
+                    UNION ALL SELECT y FROM tri3
+                    UNION ALL SELECT z FROM tri3)
+              GROUP BY node)
+            SELECT d.node, d.deg, coalesce(pn.tri, 0) AS tri,
+              CAST(2 * coalesce(pn.tri, 0) * 10000
+                   // (d.deg * (d.deg - 1)) AS BIGINT) AS cc_bp
+            FROM deg d LEFT JOIN pn ON pn.node = d.node
+            WHERE d.deg >= 2
+            ORDER BY tri DESC, d.node
+            LIMIT 25"""))
 
   /** k-core decomposition (k = 10) of the undirected signup graph — the
     * classic graph-quality filter (peel low-degree fringe until every
@@ -954,5 +1036,5 @@ object GraphBpeQueries {
   val all: Seq[Q] = Seq(joinMultiwayRevenue, graphPagerank, bpeMergeTopk,
     bpeEncode, graphLabelProp, graphTriangles, graphKcore,
     graphCommonNeighbors, graphModularity, graphAssortativity,
-    graphDegreeDist, bpeTrain)
+    graphDegreeDist, bpeTrain, graphClusteringCoeff)
 }

@@ -1327,6 +1327,93 @@ object CurationQueries {
     out.mkString(" ")
   }
 
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by its log importance weight under hashed-unigram
+    * bag-of-words models of a TARGET distribution (here the `lang = 'en'`
+    * slice — "select docs that look like the target corpus") versus the
+    * raw pool, log w(x) = Σ_tokens [ln p̂_tgt(bucket) − ln p̂_raw(bucket)]
+    * with add-one smoothing over the B = 4096 hashed-feature buckets.
+    * This is the published method's exact shape: both models are one
+    * bounded frame (B rows regardless of corpus size), fit in a single
+    * aggregate pass over the shared (doc, token, cnt) artifact, and
+    * scoring is a broadcast join of that frame onto the token stream —
+    * at 100 TB nothing vocabulary- or corpus-sized ever shuffles for the
+    * model side, and the per-doc score is one partial aggregate.
+    *
+    * Determinism: the bucket is md5-derived (the engine-portable hash),
+    * each bucket's log-ratio is quantized ONCE to integer micro-nats
+    * (identical exact-integer-input `ln` expression text on both
+    * engines — the text_unigram_nll precedent), and per-doc sums are
+    * order-free BIGINT math. Zero-token docs contribute no row on either
+    * engine (the wordCounts/unnest contract).
+    */
+  private val qualityDsir = Q(
+    "quality_dsir",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val wc = TextArtifacts.wordCounts(s, dir)
+        .withColumn("bucket",
+          expr(s"CAST(${md5Hex4("token")} % 4096 AS BIGINT)"))
+      val raw = wc.groupBy(col("bucket")).agg(sum(col("cnt")).as("rc"))
+      // target counts need each doc's lang — a doc-keyed equi-join onto
+      // the artifact (co-keyed with its grouping, not a broadcast: the
+      // documents side is corpus-sized)
+      val tgt = wc
+        .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+          "doc_id")
+        .where(col("lang") === "en")
+        .groupBy(col("bucket")).agg(sum(col("cnt")).as("tc"))
+      val model = raw.join(tgt, Seq("bucket"), "left")
+        .select(col("bucket"), col("rc"),
+          coalesce(col("tc"), lit(0L)).as("tc"))
+      val tots = model.agg(sum(col("tc")).as("tt"), sum(col("rc")).as("rt"))
+      val q = model.crossJoin(broadcast(tots)) // 1-row totals
+        .withColumn("q", expr(
+          """CAST(round((ln((CAST(tc AS DOUBLE) + 1.0) / (CAST(tt AS DOUBLE) + 4096.0))
+                       - ln((CAST(rc AS DOUBLE) + 1.0) / (CAST(rt AS DOUBLE) + 4096.0)))
+                 * 1000000.0, 0) AS BIGINT)"""))
+        .select(col("bucket"), col("q"))
+      wc.join(broadcast(q), "bucket") // model frame ≤ 4096 rows
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_tok"),
+          sum(col("cnt") * col("q")).as("logw_micro"))
+        .select(col("doc_id"), col("n_tok"), col("logw_micro"),
+          (col("logw_micro") > 0L).as("keep"))
+    },
+    Some(s"""WITH toks AS (
+               SELECT d.doc_id, d.lang, unnest(list_filter(
+                 string_split_regex(lower(d.text), '[^a-z]+'), t -> t <> ''))
+                 AS token
+               FROM documents d),
+             wc0 AS (
+               SELECT doc_id, lang, token, CAST(count(*) AS BIGINT) AS cnt
+               FROM toks GROUP BY doc_id, lang, token),
+             wc AS (
+               SELECT doc_id, lang, cnt,
+                 CAST(${md5Hex4("token")} % 4096 AS BIGINT) AS bucket
+               FROM wc0),
+             raw AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS rc
+                     FROM wc GROUP BY bucket),
+             tgt AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS tc
+                     FROM wc WHERE lang = 'en' GROUP BY bucket),
+             model AS (
+               SELECT r.bucket, r.rc, coalesce(t.tc, 0) AS tc
+               FROM raw r LEFT JOIN tgt t ON t.bucket = r.bucket),
+             tots AS (SELECT CAST(sum(tc) AS BIGINT) AS tt,
+                             CAST(sum(rc) AS BIGINT) AS rt FROM model),
+             q AS (
+               SELECT bucket,
+                 CAST(round((ln((CAST(tc AS DOUBLE) + 1.0) / (CAST(tt AS DOUBLE) + 4096.0))
+                           - ln((CAST(rc AS DOUBLE) + 1.0) / (CAST(rt AS DOUBLE) + 4096.0)))
+                     * 1000000.0, 0) AS BIGINT) AS q
+               FROM model, tots)
+             SELECT wc.doc_id, CAST(sum(wc.cnt) AS BIGINT) AS n_tok,
+               CAST(sum(wc.cnt * q.q) AS BIGINT) AS logw_micro,
+               sum(wc.cnt * q.q) > 0 AS keep
+             FROM wc JOIN q ON q.bucket = wc.bucket
+             GROUP BY wc.doc_id"""))
+
   val all: Seq[Q] = Seq(sampleHash, sampleStratified, sampleReservoir,
     textPiiScrub,
     textEditDistance, packSequences, vocabTopk, contaminationCheck,
@@ -1335,5 +1422,5 @@ object CurationQueries {
     dedupLines, shardShuffle, shardManifest, qualityLogreg, docChunking,
     qualityGopherRules,
     textCodeDetect, corpusDrift, tokenizerCoverage, docChunkingCdc,
-    textWatermarkDetect)
+    textWatermarkDetect, qualityDsir)
 }
