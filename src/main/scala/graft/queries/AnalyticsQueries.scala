@@ -1028,6 +1028,138 @@ object AnalyticsQueries {
                 AS topd_share_ppm
             FROM tot, gini, topd"""))
 
+  /** Exponentially weighted moving average of the daily event count per
+    * event_type, α = 1/4 over a trailing 12-day horizon — the smoothed
+    * trend line read next to trend_wow_growth's step ratios. EWMA is the
+    * classic order-dependent recurrence; here it is EXACT integer math:
+    * with α = 1/4 the age-k weight is 3^k·4^(11−k) (a fixed 12-entry
+    * BIGINT table), so each data day just EMITS its 12 weighted forward
+    * contributions (a bounded explode riding the daily aggregate — fan-out
+    * 12 on days×types rows, never on raw events), one groupBy sums them,
+    * and the normalizer is the closed form Σ = 4^12 − 3^12. Trailing
+    * horizon truncation (pre-history = 0) is the declared semantics, so
+    * the denominator is constant and everything divides exactly in
+    * per-mille. Missing days count 0 via the min..max day grid (the
+    * resample_ffill pattern) and still receive trailing mass from
+    * earlier days' contributions.
+    */
+  private val EwmaWeights: Seq[Long] =
+    (0 to 11).map(k => math.pow(3, k).toLong * math.pow(4, 11 - k).toLong)
+
+  private val tsEwma = Q(
+    "ts_ewma",
+    (s, dir) => {
+      val norm = EwmaWeights.sum // 4^12 − 3^12 = 16245775
+      val daily = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day_no"))
+        .groupBy(col("event_type"), col("day_no"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(eager = true) // grid bounds + contributions + readout
+      val grid = daily.groupBy(col("event_type"))
+        .agg(min(col("day_no")).as("d0"), max(col("day_no")).as("d1"))
+        .select(col("event_type"),
+          explode(expr("sequence(d0, d1)")).as("day_no"))
+      val contrib = daily
+        .select(col("event_type"), col("day_no"), col("cnt"),
+          explode(expr("sequence(0, 11)")).as("k"))
+        .select(col("event_type"), (col("day_no") + col("k")).as("day_no"),
+          expr(s"cnt * element_at(array(${EwmaWeights.mkString("L,")}L), " +
+            "CAST(k + 1 AS INT))").as("w"))
+        .groupBy(col("event_type"), col("day_no"))
+        .agg(sum(col("w")).as("sw"))
+      grid
+        .join(daily, Seq("event_type", "day_no"), "left")
+        .join(contrib, Seq("event_type", "day_no"), "left")
+        .select(col("event_type"), col("day_no"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"),
+          expr(s"1000 * coalesce(sw, 0L) div $norm").as("ewma_milli"))
+    },
+    Some {
+      val w = EwmaWeights.mkString("[", ", ", "]")
+      val norm = EwmaWeights.sum
+      s"""WITH daily AS (
+            SELECT event_type, epoch_ns(ts) // 1000 // 86400000000 AS day_no,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2),
+          grid AS (
+            SELECT event_type, unnest(range(min(day_no), max(day_no) + 1))
+                     AS day_no
+            FROM daily GROUP BY event_type),
+          contrib AS (
+            SELECT event_type, day_no + k AS day_no,
+                   CAST(sum(cnt * ($w)[k + 1]) AS BIGINT) AS sw
+            FROM (SELECT event_type, day_no, cnt,
+                         unnest(range(0, 12)) AS k
+                  FROM daily)
+            GROUP BY 1, 2)
+          SELECT g.event_type, g.day_no,
+                 coalesce(d.cnt, 0) AS cnt,
+                 CAST(1000 * coalesce(c.sw, 0) // $norm AS BIGINT) AS ewma_milli
+          FROM grid g
+          LEFT JOIN daily d ON d.event_type = g.event_type AND d.day_no = g.day_no
+          LEFT JOIN contrib c ON c.event_type = g.event_type AND c.day_no = g.day_no"""
+    })
+
+  /** First four md5 hex digits as 0..65535 — the engine-portable uniform
+    * (same digit math on both engines; the CurationQueries helper). */
+  private def md5Hex4(sqlExprStr: String): String =
+    (0 until 4).map { i =>
+      val pow = 1L << (4 * (3 - i))
+      s"(instr('0123456789abcdef', substr(md5($sqlExprStr), ${i + 1}, 1)) - 1) * $pow"
+    }.mkString("(", " + ", ")")
+
+  /** Differentially-private release of per-(event_type, day) counts —
+    * the privacy-preserving usage report a training-data platform
+    * publishes about its corpus: Laplace(b = 20) noise on each count
+    * (ε = 1/20 per cell at sensitivity 1) plus a minimum-count
+    * suppression gate (true count ≥ 10) so small cohorts are withheld
+    * entirely rather than released noisily. The noise is SEEDED, not
+    * sampled: u ∈ (0,1) derives from the md5 of the cell key (the
+    * engine-portable uniform), and Laplace comes out of the inverse CDF
+    * −b·sign(u−½)·ln(1−2|u−½|) — deterministic across runs/engines (so
+    * the oracle can hash-match) while preserving the exact Laplace shape
+    * over the key population; a production deployment swaps the seed
+    * derivation for a secret-keyed PRF, changing nothing structural.
+    * Noise can be negative and the release is NOT clamped — clamping
+    * would bias the estimator. Scale: one partial aggregate over the
+    * scan, then per-row codegen math on the (types × days)-bounded frame.
+    */
+  private val privacyDpCounts = Q(
+    "privacy_dp_counts",
+    (s, dir) => {
+      val u16 = md5Hex4("concat(event_type, '|', CAST(day_no AS STRING))")
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day_no"))
+        .groupBy(col("event_type"), col("day_no"))
+        .agg(count(lit(1)).as("c"))
+        .where(col("c") >= 10L)
+        .withColumn("u2", expr(
+          s"(CAST(($u16) AS DOUBLE) + 0.5) / 65536.0 - 0.5"))
+        .select(col("event_type"), col("day_no"),
+          (col("c") + expr(
+            """CAST(round(-20.0 * (CASE WHEN u2 >= 0.0 THEN 1.0 ELSE -1.0 END)
+                 * ln(1.0 - 2.0 * abs(u2)), 0) AS BIGINT)"""))
+            .as("noisy_count"))
+    },
+    Some {
+      val u16 = md5Hex4("event_type || '|' || CAST(day_no AS VARCHAR)")
+      s"""WITH cells AS (
+            SELECT event_type, epoch_ns(ts) // 1000 // 86400000000 AS day_no,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+            HAVING count(*) >= 10),
+          seeded AS (
+            SELECT event_type, day_no, c,
+                   (CAST(($u16) AS DOUBLE) + 0.5) / 65536.0 - 0.5 AS u2
+            FROM cells)
+          SELECT event_type, day_no,
+                 c + CAST(round(-20.0 * (CASE WHEN u2 >= 0.0 THEN 1.0 ELSE -1.0 END)
+                   * ln(1.0 - 2.0 * abs(u2)), 0) AS BIGINT) AS noisy_count
+          FROM seeded"""
+    })
+
   val all: Seq[Q] =
     Seq(funnelSteps, cohortRetention, sessionWindowAgg, eventTransitions,
       windowRollingStats, cdcScd2, resampleFfill, rfmSegments,
@@ -1035,5 +1167,5 @@ object AnalyticsQueries {
       attributionMultitouch,
       experimentTtest, cdcLogCompact, abSrmCheck, funnelWindow,
       joinScd2Pit, streakIslands, trendWowGrowth, trendDowAnomaly,
-      eventsConcentration)
+      eventsConcentration, tsEwma, privacyDpCounts)
 }

@@ -880,7 +880,75 @@ object MiningQueries {
           FROM kt JOIN sp USING (q_id)"""
     })
 
+  /** Rejection sampling / best-of-n mining — the RLHF-era SFT data
+    * construction (sample n candidates per prompt, keep the best one
+    * that clears a reward threshold; Llama-2 / WebGPT style): documents
+    * bundle into prompts of 8 (doc_id div 8 — the eval_pass_at_k bundle
+    * convention), each "generation" scores an integer lexical+alpha
+    * composite (both ppm ratios, one tokenize pass, per-row codegen),
+    * and each bundle releases its argmax-scoring PASSING candidate
+    * (score ≥ 1.4M ≈ the corpus upper quartile; tie → min doc_id via the
+    * max(struct(score, −id)) trick — the mine_preference_pairs
+    * canonical). Bundles with zero passing candidates are REJECTED
+    * whole — that selectivity, n_pass/n per bundle, is the yield metric
+    * a BoN pipeline monitors. Scale: scan → per-row score → ONE
+    * combine-friendly groupBy on the bundle key (conditional argmax via
+    * max-ignores-nulls); nothing corpus-sized shuffles besides the
+    * bundle aggregate itself.
+    */
+  private val mineRejectionSampling = Q(
+    "mine_rejection_sampling",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val T = 1400000L
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), expr("doc_id div 8").as("prompt_id"), expr(
+          """CASE WHEN size(word_ngrams(text, 1, false)) = 0 THEN CAST(0 AS BIGINT)
+             ELSE (CAST(1000000 AS BIGINT)
+                   * CAST(size(array_distinct(word_ngrams(text, 1, false))) AS BIGINT))
+                  div CAST(size(word_ngrams(text, 1, false)) AS BIGINT) END
+             + CASE WHEN n_chars = 0 THEN CAST(0 AS BIGINT)
+               ELSE (CAST(1000000 AS BIGINT)
+                     * CAST(length(regexp_replace(text, '[^A-Za-z]', '')) AS BIGINT))
+                    div n_chars END""").as("score"))
+      scored.groupBy(col("prompt_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("score") >= T, 1L).otherwise(0L)).as("n_pass"),
+          max(when(col("score") >= T,
+            struct(col("score"), (-col("doc_id")).as("neg")))).as("best"))
+        .where(col("n_pass") >= 1L)
+        .select(col("prompt_id"), col("n"), col("n_pass"),
+          (-col("best.neg")).as("chosen_doc_id"),
+          col("best.score").as("chosen_score"))
+    },
+    Some("""WITH scored AS (
+              SELECT doc_id, doc_id // 8 AS prompt_id,
+                CASE WHEN len(toks) = 0 THEN CAST(0 AS BIGINT)
+                     ELSE (1000000 * CAST(len(list_distinct(toks)) AS BIGINT))
+                          // CAST(len(toks) AS BIGINT) END
+                + CASE WHEN n_chars = 0 THEN CAST(0 AS BIGINT)
+                  ELSE (1000000 * CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT))
+                       // n_chars END AS score
+              FROM (SELECT doc_id, text, n_chars,
+                      list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                        t -> t <> '') AS toks
+                    FROM documents)),
+            agg AS (
+              SELECT prompt_id, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN score >= 1400000 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_pass,
+                max(CASE WHEN score >= 1400000 THEN score END) AS mx
+              FROM scored GROUP BY prompt_id)
+            SELECT a.prompt_id, a.n, a.n_pass,
+              CAST(min(s.doc_id) AS BIGINT) AS chosen_doc_id,
+              CAST(a.mx AS BIGINT) AS chosen_score
+            FROM agg a JOIN scored s
+              ON s.prompt_id = a.prompt_id AND s.score = a.mx
+            WHERE a.n_pass >= 1
+            GROUP BY a.prompt_id, a.n, a.n_pass, a.mx"""))
+
   val all: Seq[Q] =
     Seq(mineBitext, textNovelty, qualityEnsemble, selectMmr, mineHardNegatives,
-      evalNdcg, embedMrlRecall, evalMrr, evalKendallTau)
+      evalNdcg, embedMrlRecall, evalMrr, evalKendallTau,
+      mineRejectionSampling)
 }
