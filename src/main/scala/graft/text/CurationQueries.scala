@@ -1414,6 +1414,47 @@ object CurationQueries {
              FROM wc JOIN q ON q.bucket = wc.bucket
              GROUP BY wc.doc_id"""))
 
+  /** Weighted sampling WITHOUT replacement (k = 50, weight = n_chars) —
+    * the Efraimidis-Spirakis one-pass scheme that production samplers
+    * use because it needs no global weight total and no sequential
+    * state: every row computes key = ln(u) / w for its own uniform u and
+    * the k largest keys ARE a weight-proportional without-replacement
+    * sample. Distinct from sample_importance (Poisson / with-replacement
+    * expectation semantics) and sample_reservoir (unweighted): this is
+    * the exact-k weighted draw. u derives from md5(doc_id) (the
+    * engine-portable uniform, (u16 + ½)/65536 ∈ (0,1) so ln is always
+    * finite) — deterministic across runs/engines while preserving the
+    * ES distribution over the key population. Scale: per-row codegen
+    * math riding the scan + TakeOrderedAndProject (per-partition
+    * partial top-k, no global sort); ordering happens on the BIGINT
+    * micro-quantized key so the rank and the published column can never
+    * disagree across engines.
+    */
+  private val sampleWeightedGumbel = Q(
+    "sample_weighted_gumbel",
+    (s, dir) => {
+      val u16 = md5Hex4("CAST(doc_id AS STRING)")
+      Tables.documents(s, dir)
+        .where(col("n_chars") > 0L)
+        .withColumn("key_micro", expr(
+          s"""CAST(round(ln((CAST(($u16) AS DOUBLE) + 0.5) / 65536.0)
+               / CAST(n_chars AS DOUBLE) * 1000000.0, 0) AS BIGINT)"""))
+        .orderBy(col("key_micro").desc, col("doc_id"))
+        .limit(50)
+        .select(col("doc_id"), col("n_chars"), col("key_micro"))
+    },
+    Some {
+      val u16 = md5Hex4("CAST(doc_id AS VARCHAR)")
+      s"""SELECT doc_id, n_chars, key_micro
+          FROM (SELECT doc_id, n_chars,
+                  CAST(round(ln((CAST(($u16) AS DOUBLE) + 0.5) / 65536.0)
+                    / CAST(n_chars AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+                    AS key_micro
+                FROM documents WHERE n_chars > 0)
+          ORDER BY key_micro DESC, doc_id
+          LIMIT 50"""
+    })
+
   val all: Seq[Q] = Seq(sampleHash, sampleStratified, sampleReservoir,
     textPiiScrub,
     textEditDistance, packSequences, vocabTopk, contaminationCheck,
@@ -1422,5 +1463,5 @@ object CurationQueries {
     dedupLines, shardShuffle, shardManifest, qualityLogreg, docChunking,
     qualityGopherRules,
     textCodeDetect, corpusDrift, tokenizerCoverage, docChunkingCdc,
-    textWatermarkDetect, qualityDsir)
+    textWatermarkDetect, qualityDsir, sampleWeightedGumbel)
 }

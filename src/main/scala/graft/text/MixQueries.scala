@@ -188,6 +188,14 @@ object MixQueries {
 
   /** First two md5 hex digits as 0..255 — the engine's deterministic
     * split convention (CurationQueries.md5Byte). */
+  /** First four md5 hex digits as 0..65535 — the engine-portable
+    * hashed-feature bucket (the CurationQueries helper). */
+  private def md5Hex4(sqlExprStr: String): String =
+    (0 until 4).map { i =>
+      val pow = 1L << (4 * (3 - i))
+      s"(instr('0123456789abcdef', substr(md5($sqlExprStr), ${i + 1}, 1)) - 1) * $pow"
+    }.mkString("(", " + ", ")")
+
   private def md5Byte(sqlExprStr: String): String =
     s"""(instr('0123456789abcdef', substr(md5($sqlExprStr), 1, 1)) - 1) * 16 +
         (instr('0123456789abcdef', substr(md5($sqlExprStr), 2, 1)) - 1)"""
@@ -464,6 +472,111 @@ object MixQueries {
                      ELSE (rp + (i - p)) // (k - p + 1) END AS alloc
               FROM base3, pr)"""))
 
+  /** Pairwise domain-similarity matrix — Jensen-Shannon divergence
+    * between every pair of source distributions over hashed-unigram
+    * buckets (B = 4096, md5-portable — the quality_dsir feature space),
+    * in integer nano-nats. THE mixture-design input the planners above
+    * consume implicitly: near-duplicate domains (low JSD) waste mixture
+    * slots, outlier domains (high JSD) need explicit budget — and at
+    * 100 TB the matrix is how you pick which of 10⁴ crawl sources to
+    * collapse before mix_doremi/mix_unimax ever run.
+    *
+    * Scale shape: the corpus folds ONCE into the (source × bucket)
+    * frame (≤ S·B rows regardless of corpus size, riding the shared
+    * wordCounts artifact); the DENSE grid (sources × all 4096 buckets,
+    * zeros materialized) is what makes the bucket-keyed self-join emit
+    * the one-sided terms a sparse inner join would silently drop (the
+    * b = 0 bucket still contributes ½·p·ln 2 to JSD); everything
+    * after is S²·B-bounded, never corpus-bounded. Determinism: the
+    * corpus_drift contribution expression verbatim — zero-guarded CASE
+    * terms, per-row nano-nat quantization, order-free BIGINT sums.
+    */
+  private val mixDomainSimilarity = Q(
+    "mix_domain_similarity",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val cs = TextArtifacts.wordCounts(s, dir)
+        .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          "doc_id")
+        .withColumn("bucket",
+          expr(s"CAST(${md5Hex4("token")} % 4096 AS BIGINT)"))
+        .groupBy(col("source"), col("bucket"))
+        .agg(sum(col("cnt")).as("c"))
+      val sources = cs.select(col("source")).distinct()
+      val grid = sources
+        .select(col("source"),
+          explode(expr("sequence(0L, 4095L)")).as("bucket"))
+      val dense = grid.join(cs, Seq("source", "bucket"), "left")
+        .select(col("source"), col("bucket"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val totals = dense.groupBy(col("source")).agg(sum(col("c")).as("t"))
+      val withTot = dense.join(broadcast(totals), "source")
+      val contrib = withTot.as("x")
+        .join(withTot.as("y").hint("shuffle_hash"), "bucket")
+        .where(col("x.source") < col("y.source") &&
+          (col("x.c") > 0L || col("y.c") > 0L))
+        .select(col("x.source").as("src_a"), col("y.source").as("src_b"),
+          col("x.c").as("a"), col("x.t").as("ta"),
+          col("y.c").as("b"), col("y.t").as("tb"))
+        .withColumn("contrib", expr(
+          """CAST(round((
+               CASE WHEN a = 0 THEN 0.0 ELSE
+                 0.5 * (CAST(a AS DOUBLE) / CAST(ta AS DOUBLE)) *
+                 ln((CAST(a AS DOUBLE) / CAST(ta AS DOUBLE)) /
+                    ((CAST(a AS DOUBLE) / CAST(ta AS DOUBLE) +
+                      CAST(b AS DOUBLE) / CAST(tb AS DOUBLE)) / 2.0)) END +
+               CASE WHEN b = 0 THEN 0.0 ELSE
+                 0.5 * (CAST(b AS DOUBLE) / CAST(tb AS DOUBLE)) *
+                 ln((CAST(b AS DOUBLE) / CAST(tb AS DOUBLE)) /
+                    ((CAST(a AS DOUBLE) / CAST(ta AS DOUBLE) +
+                      CAST(b AS DOUBLE) / CAST(tb AS DOUBLE)) / 2.0)) END
+             ) * 1000000000.0, 0) AS BIGINT)"""))
+      contrib.groupBy(col("src_a"), col("src_b"))
+        .agg(sum(col("contrib")).as("jsd_nano"))
+    },
+    Some(s"""WITH toks AS (
+               SELECT d.doc_id, d.source, unnest(list_filter(
+                 string_split_regex(lower(d.text), '[^a-z]+'), t -> t <> ''))
+                 AS token
+               FROM documents d),
+             cs AS (
+               SELECT source,
+                 CAST(${md5Hex4("token")} % 4096 AS BIGINT) AS bucket,
+                 CAST(count(*) AS BIGINT) AS c
+               FROM toks GROUP BY 1, 2),
+             grid AS (
+               SELECT s.source, b.bucket
+               FROM (SELECT DISTINCT source FROM cs) s,
+                    (SELECT unnest(range(0, 4096)) AS bucket) b),
+             dense AS (
+               SELECT g.source, g.bucket, coalesce(cs.c, 0) AS c
+               FROM grid g LEFT JOIN cs
+                 ON cs.source = g.source AND cs.bucket = g.bucket),
+             totals AS (
+               SELECT source, CAST(sum(c) AS BIGINT) AS t
+               FROM dense GROUP BY source),
+             wt AS (
+               SELECT d.source, d.bucket, d.c, t.t
+               FROM dense d JOIN totals t ON t.source = d.source),
+             contrib AS (
+               SELECT x.source AS src_a, y.source AS src_b,
+                 CAST(round((
+                   CASE WHEN x.c = 0 THEN 0.0 ELSE
+                     0.5 * (CAST(x.c AS DOUBLE) / CAST(x.t AS DOUBLE)) *
+                     ln((CAST(x.c AS DOUBLE) / CAST(x.t AS DOUBLE)) /
+                        ((CAST(x.c AS DOUBLE) / CAST(x.t AS DOUBLE) +
+                          CAST(y.c AS DOUBLE) / CAST(y.t AS DOUBLE)) / 2.0)) END +
+                   CASE WHEN y.c = 0 THEN 0.0 ELSE
+                     0.5 * (CAST(y.c AS DOUBLE) / CAST(y.t AS DOUBLE)) *
+                     ln((CAST(y.c AS DOUBLE) / CAST(y.t AS DOUBLE)) /
+                        ((CAST(x.c AS DOUBLE) / CAST(x.t AS DOUBLE) +
+                          CAST(y.c AS DOUBLE) / CAST(y.t AS DOUBLE)) / 2.0)) END
+                 ) * 1000000000.0, 0) AS BIGINT) AS contrib
+               FROM wt x JOIN wt y ON y.bucket = x.bucket
+               WHERE x.source < y.source AND (x.c > 0 OR y.c > 0))
+             SELECT src_a, src_b, CAST(sum(contrib) AS BIGINT) AS jsd_nano
+             FROM contrib GROUP BY src_a, src_b"""))
+
   val all: Seq[Q] = Seq(qualityPplBuckets, mixTokenBudget, mixDoremi,
-    mixAnnealSchedule, mixUnimax)
+    mixAnnealSchedule, mixUnimax, mixDomainSimilarity)
 }
