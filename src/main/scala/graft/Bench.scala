@@ -89,6 +89,7 @@ object Bench {
       "graph_und" -> (() => graft.identity.GraphArtifacts.und(spark, sfDir)),
       "graph_deg" -> (() => graft.identity.GraphArtifacts.deg(spark, sfDir)),
       "graph_copairs" -> (() => graft.identity.GraphArtifacts.coPairs(spark, sfDir)),
+      "graph_triclosure" -> (() => graft.queries.GraphBpeQueries.coClosure(spark, sfDir)),
       "text_wc" -> (() => graft.text.TextArtifacts.wordCounts(spark, sfDir)),
       "text_vocab" -> (() => graft.text.TextArtifacts.vocab(spark, sfDir)))
     val artifactTimes: Seq[(String, Double)] = artifactBuilds.map { case (n, fn) =>

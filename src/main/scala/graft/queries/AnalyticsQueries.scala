@@ -1160,6 +1160,49 @@ object AnalyticsQueries {
           FROM seeded"""
     })
 
+  /** Rolling ORDER statistics — the holistic companion of
+    * window_rolling_stats' algebraic sums: per user, the exact LOWER
+    * median / min / max of the last 7 observations (integer cents). The
+    * median is robust where the mean is spike-dominated — the metric a
+    * billing-anomaly baseline actually wants. Exactness is affordable
+    * BECAUSE the frame is row-bounded: collect the ≤ 7-element frame
+    * list, sort in-core, index (n+1)/2 — O(w log w) per row at w = 7,
+    * and the declared scale path past large w is a mergeable quantile
+    * sketch (the rolling_active_hll precedent), not a bigger list. The
+    * window orders by (us, event_id) — a bare us ties at identical
+    * timestamps and would make a ROWS frame engine-dependent; the lower
+    * median (not interpolated) keeps every output an exact BIGINT.
+    */
+  private val windowRollingMedian = Q(
+    "window_rolling_median",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"),
+          expr("CAST(round(value * 100.0, 0) AS BIGINT)").as("vc"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(-6, Window.currentRow)
+      ev.select(col("event_id"), col("user_id"),
+          collect_list(col("vc")).over(w).as("vals"))
+        .select(col("event_id"), col("user_id"),
+          size(col("vals")).cast("long").as("n_win"),
+          expr("element_at(array_sort(vals), CAST((size(vals) + 1) div 2 AS INT))")
+            .as("med_cents"),
+          expr("array_min(vals)").as("min_cents"),
+          expr("array_max(vals)").as("max_cents"))
+    },
+    Some("""SELECT event_id, user_id, CAST(len(vals) AS BIGINT) AS n_win,
+              list_sort(vals)[(len(vals) + 1) // 2] AS med_cents,
+              list_min(vals) AS min_cents, list_max(vals) AS max_cents
+            FROM (SELECT event_id, user_id, list(vc) OVER w AS vals
+                  FROM (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us,
+                          CAST(round(value * 100.0, 0) AS BIGINT) AS vc
+                        FROM events)
+                  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))"""))
+
   val all: Seq[Q] =
     Seq(funnelSteps, cohortRetention, sessionWindowAgg, eventTransitions,
       windowRollingStats, cdcScd2, resampleFfill, rfmSegments,
@@ -1167,5 +1210,5 @@ object AnalyticsQueries {
       attributionMultitouch,
       experimentTtest, cdcLogCompact, abSrmCheck, funnelWindow,
       joinScd2Pit, streakIslands, trendWowGrowth, trendDowAnomaly,
-      eventsConcentration, tsEwma, privacyDpCounts)
+      eventsConcentration, tsEwma, privacyDpCounts, windowRollingMedian)
 }

@@ -457,15 +457,11 @@ object GraphBpeQueries {
       (deg, closed, nEdges)
   }
 
-  /** (n_nodes, n_edges, n_wedges, n_triangles, clustering_bp) for an
-    * undirected simple graph given as distinct (a < b) pairs.
-    * @param pruneListener observes the adaptive bloom-prune decision
-    *   (BenchTriangles asserts the pruned path engaged at 10 M edges). */
-  private[graft] def triangleStats(pairs: DataFrame,
-      pruneListener: BloomPrune.AdaptivePrune => Unit = _ => (),
-      pairsCheckpointed: Boolean = false): DataFrame = {
-      val (deg, closed, nEdges) =
-        triangleClosure(pairs, pruneListener, pairsCheckpointed)
+  /** The graph_triangles output frame from a closure's parts — shared by
+    * the ad-hoc [[triangleStats]] path and the artifact-backed
+    * [[coClosure]] consumers. */
+  private def statsFromClosure(deg: DataFrame, closed: DataFrame,
+      nEdges: Long): DataFrame = {
       val tri = closed.agg(count(lit(1)).as("n_triangles"))
       val totals = deg.agg(count(lit(1)).as("n_nodes"),
         sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
@@ -475,14 +471,59 @@ object GraphBpeQueries {
           expr("(3 * n_triangles * 10000) div n_wedges").as("clustering_bp"))
   }
 
+  /** (n_nodes, n_edges, n_wedges, n_triangles, clustering_bp) for an
+    * undirected simple graph given as distinct (a < b) pairs.
+    * @param pruneListener observes the adaptive bloom-prune decision
+    *   (BenchTriangles asserts the pruned path engaged at 10 M edges). */
+  private[graft] def triangleStats(pairs: DataFrame,
+      pruneListener: BloomPrune.AdaptivePrune => Unit = _ => (),
+      pairsCheckpointed: Boolean = false): DataFrame = {
+      val (deg, closed, nEdges) =
+        triangleClosure(pairs, pruneListener, pairsCheckpointed)
+      statsFromClosure(deg, closed, nEdges)
+  }
+
+  private val coClosureCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), (DataFrame, DataFrame, Long)]
+  private val coClosureBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** How many times the co-purchase closure has been built this JVM —
+    * pinned by PlanSpec: running graph_triangles AND
+    * graph_clustering_coeff must build it once. */
+  private[graft] def coClosureBuildCount: Int = coClosureBuilds.get()
+
+  /** Session-shared triangle closure over the co-purchase graph — the
+    * GraphArtifacts discipline one level up: the orientation + wedge
+    * join + bloom prune + closure join is the family's dominant shared
+    * cost (~2.5 s at sf0.1), and graph_triangles and
+    * graph_clustering_coeff both need exactly its (deg, closed, nEdges)
+    * output, so it materializes ONCE per (session, corpus) — the closed
+    * frame is triangle-sized (tiny), the deg frame is checkpointed
+    * inside the kernel already. Stopped-session entries are evicted only
+    * from this cache and before its computeIfAbsent (the
+    * CandidateArtifacts concurrency contract). Bench pre-builds and
+    * attributes it as `graph_triclosure`. */
+  private[graft] def coClosure(s: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame, Long) = {
+    coClosureCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    coClosureCache.computeIfAbsent((s, dir), _ => {
+      coClosureBuilds.incrementAndGet()
+      val (deg, closed, n) = triangleClosure(
+        graft.identity.GraphArtifacts.coPairs(s, dir),
+        pairsCheckpointed = true)
+      (deg, closed.localCheckpoint(eager = true), n)
+    })
+  }
+
   private val graphTriangles = Q(
     "graph_triangles",
-    (s, dir) =>
-      // the co-purchase pair list is the session-shared checkpointed
-      // artifact (GraphArtifacts.coPairs — one groupBy-and-explode pass
-      // over lineitem, no fact self-join; rationale lives there)
-      triangleStats(graft.identity.GraphArtifacts.coPairs(s, dir),
-        pairsCheckpointed = true),
+    (s, dir) => {
+      // the whole closure (pairs → orientation → pruned wedges →
+      // closed triangles) is the session-shared artifact, consumed by
+      // graph_clustering_coeff too — see coClosure
+      val (deg, closed, nEdges) = coClosure(s, dir)
+      statsFromClosure(deg, closed, nEdges)
+    },
     Some("""WITH pairs AS (
               SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
               FROM lineitem x JOIN lineitem y
@@ -534,9 +575,7 @@ object GraphBpeQueries {
   private val graphClusteringCoeff = Q(
     "graph_clustering_coeff",
     (s, dir) => {
-      val (deg, closed, _) = triangleClosure(
-        graft.identity.GraphArtifacts.coPairs(s, dir),
-        pairsCheckpointed = true)
+      val (deg, closed, _) = coClosure(s, dir)
       val perNode = closed
         .select(explode(array(col("u"), col("wu"), col("wv"))).as("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("tri"))

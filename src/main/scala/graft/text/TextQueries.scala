@@ -799,8 +799,107 @@ object TextQueries {
                                      WHERE token <> '' GROUP BY token))
                          WHERE rk <= 500))"""))
 
+  /** RAKE keyword extraction (Rose et al. 2010) — the unsupervised
+    * per-document keyword primitive (index terms, topic tags, dedup
+    * keys for titles): candidate phrases are maximal stopword-free token
+    * runs (length ≤ 4), each word scores degree/frequency over the
+    * candidate corpus (degree = Σ lengths of phrases containing the
+    * word — co-occurrence-weighted), and a phrase scores the sum of its
+    * word scores; top-3 phrases per doc. The phrase segmentation is the
+    * gaps-and-islands trick (pos − row_number over non-stop tokens —
+    * the streak_islands kernel applied INSIDE documents), so phrase
+    * assembly is one doc-keyed aggregate, no self-join, no UDF. Word
+    * stats are a vocabulary-sized aggregate (NOT hint-broadcast — the
+    * tfidf rule); everything is integer (degree·10⁶ div freq per word,
+    * BIGINT phrase sums), and identical phrases in a doc provably carry
+    * identical scores (max = the dedup no-op). Per-doc top-3 via one
+    * rank window on (score, phrase).
+    */
+  private val textRakeKeywords = Q(
+    "text_rake_keywords",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.GraftFunctions.register(s)
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val phrases = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(expr(tokenizeExpr)))
+        .toDF("doc_id", "pos", "tok")
+        .where(expr("NOT tok IN ('the', 'a', 'of', 'and', 'to')"))
+        .withColumn("grp", col("pos") - row_number().over(w))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("tok")))).as("ps"))
+        .where(size(col("ps")) <= 4)
+        .select(col("doc_id"), col("grp"),
+          expr("transform(ps, p -> p.tok)").as("words"),
+          expr("array_join(transform(ps, p -> p.tok), ' ')").as("phrase"),
+          size(col("ps")).cast("long").as("plen"))
+        .localCheckpoint(eager = true) // word stats + occurrence scoring
+      val wordQ = phrases
+        .select(explode(col("words")).as("tok"), col("plen"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("degree"))
+        .select(col("tok"), expr("degree * 1000000 div freq").as("q"))
+      phrases
+        .select(col("doc_id"), col("grp"), col("phrase"),
+          explode(col("words")).as("tok"))
+        .join(wordQ, "tok")
+        .groupBy(col("doc_id"), col("grp"), col("phrase"))
+        .agg(sum(col("q")).as("occ_score"))
+        .groupBy(col("doc_id"), col("phrase"))
+        .agg(count(lit(1)).as("n_occ"), max(col("occ_score")).as("score_micro"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("score_micro").desc, col("phrase"))).cast("long"))
+        .where(col("rk") <= 3)
+        .select(col("doc_id"), col("phrase"), col("n_occ"),
+          col("score_micro"), col("rk"))
+    },
+    Some("""WITH toks0 AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text),
+                '[^a-z]+'), t -> t <> '') AS ts
+              FROM documents),
+            toks AS (
+              SELECT doc_id, pos, ts[pos] AS tok
+              FROM (SELECT doc_id, ts,
+                      unnest(range(1, len(ts) + 1)) AS pos
+                    FROM toks0)),
+            nonstop AS (
+              SELECT doc_id, pos, tok,
+                pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                  AS grp
+              FROM toks
+              WHERE tok NOT IN ('the', 'a', 'of', 'and', 'to')),
+            ph AS (
+              SELECT doc_id, grp,
+                string_agg(tok, ' ' ORDER BY pos) AS phrase,
+                list(tok ORDER BY pos) AS words,
+                CAST(count(*) AS BIGINT) AS plen
+              FROM nonstop GROUP BY doc_id, grp
+              HAVING count(*) <= 4),
+            wq AS (
+              SELECT tok, CAST(sum(plen) AS BIGINT) * 1000000
+                       // CAST(count(*) AS BIGINT) AS q
+              FROM (SELECT unnest(words) AS tok, plen FROM ph)
+              GROUP BY tok),
+            occ AS (
+              SELECT p.doc_id, p.grp, p.phrase,
+                CAST(sum(wq.q) AS BIGINT) AS occ_score
+              FROM (SELECT doc_id, grp, phrase, unnest(words) AS tok FROM ph) p
+              JOIN wq ON wq.tok = p.tok
+              GROUP BY 1, 2, 3),
+            perdoc AS (
+              SELECT doc_id, phrase, CAST(count(*) AS BIGINT) AS n_occ,
+                max(occ_score) AS score_micro
+              FROM occ GROUP BY 1, 2)
+            SELECT doc_id, phrase, n_occ, score_micro, rk
+            FROM (SELECT doc_id, phrase, n_occ, score_micro,
+                    CAST(row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score_micro DESC, phrase) AS BIGINT) AS rk
+                  FROM perdoc)
+            WHERE rk <= 3"""))
+
   val all: Seq[Q] = Seq(textTokens, textQuality, textLangid, textFingerprint,
     tokenCount, textTfidf, textUnigramNll, textBm25, textEntropy, corpusStats,
     textBigramNll, textReadability, lmKnBigram, evalLangidConfusion,
-    textSentenceStats, textLexicalDiversity, textZipfFit)
+    textSentenceStats, textLexicalDiversity, textZipfFit, textRakeKeywords)
 }

@@ -293,6 +293,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("triangles + clustering coeff share ONE closure artifact") {
+    val before = GraphBpeQueries.coClosureBuildCount
+    val pTri = graft.SparkEntry.queries("graph_triangles")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val pCc = graft.SparkEntry.queries("graph_clustering_coeff")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(GraphBpeQueries.coClosureBuildCount - before <= 1,
+      "co-purchase triangle closure rebuilt across the pair")
+    // both consumers read the checkpointed closed-triangle frame; the
+    // orientation/wedge machinery (xxhash64 edge keys, the bloom probe)
+    // must not reappear in their own plans
+    Seq("graph_triangles" -> pTri, "graph_clustering_coeff" -> pCc)
+      .foreach { case (n, p) =>
+        assert(p.contains("Scan ExistingRDD"),
+          s"$n no longer reads the checkpointed closure artifact")
+        assert(!p.contains("xxhash64"),
+          s"$n re-runs the wedge-closure kernel instead of the artifact")
+      }
+  }
+
   test("text family shares ONE tokenize artifact (no per-query re-tokenize)") {
     val family = Seq("text_tokens", "text_tfidf", "text_bm25",
       "text_unigram_nll", "text_bigram_nll", "text_lexical_diversity",
@@ -400,8 +420,14 @@ class PlanSpec extends SparkSpec {
     assert(ghJoins.isEmpty, s"gram-hash-keyed join crept back: $ghJoins")
   }
 
-  test("graph_triangles bloom-prunes the wedge stream before the closure exchange") {
-    val p = plan("graph_triangles")
+  test("the triangle closure kernel bloom-prunes the wedge stream before the closure exchange") {
+    // graph_triangles / graph_clustering_coeff consume the checkpointed
+    // closure artifact, so the kernel's plan shape is pinned at the
+    // BUILD: the closed-triangle frame as triangleClosure constructs it
+    val (_, closed, _) = GraphBpeQueries.triangleClosure(
+      graft.identity.GraphArtifacts.coPairs(spark, dir),
+      pairsCheckpointed = true)
+    val p = closed.queryExecution.executedPlan.toString
     assert(p.contains("bloom_might_contain"),
       "wedge stream lost its bloom prune — the closure join shuffles every wedge")
     // both the wedge self-join and the closure join should hash, not sort,
