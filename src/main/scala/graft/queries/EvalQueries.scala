@@ -924,7 +924,114 @@ object EvalQueries {
           FROM rstat r JOIN p$BtRounds p ON p.si = r.source"""
     })
 
+  /** First four md5 hex digits as 0..65535 — the engine-portable uniform
+    * (the CurationQueries helper). */
+  private def md5Hex4(sqlExprStr: String): String =
+    (0 until 4).map { i =>
+      val pow = 1L << (4 * (3 - i))
+      s"(instr('0123456789abcdef', substr(md5($sqlExprStr), ${i + 1}, 1)) - 1) * $pow"
+    }.mkString("(", " + ", ")")
+
+  /** Poisson(1) draw from a uniform via the inverse CDF — the Poisson
+    * bootstrap's per-(row, replica) weight. Thresholds are the exact
+    * partial sums e⁻¹·Σ 1/k! as double literals (identical text both
+    * engines); the k ≥ 6 tail (P ≈ 6e-4) caps at 6. */
+  private val PoissonW: String =
+    """CASE WHEN u < 0.36787944117144233 THEN CAST(0 AS BIGINT)
+            WHEN u < 0.7357588823428847  THEN CAST(1 AS BIGINT)
+            WHEN u < 0.9196986029286058  THEN CAST(2 AS BIGINT)
+            WHEN u < 0.9810118431238462  THEN CAST(3 AS BIGINT)
+            WHEN u < 0.9963401531726563  THEN CAST(4 AS BIGINT)
+            WHEN u < 0.9994058151824183  THEN CAST(5 AS BIGINT)
+            ELSE CAST(6 AS BIGINT) END"""
+
+  private val BootstrapB = 200
+
+  /** Per-language pass-rate confidence interval by POISSON BOOTSTRAP —
+    * the resampling CI machinery production pipelines actually run at
+    * scale (each row draws an independent Poisson(1) weight per replica,
+    * so "resampling n rows with replacement" needs no global coordination
+    * and rides the scan), next to eval_rate_ci's analytic Wilson band —
+    * the bootstrap generalizes to any statistic, Wilson only to a rate.
+    * B = 200 replicas; each replica's rate is an exact integer-ppm ratio
+    * of BIGINT weighted sums; the 95% band is the declared order-statistic
+    * convention (5th / 196th of the ascending 200). The replica weights
+    * are md5-SEEDED (doc_id | replica), so runs, engines, and cluster
+    * sizes agree bit-for-bit while the weight population is exactly
+    * Poisson-shaped. Scale shape: the ×B explode fans out doc-id-sized
+    * rows (three longs — never text), the replica aggregate map-side
+    * combines to langs × B, and the percentile extraction sorts a
+    * 200-element array per language in-core.
+    */
+  private val evalBootstrapCi = Q(
+    "eval_bootstrap_ci",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val gated = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          (size(expr(tokenizeExpr)) >= 20 && col("n_chars") >= 100)
+            .cast("long").as("x"))
+        .localCheckpoint(eager = true) // point estimate + B-replica explode
+      val u16 = md5Hex4("concat(CAST(doc_id AS STRING), '|', CAST(r AS STRING))")
+      val reps = gated
+        .select(col("doc_id"), col("lang"), col("x"),
+          explode(expr(s"sequence(0, ${BootstrapB - 1})")).as("r"))
+        .withColumn("u", expr(s"(CAST(($u16) AS DOUBLE) + 0.5) / 65536.0"))
+        .withColumn("w", expr(PoissonW))
+        .groupBy(col("lang"), col("r"))
+        .agg(sum(col("w")).as("nw"), sum(col("w") * col("x")).as("sw"))
+        .select(col("lang"),
+          expr("sw * 1000000 div nullif(nw, 0L)").as("rate_ppm"))
+        .where(col("rate_ppm").isNotNull) // an all-zero-weight replica
+      val base = gated.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("n_pass"))
+      reps.groupBy(col("lang"))
+        .agg(sort_array(collect_list(col("rate_ppm"))).as("rs"))
+        .join(base, "lang")
+        .select(col("lang"), col("n"), col("n_pass"),
+          expr("(n_pass * 1000000) div n").as("rate_ppm"),
+          size(col("rs")).cast("long").as("n_reps"),
+          expr("element_at(rs, 5)").as("boot_lo_ppm"),
+          expr("element_at(rs, 196)").as("boot_hi_ppm"))
+    },
+    Some {
+      val u16 = md5Hex4("CAST(doc_id AS VARCHAR) || '|' || CAST(r AS VARCHAR)")
+      s"""WITH gated AS (
+            SELECT doc_id, lang,
+              CASE WHEN len(list_filter(string_split_regex(lower(text),
+                     '[^a-z]+'), t -> t <> '')) >= 20
+                   AND n_chars >= 100 THEN 1 ELSE 0 END AS x
+            FROM documents),
+          reps AS (
+            SELECT lang, r,
+              CAST(sum(w) AS BIGINT) AS nw,
+              CAST(sum(w * x) AS BIGINT) AS sw
+            FROM (SELECT lang, x, r, $PoissonW AS w
+                  FROM (SELECT lang, x, r,
+                          (CAST(($u16) AS DOUBLE) + 0.5) / 65536.0 AS u
+                        FROM (SELECT doc_id, lang, x,
+                                unnest(range(0, $BootstrapB)) AS r
+                              FROM gated)))
+            GROUP BY lang, r),
+          rates AS (
+            SELECT lang, sw * 1000000 // nw AS rate_ppm
+            FROM reps WHERE nw > 0),
+          bands AS (
+            SELECT lang, list_sort(list(rate_ppm)) AS rs
+            FROM rates GROUP BY lang),
+          base AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(x) AS BIGINT) AS n_pass
+            FROM gated GROUP BY lang)
+          SELECT b.lang, base.n, base.n_pass,
+            (base.n_pass * 1000000) // base.n AS rate_ppm,
+            CAST(len(b.rs) AS BIGINT) AS n_reps,
+            b.rs[5] AS boot_lo_ppm,
+            b.rs[196] AS boot_hi_ppm
+          FROM bands b JOIN base ON base.lang = b.lang"""
+    })
+
   val all: Seq[Q] = Seq(evalAucRank, evalCalibrationBins, evalRateCi, evalBleu,
     evalRougeN, evalRougeL, evalChrf, evalTokenF1, evalPassAtK,
-    evalDistinctN, evalEloBt)
+    evalDistinctN, evalEloBt, evalBootstrapCi)
 }

@@ -225,4 +225,61 @@ class EvalQueriesSpec extends SparkSpec {
       psum > srcs.length * 1000000L - srcs.length, s"psum=$psum")
     assert(got.forall(_.getAs[Long]("p_ppm") > 0L))
   }
+
+  test("eval_bootstrap_ci: seeded-Poisson replica recount for one language") {
+    import org.apache.spark.sql.functions._
+    val rows = Registry.queries("eval_bootstrap_ci")(spark, sfDir).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_pass"),
+          r.getAs[Long]("rate_ppm"), r.getAs[Long]("n_reps"),
+          r.getAs[Long]("boot_lo_ppm"), r.getAs[Long]("boot_hi_ppm")))).toMap
+    assert(rows.nonEmpty)
+    rows.values.foreach { case (n, np, rate, nReps, lo, hi) =>
+      assert(nReps === 200L)
+      assert(rate === np * 1000000L / n)
+      assert(lo <= hi)
+      // the 95% band must bracket the point estimate on any real stratum
+      assert(lo <= rate && rate <= hi, s"band [$lo, $hi] misses $rate")
+    }
+    // full recount of one language's replicas from the seeds
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val thresholds = Seq(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
+      0.9994058151824183)
+    def pois(u: Double): Long = {
+      val k = thresholds.indexWhere(u < _)
+      if (k < 0) 6L else k.toLong
+    }
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      .collect()
+      .map { r =>
+        val toks = Option(r.getAs[String]("text")).getOrElse("")
+          .toLowerCase.split("[^a-z]+").count(_.nonEmpty)
+        (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+          if (toks >= 20 && r.getAs[Long]("n_chars") >= 100) 1L else 0L)
+      }
+    val lang = docs.map(_._2).distinct.sorted.head
+    val mine = docs.filter(_._2 == lang)
+    val rates = (0 until 200).flatMap { r =>
+      var (nw, sw) = (0L, 0L)
+      mine.foreach { case (id, _, x) =>
+        val u16 = java.lang.Long.parseLong(md5Hex(s"$id|$r").take(4), 16)
+        val w = pois((u16 + 0.5) / 65536.0)
+        nw += w; sw += w * x
+      }
+      if (nw > 0L) Some(sw * 1000000L / nw) else None
+    }.sorted
+    val (_, _, _, _, lo, hi) = rows(lang)
+    assert(lo === rates(4) && hi === rates(195),
+      s"recount band (${rates(4)}, ${rates(195)}) vs ($lo, $hi)")
+    // the weight population is Poisson(1)-shaped: mean weight ~ 1
+    val allW = for (r <- 0 until 50; (id, _, _) <- mine) yield
+      pois((java.lang.Long.parseLong(md5Hex(s"$id|$r").take(4), 16) + 0.5)
+        / 65536.0)
+    val meanW = allW.sum.toDouble / allW.size
+    assert(meanW > 0.9 && meanW < 1.1, s"mean Poisson weight $meanW")
+  }
 }
