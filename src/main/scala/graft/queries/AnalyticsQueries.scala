@@ -1203,6 +1203,91 @@ object AnalyticsQueries {
                   WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))"""))
 
+  /** Linear gap interpolation — the bidirectional companion of
+    * resample_ffill's carry-forward: each missing day in a per-type
+    * daily revenue series takes the exact line between its nearest
+    * known neighbors, val(d) = (pc·(nd−d) + nc·(d−pd)) div (nd−pd) in
+    * integer milli-cents — the gap-repair shape a metrics warehouse
+    * runs before any trend math (ffill biases a rising series down;
+    * interpolation doesn't). Anchors come from two ignoreNulls window
+    * passes (last-known backward, first-known forward) over the SAME
+    * (partition, order) — Spark plans both frames into one Window exec,
+    * one sort, one shuffle. Grid endpoints are known days by
+    * construction (min/max over the data), so interior gaps always have
+    * both anchors; all operands are non-negative exact integers, so
+    * Spark's truncating `div` and DuckDB's flooring `//` agree.
+    */
+  private val resampleInterpolate = Q(
+    "resample_interpolate",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // the 0.5% user sliver makes the daily series SPARSE at every SF —
+      // a dense series never exercises the interpolation path (the full
+      // corpus has events for every (type, day) cell even at sf0.001);
+      // this is also the realistic shape: gap repair exists for
+      // low-traffic per-entity series, not corpus totals
+      val ev = Tables.events(s, dir)
+        .where(col("user_id") % 199L === 0L)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day_no"),
+          expr("CAST(round(value * 100.0, 0) AS BIGINT)").as("vc"))
+      val daily = ev.groupBy(col("event_type"), col("day_no"))
+        .agg(sum(col("vc")).as("c"))
+      val grid = ev.groupBy(col("event_type"))
+        .agg(min(col("day_no")).as("mn"), max(col("day_no")).as("mx"))
+        .select(col("event_type"),
+          explode(expr("sequence(mn, mx)")).as("day_no"))
+      val wp = Window.partitionBy(col("event_type")).orderBy(col("day_no"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = Window.partitionBy(col("event_type")).orderBy(col("day_no"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      grid.join(daily, Seq("event_type", "day_no"), "left")
+        .withColumn("pd", last(when(col("c").isNotNull, col("day_no")),
+          ignoreNulls = true).over(wp))
+        .withColumn("pc", last(col("c"), ignoreNulls = true).over(wp))
+        .withColumn("nd", first(when(col("c").isNotNull, col("day_no")),
+          ignoreNulls = true).over(wn))
+        .withColumn("nc", first(col("c"), ignoreNulls = true).over(wn))
+        .select(col("event_type"), col("day_no"),
+          col("c").isNull.as("interpolated"),
+          expr("""CASE WHEN c IS NOT NULL THEN c * 1000
+                  ELSE (pc * (nd - day_no) + nc * (day_no - pd)) * 1000
+                       div (nd - pd) END""").as("val_milli"))
+    },
+    Some("""WITH ev AS (
+              SELECT event_type, epoch_ns(ts) // 1000 // 86400000000 AS day_no,
+                CAST(round(value * 100.0, 0) AS BIGINT) AS vc
+              FROM events WHERE user_id % 199 = 0),
+            daily AS (
+              SELECT event_type, day_no, CAST(sum(vc) AS BIGINT) AS c
+              FROM ev GROUP BY 1, 2),
+            grid AS (
+              SELECT event_type, unnest(generate_series(mn, mx)) AS day_no
+              FROM (SELECT event_type, min(day_no) AS mn, max(day_no) AS mx
+                    FROM ev GROUP BY event_type)),
+            j AS (
+              SELECT g.event_type, g.day_no, d.c
+              FROM grid g LEFT JOIN daily d
+                ON d.event_type = g.event_type AND d.day_no = g.day_no),
+            a AS (
+              SELECT event_type, day_no, c,
+                last_value(CASE WHEN c IS NOT NULL THEN day_no END IGNORE NULLS)
+                  OVER wp AS pd,
+                last_value(c IGNORE NULLS) OVER wp AS pc,
+                first_value(CASE WHEN c IS NOT NULL THEN day_no END IGNORE NULLS)
+                  OVER wn AS nd,
+                first_value(c IGNORE NULLS) OVER wn AS nc
+              FROM j
+              WINDOW wp AS (PARTITION BY event_type ORDER BY day_no
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     wn AS (PARTITION BY event_type ORDER BY day_no
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+            SELECT event_type, day_no, (c IS NULL) AS interpolated,
+              CASE WHEN c IS NOT NULL THEN c * 1000
+                   ELSE (pc * (nd - day_no) + nc * (day_no - pd)) * 1000
+                        // (nd - pd) END AS val_milli
+            FROM a"""))
+
   val all: Seq[Q] =
     Seq(funnelSteps, cohortRetention, sessionWindowAgg, eventTransitions,
       windowRollingStats, cdcScd2, resampleFfill, rfmSegments,
@@ -1210,5 +1295,6 @@ object AnalyticsQueries {
       attributionMultitouch,
       experimentTtest, cdcLogCompact, abSrmCheck, funnelWindow,
       joinScd2Pit, streakIslands, trendWowGrowth, trendDowAnomaly,
-      eventsConcentration, tsEwma, privacyDpCounts, windowRollingMedian)
+      eventsConcentration, tsEwma, privacyDpCounts, windowRollingMedian,
+      resampleInterpolate)
 }

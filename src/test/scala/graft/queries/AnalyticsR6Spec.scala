@@ -82,6 +82,39 @@ class AnalyticsR6Spec extends SparkSpec {
     assert(meanAbs > 5.0 && meanAbs < 60.0, s"mean |noise| = $meanAbs")
   }
 
+  test("resample_interpolate: exact linear recount; gaps actually exercised") {
+    val rows = Registry.queries("resample_interpolate")(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day_no")) ->
+        ((r.getAs[Boolean]("interpolated"), r.getAs[Long]("val_milli")))).toMap
+    assert(rows.nonEmpty)
+    assert(rows.values.count(_._1) > 10, "sparse series must have gaps")
+    val daily = Tables.events(spark, sfDir)
+      .where(col("user_id") % 199L === 0L)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day_no"),
+        expr("CAST(round(value * 100.0, 0) AS BIGINT)").as("vc"))
+      .groupBy(col("event_type"), col("day_no"))
+      .agg(sum(col("vc")).as("c")).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day_no")) ->
+        r.getAs[Long]("c")).toMap
+    daily.keys.groupBy(_._1).foreach { case (t, ks) =>
+      val known = ks.map(_._2).toSeq.sorted
+      (known.min to known.max).foreach { d =>
+        val (interp, got) = rows((t, d))
+        daily.get((t, d)) match {
+          case Some(c) =>
+            assert(!interp && got === c * 1000L, s"known ($t, $d)")
+          case None =>
+            val pd = known.filter(_ < d).max
+            val nd = known.filter(_ > d).min
+            val (pc, nc) = (daily((t, pd)), daily((t, nd)))
+            val exp = (pc * (nd - d) + nc * (d - pd)) * 1000L / (nd - pd)
+            assert(interp && got === exp, s"gap ($t, $d)")
+        }
+      }
+    }
+  }
+
   test("mine_rejection_sampling: per-bundle best-of-n recount") {
     val rows = Registry.queries("mine_rejection_sampling")(spark, sfDir)
       .collect()
