@@ -1072,8 +1072,182 @@ object GraphBpeQueries {
           $union"""
     })
 
+  /** Unigram-LM tokenizer training (Kudo 2018, the SentencePiece model) —
+    * one full EM round, distributed: seed a piece inventory from
+    * substring statistics, Viterbi-segment every vocabulary word under
+    * the seed model (the E-step), and re-estimate piece probabilities
+    * from the best segmentations (the M-step). The other half of the
+    * subword-tokenizer family next to bpe_train's greedy merges: BPE
+    * grows pieces bottom-up, unigram prunes a rich inventory by
+    * likelihood — production tokenizers (T5, Llama's SentencePiece) are
+    * unigram-trained.
+    *
+    *  - Inventory: all substrings of length ≤ 4 over the (length ≤ 20)
+    *    vocabulary, seeded with freq-weighted occurrence counts; keep
+    *    the top-300 by (count, piece) plus ALL single characters —
+    *    singles guarantee every word stays segmentable, the standard
+    *    SentencePiece closure property.
+    *  - E-step: per-word Viterbi as ONE whole-stage-codegen fold —
+    *    dp[i] = max over inventory substrings (j → i] of dp[j] + q — via
+    *    the `aggregate` HOF over the word's candidate list (vocab-sized
+    *    work: the corpus appears only through the shared vocab artifact;
+    *    a word is segmented once no matter how many billion times it
+    *    occurs). Backtracking recomputes each step's argmax from dp,
+    *    packed into a single BIGINT ((score + 10⁹)·64 + (63 − j)) so the
+    *    (max score, then longest piece) tie-break is one integer max —
+    *    portable, no struct-comparison semantics in play.
+    *  - M-step: explode best-path pieces weighted by word frequency,
+    *    one bounded aggregate; output the learned table (top-100 by
+    *    count, integer ppm).
+    *
+    * The DuckDB oracle replays the SAME DP as a layered recursive CTE
+    * (layer k = best score over exactly-k-piece paths — the GROUP BY in
+    * the recursive term keeps each layer at one row per (word, pos), so
+    * the recursion is polynomial, not path-enumerating), the identical
+    * packed-argmax choice table, and a recursive backtrack walk; scores
+    * are integer micro-nats from the one ln() quantization both engines
+    * share. UnigramTokSpec recounts the whole EM round in Scala.
+    */
+  private val UniMaxWordLen = 20
+  private val UniMaxPieceLen = 4
+  private val UniTopK = 300
+
+  private val tokenizerUnigram = Q(
+    "tokenizer_unigram",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val words = graft.text.TextArtifacts.vocab(s, dir)
+        .where(length(col("token")) <= UniMaxWordLen)
+        .select(col("token").as("word"), col("freq"))
+        .localCheckpoint(eager = true) // occurrences + M-step weights
+      val occ = words
+        .select(col("word"), col("freq"),
+          explode(expr("sequence(0, CAST(length(word) AS INT) - 1)")).as("j"))
+        .select(col("word"), col("freq"), col("j"),
+          explode(expr(s"sequence(1, $UniMaxPieceLen)")).as("l"))
+        .where(expr("j + l <= length(word)"))
+        .select(col("word"), col("freq"), col("j"),
+          (col("j") + col("l")).as("i"),
+          expr("substring(word, j + 1, l)").as("sub"))
+      val cnt0 = occ.groupBy(col("sub")).agg(sum(col("freq")).as("c"))
+      val v = cnt0.orderBy(col("c").desc, col("sub")).limit(UniTopK)
+        .union(cnt0.where(length(col("sub")) === 1))
+        .distinct()
+      val tot = v.agg(sum(col("c")).as("t"))
+      val q = v.crossJoin(broadcast(tot)) // 1-row total
+        .select(col("sub"), expr(
+          "CAST(round(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000.0, 0) AS BIGINT)")
+          .as("q"))
+      // per-word candidate list: inventory substrings with their spans —
+      // the model side is ≤ (300 + 26) rows, a broadcast by construction
+      val cands = occ.join(broadcast(q), "sub")
+        .groupBy(col("word"), col("freq"))
+        .agg(sort_array(collect_list(struct(col("i"), col("j"), col("q"))))
+          .as("cands"))
+      val dp = cands.withColumn("dp", expr(
+        """aggregate(sequence(1, CAST(length(word) AS INT)), array(0L),
+             (acc, i) -> array_append(acc,
+               array_max(transform(filter(cands, c -> c.i = i),
+                 c -> element_at(acc, c.j + 1) + c.q))))"""))
+      // backtrack: at each cursor position the argmax candidate is
+      // recomputed from dp via the packed integer (no pointers carried);
+      // the fold runs length(word) steps and no-ops once the cursor
+      // reaches 0 (a word always segments into ≤ length pieces)
+      val seg = dp.withColumn("bt", expr(
+        """aggregate(sequence(1, CAST(length(word) AS INT)),
+             named_struct('pos', CAST(length(word) AS INT),
+                          'ps', CAST(array() AS ARRAY<STRUCT<j: INT, i: INT>>)),
+             (acc, x) -> IF(acc.pos <= 0, acc,
+               named_struct(
+                 'pos', CAST(63 - (array_max(transform(filter(cands, c -> c.i = acc.pos),
+                    c -> (element_at(dp, c.j + 1) + c.q + 1000000000L) * 64
+                         + CAST(63 - c.j AS BIGINT))) % 64) AS INT),
+                 'ps', array_append(acc.ps, named_struct(
+                   'j', CAST(63 - (array_max(transform(filter(cands, c -> c.i = acc.pos),
+                      c -> (element_at(dp, c.j + 1) + c.q + 1000000000L) * 64
+                           + CAST(63 - c.j AS BIGINT))) % 64) AS INT),
+                   'i', acc.pos)))))"""))
+      val m = seg
+        .select(col("word"), col("freq"), explode(col("bt.ps")).as("p"))
+        .select(col("freq"),
+          expr("substring(word, p.j + 1, p.i - p.j)").as("piece"))
+        .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+      val tot1 = m.agg(sum(col("cnt")).as("t"))
+      m.crossJoin(broadcast(tot1))
+        .select(col("piece"), col("cnt"),
+          expr("cnt * 1000000 div t").as("p_ppm"))
+        .orderBy(col("cnt").desc, col("piece"))
+        .limit(100)
+    },
+    Some(s"""WITH RECURSIVE words AS (
+               SELECT word, CAST(count(*) AS BIGINT) AS freq
+               FROM (SELECT unnest(list_filter(string_split_regex(lower(text),
+                       '[^a-z]+'), t -> t <> '')) AS word
+                     FROM documents)
+               GROUP BY word
+               HAVING len(word) <= $UniMaxWordLen),
+             occ AS (
+               SELECT word, freq, j, j + l AS i, substr(word, j + 1, l) AS sub
+               FROM (SELECT word, freq, len(word) AS n,
+                       unnest(range(0, len(word))) AS j
+                     FROM words)
+               CROSS JOIN (SELECT unnest(range(1, ${UniMaxPieceLen + 1})) AS l)
+               WHERE j + l <= n),
+             cnt0 AS (
+               SELECT sub, CAST(sum(freq) AS BIGINT) AS c
+               FROM occ GROUP BY sub),
+             v AS (
+               SELECT DISTINCT sub, c FROM (
+                 SELECT sub, c FROM cnt0 ORDER BY c DESC, sub LIMIT $UniTopK)
+               UNION
+               SELECT sub, c FROM cnt0 WHERE len(sub) = 1),
+             tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM v),
+             q AS (
+               SELECT sub, CAST(round(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+                 * 1000000.0, 0) AS BIGINT) AS q
+               FROM v, tot),
+             cands AS (
+               SELECT o.word, o.j, o.i, q.q
+               FROM occ o JOIN q ON q.sub = o.sub),
+             dp AS (
+               SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS score FROM words
+               UNION ALL
+               SELECT c.word, c.i AS pos, max(dp.score + c.q) AS score
+               FROM dp JOIN cands c ON c.word = dp.word AND c.j = dp.pos
+               GROUP BY c.word, c.i),
+             best AS (
+               SELECT word, pos, max(score) AS score
+               FROM dp GROUP BY word, pos),
+             choice AS (
+               SELECT c.word, c.i,
+                 CAST(63 - max((b.score + c.q + 1000000000) * 64 + (63 - c.j))
+                   % 64 AS BIGINT) AS j
+               FROM cands c JOIN best b ON b.word = c.word AND b.pos = c.j
+               GROUP BY c.word, c.i),
+             bt AS (
+               SELECT word, CAST(len(word) AS BIGINT) AS pos,
+                 CAST(NULL AS VARCHAR) AS piece
+               FROM words
+               UNION ALL
+               SELECT bt.word, ch.j AS pos,
+                 substr(bt.word, CAST(ch.j + 1 AS INT),
+                   CAST(bt.pos - ch.j AS INT)) AS piece
+               FROM bt JOIN choice ch
+                 ON ch.word = bt.word AND ch.i = bt.pos
+               WHERE bt.pos > 0),
+             m AS (
+               SELECT b.piece, CAST(sum(w.freq) AS BIGINT) AS cnt
+               FROM bt b JOIN words w ON w.word = b.word
+               WHERE b.piece IS NOT NULL
+               GROUP BY b.piece),
+             tot1 AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM m)
+             SELECT piece, cnt, CAST(cnt * 1000000 // t AS BIGINT) AS p_ppm
+             FROM m, tot1
+             ORDER BY cnt DESC, piece
+             LIMIT 100"""))
+
   val all: Seq[Q] = Seq(joinMultiwayRevenue, graphPagerank, bpeMergeTopk,
     bpeEncode, graphLabelProp, graphTriangles, graphKcore,
     graphCommonNeighbors, graphModularity, graphAssortativity,
-    graphDegreeDist, bpeTrain, graphClusteringCoeff)
+    graphDegreeDist, bpeTrain, graphClusteringCoeff, tokenizerUnigram)
 }

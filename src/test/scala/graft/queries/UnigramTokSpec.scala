@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Full Scala recount of the tokenizer_unigram EM round — seed inventory,
+  * Viterbi E-step with the packed tie-break, M-step re-estimation — plus
+  * the properties that make it a TOKENIZER (coverage, compression).
+  */
+class UnigramTokSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("tokenizer_unigram equals a sequential EM-round recount") {
+    val rows = Registry.queries("tokenizer_unigram")(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("piece"), r.getAs[Long]("cnt"),
+        r.getAs[Long]("p_ppm")))
+    assert(rows.nonEmpty)
+    // vocabulary with corpus frequencies, words <= 20 chars
+    val words = Tables.documents(spark, sfDir)
+      .select(col("text")).collect()
+      .flatMap(r => Option(r.getAs[String]("text")).getOrElse("")
+        .toLowerCase.split("[^a-z]+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, os) => w -> os.length.toLong }
+      .filter(_._1.length <= 20)
+    // seed counts over all substrings of length <= 4
+    val cnt0 = scala.collection.mutable.Map.empty[String, Long]
+    words.foreach { case (w, f) =>
+      for (j <- 0 until w.length; l <- 1 to 4 if j + l <= w.length)
+        cnt0(w.substring(j, j + l)) =
+          cnt0.getOrElse(w.substring(j, j + l), 0L) + f
+    }
+    val top = cnt0.toSeq.sortBy { case (s0, c) => (-c, s0) }.take(300)
+    val v = (top ++ cnt0.toSeq.filter(_._1.length == 1)).toMap
+    val tot = v.values.sum
+    val q = v.map { case (p, c) =>
+      p -> BigDecimal(math.log(c.toDouble / tot.toDouble) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    // Viterbi per word with the packed (score, longest-piece) tie-break
+    def segment(w: String): Seq[String] = {
+      val n = w.length
+      val dp = Array.fill(n + 1)(Long.MinValue); dp(0) = 0L
+      for (i <- 1 to n) {
+        var best = Long.MinValue
+        for (j <- math.max(0, i - 4) until i) {
+          q.get(w.substring(j, i)).foreach { qq =>
+            if (dp(j) != Long.MinValue) best = math.max(best, dp(j) + qq)
+          }
+        }
+        dp(i) = best
+      }
+      val out = Seq.newBuilder[String]
+      var pos = n
+      while (pos > 0) {
+        var bestPacked = Long.MinValue; var bestJ = -1
+        for (j <- math.max(0, pos - 4) until pos) {
+          q.get(w.substring(j, pos)).foreach { qq =>
+            val packed = (dp(j) + qq + 1000000000L) * 64L + (63L - j)
+            if (packed > bestPacked) { bestPacked = packed; bestJ = j }
+          }
+        }
+        out += w.substring(bestJ, pos)
+        pos = bestJ
+      }
+      out.result()
+    }
+    val m = scala.collection.mutable.Map.empty[String, Long]
+    words.foreach { case (w, f) =>
+      segment(w).foreach(p => m(p) = m.getOrElse(p, 0L) + f)
+    }
+    val tot1 = m.values.sum
+    val expected = m.toSeq.sortBy { case (p, c) => (-c, p) }.take(100)
+      .map { case (p, c) => (p, c, c * 1000000L / tot1) }
+    assert(rows.toSeq === expected)
+    // tokenizer properties: the learned segmentation COMPRESSES — the
+    // freq-weighted piece count is well under the char count (otherwise
+    // the inventory degenerated to singles)...
+    val nPieces = words.map { case (w, f) => segment(w).length * f }.sum
+    val nChars = words.map { case (w, f) => w.length.toLong * f }.sum
+    assert(nPieces * 2 < nChars, s"pieces=$nPieces chars=$nChars")
+    // ...and multi-char pieces carry real mass in the learned table
+    assert(rows.count(_._1.length >= 3) > 10)
+  }
+}
