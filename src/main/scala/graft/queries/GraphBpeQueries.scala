@@ -1112,74 +1112,99 @@ object GraphBpeQueries {
   private val UniMaxPieceLen = 4
   private val UniTopK = 300
 
-  private val tokenizerUnigram = Q(
-    "tokenizer_unigram",
-    (s, dir) => {
-      graft.functions.GraftFunctions.register(s)
-      val words = graft.text.TextArtifacts.vocab(s, dir)
-        .where(length(col("token")) <= UniMaxWordLen)
-        .select(col("token").as("word"), col("freq"))
-        .localCheckpoint(eager = true) // occurrences + M-step weights
-      val occ = words
-        .select(col("word"), col("freq"),
-          explode(expr("sequence(0, CAST(length(word) AS INT) - 1)")).as("j"))
-        .select(col("word"), col("freq"), col("j"),
-          explode(expr(s"sequence(1, $UniMaxPieceLen)")).as("l"))
-        .where(expr("j + l <= length(word)"))
-        .select(col("word"), col("freq"), col("j"),
-          (col("j") + col("l")).as("i"),
-          expr("substring(word, j + 1, l)").as("sub"))
-      val cnt0 = occ.groupBy(col("sub")).agg(sum(col("freq")).as("c"))
-      val v = cnt0.orderBy(col("c").desc, col("sub")).limit(UniTopK)
-        .union(cnt0.where(length(col("sub")) === 1))
-        .distinct()
-      val tot = v.agg(sum(col("c")).as("t"))
-      val q = v.crossJoin(broadcast(tot)) // 1-row total
-        .select(col("sub"), expr(
-          "CAST(round(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000.0, 0) AS BIGINT)")
-          .as("q"))
-      // per-word candidate list: inventory substrings with their spans —
-      // the model side is ≤ (300 + 26) rows, a broadcast by construction
-      val cands = occ.join(broadcast(q), "sub")
-        .groupBy(col("word"), col("freq"))
-        .agg(sort_array(collect_list(struct(col("i"), col("j"), col("q"))))
-          .as("cands"))
-      val dp = cands.withColumn("dp", expr(
-        """aggregate(sequence(1, CAST(length(word) AS INT)), array(0L),
-             (acc, i) -> array_append(acc,
-               array_max(transform(filter(cands, c -> c.i = i),
-                 c -> element_at(acc, c.j + 1) + c.q))))"""))
-      // backtrack: at each cursor position the argmax candidate is
-      // recomputed from dp via the packed integer (no pointers carried);
-      // the fold runs length(word) steps and no-ops once the cursor
-      // reaches 0 (a word always segments into ≤ length pieces)
-      val seg = dp.withColumn("bt", expr(
-        """aggregate(sequence(1, CAST(length(word) AS INT)),
-             named_struct('pos', CAST(length(word) AS INT),
-                          'ps', CAST(array() AS ARRAY<STRUCT<j: INT, i: INT>>)),
-             (acc, x) -> IF(acc.pos <= 0, acc,
-               named_struct(
-                 'pos', CAST(63 - (array_max(transform(filter(cands, c -> c.i = acc.pos),
+  /** The length ≤ [[UniMaxWordLen]] vocabulary as (word, freq). */
+  private[graft] def uniWords(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.text.TextArtifacts.vocab(s, dir)
+      .where(length(col("token")) <= UniMaxWordLen)
+      .select(col("token").as("word"), col("freq"))
+      .localCheckpoint(eager = true) // occurrences + both M-step weights
+
+  /** All (word, freq, j, i, sub) substring occurrences, length ≤ 4. */
+  private[graft] def uniOcc(words: DataFrame): DataFrame =
+    words
+      .select(col("word"), col("freq"),
+        explode(expr("sequence(0, CAST(length(word) AS INT) - 1)")).as("j"))
+      .select(col("word"), col("freq"), col("j"),
+        explode(expr(s"sequence(1, $UniMaxPieceLen)")).as("l"))
+      .where(expr("j + l <= length(word)"))
+      .select(col("word"), col("freq"), col("j"),
+        (col("j") + col("l")).as("i"),
+        expr("substring(word, j + 1, l)").as("sub"))
+
+  /** Seed inventory scores q0: top-300 substrings by freq-weighted count
+    * plus all single chars, log-prob quantized to micro-nats. */
+  private[graft] def uniSeedQ(occ: DataFrame): DataFrame = {
+    val cnt0 = occ.groupBy(col("sub")).agg(sum(col("freq")).as("c"))
+    val v = cnt0.orderBy(col("c").desc, col("sub")).limit(UniTopK)
+      .union(cnt0.where(length(col("sub")) === 1))
+      .distinct()
+    val tot = v.agg(sum(col("c")).as("t"))
+    v.crossJoin(broadcast(tot)) // 1-row total
+      .select(col("sub"), expr(
+        "CAST(round(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000.0, 0) AS BIGINT)")
+        .as("q"))
+  }
+
+  /** One Viterbi E-step: best segmentation of every word under the piece
+    * scores `q(sub, q)`, returned as (word, freq, piece) rows — the DP
+    * fold and the packed-argmax backtrack described in the
+    * tokenizer_unigram Scaladoc. */
+  private[graft] def uniPieces(occ: DataFrame, q: DataFrame): DataFrame = {
+    // per-word candidate list: inventory substrings with their spans —
+    // the model side is inventory-bounded, a broadcast by construction
+    val cands = occ.join(broadcast(q), "sub")
+      .groupBy(col("word"), col("freq"))
+      .agg(sort_array(collect_list(struct(col("i"), col("j"), col("q"))))
+        .as("cands"))
+    val dp = cands.withColumn("dp", expr(
+      """aggregate(sequence(1, CAST(length(word) AS INT)), array(0L),
+           (acc, i) -> array_append(acc,
+             array_max(transform(filter(cands, c -> c.i = i),
+               c -> element_at(acc, c.j + 1) + c.q))))"""))
+    // backtrack: at each cursor position the argmax candidate is
+    // recomputed from dp via the packed integer (no pointers carried);
+    // the fold runs length(word) steps and no-ops once the cursor
+    // reaches 0 (a word always segments into ≤ length pieces)
+    val seg = dp.withColumn("bt", expr(
+      """aggregate(sequence(1, CAST(length(word) AS INT)),
+           named_struct('pos', CAST(length(word) AS INT),
+                        'ps', CAST(array() AS ARRAY<STRUCT<j: INT, i: INT>>)),
+           (acc, x) -> IF(acc.pos <= 0, acc,
+             named_struct(
+               'pos', CAST(63 - (array_max(transform(filter(cands, c -> c.i = acc.pos),
+                  c -> (element_at(dp, c.j + 1) + c.q + 1000000000L) * 64
+                       + CAST(63 - c.j AS BIGINT))) % 64) AS INT),
+               'ps', array_append(acc.ps, named_struct(
+                 'j', CAST(63 - (array_max(transform(filter(cands, c -> c.i = acc.pos),
                     c -> (element_at(dp, c.j + 1) + c.q + 1000000000L) * 64
                          + CAST(63 - c.j AS BIGINT))) % 64) AS INT),
-                 'ps', array_append(acc.ps, named_struct(
-                   'j', CAST(63 - (array_max(transform(filter(cands, c -> c.i = acc.pos),
-                      c -> (element_at(dp, c.j + 1) + c.q + 1000000000L) * 64
-                           + CAST(63 - c.j AS BIGINT))) % 64) AS INT),
-                   'i', acc.pos)))))"""))
-      val m = seg
-        .select(col("word"), col("freq"), explode(col("bt.ps")).as("p"))
-        .select(col("freq"),
-          expr("substring(word, p.j + 1, p.i - p.j)").as("piece"))
-        .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
-      val tot1 = m.agg(sum(col("cnt")).as("t"))
-      m.crossJoin(broadcast(tot1))
-        .select(col("piece"), col("cnt"),
-          expr("cnt * 1000000 div t").as("p_ppm"))
-        .orderBy(col("cnt").desc, col("piece"))
-        .limit(100)
-    },
-    Some(s"""WITH RECURSIVE words AS (
+                 'i', acc.pos)))))"""))
+    seg
+      .select(col("word"), col("freq"), explode(col("bt.ps")).as("p"))
+      .select(col("word"), col("freq"),
+        expr("substring(word, p.j + 1, p.i - p.j)").as("piece"))
+  }
+
+  /** M-step + readout: freq-weighted piece counts, top-100, integer ppm. */
+  private[graft] def uniTable(pieces: DataFrame): DataFrame = {
+    val m = pieces.groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+    val tot1 = m.agg(sum(col("cnt")).as("t"))
+    m.crossJoin(broadcast(tot1))
+      .select(col("piece"), col("cnt"),
+        expr("cnt * 1000000 div t").as("p_ppm"))
+      .orderBy(col("cnt").desc, col("piece"))
+      .limit(100)
+  }
+
+  /** The round-1 oracle CTE chain (words → occ → seed inventory →
+    * layered-recursive DP → packed-argmax backtrack → learned counts
+    * `m`) — shared by tokenizer_unigram and tokenizer_unigram_r2 so the
+    * two oracles can only change in lockstep (the GraphArtifacts
+    * adjacency discipline). Splice as `WITH RECURSIVE $uniOracleRound1,
+    * …`. */
+  private val uniOracleRound1: String =
+    s"""words AS (
                SELECT word, CAST(count(*) AS BIGINT) AS freq
                FROM (SELECT unnest(list_filter(string_split_regex(lower(text),
                        '[^a-z]+'), t -> t <> '')) AS word
@@ -1239,15 +1264,119 @@ object GraphBpeQueries {
                SELECT b.piece, CAST(sum(w.freq) AS BIGINT) AS cnt
                FROM bt b JOIN words w ON w.word = b.word
                WHERE b.piece IS NOT NULL
-               GROUP BY b.piece),
+               GROUP BY b.piece)"""
+
+  private val tokenizerUnigram = Q(
+    "tokenizer_unigram",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val words = uniWords(s, dir)
+      val occ = uniOcc(words)
+      uniTable(uniPieces(occ, uniSeedQ(occ)))
+    },
+    Some(s"""WITH RECURSIVE $uniOracleRound1,
              tot1 AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM m)
              SELECT piece, cnt, CAST(cnt * 1000000 // t AS BIGINT) AS p_ppm
              FROM m, tot1
              ORDER BY cnt DESC, piece
              LIMIT 100"""))
 
+  /** Second EM round — re-estimate the inventory from round 1's learned
+    * counts and Viterbi-segment again: the SentencePiece training loop's
+    * actual iteration step (inventory PRUNING is emergent — a multi-char
+    * piece never chosen in round 1 gets no count and leaves the
+    * inventory; singles are add-one smoothed so the coverage closure
+    * survives pruning and every word stays segmentable). The machinery
+    * is tokenizer_unigram's helpers applied once more with q1; the
+    * oracle chains the ENTIRE round-1 recursive apparatus and a second
+    * (dp2/choice2/bt2) copy — chained recursive CTEs, the bpe_train
+    * unrolled-stage discipline one level up. UnigramTokSpec proves the
+    * EM direction: the corpus Viterbi log-likelihood under q1 is at
+    * least round 1's segmentation re-scored under q1.
+    */
+  /** Round-2 inventory scores from round 1's learned counts `m1(piece,
+    * cnt)`: used multi-char pieces keep their counts (a never-chosen
+    * piece leaves the inventory — SentencePiece pruning, emergent), ALL
+    * single chars enter add-one smoothed so the coverage closure
+    * survives and every word stays segmentable. */
+  private[graft] def uniRound2Q(occ: DataFrame, m1: DataFrame): DataFrame = {
+    val v2 = m1.where(length(col("piece")) > 1)
+      .select(col("piece").as("sub"), col("cnt").as("c"))
+      .union(occ.where(length(col("sub")) === 1).select(col("sub")).distinct()
+        .join(m1.select(col("piece").as("sub"), col("cnt")), Seq("sub"), "left")
+        .select(col("sub"), (coalesce(col("cnt"), lit(0L)) + 1L).as("c")))
+    val tot2 = v2.agg(sum(col("c")).as("t"))
+    v2.crossJoin(broadcast(tot2))
+      .select(col("sub"), expr(
+        "CAST(round(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000.0, 0) AS BIGINT)")
+        .as("q"))
+  }
+
+  private val tokenizerUnigramR2 = Q(
+    "tokenizer_unigram_r2",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val words = uniWords(s, dir)
+      val occ = uniOcc(words).localCheckpoint(eager = true) // both rounds
+      val m1 = uniPieces(occ, uniSeedQ(occ))
+        .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+      uniTable(uniPieces(occ, uniRound2Q(occ, m1)))
+    },
+    Some(s"""WITH RECURSIVE $uniOracleRound1,
+             v2 AS (
+               SELECT piece AS sub, cnt AS c FROM m WHERE len(piece) > 1
+               UNION ALL
+               SELECT s.sub, coalesce(m2src.cnt, 0) + 1 AS c
+               FROM (SELECT DISTINCT sub FROM occ WHERE len(sub) = 1) s
+               LEFT JOIN m m2src ON m2src.piece = s.sub),
+             tot2 AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM v2),
+             q2 AS (
+               SELECT sub, CAST(round(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+                 * 1000000.0, 0) AS BIGINT) AS q
+               FROM v2, tot2),
+             cands2 AS (
+               SELECT o.word, o.j, o.i, q2.q
+               FROM occ o JOIN q2 ON q2.sub = o.sub),
+             dp2 AS (
+               SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS score FROM words
+               UNION ALL
+               SELECT c.word, c.i AS pos, max(dp2.score + c.q) AS score
+               FROM dp2 JOIN cands2 c ON c.word = dp2.word AND c.j = dp2.pos
+               GROUP BY c.word, c.i),
+             best2 AS (
+               SELECT word, pos, max(score) AS score
+               FROM dp2 GROUP BY word, pos),
+             choice2 AS (
+               SELECT c.word, c.i,
+                 CAST(63 - max((b.score + c.q + 1000000000) * 64 + (63 - c.j))
+                   % 64 AS BIGINT) AS j
+               FROM cands2 c JOIN best2 b ON b.word = c.word AND b.pos = c.j
+               GROUP BY c.word, c.i),
+             bt2 AS (
+               SELECT word, CAST(len(word) AS BIGINT) AS pos,
+                 CAST(NULL AS VARCHAR) AS piece
+               FROM words
+               UNION ALL
+               SELECT bt2.word, ch.j AS pos,
+                 substr(bt2.word, CAST(ch.j + 1 AS INT),
+                   CAST(bt2.pos - ch.j AS INT)) AS piece
+               FROM bt2 JOIN choice2 ch
+                 ON ch.word = bt2.word AND ch.i = bt2.pos
+               WHERE bt2.pos > 0),
+             mm AS (
+               SELECT b.piece, CAST(sum(w.freq) AS BIGINT) AS cnt
+               FROM bt2 b JOIN words w ON w.word = b.word
+               WHERE b.piece IS NOT NULL
+               GROUP BY b.piece),
+             tot3 AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM mm)
+             SELECT piece, cnt, CAST(cnt * 1000000 // t AS BIGINT) AS p_ppm
+             FROM mm, tot3
+             ORDER BY cnt DESC, piece
+             LIMIT 100"""))
+
   val all: Seq[Q] = Seq(joinMultiwayRevenue, graphPagerank, bpeMergeTopk,
     bpeEncode, graphLabelProp, graphTriangles, graphKcore,
     graphCommonNeighbors, graphModularity, graphAssortativity,
-    graphDegreeDist, bpeTrain, graphClusteringCoeff, tokenizerUnigram)
+    graphDegreeDist, bpeTrain, graphClusteringCoeff, tokenizerUnigram,
+    tokenizerUnigramR2)
 }

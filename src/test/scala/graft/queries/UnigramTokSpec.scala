@@ -83,4 +83,95 @@ class UnigramTokSpec extends SparkSpec {
     // ...and multi-char pieces carry real mass in the learned table
     assert(rows.count(_._1.length >= 3) > 10)
   }
+
+  // ------------------------------------------------------------------
+  // Shared sequential EM machinery for the fixture tests below.
+  // ------------------------------------------------------------------
+  private def qFrom(v: Map[String, Long]): Map[String, Long] = {
+    val tot = v.values.sum
+    v.map { case (p, c) =>
+      p -> BigDecimal(math.log(c.toDouble / tot.toDouble) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+  }
+
+  private def viterbi(w: String, q: Map[String, Long]): Seq[String] = {
+    val n = w.length
+    val dp = Array.fill(n + 1)(Long.MinValue); dp(0) = 0L
+    for (i <- 1 to n; j <- math.max(0, i - 4) until i)
+      q.get(w.substring(j, i)).foreach { qq =>
+        if (dp(j) != Long.MinValue) dp(i) = math.max(dp(i), dp(j) + qq)
+      }
+    val out = Seq.newBuilder[String]
+    var pos = n
+    while (pos > 0) {
+      var bestPacked = Long.MinValue; var bestJ = -1
+      for (j <- math.max(0, pos - 4) until pos)
+        q.get(w.substring(j, pos)).foreach { qq =>
+          val packed = (dp(j) + qq + 1000000000L) * 64L + (63L - j)
+          if (packed > bestPacked) { bestPacked = packed; bestJ = j }
+        }
+      out += w.substring(bestJ, pos); pos = bestJ
+    }
+    out.result()
+  }
+
+  private def emRounds(words: Map[String, Long])
+      : (Map[String, Long], Map[String, Long]) = {
+    val cnt0 = scala.collection.mutable.Map.empty[String, Long]
+    words.foreach { case (w, f) =>
+      for (j <- 0 until w.length; l <- 1 to 4 if j + l <= w.length)
+        cnt0(w.substring(j, j + l)) =
+          cnt0.getOrElse(w.substring(j, j + l), 0L) + f
+    }
+    val top = cnt0.toSeq.sortBy { case (s0, c) => (-c, s0) }.take(300)
+    val q0 = qFrom((top ++ cnt0.toSeq.filter(_._1.length == 1)).toMap)
+    def mstep(q: Map[String, Long]): Map[String, Long] = {
+      val m = scala.collection.mutable.Map.empty[String, Long]
+      words.foreach { case (w, f) =>
+        viterbi(w, q).foreach(p => m(p) = m.getOrElse(p, 0L) + f)
+      }
+      m.toMap
+    }
+    val m1 = mstep(q0)
+    val v2 = m1.filter(_._1.length > 1) ++
+      cnt0.keys.filter(_.length == 1)
+        .map(c => c -> (m1.getOrElse(c, 0L) + 1L))
+    (m1, mstep(qFrom(v2)))
+  }
+
+  test("tokenizer_unigram_r2: round 2 is a REAL second round (engineered divergence)") {
+    import spark.implicits._
+    // a vocabulary where round 1 uses piece "dd" once but the
+    // re-estimated model drops it (found by randomized search; the
+    // sequential recount below re-derives both rounds from scratch)
+    val fixture = Map("add" -> 8L, "dbb" -> 1L, "dbccddd" -> 1L,
+      "acadbbca" -> 1L, "adcad" -> 5L)
+    val (em1, em2) = emRounds(fixture)
+    assert(em1 !== em2, "fixture must diverge between rounds")
+    val words = fixture.toSeq.toDF("word", "freq")
+    val occ = GraphBpeQueries.uniOcc(words).localCheckpoint(true)
+    val m1 = GraphBpeQueries.uniPieces(occ, GraphBpeQueries.uniSeedQ(occ))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+    val got1 = m1.collect()
+      .map(r => r.getAs[String]("piece") -> r.getAs[Long]("cnt")).toMap
+    assert(got1 === em1)
+    val got2 = GraphBpeQueries
+      .uniPieces(occ, GraphBpeQueries.uniRound2Q(occ, m1))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt")).collect()
+      .map(r => r.getAs[String]("piece") -> r.getAs[Long]("cnt")).toMap
+    assert(got2 === em2)
+    assert(got1 !== got2)
+  }
+
+  test("tokenizer_unigram_r2 on the corpus: fixed point reached and verified") {
+    val r1 = Registry.queries("tokenizer_unigram")(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("piece"), r.getAs[Long]("cnt"))).toSet
+    val r2 = Registry.queries("tokenizer_unigram_r2")(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("piece"), r.getAs[Long]("cnt"))).toSet
+    // on THIS corpus EM converges after one round — assert the fixed
+    // point explicitly (the engineered-divergence case above proves the
+    // second round is a real computation, not a passthrough)
+    assert(r1 === r2)
+  }
 }
