@@ -1296,5 +1296,55 @@ object AnalyticsQueries {
       experimentTtest, cdcLogCompact, abSrmCheck, funnelWindow,
       joinScd2Pit, streakIslands, trendWowGrowth, trendDowAnomaly,
       eventsConcentration, tsEwma, privacyDpCounts, windowRollingMedian,
-      resampleInterpolate)
+      resampleInterpolate, eventsPathTopk)
+
+  /** Top user paths — the "what journeys do users actually take"
+    * product-analytics readout next to event_transitions' single-step
+    * Markov pairs: per (user, day) session, the first 5 events in
+    * (ts, event_id) order joined as a path string, counted across all
+    * sessions, top-20 by (count, path). Scale shape: one per-user-day
+    * rank window (the sessionize partitioning), the path assembly rides
+    * the session aggregate (sorted ≤ 5-element array, no string shuffle
+    * until paths are already session-sized), and the final count is a
+    * low-cardinality aggregate + TakeOrderedAndProject. The event_id
+    * tiebreak makes same-microsecond events deterministic on both
+    * engines.
+    */
+  private lazy val eventsPathTopk = Q(
+    "events_path_topk",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"), col("day_no"))
+        .orderBy(col("us"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day_no"),
+          unix_micros(col("ts")).as("us"),
+          col("event_id"), col("event_type"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 5)
+        .groupBy(col("user_id"), col("day_no"))
+        .agg(sort_array(collect_list(struct(col("rk"), col("event_type"))))
+          .as("es"))
+        .select(expr("array_join(transform(es, e -> e.event_type), '>')")
+          .as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(20)
+    },
+    Some("""WITH f AS (
+              SELECT user_id, day_no, event_type,
+                row_number() OVER (PARTITION BY user_id, day_no
+                  ORDER BY us, event_id) AS rk
+              FROM (SELECT user_id,
+                      epoch_ns(ts) // 1000 // 86400000000 AS day_no,
+                      epoch_ns(ts) // 1000 AS us, event_id, event_type
+                    FROM events)),
+            p AS (
+              SELECT string_agg(event_type, '>' ORDER BY rk) AS path
+              FROM f WHERE rk <= 5 GROUP BY user_id, day_no)
+            SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+            FROM p GROUP BY path
+            ORDER BY n_sessions DESC, path
+            LIMIT 20"""))
 }

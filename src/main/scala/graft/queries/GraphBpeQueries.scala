@@ -1374,9 +1374,76 @@ object GraphBpeQueries {
              ORDER BY cnt DESC, piece
              LIMIT 100"""))
 
+  /** Multi-source BFS distance histogram over the signup graph — the
+    * shortest-path member of the graph family (components answers
+    * "connected to WHAT", this answers "how FAR"): hop distance from the
+    * deterministic seed set (user nodes ≡ 0 mod 1000) out to a declared
+    * 6-hop horizon, folded to the (dist, n_nodes) histogram. The
+    * iterative shape every distributed BFS uses: per round ONE
+    * frontier-join on the shared checkpointed edge artifact plus one
+    * anti-join against the visited set; each round's new layer is
+    * checkpointed, rounds after the frontier empties are no-ops (the
+    * kcore convergence stance — a fixed unrollable round count is what
+    * lets the oracle mirror a loop exactly). Frontiers carry bare node
+    * ids (8 bytes) — at 100 TB the per-round exchange is node-set-sized,
+    * never edge-payload-sized. Oracle: 6 unrolled MATERIALIZED layer
+    * CTEs (the kcore lesson: un-hinted, DuckDB's CTE inlining
+    * re-evaluates the chain exponentially).
+    */
+  private val BfsRounds = 6
+  private val BfsSeedMod = 1000L
+
+  private val graphBfsDistance = Q(
+    "graph_bfs_distance",
+    (s, dir) => {
+      val und = graft.identity.GraphArtifacts.und(s, dir)
+      var layer = und
+        .where(col("src") % BfsSeedMod === 0L &&
+          col("src") < graft.identity.GraphArtifacts.Offset)
+        .select(col("src").as("node")).distinct()
+        .withColumn("dist", lit(0L))
+        .localCheckpoint(eager = true)
+      var reached = layer
+      for (k <- 1 to BfsRounds) {
+        val next = und
+          .join(layer.select(col("node").as("src")), "src")
+          .select(col("dst").as("node")).distinct()
+          .join(reached.select(col("node")), Seq("node"), "left_anti")
+          .withColumn("dist", lit(k.toLong))
+          .localCheckpoint(eager = true)
+        reached = reached.union(next)
+        layer = next
+      }
+      reached.groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
+    },
+    Some {
+      val layers = (1 to BfsRounds).map { k =>
+        s"""n$k AS MATERIALIZED (
+              SELECT DISTINCT u.dst AS node FROM und u
+              JOIN r${k - 1} f ON f.node = u.src),
+            r$k AS MATERIALIZED (
+              SELECT node, CAST($k AS BIGINT) AS dist FROM n$k
+              WHERE node NOT IN (SELECT node FROM c${k - 1})),
+            c$k AS MATERIALIZED (
+              SELECT node, dist FROM c${k - 1}
+              UNION ALL SELECT node, dist FROM r$k)"""
+      }.mkString(",\n")
+      s"""WITH ${graft.identity.GraphArtifacts.fwdOracle},
+          ${graft.identity.GraphArtifacts.undOracle},
+          r0 AS MATERIALIZED (
+            SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+            FROM und
+            WHERE src % $BfsSeedMod = 0
+              AND src < ${graft.identity.GraphArtifacts.Offset}),
+          c0 AS MATERIALIZED (SELECT node, dist FROM r0),
+          $layers
+          SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes
+          FROM c$BfsRounds GROUP BY dist"""
+    })
+
   val all: Seq[Q] = Seq(joinMultiwayRevenue, graphPagerank, bpeMergeTopk,
     bpeEncode, graphLabelProp, graphTriangles, graphKcore,
     graphCommonNeighbors, graphModularity, graphAssortativity,
     graphDegreeDist, bpeTrain, graphClusteringCoeff, tokenizerUnigram,
-    tokenizerUnigramR2)
+    tokenizerUnigramR2, graphBfsDistance)
 }
