@@ -947,8 +947,115 @@ object MiningQueries {
             WHERE a.n_pass >= 1
             GROUP BY a.prompt_id, a.n, a.n_pass, a.mx"""))
 
+  /** Exact KNN-Shapley data valuation (Jia et al., VLDB 2019): for each
+    * validation point, the EXACT Shapley value of every training point
+    * under the K-nearest-neighbor utility — the data-valuation closed
+    * form that made Shapley practical (the general Shapley value needs
+    * 2^n coalitions; for KNN utility it telescopes into one pass over
+    * the distance ranking: φ_(N) = u_N/N, φ_(r) = φ_(r+1) +
+    * (u_r − u_{r+1})·min(r,K)/(K·r)). The training-data question it
+    * answers is "which examples HELP and which ones actively hurt this
+    * validation set" — negative-φ points are mislabeled/poisoned-data
+    * candidates, the pruning signal quality heuristics can't give.
+    *
+    * Distributed shape: the telescoping recurrence is ORDER-dependent,
+    * so it is recast as a per-rank TERM (each rank's marginal
+    * contribution, quantized once to integer nano-units) plus a SUFFIX
+    * SUM — one rank window and one suffix-frame window per validation
+    * point, both partition-local; no sequential driver loop. At corpus
+    * scale the exact product against 5 validation points is replaced by
+    * the ANN candidate generators upstream (the mine_hard_negatives
+    * stance); everything from `ranked` down is identical. Determinism:
+    * cosines are dot_ordered folds, ranking tiebreaks on vec_id, terms
+    * quantize per row (no tie can sit on a .5 boundary: the term's
+    * absolute value is min(r,K)·10⁹/(K·r), and for r ≤ 495 the
+    * denominator can't produce a half), suffix sums are exact BIGINT.
+    */
+  private val KnnShapK = 5
+
+  private val mineKnnShapley = Q(
+    "mine_knn_shapley",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      import org.apache.spark.sql.expressions.Window
+      val vecs = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          expr(dotExpr("embedding", "embedding")).as("norm2"))
+        .localCheckpoint(eager = true) // query side + training side
+      val queries = vecs.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("embedding").as("q_emb"), col("norm2").as("q_norm2"))
+      val scored = vecs.where(col("vec_id") >= 5)
+        .crossJoin(broadcast(queries))
+        .select(col("q_id"), col("vec_id"),
+          (col("label") === col("q_label")).cast("long").as("u"),
+          (expr(dotExpr("embedding", "q_emb")) /
+            sqrt(col("norm2") * col("q_norm2"))).as("cos"))
+      val wRank = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val ranked = scored
+        .withColumn("rk", row_number().over(wRank).cast("long"))
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy(col("q_id"))))
+        .withColumn("u_next", lead(col("u"), 1).over(wRank))
+        .withColumn("t", expr(
+          s"""CASE WHEN u_next IS NULL THEN
+                CAST(round(CAST(u AS DOUBLE) * 1000000000.0
+                  / CAST(n AS DOUBLE), 0) AS BIGINT)
+              ELSE
+                CAST(round(CAST(u - u_next AS DOUBLE)
+                  * CAST(least(rk, ${KnnShapK}) AS DOUBLE) * 1000000000.0
+                  / ($KnnShapK.0 * CAST(rk AS DOUBLE)), 0) AS BIGINT) END"""))
+      val wSuffix = Window.partitionBy(col("q_id")).orderBy(col("rk"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      ranked
+        .withColumn("phi_nano", sum(col("t")).over(wSuffix))
+        .select(col("q_id"), col("vec_id"), col("rk"), col("u"),
+          col("phi_nano"))
+    },
+    Some {
+      def dot(a: String, b: String) = SimOracle.dot(a, b)
+      s"""WITH v AS (
+            SELECT vec_id, label, embedding,
+              ${dot("embedding", "embedding")} AS norm2
+            FROM embeddings),
+          qs AS (
+            SELECT vec_id AS q_id, label AS q_label,
+              embedding AS q_emb, norm2 AS q_norm2
+            FROM v WHERE vec_id < 5),
+          scored AS (
+            SELECT qs.q_id, a.vec_id,
+              CAST(CASE WHEN a.label = qs.q_label THEN 1 ELSE 0 END
+                AS BIGINT) AS u,
+              ${dot("a.embedding", "qs.q_emb")}
+                / sqrt(a.norm2 * qs.q_norm2) AS cos
+            FROM v a, qs WHERE a.vec_id >= 5),
+          ranked AS (
+            SELECT q_id, vec_id, u,
+              CAST(row_number() OVER w AS BIGINT) AS rk,
+              CAST(count(*) OVER (PARTITION BY q_id) AS BIGINT) AS n,
+              lead(u) OVER w AS u_next
+            FROM scored
+            WINDOW w AS (PARTITION BY q_id ORDER BY cos DESC, vec_id)),
+          terms AS (
+            SELECT q_id, vec_id, rk, u,
+              CASE WHEN u_next IS NULL THEN
+                CAST(round(CAST(u AS DOUBLE) * 1000000000.0
+                  / CAST(n AS DOUBLE), 0) AS BIGINT)
+              ELSE
+                CAST(round(CAST(u - u_next AS DOUBLE)
+                  * CAST(least(rk, $KnnShapK) AS DOUBLE) * 1000000000.0
+                  / ($KnnShapK.0 * CAST(rk AS DOUBLE)), 0) AS BIGINT) END AS t
+            FROM ranked)
+          SELECT q_id, vec_id, rk, u,
+            CAST(sum(t) OVER (PARTITION BY q_id ORDER BY rk
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+              AS phi_nano
+          FROM terms"""
+    })
+
   val all: Seq[Q] =
     Seq(mineBitext, textNovelty, qualityEnsemble, selectMmr, mineHardNegatives,
       evalNdcg, embedMrlRecall, evalMrr, evalKendallTau,
-      mineRejectionSampling)
+      mineRejectionSampling, mineKnnShapley)
 }
