@@ -1043,8 +1043,11 @@ object AnalyticsQueries {
     * resample_ffill pattern) and still receive trailing mass from
     * earlier days' contributions.
     */
-  private val EwmaWeights: Seq[Long] =
-    (0 to 11).map(k => math.pow(3, k).toLong * math.pow(4, 11 - k).toLong)
+  /** The one weight table (3^k·4^(11−k)) and normalizer (4^12 − 3^12) —
+    * OWNED by the speed layer and referenced here so the batch query and
+    * [[graft.streaming.StreamEwma]] cannot drift (the stream ≡ batch
+    * parity contract is true by construction, not by test alone). */
+  private def EwmaWeights: Seq[Long] = graft.streaming.StreamEwma.Weights
 
   private val tsEwma = Q(
     "ts_ewma",
@@ -1101,14 +1104,6 @@ object AnalyticsQueries {
           LEFT JOIN contrib c ON c.event_type = g.event_type AND c.day_no = g.day_no"""
     })
 
-  /** First four md5 hex digits as 0..65535 — the engine-portable uniform
-    * (same digit math on both engines; the CurationQueries helper). */
-  private def md5Hex4(sqlExprStr: String): String =
-    (0 until 4).map { i =>
-      val pow = 1L << (4 * (3 - i))
-      s"(instr('0123456789abcdef', substr(md5($sqlExprStr), ${i + 1}, 1)) - 1) * $pow"
-    }.mkString("(", " + ", ")")
-
   /** Differentially-private release of per-(event_type, day) counts —
     * the privacy-preserving usage report a training-data platform
     * publishes about its corpus: Laplace(b = 20) noise on each count
@@ -1128,7 +1123,7 @@ object AnalyticsQueries {
   private val privacyDpCounts = Q(
     "privacy_dp_counts",
     (s, dir) => {
-      val u16 = md5Hex4("concat(event_type, '|', CAST(day_no AS STRING))")
+      val u16 = PortableHash.md5Hex4("concat(event_type, '|', CAST(day_no AS STRING))")
       Tables.events(s, dir)
         .select(col("event_type"),
           expr("unix_micros(ts) div 86400000000").as("day_no"))
@@ -1144,7 +1139,7 @@ object AnalyticsQueries {
             .as("noisy_count"))
     },
     Some {
-      val u16 = md5Hex4("event_type || '|' || CAST(day_no AS VARCHAR)")
+      val u16 = PortableHash.md5Hex4("event_type || '|' || CAST(day_no AS VARCHAR)")
       s"""WITH cells AS (
             SELECT event_type, epoch_ns(ts) // 1000 // 86400000000 AS day_no,
                    CAST(count(*) AS BIGINT) AS c
@@ -1177,7 +1172,12 @@ object AnalyticsQueries {
     "window_rolling_median",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // NULL observations are excluded from the series entirely (a NULL
+      // must not occupy a frame slot): Spark's collect_list silently
+      // drops NULLs while DuckDB's list() keeps them, so without this
+      // filter one NULL value would desynchronize the engines
       val ev = Tables.events(s, dir)
+        .where(col("value").isNotNull)
         .select(col("event_id"), col("user_id"),
           unix_micros(col("ts")).as("us"),
           expr("CAST(round(value * 100.0, 0) AS BIGINT)").as("vc"))
@@ -1199,7 +1199,7 @@ object AnalyticsQueries {
             FROM (SELECT event_id, user_id, list(vc) OVER w AS vals
                   FROM (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us,
                           CAST(round(value * 100.0, 0) AS BIGINT) AS vc
-                        FROM events)
+                        FROM events WHERE value IS NOT NULL)
                   WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))"""))
 
@@ -1214,8 +1214,9 @@ object AnalyticsQueries {
     * (partition, order) — Spark plans both frames into one Window exec,
     * one sort, one shuffle. Grid endpoints are known days by
     * construction (min/max over the data), so interior gaps always have
-    * both anchors; all operands are non-negative exact integers, so
-    * Spark's truncating `div` and DuckDB's flooring `//` agree.
+    * both anchors; the value ≥ 0 filter makes every operand a
+    * non-negative exact integer BY CONSTRUCTION, so Spark's truncating
+    * `div` and DuckDB's flooring `//` agree.
     */
   private val resampleInterpolate = Q(
     "resample_interpolate",
@@ -1226,8 +1227,14 @@ object AnalyticsQueries {
       // corpus has events for every (type, day) cell even at sf0.001);
       // this is also the realistic shape: gap repair exists for
       // low-traffic per-entity series, not corpus totals
+      // value >= 0 ENFORCES the non-negativity the truncating-div/
+      // flooring-// agreement below depends on (nothing in the schema
+      // forbids a negative correction row, and one negative anchor would
+      // make the two engines' integer divisions differ by 1); NULLs are
+      // excluded with it
       val ev = Tables.events(s, dir)
-        .where(col("user_id") % 199L === 0L)
+        .where(col("user_id") % 199L === 0L &&
+          col("value").isNotNull && col("value") >= 0.0)
         .select(col("event_type"),
           expr("unix_micros(ts) div 86400000000").as("day_no"),
           expr("CAST(round(value * 100.0, 0) AS BIGINT)").as("vc"))
@@ -1257,7 +1264,8 @@ object AnalyticsQueries {
     Some("""WITH ev AS (
               SELECT event_type, epoch_ns(ts) // 1000 // 86400000000 AS day_no,
                 CAST(round(value * 100.0, 0) AS BIGINT) AS vc
-              FROM events WHERE user_id % 199 = 0),
+              FROM events
+              WHERE user_id % 199 = 0 AND value IS NOT NULL AND value >= 0),
             daily AS (
               SELECT event_type, day_no, CAST(sum(vc) AS BIGINT) AS c
               FROM ev GROUP BY 1, 2),

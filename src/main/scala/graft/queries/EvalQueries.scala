@@ -924,14 +924,6 @@ object EvalQueries {
           FROM rstat r JOIN p$BtRounds p ON p.si = r.source"""
     })
 
-  /** First four md5 hex digits as 0..65535 — the engine-portable uniform
-    * (the CurationQueries helper). */
-  private def md5Hex4(sqlExprStr: String): String =
-    (0 until 4).map { i =>
-      val pow = 1L << (4 * (3 - i))
-      s"(instr('0123456789abcdef', substr(md5($sqlExprStr), ${i + 1}, 1)) - 1) * $pow"
-    }.mkString("(", " + ", ")")
-
   /** Poisson(1) draw from a uniform via the inverse CDF — the Poisson
     * bootstrap's per-(row, replica) weight. Thresholds are the exact
     * partial sums e⁻¹·Σ 1/k! as double literals (identical text both
@@ -955,7 +947,10 @@ object EvalQueries {
     * the bootstrap generalizes to any statistic, Wilson only to a rate.
     * B = 200 replicas; each replica's rate is an exact integer-ppm ratio
     * of BIGINT weighted sums; the 95% band is the declared order-statistic
-    * convention (5th / 196th of the ascending 200). The replica weights
+    * convention k = max(1, ⌊n/40⌋) → (k-th, (n−k+1)-th) of the ascending
+    * surviving replicas — (5th, 196th) at the full 200, and still
+    * well-defined on a tiny stratum where zero-weight replicas drop
+    * (P ≈ e^(−stratum size) each). The replica weights
     * are md5-SEEDED (doc_id | replica), so runs, engines, and cluster
     * sizes agree bit-for-bit while the weight population is exactly
     * Poisson-shaped. Scale shape: the ×B explode fans out doc-id-sized
@@ -972,7 +967,7 @@ object EvalQueries {
           (size(expr(tokenizeExpr)) >= 20 && col("n_chars") >= 100)
             .cast("long").as("x"))
         .localCheckpoint(eager = true) // point estimate + B-replica explode
-      val u16 = md5Hex4("concat(CAST(doc_id AS STRING), '|', CAST(r AS STRING))")
+      val u16 = PortableHash.md5Hex4("concat(CAST(doc_id AS STRING), '|', CAST(r AS STRING))")
       val reps = gated
         .select(col("doc_id"), col("lang"), col("x"),
           explode(expr(s"sequence(0, ${BootstrapB - 1})")).as("r"))
@@ -991,11 +986,19 @@ object EvalQueries {
         .select(col("lang"), col("n"), col("n_pass"),
           expr("(n_pass * 1000000) div n").as("rate_ppm"),
           size(col("rs")).cast("long").as("n_reps"),
-          expr("element_at(rs, 5)").as("boot_lo_ppm"),
-          expr("element_at(rs, 196)").as("boot_hi_ppm"))
+          // indices are SIZE-RELATIVE (k = max(1, ⌊n/40⌋); lo = k-th,
+          // hi = (n−k+1)-th): with all 200 replicas surviving this is
+          // exactly (5th, 196th), and a tiny stratum that loses
+          // zero-weight replicas still gets a well-defined band instead
+          // of an out-of-bounds error under ANSI mode
+          expr("element_at(rs, CAST(greatest(1L, size(rs) div 40) AS INT))")
+            .as("boot_lo_ppm"),
+          expr("""element_at(rs, CAST(size(rs)
+                    - greatest(1L, size(rs) div 40) + 1L AS INT))""")
+            .as("boot_hi_ppm"))
     },
     Some {
-      val u16 = md5Hex4("CAST(doc_id AS VARCHAR) || '|' || CAST(r AS VARCHAR)")
+      val u16 = PortableHash.md5Hex4("CAST(doc_id AS VARCHAR) || '|' || CAST(r AS VARCHAR)")
       s"""WITH gated AS (
             SELECT doc_id, lang,
               CASE WHEN len(list_filter(string_split_regex(lower(text),
@@ -1026,8 +1029,9 @@ object EvalQueries {
           SELECT b.lang, base.n, base.n_pass,
             (base.n_pass * 1000000) // base.n AS rate_ppm,
             CAST(len(b.rs) AS BIGINT) AS n_reps,
-            b.rs[5] AS boot_lo_ppm,
-            b.rs[196] AS boot_hi_ppm
+            b.rs[CAST(greatest(1, len(b.rs) // 40) AS INT)] AS boot_lo_ppm,
+            b.rs[CAST(len(b.rs) - greatest(1, len(b.rs) // 40) + 1 AS INT)]
+              AS boot_hi_ppm
           FROM bands b JOIN base ON base.lang = b.lang"""
     })
 

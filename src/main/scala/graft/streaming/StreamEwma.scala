@@ -38,8 +38,10 @@ final case class EwmaPoint(key: String, dayNo: Long, cnt: Long,
   */
 object StreamEwma {
 
-  /** Age-k weight 3^k·4^(11−k) and the closed-form normalizer — the
-    * batch ts_ewma table verbatim (α = 1/4, 12-day trailing horizon). */
+  /** Age-k weight 3^k·4^(11−k) and the closed-form normalizer
+    * (α = 1/4, 12-day trailing horizon). This is the ONE definition —
+    * the batch `ts_ewma` query references it, so stream ≡ batch parity
+    * on the weight table holds by construction. */
   val Weights: IndexedSeq[Long] =
     (0 to 11).map(k => math.pow(3, k).toLong * math.pow(4, 11 - k).toLong)
   val Norm: Long = Weights.sum // 4^12 − 3^12

@@ -35,14 +35,6 @@ object CurationQueries {
     s"""(instr('0123456789abcdef', substr(md5($sqlExprStr), 1, 1)) - 1) * 16 +
         (instr('0123456789abcdef', substr(md5($sqlExprStr), 2, 1)) - 1)"""
 
-  /** First four md5 hex digits as 0..65535 — finer-grained bucket space
-    * for per-mille-accurate sampling thresholds. */
-  private def md5Hex4(sqlExprStr: String): String =
-    (0 until 4).map { i =>
-      val pow = 1L << (4 * (3 - i))
-      s"(instr('0123456789abcdef', substr(md5($sqlExprStr), ${i + 1}, 1)) - 1) * $pow"
-    }.mkString("(", " + ", ")")
-
   /** Deterministic ~10% sample: hash the key, keep bucket < 26 of 256.
     * Reproducible across runs, engines, and cluster sizes (no RNG, no
     * seed-per-partition state); the predicate is pure column math, so at
@@ -238,7 +230,7 @@ object CurationQueries {
       val tk = udaf(new graft.functions.TopKByValue(10),
         graft.functions.TopKByValue.inputEncoder)
       Tables.documents(s, dir)
-        .withColumn("h", expr(md5Hex4("CAST(doc_id AS STRING)")).cast("long"))
+        .withColumn("h", expr(graft.queries.PortableHash.md5Hex4("CAST(doc_id AS STRING)")).cast("long"))
         .groupBy(col("lang"), col("source"))
         .agg(tk((-col("h")).cast("double"), col("doc_id")).as("top"))
         .select(col("lang"), col("source"),
@@ -253,7 +245,7 @@ object CurationQueries {
                     CAST(row_number() OVER (PARTITION BY lang, source
                       ORDER BY h, doc_id) AS BIGINT) AS rk
                   FROM (SELECT lang, source, doc_id,
-                          CAST(${md5Hex4("CAST(doc_id AS VARCHAR)")} AS BIGINT)
+                          CAST(${graft.queries.PortableHash.md5Hex4("CAST(doc_id AS VARCHAR)")} AS BIGINT)
                             AS h
                         FROM documents))
             WHERE rk <= 10"""))
@@ -497,7 +489,7 @@ object CurationQueries {
             expr("(65536 * (((total div 2) * q) div total_q)) div n_lang"))
             .as("thr"))
       docs
-        .withColumn("bucket", expr(md5Hex4("CAST(doc_id AS STRING)")).cast("long"))
+        .withColumn("bucket", expr(graft.queries.PortableHash.md5Hex4("CAST(doc_id AS STRING)")).cast("long"))
         .join(broadcast(thresholds), "lang")
         .select(col("doc_id"), col("lang"), col("bucket"), col("thr"),
           (col("bucket") < col("thr")).as("keep"))
@@ -516,9 +508,9 @@ object CurationQueries {
                    (65536 * (((total // 2) * q) // total_q)) // n_lang) AS thr
                FROM stats, tot)
              SELECT d.doc_id, d.lang,
-               CAST(${md5Hex4("CAST(d.doc_id AS VARCHAR)")} AS BIGINT) AS bucket,
+               CAST(${graft.queries.PortableHash.md5Hex4("CAST(d.doc_id AS VARCHAR)")} AS BIGINT) AS bucket,
                t.thr,
-               ${md5Hex4("CAST(d.doc_id AS VARCHAR)")} < t.thr AS keep
+               ${graft.queries.PortableHash.md5Hex4("CAST(d.doc_id AS VARCHAR)")} < t.thr AS keep
              FROM documents d JOIN thr t USING (lang)"""))
 
   /** DSIR-style importance resampling (Xie et al. 2023): fit a unigram
@@ -1354,7 +1346,7 @@ object CurationQueries {
       graft.functions.GraftFunctions.register(s)
       val wc = TextArtifacts.wordCounts(s, dir)
         .withColumn("bucket",
-          expr(s"CAST(${md5Hex4("token")} % 4096 AS BIGINT)"))
+          expr(s"CAST(${graft.queries.PortableHash.md5Hex4("token")} % 4096 AS BIGINT)"))
       val raw = wc.groupBy(col("bucket")).agg(sum(col("cnt")).as("rc"))
       // target counts need each doc's lang — a doc-keyed equi-join onto
       // the artifact (co-keyed with its grouping, not a broadcast: the
@@ -1391,7 +1383,7 @@ object CurationQueries {
                FROM toks GROUP BY doc_id, lang, token),
              wc AS (
                SELECT doc_id, lang, cnt,
-                 CAST(${md5Hex4("token")} % 4096 AS BIGINT) AS bucket
+                 CAST(${graft.queries.PortableHash.md5Hex4("token")} % 4096 AS BIGINT) AS bucket
                FROM wc0),
              raw AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS rc
                      FROM wc GROUP BY bucket),
@@ -1433,7 +1425,7 @@ object CurationQueries {
   private val sampleWeightedGumbel = Q(
     "sample_weighted_gumbel",
     (s, dir) => {
-      val u16 = md5Hex4("CAST(doc_id AS STRING)")
+      val u16 = graft.queries.PortableHash.md5Hex4("CAST(doc_id AS STRING)")
       Tables.documents(s, dir)
         .where(col("n_chars") > 0L)
         .withColumn("key_micro", expr(
@@ -1444,7 +1436,7 @@ object CurationQueries {
         .select(col("doc_id"), col("n_chars"), col("key_micro"))
     },
     Some {
-      val u16 = md5Hex4("CAST(doc_id AS VARCHAR)")
+      val u16 = graft.queries.PortableHash.md5Hex4("CAST(doc_id AS VARCHAR)")
       s"""SELECT doc_id, n_chars, key_micro
           FROM (SELECT doc_id, n_chars,
                   CAST(round(ln((CAST(($u16) AS DOUBLE) + 0.5) / 65536.0)

@@ -188,14 +188,6 @@ object MixQueries {
 
   /** First two md5 hex digits as 0..255 — the engine's deterministic
     * split convention (CurationQueries.md5Byte). */
-  /** First four md5 hex digits as 0..65535 — the engine-portable
-    * hashed-feature bucket (the CurationQueries helper). */
-  private def md5Hex4(sqlExprStr: String): String =
-    (0 until 4).map { i =>
-      val pow = 1L << (4 * (3 - i))
-      s"(instr('0123456789abcdef', substr(md5($sqlExprStr), ${i + 1}, 1)) - 1) * $pow"
-    }.mkString("(", " + ", ")")
-
   private def md5Byte(sqlExprStr: String): String =
     s"""(instr('0123456789abcdef', substr(md5($sqlExprStr), 1, 1)) - 1) * 16 +
         (instr('0123456789abcdef', substr(md5($sqlExprStr), 2, 1)) - 1)"""
@@ -499,7 +491,7 @@ object MixQueries {
         .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
           "doc_id")
         .withColumn("bucket",
-          expr(s"CAST(${md5Hex4("token")} % 4096 AS BIGINT)"))
+          expr(s"CAST(${graft.queries.PortableHash.md5Hex4("token")} % 4096 AS BIGINT)"))
         .groupBy(col("source"), col("bucket"))
         .agg(sum(col("cnt")).as("c"))
       val sources = cs.select(col("source")).distinct()
@@ -541,7 +533,7 @@ object MixQueries {
                FROM documents d),
              cs AS (
                SELECT source,
-                 CAST(${md5Hex4("token")} % 4096 AS BIGINT) AS bucket,
+                 CAST(${graft.queries.PortableHash.md5Hex4("token")} % 4096 AS BIGINT) AS bucket,
                  CAST(count(*) AS BIGINT) AS c
                FROM toks GROUP BY 1, 2),
              grid AS (

@@ -89,7 +89,8 @@ class AnalyticsR6Spec extends SparkSpec {
     assert(rows.nonEmpty)
     assert(rows.values.count(_._1) > 10, "sparse series must have gaps")
     val daily = Tables.events(spark, sfDir)
-      .where(col("user_id") % 199L === 0L)
+      .where(col("user_id") % 199L === 0L &&
+        col("value").isNotNull && col("value") >= 0.0)
       .select(col("event_type"),
         expr("unix_micros(ts) div 86400000000").as("day_no"),
         expr("CAST(round(value * 100.0, 0) AS BIGINT)").as("vc"))

@@ -67,6 +67,7 @@ class RakeMedianSpec extends SparkSpec {
           r.getAs[Long]("min_cents"), r.getAs[Long]("max_cents")))).toMap
     assert(rows.nonEmpty)
     val ev = Tables.events(spark, sfDir)
+      .where(col("value").isNotNull)
       .select(col("event_id"), col("user_id"),
         unix_micros(col("ts")).as("us"),
         expr("CAST(round(value * 100.0, 0) AS BIGINT)").as("vc")).collect()
