@@ -1035,7 +1035,115 @@ object EvalQueries {
           FROM bands b JOIN base ON base.lang = b.lang"""
     })
 
+  /** Paired-classifier agreement — the two readouts a gate comparison
+    * runs before swapping filters: McNemar's χ² on the DISCORDANT pairs
+    * ((b−c)²/(b+c) — "do the rule gate and the logreg gate keep
+    * different fractions", the paired test that is valid where two
+    * independent rates are not, because both gates judge the SAME
+    * documents) and Cohen's κ (chance-corrected agreement — raw accord
+    * is inflated whenever both gates mostly say yes). Classifier A is
+    * the rule gate (n_tok ≥ 20 ∧ n_chars ≥ 100), classifier B the
+    * hashed-unigram logit sign (quality_logreg's keep) — both already
+    * oracle-checked elsewhere, so this query adds only the pairing
+    * algebra. Everything is exact: the 2×2 cells are one corpus
+    * aggregate per lang, χ² in milli by cross-multiplied integer
+    * division, κ in ppm as a ratio of two exact BIGINT polynomials
+    * (numerator n·(a+d) − Σ marginal products, denominator n² − Σ) —
+    * no doubles anywhere, the strongest determinism class. Degenerate
+    * cells report −1 (no discordant pairs → χ² undefined; pe = 1 → κ
+    * undefined) rather than dividing by zero.
+    */
+  private val evalAgreement = Q(
+    "eval_agreement",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val judged = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          explode(expr(tokenizeExpr)).as("term"))
+        .withColumn("w_milli",
+          expr(s"CAST((${md5Byte("term")}) AS BIGINT) * 2654435761 % 2001 - 1000"))
+        .groupBy(col("doc_id"), col("lang"), col("n_chars"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("w_milli")).as("sw"))
+        .select(col("lang"),
+          (col("n_tok") >= 20L && col("n_chars") >= 100L).as("ka"),
+          (col("sw") > 0L).as("kb"))
+      judged.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("ka") && col("kb")).cast("long")).as("a"),
+          sum((col("ka") && !col("kb")).cast("long")).as("b"),
+          sum((!col("ka") && col("kb")).cast("long")).as("c"),
+          sum((!col("ka") && !col("kb")).cast("long")).as("d"))
+        .select(col("lang"), col("n"), col("a"), col("b"), col("c"), col("d"),
+          // χ² numerator is non-negative, so truncating div ≡ flooring //;
+          // DECIMAL(38,0) keeps (b−c)²·1000 exact at any corpus scale
+          // (the mix_anneal overflow discipline)
+          expr("""CASE WHEN b + c = 0 THEN CAST(-1 AS BIGINT)
+                  ELSE CAST((CAST(b - c AS DECIMAL(38,0)) * (b - c) * 1000)
+                       div (b + c) AS BIGINT) END""")
+            .as("mcnemar_chi2_milli"),
+          // κ can be NEGATIVE (worse-than-chance), where truncating and
+          // flooring integer division disagree — so the quantization is
+          // floor of ONE double quotient from identical integer inputs
+          // (the eval_auc_rank determinism pattern: identical IEEE ops →
+          // identical floor on both engines)
+          expr("""CASE WHEN CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                    - (CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+                       + CAST(c + d AS DOUBLE) * CAST(b + d AS DOUBLE)) = 0.0
+                    THEN CAST(-1 AS BIGINT)
+                  ELSE CAST(floor(
+                    (CAST(n AS DOUBLE) * CAST(a + d AS DOUBLE)
+                     - (CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+                        + CAST(c + d AS DOUBLE) * CAST(b + d AS DOUBLE)))
+                    * 1000000.0
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                       - (CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+                          + CAST(c + d AS DOUBLE) * CAST(b + d AS DOUBLE))))
+                    AS BIGINT) END""").as("kappa_ppm"))
+    },
+    Some(s"""WITH judged AS (
+               SELECT lang,
+                 (n_tok >= 20 AND n_chars >= 100) AS ka,
+                 (sw > 0) AS kb
+               FROM (SELECT doc_id, lang, n_chars,
+                       CAST(count(*) AS BIGINT) AS n_tok,
+                       CAST(sum(w_milli) AS BIGINT) AS sw
+                     FROM (SELECT doc_id, lang, n_chars,
+                             CAST(${md5Byte("term")} AS BIGINT) * 2654435761
+                               % 2001 - 1000 AS w_milli
+                           FROM (SELECT doc_id, lang, n_chars,
+                                   unnest(list_filter(string_split_regex(
+                                     lower(text), '[^a-z]+'), t -> t <> ''))
+                                     AS term
+                                 FROM documents))
+                     GROUP BY doc_id, lang, n_chars)),
+             cells AS (
+               SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN ka AND kb THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                 CAST(sum(CASE WHEN ka AND NOT kb THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                 CAST(sum(CASE WHEN NOT ka AND kb THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                 CAST(sum(CASE WHEN NOT ka AND NOT kb THEN 1 ELSE 0 END) AS BIGINT) AS d
+               FROM judged GROUP BY lang)
+             SELECT lang, n, a, b, c, d,
+               CASE WHEN b + c = 0 THEN CAST(-1 AS BIGINT)
+                 ELSE CAST((CAST(b - c AS HUGEINT) * (b - c) * 1000)
+                      // (b + c) AS BIGINT) END
+                 AS mcnemar_chi2_milli,
+               CASE WHEN CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                 - (CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+                    + CAST(c + d AS DOUBLE) * CAST(b + d AS DOUBLE)) = 0.0
+                 THEN CAST(-1 AS BIGINT)
+               ELSE CAST(floor(
+                 (CAST(n AS DOUBLE) * CAST(a + d AS DOUBLE)
+                  - (CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+                     + CAST(c + d AS DOUBLE) * CAST(b + d AS DOUBLE)))
+                 * 1000000.0
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                    - (CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+                       + CAST(c + d AS DOUBLE) * CAST(b + d AS DOUBLE))))
+                 AS BIGINT) END AS kappa_ppm
+             FROM cells"""))
+
   val all: Seq[Q] = Seq(evalAucRank, evalCalibrationBins, evalRateCi, evalBleu,
     evalRougeN, evalRougeL, evalChrf, evalTokenF1, evalPassAtK,
-    evalDistinctN, evalEloBt, evalBootstrapCi)
+    evalDistinctN, evalEloBt, evalBootstrapCi, evalAgreement)
 }

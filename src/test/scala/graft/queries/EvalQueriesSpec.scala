@@ -226,6 +226,53 @@ class EvalQueriesSpec extends SparkSpec {
     assert(got.forall(_.getAs[Long]("p_ppm") > 0L))
   }
 
+  test("eval_agreement: 2x2 cells, McNemar chi2, and Cohen's kappa recount") {
+    import org.apache.spark.sql.functions._
+    val rows = Registry.queries("eval_agreement")(spark, sfDir).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("a"), r.getAs[Long]("b"),
+          r.getAs[Long]("c"), r.getAs[Long]("d"),
+          r.getAs[Long]("mcnemar_chi2_milli"), r.getAs[Long]("kappa_ppm"))))
+      .toMap
+    assert(rows.nonEmpty)
+    def md5(sIn: String): Array[Byte] =
+      java.security.MessageDigest.getInstance("MD5").digest(sIn.getBytes("UTF-8"))
+    def wMilli(term: String): Long = {
+      val h = md5(term)
+      val hex = "0123456789abcdef"
+      val b0 = hex.indexOf(Character.forDigit((h(0) >> 4) & 0xF, 16)).toLong
+      val b1 = hex.indexOf(Character.forDigit(h(0) & 0xF, 16)).toLong
+      (b0 * 16 + b1) * 2654435761L % 2001L - 1000L
+    }
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      .collect()
+      .map { r =>
+        val toks = Option(r.getAs[String]("text")).getOrElse("")
+          .toLowerCase.split("[^a-z]+").filter(_.nonEmpty).toSeq
+        val ka = toks.size >= 20 && r.getAs[Long]("n_chars") >= 100
+        val kb = toks.map(wMilli).sum > 0L
+        (r.getAs[String]("lang"), ka, kb, toks.nonEmpty)
+      }
+      .filter(_._4) // zero-token docs emit no judged row on either engine
+    docs.groupBy(_._1).foreach { case (lang, ds) =>
+      val n = ds.length.toLong
+      val a = ds.count(x => x._2 && x._3).toLong
+      val b = ds.count(x => x._2 && !x._3).toLong
+      val c = ds.count(x => !x._2 && x._3).toLong
+      val d = ds.count(x => !x._2 && !x._3).toLong
+      val chi2 = if (b + c == 0) -1L else (b - c) * (b - c) * 1000L / (b + c)
+      val pe = ((a + b) * (a + c) + (c + d) * (b + d)).toDouble
+      val den = n.toDouble * n - pe
+      val kappa = if (den == 0.0) -1L
+        else math.floor((n.toDouble * (a + d) - pe) * 1e6 / den).toLong
+      assert(rows(lang) === ((n, a, b, c, d, chi2, kappa)), s"lang=$lang")
+    }
+    // the sign-safe kappa path is exercised: worse-than-chance agreement
+    // exists on this corpus
+    assert(rows.values.exists(_._7 < 0L))
+  }
+
   test("eval_bootstrap_ci: seeded-Poisson replica recount for one language") {
     import org.apache.spark.sql.functions._
     val rows = Registry.queries("eval_bootstrap_ci")(spark, sfDir).collect()
