@@ -53,14 +53,15 @@ object SimQueries {
     s"CASE WHEN (${terms.mkString(" + ")}) > 0 THEN '1' ELSE '0' END"
   }
 
-  def lshBuckets(emb: DataFrame, planes: Int = NumPlanes): DataFrame = {
-    val code = (0 until planes)
+  def lshBuckets(emb: DataFrame, planes: Int = NumPlanes,
+      firstPlane: Int = 0): DataFrame = {
+    val code = (firstPlane until firstPlane + planes)
       .map(j => expr(signExpr("embedding", j)))
     emb.select(col("vec_id"), concat(code: _*).as("bucket"))
   }
 
-  private def lshOracle(planes: Int = NumPlanes): String = {
-    val codes = (0 until planes).map { j =>
+  private def lshOracle(planes: Int = NumPlanes, firstPlane: Int = 0): String = {
+    val codes = (firstPlane until firstPlane + planes).map { j =>
       val terms = (0 until Dim).map { i =>
         val w = planeWeight(j, i)
         // DuckDB lists are 1-based
@@ -524,29 +525,63 @@ object SimQueries {
     * counting directions — cosine is symmetric, so the two directed copies
     * carry the identical double and the rollup needs no recompute.
     */
+  /** Directed in-bucket top-3 neighbor list — the kNN-graph seed shared
+    * by [[simKnnGraph]] (symmetrized edge output, hash table 0) and
+    * [[simKnnDescent]] (one refinement round over the table-0 ∪ table-1
+    * union). `firstPlane` selects the hash table: planes
+    * [firstPlane, firstPlane+8) — table 1 (planes 8-15) is an independent
+    * md5-derived plane set. Returns (a_id, b_id, cos) with raw
+    * (unrounded) cosine — consumers round on output only, so ranking
+    * always uses the full double. */
+  private def knnSeedDirected(s: SparkSession, dir: String,
+      firstPlane: Int = 0): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    val withBucket = lshBuckets(emb, NumPlanes, firstPlane)
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .withColumn("norm2", expr(dotExpr("embedding", "embedding")))
+      .localCheckpoint(eager = true) // both sides of the bucket self-join
+    val a = withBucket.select(col("bucket"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("norm2").as("a_norm2"))
+    val b = withBucket.select(col("bucket"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("norm2").as("b_norm2"))
+    val tk = udaf(new graft.functions.TopKByValue(3),
+      graft.functions.TopKByValue.inputEncoder)
+    a.join(b, "bucket")
+      .where(col("a_id") =!= col("b_id"))
+      .withColumn("cos",
+        expr(dotExpr("a_emb", "b_emb")) / sqrt(col("a_norm2") * col("b_norm2")))
+      .groupBy(col("a_id"))
+      .agg(tk(col("cos"), col("b_id")).as("top"))
+      .select(col("a_id"), explode(col("top")).as("e"))
+      .select(col("a_id"), col("e._2").as("b_id"), col("e._1").as("cos"))
+  }
+
+  /** Oracle CTE for [[knnSeedDirected]]: `$seedName(a_id, b_id, cos)`
+    * reading buckets from `$bkName`. Splice after a bucket CTE. */
+  private def seedOracle(bkName: String = "bk",
+      seedName: String = "seed"): String = {
+    val dot = SimOracle.dot("a.embedding", "b.embedding")
+    val na  = SimOracle.dot("a.embedding", "a.embedding")
+    val nb  = SimOracle.dot("b.embedding", "b.embedding")
+    s"""$seedName AS (
+          SELECT a_id, b_id, cos FROM (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+              $dot / sqrt($na * $nb) AS cos,
+              row_number() OVER (PARTITION BY a.vec_id
+                ORDER BY $dot / sqrt($na * $nb) DESC, b.vec_id) AS rk
+            FROM embeddings a
+            JOIN $bkName ba ON ba.vec_id = a.vec_id
+            JOIN $bkName bb ON bb.bucket = ba.bucket
+            JOIN embeddings b ON b.vec_id = bb.vec_id
+              AND b.vec_id <> a.vec_id)
+          WHERE rk <= 3)"""
+  }
+
   private val simKnnGraph = Q(
     "sim_knn_graph",
     (s, dir) => {
-      graft.functions.GraftFunctions.register(s)
-      val emb = Tables.embeddings(s, dir)
-      val withBucket = lshBuckets(emb)
-        .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
-        .withColumn("norm2", expr(dotExpr("embedding", "embedding")))
-        .localCheckpoint(eager = true) // both sides of the bucket self-join
-      val a = withBucket.select(col("bucket"), col("vec_id").as("a_id"),
-        col("embedding").as("a_emb"), col("norm2").as("a_norm2"))
-      val b = withBucket.select(col("bucket"), col("vec_id").as("b_id"),
-        col("embedding").as("b_emb"), col("norm2").as("b_norm2"))
-      val tk = udaf(new graft.functions.TopKByValue(3),
-        graft.functions.TopKByValue.inputEncoder)
-      val directed = a.join(b, "bucket")
-        .where(col("a_id") =!= col("b_id"))
-        .withColumn("cos",
-          expr(dotExpr("a_emb", "b_emb")) / sqrt(col("a_norm2") * col("b_norm2")))
-        .groupBy(col("a_id"))
-        .agg(tk(col("cos"), col("b_id")).as("top"))
-        .select(col("a_id"), explode(col("top")).as("e"))
-        .select(col("a_id"), col("e._2").as("b_id"), col("e._1").as("cos"))
+      val directed = knnSeedDirected(s, dir)
       directed
         .select(least(col("a_id"), col("b_id")).as("u"),
           greatest(col("a_id"), col("b_id")).as("v"), col("cos"))
@@ -554,31 +589,122 @@ object SimQueries {
         .agg(round(max(col("cos")), 6).as("cos"),
           (count(lit(1)) === 2L).as("mutual"))
     },
-    Some {
-      val dot = SimOracle.dot("a.embedding", "b.embedding")
-      val na  = SimOracle.dot("a.embedding", "a.embedding")
-      val nb  = SimOracle.dot("b.embedding", "b.embedding")
+    Some(
       s"""WITH bk AS (${lshOracle()}),
-          directed AS (
-            SELECT a_id, b_id, cos FROM (
-              SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-                $dot / sqrt($na * $nb) AS cos,
-                row_number() OVER (PARTITION BY a.vec_id
-                  ORDER BY $dot / sqrt($na * $nb) DESC, b.vec_id) AS rk
-              FROM embeddings a
-              JOIN bk ba ON ba.vec_id = a.vec_id
-              JOIN bk bb ON bb.bucket = ba.bucket
-              JOIN embeddings b ON b.vec_id = bb.vec_id
-                AND b.vec_id <> a.vec_id)
-            WHERE rk <= 3)
+          ${seedOracle()}
           SELECT least(a_id, b_id) AS u, greatest(a_id, b_id) AS v,
             round(max(cos), 6) AS cos,
             count(*) = 2 AS mutual
-          FROM directed
-          GROUP BY least(a_id, b_id), greatest(a_id, b_id)"""
+          FROM seed
+          GROUP BY least(a_id, b_id), greatest(a_id, b_id)"""))
+
+  /** One NN-descent refinement round — the Dong-Charikar-Li iteration
+    * (WWW'11) that graph-based ANN indexes converge by: a vector's
+    * improved neighbor candidates are its current neighbors' neighbors.
+    * Candidates(a) = N(a) ∪ N(N(a)) over the UNDIRECTED seed
+    * neighborhood (reverse edges carry exactly the "b found a"
+    * information NN-descent's sampling step exists to exploit),
+    * re-scored by exact cosine, per-node top-3 re-selected.
+    *
+    * THE SEED MUST SPAN HASH TABLES: over the single-table
+    * [[simKnnGraph]] seed alone, descent is provably a no-op — every
+    * seed edge connects same-bucket nodes, so N(N(a)) stays inside
+    * bucket(a), where the in-bucket top-3 is already exact (measured:
+    * seed ≡ descent bit-for-bit). The descent input is therefore the
+    * union of TWO independent 8-plane hash tables' in-bucket top-3
+    * (planes 0-7 and 8-15 — the LSH-forest seeding graph-ANN builds
+    * use); a hop through a neighbor's OTHER-table bucket is what lets
+    * the round reconnect a neighborhood one table's quantization split.
+    *
+    * Scale shape: the seed is k-bounded (≤ 3 out-edges per node per
+    * table), so the undirected list is ≤ 4·3·n rows and the two-hop
+    * self-join fans out to ≤ 12²·n candidate rows of 8-byte id pairs —
+    * corpus-linear, never the bucket-quadratic of widening LSH probes.
+    * Embedding payloads attach only at the final gather (two hash joins
+    * on vec_id), the re-score is the codegen'd dot_ordered fold, and the
+    * re-select is the k-bounded TopKByValue Aggregator (map-side ≤ 3
+    * rows per node, no rank window). Further rounds repeat the same join
+    * shape; one round is registered because each is plan-identical and
+    * KnnGraphSpec pins the recall gain on a clustered fixture.
+    *
+    * Determinism: ranking uses the raw double cosine with vec_id
+    * tiebreak (the SimQueries convention — identical IEEE fold on both
+    * engines); output rounds to 6 places after selection.
+    */
+  private val simKnnDescent = Q(
+    "sim_knn_descent",
+    (s, dir) => {
+      val seed = knnSeedDirected(s, dir, 0)
+        .union(knnSeedDirected(s, dir, NumPlanes))
+        .select(col("a_id"), col("b_id"))
+      // undirected neighborhood: a→b and b→a both mean "b is near a"
+      val und = seed
+        .union(seed.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+        .distinct()
+        .localCheckpoint(eager = true) // one-hop side + both two-hop sides
+      val twoHop = und.select(col("a_id"), col("b_id").as("mid"))
+        .join(und.select(col("a_id").as("mid"), col("b_id").as("c_id")), "mid")
+        .select(col("a_id"), col("c_id"))
+      val cand = und.select(col("a_id"), col("b_id").as("c_id"))
+        .union(twoHop)
+        .where(col("a_id") =!= col("c_id"))
+        .distinct()
+      val emb = Tables.embeddings(s, dir)
+      val vecs = emb.select(col("vec_id"), col("embedding"),
+        expr(dotExpr("embedding", "embedding")).as("norm2"))
+      val tk = udaf(new graft.functions.TopKByValue(3),
+        graft.functions.TopKByValue.inputEncoder)
+      cand
+        .join(vecs.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+          col("norm2").as("a_norm2")), "a_id")
+        .join(vecs.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          col("norm2").as("c_norm2")), "c_id")
+        .withColumn("cos",
+          expr(dotExpr("a_emb", "c_emb")) / sqrt(col("a_norm2") * col("c_norm2")))
+        .groupBy(col("a_id"))
+        .agg(tk(col("cos"), col("c_id")).as("top"))
+        .select(col("a_id").as("q_id"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("q_id"), col("e._2").as("vec_id"),
+          round(col("e._1"), 6).as("cos"),
+          (col("pos") + 1).cast("long").as("rk"))
+    },
+    Some {
+      val dot = SimOracle.dot("a.embedding", "c.embedding")
+      val na  = SimOracle.dot("a.embedding", "a.embedding")
+      val nc  = SimOracle.dot("c.embedding", "c.embedding")
+      s"""WITH bk AS (${lshOracle()}),
+          bk1 AS (${lshOracle(NumPlanes, NumPlanes)}),
+          ${seedOracle("bk", "seed0")},
+          ${seedOracle("bk1", "seed1")},
+          seed AS (
+            SELECT a_id, b_id FROM seed0
+            UNION
+            SELECT a_id, b_id FROM seed1),
+          und AS (
+            SELECT a_id, b_id FROM seed
+            UNION
+            SELECT b_id, a_id FROM seed),
+          cand AS (
+            SELECT a_id, b_id AS c_id FROM und
+            UNION
+            SELECT x.a_id, y.b_id AS c_id
+            FROM und x JOIN und y ON y.a_id = x.b_id
+            WHERE y.b_id <> x.a_id),
+          scored AS (
+            SELECT cand.a_id AS q_id, cand.c_id AS vec_id,
+              $dot / sqrt($na * $nc) AS cos
+            FROM cand
+            JOIN embeddings a ON a.vec_id = cand.a_id
+            JOIN embeddings c ON c.vec_id = cand.c_id)
+          SELECT q_id, vec_id, round(cos, 6) AS cos, rk FROM (
+            SELECT q_id, vec_id, cos,
+              CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY cos DESC, vec_id) AS BIGINT) AS rk
+            FROM scored)
+          WHERE rk <= 3"""
     })
 
   val all: Seq[Q] = Seq(simLshBuckets, simBruteforce, simAnnBucketed,
     dedupEmbedding, simIvfTopk, simAnnMultiprobe, embedQuantizeInt8,
-    simSqTopk, simKnnGraph)
+    simSqTopk, simKnnGraph, simKnnDescent)
 }
