@@ -846,8 +846,11 @@ object EvalQueries {
     "eval_elo_bt",
     (s, dir) => {
       val (nmat, rstat) = btMatrix(s, dir)
-      val mat = nmat.collect().map(r => (r.getString(0), r.getString(1),
-        r.getLong(2), r.getLong(3))).toSeq // k²-bounded: source catalog
+      // k²-bounded (source catalog²): 256 sources is already far past any
+      // real catalog; a violation throws instead of OOMing the driver
+      val mat = DriverGuard.collectBounded(nmat, 65536, "eval_elo_bt match matrix")
+        .map(r => (r.getString(0), r.getString(1),
+          r.getLong(2), r.getLong(3))).toSeq
       val p = btSolve(mat)
       import s.implicits._
       val pDf = p.toSeq.toDF("source", "p_ppm")

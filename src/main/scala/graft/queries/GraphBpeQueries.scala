@@ -1002,40 +1002,56 @@ object GraphBpeQueries {
            END""")).as("pair"))
       .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
 
+  /** The iterated merge-learning loop over an encoded vocab frame —
+    * shared by `bpe_train` and BpeTrainSpec's negative test. `merges` is
+    * capped (VERDICT r06 task 6): each round localCheckpoints a
+    * vocab-sized frame and appends one driver row, so a mis-sized merge
+    * budget would grind the block manager and the driver for hours
+    * before failing — bound it loudly up front instead. */
+  private[queries] def bpeLearnMerges(enc0: DataFrame, merges: Int)
+      : Seq[(Long, String, Long)] = {
+    require(merges >= 1 && merges <= 4096,
+      s"bpe_train merge budget $merges outside (0, 4096] — one checkpointed " +
+        "vocab frame and one driver round per merge; a budget past real " +
+        "tokenizer vocab sizes is a mis-set knob, not a workload")
+    var enc = enc0
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= merges && !exhausted) {
+      val top = bpePairCounts(enc)
+        .orderBy(col("cnt").desc, col("pair")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        val cnt = top(0).getLong(1)
+        learned += ((r.toLong, pair, cnt))
+        // pair is [a-z ]+ by construction (word_ngrams tokens) — safe
+        // to inline in the replace literal
+        val merged = pair.replace(" ", "")
+        val next = enc.withColumn("s",
+            expr(s"replace(s, ' $pair ', ' $merged ')"))
+          .localCheckpoint(eager = true)
+        graft.identity.Components.unpersistCheckpoint(enc)
+        enc = next
+        r += 1
+      }
+    }
+    graft.identity.Components.unpersistCheckpoint(enc)
+    learned.toSeq
+  }
+
   private val bpeTrain = Q(
     "bpe_train",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val vocab = graft.text.TextArtifacts.vocab(s, dir)
         .select(col("token").as("w"), col("freq"))
-      var enc = vocab.select(col("w"), col("freq"),
+      val enc = vocab.select(col("w"), col("freq"),
         concat(lit(" "), expr("regexp_replace(w, '(.)', '$1 ')")).as("s"))
         .localCheckpoint(eager = true)
-      val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
-      var r = 1
-      var exhausted = false
-      while (r <= BpeTrainMerges && !exhausted) {
-        val top = bpePairCounts(enc)
-          .orderBy(col("cnt").desc, col("pair")).limit(1).collect()
-        if (top.isEmpty) exhausted = true
-        else {
-          val pair = top(0).getString(0)
-          val cnt = top(0).getLong(1)
-          learned += ((r.toLong, pair, cnt))
-          // pair is [a-z ]+ by construction (word_ngrams tokens) — safe
-          // to inline in the replace literal
-          val merged = pair.replace(" ", "")
-          val next = enc.withColumn("s",
-              expr(s"replace(s, ' $pair ', ' $merged ')"))
-            .localCheckpoint(eager = true)
-          graft.identity.Components.unpersistCheckpoint(enc)
-          enc = next
-          r += 1
-        }
-      }
-      graft.identity.Components.unpersistCheckpoint(enc)
       import s.implicits._
-      learned.toSeq.toDF("rk", "pair", "cnt")
+      bpeLearnMerges(enc, BpeTrainMerges).toDF("rk", "pair", "cnt")
     },
     Some {
       val stages = (1 to BpeTrainMerges).map { r =>
@@ -1151,6 +1167,18 @@ object GraphBpeQueries {
     * fold and the packed-argmax backtrack described in the
     * tokenizer_unigram Scaladoc. */
   private[graft] def uniPieces(occ: DataFrame, q: DataFrame): DataFrame = {
+    // Packed-argmax underflow guard (ADVICE r06): the backtrack packs
+    // (score + 10⁹)·64 + (63 − j) and decodes j via % 64, which silently
+    // decodes garbage if any Viterbi score drops below −10⁹ micro-nats.
+    // A path has ≤ UniMaxWordLen pieces, so min(q)·UniMaxWordLen bounds
+    // every dp value — assert it clears the offset (the q frame is
+    // inventory-bounded, ≤ ~330 rows, so this probe job is free).
+    val minQRow = q.agg(min(col("q"))).head()
+    val minQ = if (minQRow.isNullAt(0)) 0L else minQRow.getLong(0)
+    require(minQ * UniMaxWordLen > -1000000000L,
+      s"unigram packed-argmax underflow: min piece score $minQ micro-nats × " +
+        s"$UniMaxWordLen-char words reaches the 10^9 packing offset — widen " +
+        "the offset before trusting any backtrack")
     // per-word candidate list: inventory substrings with their spans —
     // the model side is inventory-bounded, a broadcast by construction
     val cands = occ.join(broadcast(q), "sub")

@@ -24,6 +24,7 @@ object Registry {
       graft.identity.IdentityQueries.all ++
       graft.text.TextQueries.all ++
       graft.text.CurationQueries.all ++
+      graft.text.TrainQueries.all ++
       graft.text.WebQueries.all ++
       graft.text.IndexQueries.all ++
       graft.text.MixQueries.all ++

@@ -967,9 +967,13 @@ object MiningQueries {
     * the ANN candidate generators upstream (the mine_hard_negatives
     * stance); everything from `ranked` down is identical. Determinism:
     * cosines are dot_ordered folds, ranking tiebreaks on vec_id, terms
-    * quantize per row (no tie can sit on a .5 boundary: the term's
-    * absolute value is min(r,K)·10⁹/(K·r), and for r ≤ 495 the
-    * denominator can't produce a half), suffix sums are exact BIGINT.
+    * quantize per row — and the cross-engine guarantee is that Spark's
+    * `round` and DuckDB's `round` both round a half AWAY FROM ZERO on
+    * identical double inputs, so even when the term min(r,K)·10⁹/(K·r)
+    * lands exactly on .5 (possible once 2·10⁹/r is integral, e.g.
+    * r = 1024 — the fixture-sized "no reachable tie for r ≤ 495" bound
+    * does NOT generalize, ADVICE r06) the engines agree; suffix sums
+    * are exact BIGINT.
     */
   private val KnnShapK = 5
 
