@@ -78,7 +78,7 @@ object Bench {
     // Without this, whichever family member ran first absorbed the build
     // (r5: dedup_incremental read 6× slower purely from run ordering).
     // Skipped under SPARK_GRAFT_ONLY (the local-profiling loop): eagerly
-    // building all nine artifacts for one unrelated query would waste
+    // building all artifacts for one unrelated query would waste
     // minutes per iteration; a filtered run that does consume an
     // artifact simply pays its build inside the first timed rep.
     val artifactBuilds: Seq[(String, () => Any)] = if (only.isDefined) Seq() else Seq(
@@ -92,12 +92,77 @@ object Bench {
       "graph_triclosure" -> (() => graft.queries.GraphBpeQueries.coClosure(spark, sfDir)),
       "text_wc" -> (() => graft.text.TextArtifacts.wordCounts(spark, sfDir)),
       "text_vocab" -> (() => graft.text.TextArtifacts.vocab(spark, sfDir)))
-    val artifactTimes: Seq[(String, Double)] = artifactBuilds.map { case (n, fn) =>
+    // A failed build must NOT vanish into an inflated query time
+    // (VERDICT r06 what's-wrong #2): log it and mark the line -1.
+    def buildOnce(): Seq[(String, Double)] = artifactBuilds.map { case (n, fn) =>
       val t0 = System.nanoTime()
-      try fn() catch { case _: Throwable => () }
-      n -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(); true } catch { case e: Throwable =>
+        System.err.println(
+          s"# artifact_build_failed $n ${e.getClass.getName}: ${e.getMessage}")
+        false
+      }
+      n -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val artifactSec = artifactTimes.map(_._2).sum
+    def invalidateArtifacts(): Unit = {
+      graft.dedup.CandidateArtifacts.invalidate()
+      graft.identity.GraphArtifacts.invalidate()
+      graft.queries.GraphBpeQueries.coClosureInvalidate()
+      graft.text.TextArtifacts.invalidate()
+    }
+    // Warm mode (VERDICT r06 task 4): SPARK_GRAFT_ARTIFACT_DIR=<dir>
+    // ensure()s each family against a parquet snapshot dir instead of
+    // cold-building — first run persists (cold), a rerun loads
+    // (artifact lines ≈ parquet-open time) and every query reads the
+    // same frames. Identity of results is the families' fingerprint
+    // contract, spec-pinned.
+    val artifactDir = sys.env.get("SPARK_GRAFT_ARTIFACT_DIR")
+    val artifactSamples: Seq[(String, Seq[Double])] = artifactDir match {
+      case Some(adir) if only.isEmpty =>
+        val ensures: Seq[(String, () => Boolean)] = Seq(
+          "lsh" -> (() => graft.dedup.CandidateArtifacts
+            .ensure(spark, sfDir, s"$adir/lsh")),
+          "graph" -> (() => graft.identity.GraphArtifacts
+            .ensure(spark, sfDir, s"$adir/graph")),
+          "coclosure" -> (() => graft.queries.GraphBpeQueries
+            .coClosureEnsure(spark, sfDir, s"$adir/coclosure")),
+          "text" -> (() => graft.text.TextArtifacts
+            .ensure(spark, sfDir, s"$adir/text")))
+        ensures.map { case (n, fn) =>
+          val t0 = System.nanoTime()
+          val hit = try fn() catch { case e: Throwable =>
+            System.err.println(s"# artifact_ensure_failed $n " +
+              s"${e.getClass.getName}: ${e.getMessage}")
+            false
+          }
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(s"# artifact_ensure $n ${if (hit) "warm" else "cold"}")
+          n -> Seq(dt)
+        }
+      case _ =>
+        // Isolated re-measure (VERDICT r06 task 1): artifact builds were
+        // timed single-shot while queries got best-of-2, so a one-off
+        // JIT/GC/IO stall landed unattributably in an artifact line
+        // (r6: graph_fwd read 25.9 s for a ~1 s derivation). Build
+        // twice — invalidate everything between passes — and report
+        // best-of-2, same protocol as the queries; both samples go to
+        // BENCH_FULL.json for drift forensics.
+        // drop anything the warmup pass memoized (when warmDir == sfDir
+        // the caches are already hot and pass 1 would time a no-op)
+        if (artifactBuilds.nonEmpty) invalidateArtifacts()
+        val pass1 = buildOnce()
+        if (artifactBuilds.nonEmpty) {
+          invalidateArtifacts()
+          System.gc()
+        }
+        val pass2 = buildOnce()
+        pass1.zip(pass2).map { case ((n, a), (_, b)) => n -> Seq(a, b) }
+    }
+    val artifactTimes: Seq[(String, Double)] = artifactSamples.map {
+      case (n, ss) =>
+        val good = ss.filter(_ >= 0)
+        n -> (if (good.isEmpty) -1.0 else good.min)
+    }
+    val artifactSec = artifactTimes.map(_._2).filter(_ >= 0).sum
 
     val results = selected.map { case (name, fn) =>
       val best = (1 to repeat).map { _ =>
@@ -117,12 +182,18 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val artifactsJson = artifactTimes
       .map { case (n, t) => s"\"" + n + "\":" + fmt(t) }.mkString("{", ",", "}")
-    def line(rs: Iterable[(String, Double)]) = {
+    val samplesJson = artifactSamples
+      .map { case (n, ss) => s"\"" + n + "\":[" + ss.map(fmt).mkString(",") + "]" }
+      .mkString("{", ",", "}")
+    def line(rs: Iterable[(String, Double)], withSamples: Boolean = false) = {
       val qs = rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
+      val samples =
+        if (withSamples) s""""artifact_samples":$samplesJson,""" else ""
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""noise":{"start":${fmt(noiseStart)},"end":${fmt(noiseEnd)}},""" +
         s""""artifact_sec":${fmt(artifactSec)},"artifacts":$artifactsJson,""" +
+        samples +
         s""""queries":$qs,"sf":"$sfDir"}"""
     }
     // The driver captures only the last ~2000 chars of the run log; a
@@ -136,7 +207,7 @@ object Bench {
     while (keep > 1 && line(bySlowest.take(keep).sortBy(_._1)).length > 1800)
       keep -= 1
     try {
-      val full = line(bySlowest.sortBy(_._1))
+      val full = line(bySlowest.sortBy(_._1), withSamples = true)
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         (full + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
@@ -146,8 +217,10 @@ object Bench {
     // {"metric":"artifact_build"} line could be picked up as the round's
     // bench record. The machine-readable artifact map rides inside the
     // total line ("artifacts") and BENCH_FULL.json.
-    artifactTimes.foreach { case (n, t) =>
-      println(s"# artifact_build $n ${fmt(t)}s")
+    artifactSamples.foreach { case (n, ss) =>
+      val best = artifactTimes.collectFirst { case (`n`, t) => t }.get
+      println(s"# artifact_build $n ${fmt(best)}s" +
+        (if (ss.length > 1) ss.map(fmt).mkString(" (samples ", " ", ")") else ""))
     }
     println(line(bySlowest.take(keep).sortBy(_._1)))
     spark.stop()

@@ -515,6 +515,50 @@ object GraphBpeQueries {
     })
   }
 
+  /** Drop the cached closure (Bench's isolated re-measure pass). */
+  private[graft] def coClosureInvalidate(): Unit = coClosureCache.clear()
+
+  // Parquet persistence for the closure — the ArtifactStore contract the
+  // other three families already follow (VERDICT r06 task 4: the warm
+  // bench path must cover the 19.7 s triclosure line too, or warm
+  // artifact_sec never approaches 0). nEdges rides as a 1-row frame.
+  private def coClosureFingerprint(s: org.apache.spark.sql.SparkSession,
+      corpusDir: String): String =
+    TableFingerprint.of(s, s"$corpusDir/lineitem.parquet")
+
+  private[graft] def coClosurePersistTo(s: org.apache.spark.sql.SparkSession,
+      corpusDir: String, artifactDir: String): Unit = {
+    val (deg, closed, n) = coClosure(s, corpusDir)
+    import s.implicits._
+    ArtifactStore.writeSnapshot(s, artifactDir,
+      coClosureFingerprint(s, corpusDir),
+      Seq("co_deg" -> deg, "co_closed" -> closed,
+        "co_nedges" -> Seq(n).toDF("n_edges")))
+  }
+
+  private[graft] def coClosureLoadFrom(s: org.apache.spark.sql.SparkSession,
+      corpusDir: String, artifactDir: String): Boolean =
+    ArtifactStore.loadSnapshot(s, artifactDir,
+      coClosureFingerprint(s, corpusDir),
+      Seq("co_deg", "co_closed", "co_nedges")) match {
+      case Some(m) =>
+        val n = m("co_nedges").head().getLong(0)
+        coClosureCache.put((s, corpusDir), (m("co_deg"), m("co_closed"), n))
+        true
+      case None => false
+    }
+
+  /** Load-or-build-and-persist; true when the snapshot was reused. */
+  private[graft] def coClosureEnsure(s: org.apache.spark.sql.SparkSession,
+      corpusDir: String, artifactDir: String): Boolean = {
+    val hit = coClosureLoadFrom(s, corpusDir, artifactDir)
+    if (!hit) {
+      coClosureCache.remove((s, corpusDir)) // stale snapshot ≠ fresh cache
+      coClosurePersistTo(s, corpusDir, artifactDir)
+    }
+    hit
+  }
+
   private val graphTriangles = Q(
     "graph_triangles",
     (s, dir) => {
