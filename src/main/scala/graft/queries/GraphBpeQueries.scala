@@ -1132,6 +1132,131 @@ object GraphBpeQueries {
           $union"""
     })
 
+  /** WordPiece merge rounds over an encoded vocab frame — the
+    * [[bpeLearnMerges]] loop with the LIKELIHOOD-RATIO objective: each
+    * round merges the pair maximizing cnt(ab)/(cnt(a)·cnt(b)) (the
+    * pair whose merge most increases corpus likelihood under a unigram
+    * symbol model — Schuster & Nakajima 2012, the BERT trainer), not
+    * the raw count BPE greedily takes. Scores are integer nano-units
+    * (cnt·10⁹ div (c_l·c_r)) with (score desc, pair) tie-break; ANSI
+    * mode makes a c_l·c_r overflow (corpus past ~3·10⁹ symbol
+    * occurrences) fail loudly — the declared scale path is a
+    * DECIMAL(38) score, not silence. Shares [[bpePairCounts]] and the
+    * checkpoint-release discipline; same 4096 merge-budget cap. */
+  private[queries] def wordpieceLearnMerges(enc0: DataFrame, merges: Int)
+      : Seq[(Long, String, Long, Long)] = {
+    require(merges >= 1 && merges <= 4096,
+      s"tokenizer_wordpiece merge budget $merges outside (0, 4096] — one " +
+        "checkpointed vocab frame and one driver round per merge")
+    var enc = enc0
+    val learned =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= merges && !exhausted) {
+      val syms = enc
+        .select(col("freq"),
+          explode(expr("filter(split(trim(s), ' '), t -> t <> '')")).as("sym"))
+        .groupBy(col("sym")).agg(sum(col("freq")).as("c"))
+      val top = bpePairCounts(enc)
+        .withColumn("l", expr("split(pair, ' ')[0]"))
+        .withColumn("r", expr("split(pair, ' ')[1]"))
+        .join(syms.select(col("sym").as("l"), col("c").as("cl")), "l")
+        .join(syms.select(col("sym").as("r"), col("c").as("cr")), "r")
+        .select(col("pair"), col("cnt"),
+          expr("cnt * 1000000000L div (cl * cr)").as("score"))
+        .orderBy(col("score").desc, col("pair")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getAs[String]("pair")
+        learned += ((r.toLong, pair, top(0).getAs[Long]("cnt"),
+          top(0).getAs[Long]("score")))
+        val merged = pair.replace(" ", "")
+        val next = enc.withColumn("s",
+            expr(s"replace(s, ' $pair ', ' $merged ')"))
+          .localCheckpoint(eager = true)
+        graft.identity.Components.unpersistCheckpoint(enc)
+        enc = next
+        r += 1
+      }
+    }
+    graft.identity.Components.unpersistCheckpoint(enc)
+    learned.toSeq
+  }
+
+  private val WordpieceMerges = 8
+
+  /** WordPiece tokenizer training — the third member of the subword
+    * family (bpe_train = greedy count, tokenizer_unigram = EM pruning,
+    * this = likelihood-ratio merging): per round ONE pair aggregate +
+    * ONE symbol aggregate over the vocabulary frame, a 1-row winner
+    * collect, re-encode, repeat ×8 — corpus appears only through the
+    * shared vocab artifact, work bounded by merges × vocab. The
+    * likelihood objective is what separates it from BPE observably: a
+    * frequent pair of two very frequent symbols (e.g. "e t") loses to a
+    * rarer pair of rare symbols, so the learned tables diverge on real
+    * corpora (WordpieceSpec pins the divergence and an independent
+    * in-memory trainer equality). Oracle: the identical loop unrolled
+    * as MATERIALIZED stage quadruples (pairs → symbol counts → scored
+    * 1-row winner → re-encoded vocab), the bpe_train pattern. */
+  private val tokenizerWordpiece = Q(
+    "tokenizer_wordpiece",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val vocab = graft.text.TextArtifacts.vocab(s, dir)
+        .select(col("token").as("w"), col("freq"))
+      val enc = vocab.select(col("w"), col("freq"),
+        concat(lit(" "), expr("regexp_replace(w, '(.)', '$1 ')")).as("s"))
+        .localCheckpoint(eager = true)
+      import s.implicits._
+      wordpieceLearnMerges(enc, WordpieceMerges)
+        .toDF("rk", "pair", "cnt", "score")
+    },
+    Some {
+      val stages = (1 to WordpieceMerges).map { r =>
+        s"""p$r AS (
+             SELECT syms[i] || ' ' || syms[i + 1] AS pair,
+                    CAST(sum(freq) AS BIGINT) AS cnt
+             FROM (SELECT freq, list_filter(string_split(trim(s), ' '),
+                     t -> t <> '') AS syms FROM enc${r - 1}),
+                  unnest(range(1, len(syms))) AS u(i)
+             GROUP BY 1),
+           sy$r AS (
+             SELECT sym, CAST(sum(freq) AS BIGINT) AS c
+             FROM (SELECT freq, list_filter(string_split(trim(s), ' '),
+                     t -> t <> '') AS syms FROM enc${r - 1}),
+                  unnest(syms) AS u(sym)
+             GROUP BY sym),
+           m$r AS MATERIALIZED (
+             SELECT CAST($r AS BIGINT) AS rk, pair, cnt,
+               CAST(cnt * 1000000000 // (sl.c * sr.c) AS BIGINT) AS score
+             FROM p$r
+             JOIN sy$r sl ON sl.sym = string_split(pair, ' ')[1]
+             JOIN sy$r sr ON sr.sym = string_split(pair, ' ')[2]
+             ORDER BY score DESC, pair LIMIT 1),
+           enc$r AS MATERIALIZED (
+             SELECT w, freq,
+               replace(e.s, ' ' || m.pair || ' ',
+                 ' ' || replace(m.pair, ' ', '') || ' ') AS s
+             FROM enc${r - 1} e, m$r m)"""
+      }.mkString(",\n")
+      val union = (1 to WordpieceMerges)
+        .map(r => s"SELECT rk, pair, cnt, score FROM m$r").mkString(" UNION ALL ")
+      val header =
+        """WITH words AS (
+             SELECT unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS w
+             FROM documents),
+           vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
+                     FROM words GROUP BY w),
+           enc0 AS MATERIALIZED (
+             SELECT w, freq, ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS s
+             FROM vocab),"""
+      s"""$header
+          $stages
+          $union"""
+    })
+
   /** Unigram-LM tokenizer training (Kudo 2018, the SentencePiece model) —
     * one full EM round, distributed: seed a piece inventory from
     * substring statistics, Viterbi-segment every vocabulary word under
@@ -1517,5 +1642,5 @@ object GraphBpeQueries {
     bpeEncode, graphLabelProp, graphTriangles, graphKcore,
     graphCommonNeighbors, graphModularity, graphAssortativity,
     graphDegreeDist, bpeTrain, graphClusteringCoeff, tokenizerUnigram,
-    tokenizerUnigramR2, graphBfsDistance)
+    tokenizerUnigramR2, graphBfsDistance, tokenizerWordpiece)
 }
