@@ -948,4 +948,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("sorted_summin"),
       "ROUGE lost the sorted-merge clipped-match kernel")
   }
+
+  test("sim_knn_descent re-selects via the k-bounded aggregator, never a rank window") {
+    val p = plan("sim_knn_descent")
+    // per-node top-3 must be the TopKByValue ObjectHashAggregate (map-side
+    // ≤ k rows per node reach the exchange); a row_number window here
+    // would sort every candidate list through one exchange per node
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window "),
+      "descent re-select fell back to a rank window")
+    // candidate generation is id-only joins; embeddings attach at the
+    // final gather — never a cartesian
+    assert(!p.contains("CartesianProduct"), "descent plan went all-pairs")
+  }
 }
