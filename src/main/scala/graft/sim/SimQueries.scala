@@ -533,11 +533,10 @@ object SimQueries {
     * md5-derived plane set. Returns (a_id, b_id, cos) with raw
     * (unrounded) cosine — consumers round on output only, so ranking
     * always uses the full double. */
-  private def knnSeedDirected(s: SparkSession, dir: String,
-      firstPlane: Int = 0): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    val emb = Tables.embeddings(s, dir)
-    val withBucket = lshBuckets(emb, NumPlanes, firstPlane)
+  private[sim] def knnSeedDirected(emb: DataFrame,
+      planes: Int = NumPlanes, firstPlane: Int = 0): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val withBucket = lshBuckets(emb, planes, firstPlane)
       .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
       .withColumn("norm2", expr(dotExpr("embedding", "embedding")))
       .localCheckpoint(eager = true) // both sides of the bucket self-join
@@ -581,7 +580,7 @@ object SimQueries {
   private val simKnnGraph = Q(
     "sim_knn_graph",
     (s, dir) => {
-      val directed = knnSeedDirected(s, dir)
+      val directed = knnSeedDirected(Tables.embeddings(s, dir))
       directed
         .select(least(col("a_id"), col("b_id")).as("u"),
           greatest(col("a_id"), col("b_id")).as("v"), col("cos"))
@@ -631,42 +630,61 @@ object SimQueries {
     * tiebreak (the SimQueries convention — identical IEEE fold on both
     * engines); output rounds to 6 places after selection.
     */
+  /** Descent candidate generation over a two-table union seed:
+    * undirected neighborhood ∪ neighbors-of-neighbors as id-only pairs
+    * (a_id, c_id). Exposed for [[graft.BenchKnnDescent]]'s fan-out
+    * telemetry. */
+  def knnDescentCandidates(seed: DataFrame): DataFrame = {
+    // undirected neighborhood: a→b and b→a both mean "b is near a"
+    val und = seed
+      .union(seed.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .distinct()
+      .localCheckpoint(eager = true) // one-hop side + both two-hop sides
+    val twoHop = und.select(col("a_id"), col("b_id").as("mid"))
+      .join(und.select(col("a_id").as("mid"), col("b_id").as("c_id")), "mid")
+      .select(col("a_id"), col("c_id"))
+    und.select(col("a_id"), col("b_id").as("c_id"))
+      .union(twoHop)
+      .where(col("a_id") =!= col("c_id"))
+      .distinct()
+  }
+
+  /** Exact-cosine re-score + k-bounded top-3 re-select over candidate
+    * id-pairs; embedding payloads attach only here (the final gather). */
+  def knnDescentTopK(cand: DataFrame, emb: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val vecs = emb.select(col("vec_id"), col("embedding"),
+      expr(dotExpr("embedding", "embedding")).as("norm2"))
+    val tk = udaf(new graft.functions.TopKByValue(3),
+      graft.functions.TopKByValue.inputEncoder)
+    cand
+      .join(vecs.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        col("norm2").as("a_norm2")), "a_id")
+      .join(vecs.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("norm2").as("c_norm2")), "c_id")
+      .withColumn("cos",
+        expr(dotExpr("a_emb", "c_emb")) / sqrt(col("a_norm2") * col("c_norm2")))
+      .groupBy(col("a_id"))
+      .agg(tk(col("cos"), col("c_id")).as("top"))
+      .select(col("a_id").as("q_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("q_id"), col("e._2").as("vec_id"),
+        round(col("e._1"), 6).as("cos"),
+        (col("pos") + 1).cast("long").as("rk"))
+  }
+
+  /** Two-table seed (planes [0, p) and [p, 2p)) for the descent round —
+    * `planes` is the corpus-scaling knob (buckets = 2^planes per table;
+    * grow planes with n to keep in-bucket candidate sets bounded). */
+  def knnDescentSeed(emb: DataFrame, planes: Int = NumPlanes): DataFrame =
+    knnSeedDirected(emb, planes, 0)
+      .union(knnSeedDirected(emb, planes, planes))
+      .select(col("a_id"), col("b_id"))
+
   private val simKnnDescent = Q(
     "sim_knn_descent",
     (s, dir) => {
-      val seed = knnSeedDirected(s, dir, 0)
-        .union(knnSeedDirected(s, dir, NumPlanes))
-        .select(col("a_id"), col("b_id"))
-      // undirected neighborhood: a→b and b→a both mean "b is near a"
-      val und = seed
-        .union(seed.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-        .distinct()
-        .localCheckpoint(eager = true) // one-hop side + both two-hop sides
-      val twoHop = und.select(col("a_id"), col("b_id").as("mid"))
-        .join(und.select(col("a_id").as("mid"), col("b_id").as("c_id")), "mid")
-        .select(col("a_id"), col("c_id"))
-      val cand = und.select(col("a_id"), col("b_id").as("c_id"))
-        .union(twoHop)
-        .where(col("a_id") =!= col("c_id"))
-        .distinct()
       val emb = Tables.embeddings(s, dir)
-      val vecs = emb.select(col("vec_id"), col("embedding"),
-        expr(dotExpr("embedding", "embedding")).as("norm2"))
-      val tk = udaf(new graft.functions.TopKByValue(3),
-        graft.functions.TopKByValue.inputEncoder)
-      cand
-        .join(vecs.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
-          col("norm2").as("a_norm2")), "a_id")
-        .join(vecs.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-          col("norm2").as("c_norm2")), "c_id")
-        .withColumn("cos",
-          expr(dotExpr("a_emb", "c_emb")) / sqrt(col("a_norm2") * col("c_norm2")))
-        .groupBy(col("a_id"))
-        .agg(tk(col("cos"), col("c_id")).as("top"))
-        .select(col("a_id").as("q_id"), posexplode(col("top")).as(Seq("pos", "e")))
-        .select(col("q_id"), col("e._2").as("vec_id"),
-          round(col("e._1"), 6).as("cos"),
-          (col("pos") + 1).cast("long").as("rk"))
+      knnDescentTopK(knnDescentCandidates(knnDescentSeed(emb)), emb)
     },
     Some {
       val dot = SimOracle.dot("a.embedding", "c.embedding")
