@@ -85,110 +85,201 @@ object TrainQueries {
       w(b) - ((Eta * g + UShift * totTokens) / totTokens - UShift)
     }
 
+  /** The training frame: one row per tokenized doc — (doc_id, n_tok, y,
+    * bc: bounded array of (bucket, cnt)) — checkpointed so the k rounds
+    * scan a materialized RDD. */
+  private def docFeatures(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    TextArtifacts.wordCounts(s, dir)
+      .withColumn("bucket", expr(md5Byte("token")).cast("long"))
+      .groupBy(col("doc_id"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tok"),
+        sort_array(collect_list(struct(col("bucket"), col("cnt")))).as("bc"))
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+        "doc_id")
+      .withColumn("y",
+        expr("CASE WHEN n_tok >= 20 AND n_chars >= 100 THEN 1L ELSE 0L END"))
+      .select(col("doc_id"), col("n_tok"), col("y"), col("bc"))
+      .localCheckpoint(eager = true)
+
+  /** Attach the hard-sigmoid probability `p` (micro-units) under weight
+    * vector `w` — the identical zn → z → p chain the gradient, the
+    * oracle, and the training-dynamics readout all share. */
+  private def withP(docFeat: org.apache.spark.sql.DataFrame,
+      w: Array[Long]): org.apache.spark.sql.DataFrame = {
+    val wLit = w.mkString("array(", "L,", "L)")
+    docFeat
+      .withColumn("zn", expr(
+        s"""aggregate(bc, 0L, (acc, p) ->
+            acc + element_at($wLit, CAST(p.bucket AS INT) + 1) * p.cnt)"""))
+      .withColumn("z", expr(s"(zn + ${ZShift}L * n_tok) div n_tok - ${ZShift}L"))
+      .withColumn("p", expr(
+        s"(greatest(-${ZClamp}L, least(${ZClamp}L, z)) + ${ZClamp}L) div 4"))
+  }
+
+  /** Run the k GD rounds; returns the checkpointed training frame plus
+    * the weight-vector HISTORY [w₀ = 0, w₁, …, w_k] — the training
+    * query reads the last entry, the dynamics query reads the path. */
+  private[text] def trainedWeights(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, Seq[Array[Long]]) = {
+    val docFeat = docFeatures(s, dir)
+    val totTokens = docFeat.agg(sum(col("n_tok"))).head().getLong(0)
+    // S·T and η·|G| ≤ η·10⁶·T must stay inside BIGINT — a corpus past
+    // this bound needs a larger-scale shift constant, not silence.
+    require(totTokens > 0L && totTokens < 8000000000L,
+      s"quality_logreg_train: corpus token count $totTokens outside the " +
+        "exact-integer design range (0, 8e9) — rescale UShift before use")
+    val history = scala.collection.mutable.ArrayBuffer(Array.fill(NumBuckets)(0L))
+    for (_ <- 1 to Rounds) {
+      val grad = withP(docFeat, history.last)
+        .withColumn("e", col("p") - lit(1000000L) * col("y"))
+        .select(explode(col("bc")).as("f"), col("e"))
+        .groupBy(col("f.bucket")).agg(sum(col("e") * col("f.cnt")).as("g"))
+        .collect()
+      // bucket domain is [0, 256) by md5Byte construction; anything
+      // larger means the feature hash broke — fail before the driver
+      // materializes an unbounded frame (VERDICT r06 task 6 discipline)
+      require(grad.length <= NumBuckets,
+        s"gradient has ${grad.length} buckets > $NumBuckets")
+      val gm = grad.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      history += updateWeights(history.last, gm, totTokens)
+    }
+    (docFeat, history.toSeq)
+  }
+
   private val qualityLogregTrain = Q(
     "quality_logreg_train",
     (s, dir) => {
-      val bucketed = TextArtifacts.wordCounts(s, dir)
-        .withColumn("bucket", expr(md5Byte("token")).cast("long"))
-        .groupBy(col("doc_id"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
-      val docFeat = bucketed
-        .groupBy(col("doc_id"))
-        .agg(sum(col("cnt")).as("n_tok"),
-          sort_array(collect_list(struct(col("bucket"), col("cnt")))).as("bc"))
-        .join(Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
-          "doc_id")
-        .withColumn("y",
-          expr("CASE WHEN n_tok >= 20 AND n_chars >= 100 THEN 1L ELSE 0L END"))
-        .select(col("doc_id"), col("n_tok"), col("y"), col("bc"))
-        .localCheckpoint(eager = true) // k rounds scan this one frame
-      val totTokens = docFeat.agg(sum(col("n_tok"))).head().getLong(0)
-      // S·T and η·|G| ≤ η·10⁶·T must stay inside BIGINT — a corpus past
-      // this bound needs a larger-scale shift constant, not silence.
-      require(totTokens > 0L && totTokens < 8000000000L,
-        s"quality_logreg_train: corpus token count $totTokens outside the " +
-          "exact-integer design range (0, 8e9) — rescale UShift before use")
-      var w = Array.fill(NumBuckets)(0L)
-      for (_ <- 1 to Rounds) {
-        val wLit = w.mkString("array(", "L,", "L)")
-        val grad = docFeat
-          .withColumn("zn", expr(
-            s"""aggregate(bc, 0L, (acc, p) ->
-                acc + element_at($wLit, CAST(p.bucket AS INT) + 1) * p.cnt)"""))
-          .withColumn("z", expr(s"(zn + ${ZShift}L * n_tok) div n_tok - ${ZShift}L"))
-          .withColumn("p", expr(
-            s"(greatest(-${ZClamp}L, least(${ZClamp}L, z)) + ${ZClamp}L) div 4"))
-          .withColumn("e", col("p") - lit(1000000L) * col("y"))
-          .select(explode(col("bc")).as("f"), col("e"))
-          .groupBy(col("f.bucket")).agg(sum(col("e") * col("f.cnt")).as("g"))
-          .collect()
-        // bucket domain is [0, 256) by md5Byte construction; anything
-        // larger means the feature hash broke — fail before the driver
-        // materializes an unbounded frame (VERDICT r06 task 6 discipline)
-        require(grad.length <= NumBuckets,
-          s"gradient has ${grad.length} buckets > $NumBuckets")
-        val gm = grad.map(r => r.getLong(0) -> r.getLong(1)).toMap
-        w = updateWeights(w, gm, totTokens)
-      }
+      val (_, history) = trainedWeights(s, dir)
+      val w = history.last
       import s.implicits._
       (0 until NumBuckets).map(b => (b.toLong, w(b))).toDF("bucket", "w_micro")
     },
-    Some {
-      // unrolled MATERIALIZED stages: e_r (per-doc micro-error) →
-      // g_r (per-bucket gradient) → w_r (updated weights), three times.
-      // Round 1 inlines w₀ = 0 (z = 0 → p = 500000).
-      def gradStage(eName: String): String =
-        s"""SELECT bucket, CAST(sum($eName.e * f.cnt) AS BIGINT) AS g
-            FROM feat f JOIN $eName USING (doc_id) GROUP BY bucket"""
-      def updExpr(wExpr: String, gName: String): String =
-        s"""CAST($wExpr - (($Eta * coalesce($gName.g, 0) + $UShift * t.t) // t.t
-              - $UShift) AS BIGINT)"""
-      def errStage(zName: String): String =
-        s"""SELECT doc_id,
-              (least(greatest((zn + $ZShift * n_tok) // n_tok - $ZShift,
-                 -$ZClamp), $ZClamp) + $ZClamp) // 4 - 1000000 * y AS e
-            FROM $zName"""
-      def marginStage(wName: String): String =
-        s"""SELECT l.doc_id, l.n_tok, l.y,
-              CAST(sum($wName.w * f.cnt) AS BIGINT) AS zn
-            FROM lab l JOIN feat f USING (doc_id)
-            JOIN $wName USING (bucket)
-            GROUP BY l.doc_id, l.n_tok, l.y"""
-      s"""WITH toks AS MATERIALIZED (
-            SELECT doc_id, unnest(list_filter(
-              string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS term
-            FROM documents),
-          feat AS MATERIALIZED (
-            SELECT doc_id, CAST(${md5Byte("term")} AS BIGINT) AS bucket,
-              CAST(count(*) AS BIGINT) AS cnt
-            FROM toks GROUP BY doc_id, bucket),
-          lab AS MATERIALIZED (
-            SELECT f.doc_id, CAST(sum(f.cnt) AS BIGINT) AS n_tok,
-              CASE WHEN sum(f.cnt) >= 20 AND max(d.n_chars) >= 100
-                   THEN 1 ELSE 0 END AS y
-            FROM feat f JOIN documents d USING (doc_id)
-            GROUP BY f.doc_id),
-          tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS t FROM lab),
-          bs AS (SELECT CAST(range AS BIGINT) AS bucket FROM range($NumBuckets)),
-          e1 AS MATERIALIZED (
-            SELECT doc_id, 500000 - 1000000 * y AS e FROM lab),
-          g1 AS MATERIALIZED (${gradStage("e1")}),
-          w1 AS MATERIALIZED (
-            SELECT bs.bucket, ${updExpr("0", "g1")} AS w
-            FROM bs LEFT JOIN g1 USING (bucket) CROSS JOIN tot t),
-          z2 AS MATERIALIZED (${marginStage("w1")}),
-          e2 AS MATERIALIZED (${errStage("z2")}),
-          g2 AS MATERIALIZED (${gradStage("e2")}),
-          w2 AS MATERIALIZED (
-            SELECT w1.bucket, ${updExpr("w1.w", "g2")} AS w
-            FROM w1 LEFT JOIN g2 USING (bucket) CROSS JOIN tot t),
-          z3 AS MATERIALIZED (${marginStage("w2")}),
-          e3 AS MATERIALIZED (${errStage("z3")}),
-          g3 AS MATERIALIZED (${gradStage("e3")}),
-          w3 AS (
-            SELECT w2.bucket, ${updExpr("w2.w", "g3")} AS w
-            FROM w2 LEFT JOIN g3 USING (bucket) CROSS JOIN tot t)
-          SELECT bucket, w AS w_micro FROM w3"""
-    })
+    Some(s"""WITH $oracleChain
+             SELECT bucket, w AS w_micro FROM w3"""))
 
-  val all: Seq[Q] = Seq(qualityLogregTrain)
+  // ---------------------------------------------------------------------
+  // Shared oracle chain: the three GD rounds as unrolled MATERIALIZED
+  // stages — e_r (per-doc micro-error) → g_r (per-bucket gradient) →
+  // w_r (updated weights); round 1 inlines w₀ = 0 (z = 0 → p = 500000).
+  // quality_logreg_train selects w3 off this chain; the dynamics query
+  // selects the per-round probability path off z2/z3 — ONE definition,
+  // so the engines' training algebra can only change in lockstep.
+  // ---------------------------------------------------------------------
+
+  private def gradStage(eName: String): String =
+    s"""SELECT bucket, CAST(sum($eName.e * f.cnt) AS BIGINT) AS g
+        FROM feat f JOIN $eName USING (doc_id) GROUP BY bucket"""
+  private def updExpr(wExpr: String, gName: String): String =
+    s"""CAST($wExpr - (($Eta * coalesce($gName.g, 0) + $UShift * t.t) // t.t
+          - $UShift) AS BIGINT)"""
+  /** Shift-protected micro-logit → hard-sigmoid probability (the Spark
+    * `withP` chain verbatim in DuckDB). */
+  private def pExprSql: String =
+    s"""(least(greatest((zn + $ZShift * n_tok) // n_tok - $ZShift,
+           -$ZClamp), $ZClamp) + $ZClamp) // 4"""
+  private def errStage(zName: String): String =
+    s"""SELECT doc_id, $pExprSql - 1000000 * y AS e
+        FROM $zName"""
+  private def marginStage(wName: String): String =
+    s"""SELECT l.doc_id, l.n_tok, l.y,
+          CAST(sum($wName.w * f.cnt) AS BIGINT) AS zn
+        FROM lab l JOIN feat f USING (doc_id)
+        JOIN $wName USING (bucket)
+        GROUP BY l.doc_id, l.n_tok, l.y"""
+
+  private def oracleChain: String =
+    s"""toks AS MATERIALIZED (
+          SELECT doc_id, unnest(list_filter(
+            string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS term
+          FROM documents),
+        feat AS MATERIALIZED (
+          SELECT doc_id, CAST(${md5Byte("term")} AS BIGINT) AS bucket,
+            CAST(count(*) AS BIGINT) AS cnt
+          FROM toks GROUP BY doc_id, bucket),
+        lab AS MATERIALIZED (
+          SELECT f.doc_id, CAST(sum(f.cnt) AS BIGINT) AS n_tok,
+            CASE WHEN sum(f.cnt) >= 20 AND max(d.n_chars) >= 100
+                 THEN 1 ELSE 0 END AS y
+          FROM feat f JOIN documents d USING (doc_id)
+          GROUP BY f.doc_id),
+        tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS t FROM lab),
+        bs AS (SELECT CAST(range AS BIGINT) AS bucket FROM range($NumBuckets)),
+        e1 AS MATERIALIZED (
+          SELECT doc_id, 500000 - 1000000 * y AS e FROM lab),
+        g1 AS MATERIALIZED (${gradStage("e1")}),
+        w1 AS MATERIALIZED (
+          SELECT bs.bucket, ${updExpr("0", "g1")} AS w
+          FROM bs LEFT JOIN g1 USING (bucket) CROSS JOIN tot t),
+        z2 AS MATERIALIZED (${marginStage("w1")}),
+        e2 AS MATERIALIZED (${errStage("z2")}),
+        g2 AS MATERIALIZED (${gradStage("e2")}),
+        w2 AS MATERIALIZED (
+          SELECT w1.bucket, ${updExpr("w1.w", "g2")} AS w
+          FROM w1 LEFT JOIN g2 USING (bucket) CROSS JOIN tot t),
+        z3 AS MATERIALIZED (${marginStage("w2")}),
+        e3 AS MATERIALIZED (${errStage("z3")}),
+        g3 AS MATERIALIZED (${gradStage("e3")}),
+        w3 AS (
+          SELECT w2.bucket, ${updExpr("w2.w", "g3")} AS w
+          FROM w2 LEFT JOIN g3 USING (bucket) CROSS JOIN tot t)"""
+
+  /** Training-dynamics mining (the dataset-cartography readout,
+    * Swayamdipta et al., EMNLP 2020) off the SAME GD trajectory
+    * `quality_logreg_train` walks: per document, the mean and variance
+    * of the TRUE-CLASS probability across the k training checkpoints
+    * (p under w₀, w₁, w₂). High-mean docs are "easy" for the gate,
+    * low-mean docs actively contradict it (mislabel/outlier
+    * candidates — the curation signal cartography exists for), high
+    * variance marks the decision boundary the next labeling round
+    * should spend on. `above_chance` (mean true-class p > ½) is the
+    * knob-free readout; conf/var ship exactly so thresholds stay the
+    * analyst's choice.
+    *
+    * Shape: k scans of the checkpointed training frame (the per-round
+    * p is row-local codegen under a literal weight array), one union,
+    * ONE doc-keyed aggregate — corpus-linear, nothing wider than
+    * (doc_id, p) shuffles. Exactness: p is the integer micro-unit
+    * hard-sigmoid shared with training; mean = Σp̂ div k and
+    * variance = (k·Σp̂² − (Σp̂)²) div k² are exact BIGINT (p̂ ≤ 10⁶ →
+    * k·Σp̂² ≤ 9·10¹²); the oracle reads the identical path off the
+    * shared training chain (p₁ = 500000 constant, p₂/p₃ from z2/z3).
+    */
+  private val mineTrainingDynamics = Q(
+    "mine_training_dynamics",
+    (s, dir) => {
+      val (docFeat, history) = trainedWeights(s, dir)
+      // checkpoints BEFORE each round's update: w₀ … w_{k-1}
+      val path = history.dropRight(1)
+        .map(w => withP(docFeat, w)
+          .select(col("doc_id"), col("y"),
+            expr("CASE WHEN y = 1L THEN p ELSE 1000000L - p END").as("ph")))
+        .reduce(_ union _)
+      path.groupBy(col("doc_id"))
+        .agg(max(col("y")).as("y"), sum(col("ph")).as("sp"),
+          sum(col("ph") * col("ph")).as("sp2"))
+        .select(col("doc_id"), col("y"),
+          expr(s"sp div ${Rounds}L").as("conf_micro"),
+          expr(s"(${Rounds}L * sp2 - sp * sp) div ${Rounds * Rounds}L")
+            .as("var_micro2"),
+          (col("sp") > lit(500000L * Rounds)).as("above_chance"))
+    },
+    Some(s"""WITH $oracleChain,
+             p1 AS (SELECT doc_id, y, CAST(500000 AS BIGINT) AS p FROM lab),
+             p2 AS (SELECT doc_id, y, CAST($pExprSql AS BIGINT) AS p FROM z2),
+             p3 AS (SELECT doc_id, y, CAST($pExprSql AS BIGINT) AS p FROM z3),
+             path AS (
+               SELECT doc_id, y,
+                 CASE WHEN y = 1 THEN p ELSE 1000000 - p END AS ph
+               FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+                     UNION ALL SELECT * FROM p3))
+             SELECT doc_id, CAST(max(y) AS BIGINT) AS y,
+               CAST(sum(ph) // $Rounds AS BIGINT) AS conf_micro,
+               CAST(($Rounds * sum(ph * ph) - sum(ph) * sum(ph))
+                 // ${Rounds * Rounds} AS BIGINT) AS var_micro2,
+               sum(ph) > ${500000L * Rounds} AS above_chance
+             FROM path GROUP BY doc_id"""))
+
+  val all: Seq[Q] = Seq(qualityLogregTrain, mineTrainingDynamics)
 }

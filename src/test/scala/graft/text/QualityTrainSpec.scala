@@ -70,6 +70,71 @@ class QualityTrainSpec extends SparkSpec {
     assert(expected.exists(_ != 0L))
   }
 
+  /** Local GD replay that also records each doc's true-class probability
+    * path (p under w₀, w₁, w₂) — the dynamics the cartography readout
+    * aggregates. */
+  private def localDynamics(
+      feats: Seq[(Map[Long, Long], Long)]): Map[Long, Seq[Long]] = {
+    // re-derive the weight history with the same integer arithmetic
+    val totTokens = feats.map(_._1.values.sum).sum
+    var w = Array.fill(256)(0L)
+    val hist = scala.collection.mutable.ArrayBuffer(w)
+    for (_ <- 1 to 3) {
+      val grad = scala.collection.mutable.Map.empty[Long, Long]
+      feats.foreach { case (bc, y) =>
+        val nTok = bc.values.sum
+        val zn = bc.map { case (b, c) => w(b.toInt) * c }.sum
+        val z = (zn + 10000000000L * nTok) / nTok - 10000000000L
+        val p = (math.max(-2000000L, math.min(2000000L, z)) + 2000000L) / 4
+        val e = p - 1000000L * y
+        bc.foreach { case (b, c) => grad(b) = grad.getOrElse(b, 0L) + e * c }
+      }
+      w = TrainQueries.updateWeights(w, grad.toMap, totTokens)
+      hist += w
+    }
+    // probability path per doc index under each pre-update checkpoint
+    feats.zipWithIndex.map { case ((bc, y), i) =>
+      val nTok = bc.values.sum
+      val path = hist.dropRight(1).map { wk =>
+        val zn = bc.map { case (b, c) => wk(b.toInt) * c }.sum
+        val z = (zn + 10000000000L * nTok) / nTok - 10000000000L
+        val p = (math.max(-2000000L, math.min(2000000L, z)) + 2000000L) / 4
+        if (y == 1L) p else 1000000L - p
+      }
+      i.toLong -> path.toSeq
+    }.toMap
+  }
+
+  test("mine_training_dynamics equals the local probability-path recount") {
+    // keyed by doc: recompute (conf, var, above_chance) from the local
+    // path and compare cell by cell
+    val nChars = Tables.documents(spark, sfDir).select("doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val feats: Seq[(Long, Map[Long, Long], Long)] =
+      TextArtifacts.wordCounts(spark, sfDir).collect()
+        .map(r => (r.getLong(0), md5Bucket(r.getString(1)), r.getLong(2)))
+        .groupBy(_._1).toSeq.map { case (doc, rows) =>
+          val bc = rows.groupBy(_._2).map { case (b, rs) => b -> rs.map(_._3).sum }
+          val nTok = bc.values.sum
+          (doc, bc, if (nTok >= 20 && nChars(doc) >= 100) 1L else 0L)
+        }
+    val paths = localDynamics(feats.map(f => (f._2, f._3)))
+    val expected = feats.zipWithIndex.map { case ((doc, _, _), i) =>
+      val ph = paths(i.toLong)
+      val sp = ph.sum; val sp2 = ph.map(p => p * p).sum
+      doc -> ((sp / 3, (3 * sp2 - sp * sp) / 9, sp > 1500000L))
+    }.toMap
+    val got = Registry.queries("mine_training_dynamics")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got.size === expected.size)
+    expected.foreach { case (doc, e) =>
+      assert(got(doc) === e, s"doc $doc")
+    }
+    // the trajectory is non-degenerate: some doc moved off p = 500000
+    assert(got.values.exists(_._2 > 0L), "all variances zero — no dynamics")
+  }
+
   test("learned weights beat the fixed vector's AUC on a separable fixture") {
     // Fixture: positives (≥20 tokens, ≥100 chars) draw from token set A,
     // negatives (short) from disjoint set B — composition carries the
