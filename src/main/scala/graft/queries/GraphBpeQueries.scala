@@ -515,7 +515,15 @@ object GraphBpeQueries {
     })
   }
 
-  /** Drop the cached closure (Bench's isolated re-measure pass). */
+  /** Drop the cached closure (Bench's isolated re-measure pass). Block
+    * reclamation (ADVICE r06: a long-lived multi-corpus session pins one
+    * checkpointed deg + closed frame per corpus dir): clearing the map
+    * drops the only strong references to the checkpointed frames, and
+    * Spark's ContextCleaner unpersists a localCheckpoint's RDD blocks
+    * once the RDD object is garbage-collected — so a multi-corpus
+    * session bounds its block-manager footprint by invalidating between
+    * corpora (calling `unpersist()` here would be a no-op: it uncaches
+    * CacheManager entries, not checkpoint blocks). */
   private[graft] def coClosureInvalidate(): Unit = coClosureCache.clear()
 
   // Parquet persistence for the closure — the ArtifactStore contract the
@@ -1638,9 +1646,69 @@ object GraphBpeQueries {
           FROM c$BfsRounds GROUP BY dist"""
     })
 
+  // Two rounds of Kleinberg's HITS over the directed signup alias graph
+  // — the hub/authority companion of graph_pagerank's eigenvector view.
+  // The graph is bipartite by construction (fwd's namespace offset makes
+  // users pure hubs and alias nodes pure authorities), so the classic
+  // alternating update is exact here: h⁰ ≡ 1 ⇒ a¹ = in-degree (an exact
+  // BIGINT), and each subsequent half-step is one shuffle on the shared
+  // checkpointed edge artifact — at 100 TB the edge list is
+  // hash-partitioned once and every half-step reuses that exchange (the
+  // pagerank/Components stance). HITS normalizes by the L2 norm, which
+  // is an order-sensitive double; this engine normalizes by the MAX
+  // score in ppm instead (same fixed point up to scale on a bipartite
+  // graph, and the division is a single exact integer op per node — the
+  // §7.4.1 cross-row-double rule). Readout: top-10 per side with a
+  // deterministic (score desc, node) total order.
+  private val graphHits = Q(
+    "graph_hits",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val fwd = graft.identity.GraphArtifacts.fwd(s, dir)
+      val a1 = fwd.groupBy(col("dst")).agg(count(lit(1)).as("a1"))
+      val a1p = a1.crossJoin(broadcast(a1.agg(max(col("a1")).as("m1")))) // 1-row max
+        .select(col("dst"), expr("a1 * 1000000 div m1").as("a1p"))
+      val h1 = fwd.join(a1p, "dst")
+        .groupBy(col("src")).agg(sum(col("a1p")).as("h1"))
+      val h1p = h1.crossJoin(broadcast(h1.agg(max(col("h1")).as("mh")))) // 1-row max
+        .select(col("src"), expr("h1 * 1000000 div mh").as("h1p"))
+      val a2 = fwd.join(h1p, "src")
+        .groupBy(col("dst")).agg(sum(col("h1p")).as("a2"))
+      val a2p = a2.crossJoin(broadcast(a2.agg(max(col("a2")).as("ma")))) // 1-row max
+        .select(col("dst"), expr("a2 * 1000000 div ma").as("a2p"))
+      h1p.select(lit("hub").as("side"), col("src").as("node"),
+          col("h1p").as("score_ppm"))
+        .unionAll(a2p.select(lit("auth").as("side"), col("dst").as("node"),
+          col("a2p").as("score_ppm")))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("side"))
+          .orderBy(col("score_ppm").desc, col("node"))).cast("long"))
+        .where(col("rk") <= 10)
+    },
+    Some(s"""WITH ${graft.identity.GraphArtifacts.fwdOracle},
+        a1 AS (SELECT dst, CAST(count(*) AS BIGINT) AS a1 FROM fwd GROUP BY dst),
+        a1p AS (SELECT dst, CAST(a1 * 1000000 // m1 AS BIGINT) AS a1p
+                FROM a1, (SELECT max(a1) AS m1 FROM a1)),
+        h1 AS (SELECT f.src, CAST(sum(p.a1p) AS BIGINT) AS h1
+               FROM fwd f JOIN a1p p ON f.dst = p.dst GROUP BY f.src),
+        h1p AS (SELECT src, CAST(h1 * 1000000 // mh AS BIGINT) AS h1p
+                FROM h1, (SELECT max(h1) AS mh FROM h1)),
+        a2 AS (SELECT f.dst, CAST(sum(p.h1p) AS BIGINT) AS a2
+               FROM fwd f JOIN h1p p ON f.src = p.src GROUP BY f.dst),
+        a2p AS (SELECT dst, CAST(a2 * 1000000 // ma AS BIGINT) AS a2p
+                FROM a2, (SELECT max(a2) AS ma FROM a2)),
+        u AS (SELECT 'hub' AS side, src AS node, h1p AS score_ppm FROM h1p
+              UNION ALL
+              SELECT 'auth' AS side, dst AS node, a2p AS score_ppm FROM a2p)
+        SELECT side, node, score_ppm, rk FROM (
+          SELECT side, node, score_ppm,
+            CAST(row_number() OVER (PARTITION BY side
+              ORDER BY score_ppm DESC, node) AS BIGINT) AS rk
+          FROM u)
+        WHERE rk <= 10"""))
+
   val all: Seq[Q] = Seq(joinMultiwayRevenue, graphPagerank, bpeMergeTopk,
     bpeEncode, graphLabelProp, graphTriangles, graphKcore,
     graphCommonNeighbors, graphModularity, graphAssortativity,
     graphDegreeDist, bpeTrain, graphClusteringCoeff, tokenizerUnigram,
-    tokenizerUnigramR2, graphBfsDistance, tokenizerWordpiece)
+    tokenizerUnigramR2, graphBfsDistance, tokenizerWordpiece, graphHits)
 }

@@ -69,4 +69,43 @@ class RankGraphStatSpec extends SparkSpec {
     // user↔item bipartite graphs are disassortative by construction
     assert(r.getAs[Long]("assort_micro") < 0L)
   }
+
+  test("graph_hits matches a local integer HITS recompute") {
+    val off = graft.identity.GraphArtifacts.Offset
+    val fwd = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("src"),
+        (get_json_object(col("props"), "$.k").cast("long") + off).as("dst"))
+      .distinct().collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")))
+    // h0 ≡ 1 ⇒ a1 = in-degree; each half-step ppm-normalizes by the max
+    val a1 = fwd.groupBy(_._2).map { case (v, es) => v -> es.length.toLong }
+    val m1 = a1.values.max
+    val a1p = a1.map { case (v, a) => v -> a * 1000000L / m1 }
+    val h1 = fwd.groupBy(_._1).map { case (u, es) =>
+      u -> es.map { case (_, v) => a1p(v) }.sum
+    }
+    val mh = h1.values.max
+    val h1p = h1.map { case (u, h) => u -> h * 1000000L / mh }
+    val a2 = fwd.groupBy(_._2).map { case (v, es) =>
+      v -> es.map { case (u, _) => h1p(u) }.sum
+    }
+    val ma = a2.values.max
+    val a2p = a2.map { case (v, a) => v -> a * 1000000L / ma }
+    def top10(m: Map[Long, Long]): Seq[(Long, Long, Long)] =
+      m.toSeq.sortBy { case (n, s) => (-s, n) }.take(10)
+        .zipWithIndex.map { case ((n, s), i) => (n, s, i + 1L) }
+    val expected =
+      top10(h1p).map { case (n, s, rk) => ("hub", n, s, rk) } ++
+        top10(a2p).map { case (n, s, rk) => ("auth", n, s, rk) }
+    val got = Registry.queries("graph_hits")(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("side"), r.getAs[Long]("node"),
+        r.getAs[Long]("score_ppm"), r.getAs[Long]("rk")))
+    assert(got.sortBy(t => (t._1, t._4)) ===
+      expected.sortBy(t => (t._1, t._4)))
+    // hubs and authorities live in disjoint namespaces
+    got.foreach { case (side, node, _, _) =>
+      assert((side == "auth") === (node >= off))
+    }
+  }
 }
