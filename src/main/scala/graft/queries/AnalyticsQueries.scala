@@ -1104,6 +1104,131 @@ object AnalyticsQueries {
           LEFT JOIN contrib c ON c.event_type = g.event_type AND c.day_no = g.day_no"""
     })
 
+  /** Exact dyadic Holt coefficient tables (see [[tsHolt]]): index k =
+    * age of the observation (0 = the current day), numerators over
+    * 2^24. Derived at class-init by running the recurrence SYMBOLICALLY
+    * — the state is the coefficient vector of each observation in
+    * (level, trend), held as BigInt numerators over 2^60; with
+    * α = β = 1/2 every update is a halving, exactness asserted at each
+    * step (≤ 23 halvings reach any coefficient, so 2^24 scaling is
+    * lossless — the assert turns a silent truncation into a failed
+    * class-init). Trend coefficients of old observations are NEGATIVE
+    * (they pull the slope down), which is why the readout divides via
+    * floor on a double quotient rather than integer div (see tsHolt). */
+  private[graft] val HoltScale: Long = 1L << 24
+  private[graft] val HoltHorizon: Int = 12
+  private[graft] val (holtLevelW, holtTrendW): (Seq[Long], Seq[Long]) = {
+    val S = 60
+    def half(n: BigInt): BigInt = {
+      require(!n.testBit(0), s"Holt halving lost a bit: $n")
+      n >> 1
+    }
+    var l = Vector.fill(HoltHorizon)(BigInt(0))
+    var b = Vector.fill(HoltHorizon)(BigInt(0))
+    val one = BigInt(1) << S
+    for (i <- 0 until HoltHorizon) {
+      // y_i enters: l' = (y + l + b)/2 ; b' = (l' − l)/2 + b/2
+      val l2 = Vector.tabulate(HoltHorizon) { j =>
+        half((if (j == i) one else BigInt(0)) + l(j) + b(j))
+      }
+      val b2 = Vector.tabulate(HoltHorizon) { j => half(l2(j) - l(j)) + half(b(j)) }
+      l = l2; b = b2
+    }
+    val down = BigInt(1) << (S - 24)
+    def scaled(v: Vector[BigInt]): Seq[Long] = (0 until HoltHorizon).map { k =>
+      val n = v(HoltHorizon - 1 - k) // age k = the last-processed obs
+      require(n % down == 0, s"Holt weight not representable over 2^24: $n")
+      (n / down).toLong
+    }
+    (scaled(l), scaled(b))
+  }
+
+  /** Holt's linear-trend smoothing (Holt 1957, double exponential
+    * smoothing) of the daily event count per event_type — the
+    * level + slope companion of ts_ewma's level-only line, and the
+    * simplest forecast a capacity planner reads (`forecast = l + b`).
+    * The order-dependent recurrence l' = αy + (1−α)(l+b),
+    * b' = β(l'−l) + (1−β)b is made EXACT and order-free the same way
+    * ts_ewma is: α = β = 1/2 over a trailing 12-day horizon seeded at
+    * zero means every observation's coefficient in (l, b) is a fixed
+    * dyadic rational — two 12-entry BIGINT tables over 2^24, derived
+    * symbolically at class-init ([[holtLevelW]]) — so each data day
+    * just EMITS its 12 weighted forward contributions (bounded fan-out
+    * riding the daily aggregate, never the raw events) and ONE groupBy
+    * sums exact integers. Missing days count 0 via the min..max grid
+    * and still receive trailing mass. Trend sums can be NEGATIVE, where
+    * Spark's `div` (truncates) and DuckDB's `//` (floors) diverge — the
+    * readout instead floors ONE double quotient computed from identical
+    * integer inputs on both engines (the eval_agreement κ pattern).
+    * Scale: one shuffle on (type, day) partial aggregates; the weight
+    * explode fans out 12× on the days×types frame only. */
+  private val tsHolt = Q(
+    "ts_holt",
+    (s, dir) => {
+      val wl = holtLevelW.mkString("L,") + "L"
+      val wb = holtTrendW.mkString("L,") + "L"
+      val daily = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day_no"))
+        .groupBy(col("event_type"), col("day_no"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(eager = true) // grid bounds + contributions + readout
+      val grid = daily.groupBy(col("event_type"))
+        .agg(min(col("day_no")).as("d0"), max(col("day_no")).as("d1"))
+        .select(col("event_type"),
+          explode(expr("sequence(d0, d1)")).as("day_no"))
+      val contrib = daily
+        .select(col("event_type"), col("day_no"), col("cnt"),
+          explode(expr(s"sequence(0, ${HoltHorizon - 1})")).as("k"))
+        .select(col("event_type"), (col("day_no") + col("k")).as("day_no"),
+          expr(s"cnt * element_at(array($wl), CAST(k + 1 AS INT))").as("cl"),
+          expr(s"cnt * element_at(array($wb), CAST(k + 1 AS INT))").as("cb"))
+        .groupBy(col("event_type"), col("day_no"))
+        .agg(sum(col("cl")).as("sl"), sum(col("cb")).as("sb"))
+      grid
+        .join(daily, Seq("event_type", "day_no"), "left")
+        .join(contrib, Seq("event_type", "day_no"), "left")
+        .select(col("event_type"), col("day_no"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"),
+          expr(s"CAST(floor(CAST(1000 * coalesce(sl, 0L) AS DOUBLE) / $HoltScale.0) AS BIGINT)")
+            .as("level_milli"),
+          expr(s"CAST(floor(CAST(1000 * coalesce(sb, 0L) AS DOUBLE) / $HoltScale.0) AS BIGINT)")
+            .as("trend_milli"),
+          expr(s"CAST(floor(CAST(1000 * (coalesce(sl, 0L) + coalesce(sb, 0L)) AS DOUBLE) / $HoltScale.0) AS BIGINT)")
+            .as("forecast_milli"))
+    },
+    Some {
+      val wl = holtLevelW.mkString("[", ", ", "]")
+      val wb = holtTrendW.mkString("[", ", ", "]")
+      s"""WITH daily AS (
+            SELECT event_type, epoch_ns(ts) // 1000 // 86400000000 AS day_no,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2),
+          grid AS (
+            SELECT event_type, unnest(range(min(day_no), max(day_no) + 1))
+                     AS day_no
+            FROM daily GROUP BY event_type),
+          contrib AS (
+            SELECT event_type, day_no + k AS day_no,
+                   CAST(sum(cnt * ($wl)[k + 1]) AS BIGINT) AS sl,
+                   CAST(sum(cnt * ($wb)[k + 1]) AS BIGINT) AS sb
+            FROM (SELECT event_type, day_no, cnt,
+                         unnest(range(0, $HoltHorizon)) AS k
+                  FROM daily)
+            GROUP BY 1, 2)
+          SELECT g.event_type, g.day_no,
+                 coalesce(d.cnt, 0) AS cnt,
+                 CAST(floor(CAST(1000 * coalesce(c.sl, 0) AS DOUBLE) / $HoltScale.0) AS BIGINT)
+                   AS level_milli,
+                 CAST(floor(CAST(1000 * coalesce(c.sb, 0) AS DOUBLE) / $HoltScale.0) AS BIGINT)
+                   AS trend_milli,
+                 CAST(floor(CAST(1000 * (coalesce(c.sl, 0) + coalesce(c.sb, 0)) AS DOUBLE) / $HoltScale.0) AS BIGINT)
+                   AS forecast_milli
+          FROM grid g
+          LEFT JOIN daily d ON d.event_type = g.event_type AND d.day_no = g.day_no
+          LEFT JOIN contrib c ON c.event_type = g.event_type AND c.day_no = g.day_no"""
+    })
+
   /** Differentially-private release of per-(event_type, day) counts —
     * the privacy-preserving usage report a training-data platform
     * publishes about its corpus: Laplace(b = 20) noise on each count
@@ -1303,8 +1428,8 @@ object AnalyticsQueries {
       attributionMultitouch,
       experimentTtest, cdcLogCompact, abSrmCheck, funnelWindow,
       joinScd2Pit, streakIslands, trendWowGrowth, trendDowAnomaly,
-      eventsConcentration, tsEwma, privacyDpCounts, windowRollingMedian,
-      resampleInterpolate, eventsPathTopk)
+      eventsConcentration, tsEwma, tsHolt, privacyDpCounts,
+      windowRollingMedian, resampleInterpolate, eventsPathTopk)
 
   /** Top user paths — the "what journeys do users actually take"
     * product-analytics readout next to event_transitions' single-step
