@@ -898,8 +898,76 @@ object TextQueries {
                   FROM perdoc)
             WHERE rk <= 3"""))
 
+  // Spearman rank correlation per lang between document length
+  // (n_chars) and whitespace token count — the redundancy check a
+  // curation stack runs before treating both as independent quality
+  // features (ρ ≈ 1 ⇒ one of them carries no extra signal). Ties are
+  // broken by doc_id into a deterministic TOTAL order (the
+  // eval_kendall_tau stance — the classic 6Σd² form is exact only on a
+  // total order, and an engine-dependent tie order would flip ranks),
+  // so every rank, d², and the n(n²−1) − 6Σd² numerator is an exact
+  // BIGINT on both engines; the ρ readout floors one double quotient
+  // (num can be negative — the ts_holt div-vs-floor rule). Scale: two
+  // rank windows = one lang-partitioned sort each; per-lang data at
+  // corpus scale makes this the range-partitioned global-sort rank
+  // (Spark's window path under AQE), and the n³ BIGINT terms are exact
+  // to ~2M docs per lang — past that ANSI overflow fails loudly and the
+  // declared path is DECIMAL(38) (the tokenizer_wordpiece stance).
+  private val corrSpearman = Q(
+    "corr_spearman",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        size(expr("filter(split(text, '\\\\s+'), t -> t <> '')")).cast("long")
+          .as("toks"))
+      val r1 = row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("toks"), col("doc_id")))
+        .cast("long")
+      val r2 = row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id")))
+        .cast("long")
+      d.select(col("lang"), ((r1 - r2) * (r1 - r2)).as("d2"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("d2")).as("sd2"))
+        .where(col("n_docs") >= 2)
+        .select(col("lang"), col("n_docs"), col("sd2"),
+          expr("n_docs * (n_docs * n_docs - 1) - 6 * sd2").as("rho_num"),
+          expr("n_docs * (n_docs * n_docs - 1)").as("rho_den"),
+          expr("""CAST(floor(1000.0
+                 * CAST(n_docs * (n_docs * n_docs - 1) - 6 * sd2 AS DOUBLE)
+                 / CAST(n_docs * (n_docs * n_docs - 1) AS DOUBLE)) AS BIGINT)""")
+            .as("rho_milli"))
+    },
+    Some("""WITH d AS (
+              SELECT doc_id, lang, n_chars,
+                CAST(len(list_filter(string_split_regex(text, '\s+'),
+                  t -> t <> '')) AS BIGINT) AS toks
+              FROM documents),
+            r AS (
+              SELECT lang,
+                CAST(row_number() OVER (PARTITION BY lang
+                  ORDER BY toks, doc_id) AS BIGINT) AS r1,
+                CAST(row_number() OVER (PARTITION BY lang
+                  ORDER BY n_chars, doc_id) AS BIGINT) AS r2
+              FROM d),
+            a AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum((r1 - r2) * (r1 - r2)) AS BIGINT) AS sd2
+              FROM r GROUP BY lang
+              HAVING count(*) >= 2)
+            SELECT lang, n_docs, sd2,
+              CAST(n_docs * (n_docs * n_docs - 1) - 6 * sd2 AS BIGINT) AS rho_num,
+              CAST(n_docs * (n_docs * n_docs - 1) AS BIGINT) AS rho_den,
+              CAST(floor(1000.0
+                * CAST(n_docs * (n_docs * n_docs - 1) - 6 * sd2 AS DOUBLE)
+                / CAST(n_docs * (n_docs * n_docs - 1) AS DOUBLE)) AS BIGINT)
+                AS rho_milli
+            FROM a"""))
+
   val all: Seq[Q] = Seq(textTokens, textQuality, textLangid, textFingerprint,
     tokenCount, textTfidf, textUnigramNll, textBm25, textEntropy, corpusStats,
     textBigramNll, textReadability, lmKnBigram, evalLangidConfusion,
-    textSentenceStats, textLexicalDiversity, textZipfFit, textRakeKeywords)
+    textSentenceStats, textLexicalDiversity, textZipfFit, textRakeKeywords,
+    corrSpearman)
 }
