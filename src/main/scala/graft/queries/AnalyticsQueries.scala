@@ -1104,6 +1104,96 @@ object AnalyticsQueries {
           LEFT JOIN contrib c ON c.event_type = g.event_type AND c.day_no = g.day_no"""
     })
 
+  /** Kaplan–Meier survival over user lifetimes — the censoring-aware
+    * churn curve cohort_retention cannot give (a user still active at
+    * observation end is EVIDENCE of survival ≥ t, not of churn at t;
+    * naive retention counts them as churned). Lifetime = last − first
+    * event day; users with last_day within 2 days of the corpus max are
+    * right-censored (still active). At each distinct lifetime t:
+    * n_risk = users with lifetime ≥ t (suffix sum), n_deaths = uncensored
+    * users ending exactly at t, and Ŝ(t) = Π (n−d)/n over u ≤ t.
+    * Determinism for the order-dependent product: per-STEP micro-nat
+    * quantization round(ln((n−d)/n)·10⁶) (the §7.4.1 per-row rule — both
+    * engines take ln of the identical rational double), then exact
+    * integer cumulative sum, then ONE exp readout rounded to ppm. A step
+    * where everyone at risk dies (ln 0) sets a cumulative dead-end flag
+    * instead of propagating −∞. Scale: ONE user-keyed aggregate over the
+    * scan (the shuffle), then everything lives on the lifetime-keyed
+    * frame — bounded by the day span, so the unpartitioned suffix/prefix
+    * windows sort a few-thousand-row frame at any corpus size. */
+  private val survivalKm = Q(
+    "survival_km",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val users = Tables.events(s, dir)
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val mx = users.agg(max(col("d1")).as("mx"))
+      val byT = users.crossJoin(broadcast(mx)) // 1-row observation end
+        .select((col("d1") - col("d0")).as("t"),
+          expr("CAST(d1 >= mx - 2 AS LONG)").as("cens"))
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("n_ending"), sum(col("cens")).as("n_censored"),
+          (count(lit(1)) - sum(col("cens"))).as("n_deaths"))
+      val suffix = Window.orderBy(col("t"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val prefix = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byT
+        .withColumn("n_risk", sum(col("n_ending")).over(suffix))
+        .withColumn("step_micro", expr(
+          """CASE WHEN n_deaths = 0 OR n_deaths >= n_risk THEN 0L
+               ELSE CAST(round(ln(CAST(n_risk - n_deaths AS DOUBLE)
+                    / CAST(n_risk AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+             END"""))
+        .withColumn("dead", expr("CAST(n_deaths >= n_risk AS INT)"))
+        .withColumn("cum_micro", sum(col("step_micro")).over(prefix))
+        .withColumn("dead_end", max(col("dead")).over(prefix))
+        .select(col("t"), col("n_risk"), col("n_deaths"), col("n_censored"),
+          expr("""CASE WHEN dead_end = 1 THEN 0L
+                    ELSE CAST(round(exp(CAST(cum_micro AS DOUBLE) / 1000000.0)
+                         * 1000000.0, 0) AS BIGINT) END""").as("surv_ppm"))
+    },
+    Some("""WITH users AS (
+              SELECT user_id, min(epoch_ns(ts) // 1000 // 86400000000) AS d0,
+                     max(epoch_ns(ts) // 1000 // 86400000000) AS d1
+              FROM events GROUP BY user_id),
+            byt AS (
+              SELECT d1 - d0 AS t, CAST(count(*) AS BIGINT) AS n_ending,
+                     CAST(sum(CAST(d1 >= mx - 2 AS BIGINT)) AS BIGINT) AS n_censored,
+                     CAST(count(*) - sum(CAST(d1 >= mx - 2 AS BIGINT)) AS BIGINT)
+                       AS n_deaths
+              FROM users, (SELECT max(d1) AS mx FROM users)
+              GROUP BY d1 - d0),
+            risk AS (
+              SELECT t, n_ending, n_censored, n_deaths,
+                CAST(sum(n_ending) OVER (ORDER BY t
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+                  AS n_risk
+              FROM byt),
+            step AS (
+              SELECT t, n_risk, n_deaths, n_censored,
+                CASE WHEN n_deaths = 0 OR n_deaths >= n_risk THEN 0
+                  ELSE CAST(round(ln(CAST(n_risk - n_deaths AS DOUBLE)
+                       / CAST(n_risk AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+                END AS step_micro,
+                CASE WHEN n_deaths >= n_risk THEN 1 ELSE 0 END AS dead
+              FROM risk),
+            cum AS (
+              SELECT t, n_risk, n_deaths, n_censored,
+                CAST(sum(step_micro) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS cum_micro,
+                max(dead) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead_end
+              FROM step)
+            SELECT t, n_risk, n_deaths, n_censored,
+              CASE WHEN dead_end = 1 THEN 0
+                ELSE CAST(round(exp(CAST(cum_micro AS DOUBLE) / 1000000.0)
+                     * 1000000.0, 0) AS BIGINT) END AS surv_ppm
+            FROM cum"""))
+
   /** Exact dyadic Holt coefficient tables (see [[tsHolt]]): index k =
     * age of the observation (0 = the current day), numerators over
     * 2^24. Derived at class-init by running the recurrence SYMBOLICALLY
@@ -1428,7 +1518,7 @@ object AnalyticsQueries {
       attributionMultitouch,
       experimentTtest, cdcLogCompact, abSrmCheck, funnelWindow,
       joinScd2Pit, streakIslands, trendWowGrowth, trendDowAnomaly,
-      eventsConcentration, tsEwma, tsHolt, privacyDpCounts,
+      eventsConcentration, tsEwma, tsHolt, survivalKm, privacyDpCounts,
       windowRollingMedian, resampleInterpolate, eventsPathTopk)
 
   /** Top user paths — the "what journeys do users actually take"
