@@ -1447,6 +1447,78 @@ object CurationQueries {
           LIMIT 50"""
     })
 
+  // Competence-based curriculum ordering (Platanios et al., NAACL 2019):
+  // at training-progress fraction p the model's "competence" c(p) = √p
+  // gates which difficulty percentiles are sampleable, which inverts to
+  // a per-document ELIGIBILITY point — a doc at difficulty percentile q
+  // enters the pool at p = q². This query materializes the resulting
+  // deterministic training order: difficulty = whitespace token count
+  // (longer docs are harder for a fixed context budget), percentile from
+  // the (difficulty, doc_id) total order, eligibility in ppm via two
+  // integer divisions (qm = r·10⁶ div n, then qm² div 10⁶ — qm ≤ 10⁶
+  // keeps the square inside BIGINT at ANY corpus size, unlike the naive
+  // r²·10⁶/n² which overflows past ~1M docs). Eligibility is then
+  // QUANTIZED into 20 training stages (5% of the run each) and position
+  // = row_number over (stage, md5 shuffle key, doc_id): without the
+  // quantization every doc has a distinct eligibility and the "order"
+  // degenerates to a pure length sort — exactly the gradient-biasing
+  // batch stream a curriculum must avoid; within a stage the shuffle
+  // key (the same PortableHash uniform every seeded decision in the
+  // engine uses) interleaves difficulties reproducibly.
+  // Scale: two range-partitioned global sorts (rank + final order) —
+  // inherent to materializing a total training order, and exactly what
+  // shard_shuffle already pays; everything else rides the scan.
+  private val curriculumPacing = Q(
+    "curriculum_pacing",
+    (s, dir) => {
+      val u16 = graft.queries.PortableHash.md5Hex4(
+        "concat('cur|', CAST(doc_id AS STRING))")
+      val d = Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(expr("filter(split(text, '\\\\s+'), t -> t <> '')")).cast("long")
+          .as("toks"))
+      val n = d.agg(count(lit(1)).as("n"))
+      d.withColumn("r", row_number().over(
+          Window.orderBy(col("toks"), col("doc_id"))).cast("long"))
+        .crossJoin(broadcast(n)) // 1-row corpus count
+        .select(col("doc_id"), col("r").as("difficulty_rank"),
+          expr("(r * 1000000 div n) * (r * 1000000 div n) div 1000000")
+            .as("eligible_ppm"),
+          expr(s"CAST(($u16) AS BIGINT)").as("shuffle_key"))
+        .withColumn("stage",
+          expr("least(eligible_ppm div 50000, 19L)"))
+        .withColumn("position", row_number().over(
+          Window.orderBy(col("stage"), col("shuffle_key"), col("doc_id")))
+          .cast("long"))
+    },
+    Some {
+      val u16 = graft.queries.PortableHash.md5Hex4(
+        "'cur|' || CAST(doc_id AS VARCHAR)")
+      s"""WITH d AS (
+            SELECT doc_id,
+              CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                t -> t <> '')) AS BIGINT) AS toks
+            FROM documents),
+          r AS (
+            SELECT doc_id,
+              CAST(row_number() OVER (ORDER BY toks, doc_id) AS BIGINT) AS r
+            FROM d),
+          e AS (
+            SELECT doc_id, r AS difficulty_rank,
+              CAST((r * 1000000 // n) * (r * 1000000 // n) // 1000000 AS BIGINT)
+                AS eligible_ppm,
+              CAST(($u16) AS BIGINT) AS shuffle_key
+            FROM r, (SELECT CAST(count(*) AS BIGINT) AS n FROM d)),
+          st AS (
+            SELECT doc_id, difficulty_rank, eligible_ppm, shuffle_key,
+              CAST(least(eligible_ppm // 50000, 19) AS BIGINT) AS stage
+            FROM e)
+          SELECT doc_id, difficulty_rank, eligible_ppm, shuffle_key, stage,
+            CAST(row_number() OVER (ORDER BY stage, shuffle_key, doc_id)
+              AS BIGINT) AS position
+          FROM st"""
+    })
+
   val all: Seq[Q] = Seq(sampleHash, sampleStratified, sampleReservoir,
     textPiiScrub,
     textEditDistance, packSequences, vocabTopk, contaminationCheck,
@@ -1455,5 +1527,6 @@ object CurationQueries {
     dedupLines, shardShuffle, shardManifest, qualityLogreg, docChunking,
     qualityGopherRules,
     textCodeDetect, corpusDrift, tokenizerCoverage, docChunkingCdc,
-    textWatermarkDetect, qualityDsir, sampleWeightedGumbel)
+    textWatermarkDetect, qualityDsir, sampleWeightedGumbel,
+    curriculumPacing)
 }
