@@ -1194,44 +1194,18 @@ object AnalyticsQueries {
                      * 1000000.0, 0) AS BIGINT) END AS surv_ppm
             FROM cum"""))
 
-  /** Exact dyadic Holt coefficient tables (see [[tsHolt]]): index k =
-    * age of the observation (0 = the current day), numerators over
-    * 2^24. Derived at class-init by running the recurrence SYMBOLICALLY
-    * — the state is the coefficient vector of each observation in
-    * (level, trend), held as BigInt numerators over 2^60; with
-    * α = β = 1/2 every update is a halving, exactness asserted at each
-    * step (≤ 23 halvings reach any coefficient, so 2^24 scaling is
-    * lossless — the assert turns a silent truncation into a failed
-    * class-init). Trend coefficients of old observations are NEGATIVE
-    * (they pull the slope down), which is why the readout divides via
-    * floor on a double quotient rather than integer div (see tsHolt). */
-  private[graft] val HoltScale: Long = 1L << 24
-  private[graft] val HoltHorizon: Int = 12
-  private[graft] val (holtLevelW, holtTrendW): (Seq[Long], Seq[Long]) = {
-    val S = 60
-    def half(n: BigInt): BigInt = {
-      require(!n.testBit(0), s"Holt halving lost a bit: $n")
-      n >> 1
-    }
-    var l = Vector.fill(HoltHorizon)(BigInt(0))
-    var b = Vector.fill(HoltHorizon)(BigInt(0))
-    val one = BigInt(1) << S
-    for (i <- 0 until HoltHorizon) {
-      // y_i enters: l' = (y + l + b)/2 ; b' = (l' − l)/2 + b/2
-      val l2 = Vector.tabulate(HoltHorizon) { j =>
-        half((if (j == i) one else BigInt(0)) + l(j) + b(j))
-      }
-      val b2 = Vector.tabulate(HoltHorizon) { j => half(l2(j) - l(j)) + half(b(j)) }
-      l = l2; b = b2
-    }
-    val down = BigInt(1) << (S - 24)
-    def scaled(v: Vector[BigInt]): Seq[Long] = (0 until HoltHorizon).map { k =>
-      val n = v(HoltHorizon - 1 - k) // age k = the last-processed obs
-      require(n % down == 0, s"Holt weight not representable over 2^24: $n")
-      (n / down).toLong
-    }
-    (scaled(l), scaled(b))
-  }
+  /** The Holt coefficient tables and constants — OWNED by the speed
+    * layer ([[graft.streaming.StreamHolt]], where the symbolic BigInt
+    * derivation and its exactness asserts live) and referenced here so
+    * the batch query and the stream layer cannot drift (the
+    * EwmaWeights/StreamEwma ownership pattern — stream ≡ batch parity
+    * on the tables is true by construction, not by test alone). */
+  private[graft] def HoltScale: Long = graft.streaming.StreamHolt.Scale
+  private[graft] def HoltHorizon: Int = graft.streaming.StreamHolt.Horizon
+  private[graft] def holtLevelW: Seq[Long] =
+    graft.streaming.StreamHolt.LevelWeights
+  private[graft] def holtTrendW: Seq[Long] =
+    graft.streaming.StreamHolt.TrendWeights
 
   /** Holt's linear-trend smoothing (Holt 1957, double exponential
     * smoothing) of the daily event count per event_type — the

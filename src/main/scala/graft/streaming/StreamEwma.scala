@@ -53,37 +53,13 @@ object StreamEwma {
 
   /** Pure per-group transition: fold the micro-batch's day counts (any
     * within-batch order — they pre-sum per day) into the ring, closing
-    * and emitting every day a newer arrival passes over. Exposed for
-    * direct unit testing. */
+    * and emitting every day a newer arrival passes over. Delegates to
+    * the shared [[DayRing.advance]] (also the StreamHolt transition —
+    * the layers differ only in the per-closed-day emission). Exposed
+    * for direct unit testing. */
   def advance(events: Seq[(Long, Long)], state: Option[EwmaRing],
-              key: String): (Seq[EwmaPoint], EwmaRing) = {
-    val byDay = events.groupBy(_._1).toSeq
-      .map { case (d, es) => d -> es.map(_._2).sum }.sortBy(_._1)
-    var st = state.orNull
-    val out = Seq.newBuilder[EwmaPoint]
-    byDay.foreach { case (d, n) =>
-      if (st == null)
-        st = EwmaRing(d, n +: Seq.fill(11)(0L))
-      else if (d < st.openDay)
-        throw new IllegalStateException(
-          s"late event past the emission horizon: key=$key day=$d " +
-            s"openDay=${st.openDay} — upstream must replay in day order")
-      else if (d == st.openDay)
-        st = st.copy(ring = (st.ring.head + n) +: st.ring.tail)
-      else {
-        // close openDay .. d−1, sliding the ring one day at a time so
-        // gap days emit their zero-count decaying points too
-        var (day, ring) = (st.openDay, st.ring)
-        while (day < d) {
-          out += point(key, day, ring)
-          ring = 0L +: ring.init
-          day += 1
-        }
-        st = EwmaRing(d, (ring.head + n) +: ring.tail)
-      }
-    }
-    (out.result(), st)
-  }
+              key: String): (Seq[EwmaPoint], EwmaRing) =
+    DayRing.advance(events, state, key)((d, r) => point(key, d, r))
 
   /** Continuous trend over a stream (or batch frame) of DayCountEvents.
     * Append mode; NoTimeout so `Trigger.AvailableNow` drains terminate
