@@ -1146,7 +1146,88 @@ object EvalQueries {
                  AS BIGINT) END AS kappa_ppm
              FROM cells"""))
 
+  // Murphy decomposition of the Brier score (Murphy 1973) per lang —
+  // the WHY behind a calibration readout: Brier = reliability −
+  // resolution + uncertainty separates "the forecast probabilities are
+  // wrong" (REL, fixable by recalibration) from "the forecaster can't
+  // discriminate" (RES, needs a better model) from "the task is just
+  // hard" (UNC, irreducible base-rate entropy). Forecast = the same
+  // hard-sigmoid the trained gate uses, p_milli = clamp((bucket+1000)/4)
+  // over the shared scored frame (the +1000 shift keeps the operand
+  // non-negative so div ≡ //). Binning by the EXACT forecast value makes
+  // the decomposition identity exact in rationals: the raw Brier sum is
+  // a closed form over bin stats (o_k·(p−1000)² + (n_k−o_k)·p², exact
+  // BIGINT), while REL/RES terms quantize ONE double per bin to nano
+  // units (the §7.4.1 per-row rule — identical integer inputs, identical
+  // IEEE expression text on both engines) before the exact integer sum.
+  // Scale: one corpus aggregate to ≤ langs × 501 forecast bins;
+  // everything after lives on that bounded frame. BrierSpec pins a local
+  // recount and the decomposition identity within quantization bounds.
+  private val evalBrierDecomp = Q(
+    "eval_brier_decomp",
+    (s, dir) => {
+      val bins = scoredDf(s, dir)
+        .withColumn("pm", expr("least(greatest((bucket + 1000) div 4, 0L), 1000L)"))
+        .groupBy(col("lang"), col("pm"))
+        .agg(count(lit(1)).as("nk"), sum(col("pos")).as("ok"))
+      val tot = bins.groupBy(col("lang"))
+        .agg(sum(col("nk")).as("n"), sum(col("ok")).as("n_pos"))
+      bins.join(tot, "lang")
+        .select(col("lang"), col("n"), col("n_pos"),
+          expr("ok * (pm - 1000) * (pm - 1000) + (nk - ok) * pm * pm")
+            .as("bterm"),
+          expr("""CAST(round(CAST((pm * nk - 1000 * ok) AS DOUBLE)
+                 * CAST((pm * nk - 1000 * ok) AS DOUBLE)
+                 * 1000.0 / CAST(nk AS DOUBLE), 0) AS BIGINT)""").as("rterm"),
+          expr("""CAST(round((CAST(ok AS DOUBLE) / CAST(nk AS DOUBLE)
+                   - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(ok AS DOUBLE) / CAST(nk AS DOUBLE)
+                   - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+                 * CAST(nk AS DOUBLE) * 1000000000.0, 0) AS BIGINT)""")
+            .as("sterm"))
+        .groupBy(col("lang"), col("n"), col("n_pos"))
+        .agg(sum(col("bterm")).as("bsum"), sum(col("rterm")).as("rsum"),
+          sum(col("sterm")).as("ssum"))
+        .select(col("lang"), col("n"), col("n_pos"),
+          expr("bsum * 1000 div n").as("brier_nano"),
+          expr("rsum div n").as("rel_nano"),
+          expr("ssum div n").as("res_nano"),
+          expr("""CAST(round((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (1.0 - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+                 * 1000000000.0, 0) AS BIGINT)""").as("unc_nano"))
+    },
+    Some(s"""WITH scored AS ($scoredSql),
+          bins AS (
+            SELECT lang, least(greatest((bucket + 1000) // 4, 0), 1000) AS pm,
+              CAST(count(*) AS BIGINT) AS nk, CAST(sum(pos) AS BIGINT) AS ok
+            FROM scored GROUP BY 1, 2),
+          tot AS (
+            SELECT lang, CAST(sum(nk) AS BIGINT) AS n,
+              CAST(sum(ok) AS BIGINT) AS n_pos
+            FROM bins GROUP BY lang),
+          terms AS (
+            SELECT b.lang, t.n, t.n_pos,
+              ok * (pm - 1000) * (pm - 1000) + (nk - ok) * pm * pm AS bterm,
+              CAST(round(CAST((pm * nk - 1000 * ok) AS DOUBLE)
+                * CAST((pm * nk - 1000 * ok) AS DOUBLE)
+                * 1000.0 / CAST(nk AS DOUBLE), 0) AS BIGINT) AS rterm,
+              CAST(round((CAST(ok AS DOUBLE) / CAST(nk AS DOUBLE)
+                  - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(ok AS DOUBLE) / CAST(nk AS DOUBLE)
+                  - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+                * CAST(nk AS DOUBLE) * 1000000000.0, 0) AS BIGINT) AS sterm
+            FROM bins b JOIN tot t ON b.lang = t.lang)
+          SELECT lang, n, n_pos,
+            CAST(sum(bterm) * 1000 // n AS BIGINT) AS brier_nano,
+            CAST(sum(rterm) // n AS BIGINT) AS rel_nano,
+            CAST(sum(sterm) // n AS BIGINT) AS res_nano,
+            CAST(round((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+              * (1.0 - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+              * 1000000000.0, 0) AS BIGINT) AS unc_nano
+          FROM terms GROUP BY lang, n, n_pos"""))
+
   val all: Seq[Q] = Seq(evalAucRank, evalCalibrationBins, evalRateCi, evalBleu,
     evalRougeN, evalRougeL, evalChrf, evalTokenF1, evalPassAtK,
-    evalDistinctN, evalEloBt, evalBootstrapCi, evalAgreement)
+    evalDistinctN, evalEloBt, evalBootstrapCi, evalAgreement,
+    evalBrierDecomp)
 }
