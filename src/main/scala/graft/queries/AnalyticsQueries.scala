@@ -1104,6 +1104,64 @@ object AnalyticsQueries {
           LEFT JOIN contrib c ON c.event_type = g.event_type AND c.day_no = g.day_no"""
     })
 
+  /** k-anonymity audit of a quasi-identifier release (Sweeney 2002) —
+    * the privacy check run BEFORE publishing any per-user extract: under
+    * QI = (nation, market segment, account balance rounded to hundreds),
+    * how many customers sit in equivalence classes smaller than k? A
+    * row in a size-1 class is re-identifiable by anyone who knows those
+    * three attributes; the release gate is "suppress or generalize until
+    * rows_below_ppm = 0 at the chosen k". One row per policy threshold
+    * k ∈ {2, 5, 10, 20} with the class-size floor and total class count
+    * carried for context. The balance bucket uses floor division on a
+    * SHIFTED non-negative value (TPC-H acctbal ∈ [−999.99, 9999.99];
+    * Spark div truncates toward zero where DuckDB // floors, so the
+    * +1000 shift keeps the operands where they agree — the established
+    * negative-div rule). Scale: ONE QI-keyed aggregate over the scan;
+    * the threshold explode (×4) and all readouts live on the
+    * class-sized frame. */
+  private val privacyKAnonymity = Q(
+    "privacy_k_anonymity",
+    (s, dir) => {
+      val classes = Tables.customer(s, dir)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          expr("CAST((c_acctbal + 1000.0) AS BIGINT) div 100").as("bal_bucket"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"))
+        .agg(count(lit(1)).as("cs"))
+      val tot = classes.agg(sum(col("cs")).as("n_rows"),
+        count(lit(1)).as("n_classes"), min(col("cs")).as("min_class_size"))
+      classes
+        .select(explode(expr("array(2L, 5L, 10L, 20L)")).as("k"), col("cs"))
+        .groupBy(col("k"))
+        .agg(sum(expr("CASE WHEN cs < k THEN cs ELSE 0L END")).as("rows_below"),
+          sum(expr("CAST(cs < k AS LONG)")).as("classes_below"))
+        .crossJoin(broadcast(tot)) // 1-row totals
+        .select(col("k"), col("n_classes"), col("classes_below"),
+          col("rows_below"),
+          expr("rows_below * 1000000 div n_rows").as("rows_below_ppm"),
+          col("min_class_size"))
+    },
+    Some("""WITH classes AS (
+              SELECT c_nationkey, c_mktsegment,
+                CAST(c_acctbal + 1000.0 AS BIGINT) // 100 AS bal_bucket,
+                CAST(count(*) AS BIGINT) AS cs
+              FROM customer GROUP BY 1, 2, 3),
+            tot AS (
+              SELECT CAST(sum(cs) AS BIGINT) AS n_rows,
+                CAST(count(*) AS BIGINT) AS n_classes,
+                CAST(min(cs) AS BIGINT) AS min_class_size
+              FROM classes),
+            th AS (
+              SELECT k, CAST(sum(CASE WHEN cs < k THEN cs ELSE 0 END) AS BIGINT)
+                  AS rows_below,
+                CAST(sum(CASE WHEN cs < k THEN 1 ELSE 0 END) AS BIGINT)
+                  AS classes_below
+              FROM classes, (SELECT unnest([2, 5, 10, 20]) AS k)
+              GROUP BY k)
+            SELECT CAST(k AS BIGINT) AS k, n_classes, classes_below, rows_below,
+              CAST(rows_below * 1000000 // n_rows AS BIGINT) AS rows_below_ppm,
+              min_class_size
+            FROM th, tot"""))
+
   /** Kaplan–Meier survival over user lifetimes — the censoring-aware
     * churn curve cohort_retention cannot give (a user still active at
     * observation end is EVIDENCE of survival ≥ t, not of churn at t;
@@ -1493,7 +1551,8 @@ object AnalyticsQueries {
       experimentTtest, cdcLogCompact, abSrmCheck, funnelWindow,
       joinScd2Pit, streakIslands, trendWowGrowth, trendDowAnomaly,
       eventsConcentration, tsEwma, tsHolt, survivalKm, privacyDpCounts,
-      windowRollingMedian, resampleInterpolate, eventsPathTopk)
+      privacyKAnonymity, windowRollingMedian, resampleInterpolate,
+      eventsPathTopk)
 
   /** Top user paths — the "what journeys do users actually take"
     * product-analytics readout next to event_transitions' single-step
