@@ -90,6 +90,7 @@ object Bench {
       "graph_deg" -> (() => graft.identity.GraphArtifacts.deg(spark, sfDir)),
       "graph_copairs" -> (() => graft.identity.GraphArtifacts.coPairs(spark, sfDir)),
       "graph_triclosure" -> (() => graft.queries.GraphBpeQueries.coClosure(spark, sfDir)),
+      "graph_cnpairs" -> (() => graft.queries.GraphBpeQueries.cnGraph(spark, sfDir)),
       "text_wc" -> (() => graft.text.TextArtifacts.wordCounts(spark, sfDir)),
       "text_vocab" -> (() => graft.text.TextArtifacts.vocab(spark, sfDir)))
     // A failed build must NOT vanish into an inflated query time
@@ -107,6 +108,7 @@ object Bench {
       graft.dedup.CandidateArtifacts.invalidate()
       graft.identity.GraphArtifacts.invalidate()
       graft.queries.GraphBpeQueries.coClosureInvalidate()
+      graft.queries.GraphBpeQueries.cnGraphInvalidate()
       graft.text.TextArtifacts.invalidate()
     }
     // Warm mode (VERDICT r06 task 4): SPARK_GRAFT_ARTIFACT_DIR=<dir>
@@ -125,6 +127,8 @@ object Bench {
             .ensure(spark, sfDir, s"$adir/graph")),
           "coclosure" -> (() => graft.queries.GraphBpeQueries
             .coClosureEnsure(spark, sfDir, s"$adir/coclosure")),
+          "cngraph" -> (() => graft.queries.GraphBpeQueries
+            .cnGraphEnsure(spark, sfDir, s"$adir/cngraph")),
           "text" -> (() => graft.text.TextArtifacts
             .ensure(spark, sfDir, s"$adir/text")))
         ensures.map { case (n, fn) =>

@@ -782,9 +782,29 @@ object GraphBpeQueries {
   private val CnWindow = "l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' " +
     "AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'"
 
-  private val graphCommonNeighbors = Q(
-    "graph_common_neighbors",
-    (s, dir) => {
+  private val cnGraphCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String),
+    (DataFrame, DataFrame, DataFrame)]
+  private val cnGraphBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** How many times the link-prediction graph has been built this JVM —
+    * pinned by PlanSpec: running graph_common_neighbors AND
+    * graph_adamic_adar must build it once. */
+  private[graft] def cnGraphBuildCount: Int = cnGraphBuilds.get()
+
+  /** The windowed co-purchase link-prediction graph — (pairs, deg,
+    * capped adjacency), computed ONCE per (session, corpus) and shared
+    * by graph_common_neighbors and graph_adamic_adar (the coClosure
+    * discipline: both need exactly this derivation, and the fact-table
+    * self-join is its dominant cost). pairs and deg are checkpointed;
+    * capped re-derives from them per consumer (two cheap scans of the
+    * materialized frames). Same stopped-session eviction contract as
+    * the sibling caches. */
+  private[graft] def cnGraph(s: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
+    cnGraphCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    cnGraphCache.computeIfAbsent((s, dir), _ => {
+      cnGraphBuilds.incrementAndGet()
       val li = Tables.lineitem(s, dir).where(expr(CnWindow))
         .select(col("l_orderkey"), col("l_partkey"))
       // the pair list feeds adjacency (×2 directions), degrees, and the
@@ -802,6 +822,83 @@ object GraphBpeQueries {
       val capped = und.join(
         deg.where(col("deg") <= CnHubCap).select(col("src")),
         Seq("src"), "left_semi")
+      (pairs, deg, capped)
+    })
+  }
+
+  // Parquet persistence for the link-prediction graph — the
+  // ArtifactStore contract the other four families follow (capped
+  // re-derives from the two persisted frames, so only pairs + deg land
+  // on disk). Fingerprinted over lineitem, the one source table.
+  private def cnGraphFingerprint(s: org.apache.spark.sql.SparkSession,
+      corpusDir: String): String =
+    TableFingerprint.of(s, s"$corpusDir/lineitem.parquet")
+
+  private[graft] def cnGraphPersistTo(s: org.apache.spark.sql.SparkSession,
+      corpusDir: String, artifactDir: String): Unit = {
+    val (pairs, deg, _) = cnGraph(s, corpusDir)
+    ArtifactStore.writeSnapshot(s, artifactDir,
+      cnGraphFingerprint(s, corpusDir),
+      Seq("cn_pairs" -> pairs, "cn_deg" -> deg))
+  }
+
+  private[graft] def cnGraphLoadFrom(s: org.apache.spark.sql.SparkSession,
+      corpusDir: String, artifactDir: String): Boolean =
+    ArtifactStore.loadSnapshot(s, artifactDir,
+      cnGraphFingerprint(s, corpusDir), Seq("cn_pairs", "cn_deg")) match {
+      case Some(m) =>
+        val pairs = m("cn_pairs")
+        val deg = m("cn_deg")
+        val und = pairs.select(col("a").as("src"), col("b").as("dst"))
+          .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+        val capped = und.join(
+          deg.where(col("deg") <= CnHubCap).select(col("src")),
+          Seq("src"), "left_semi")
+        cnGraphCache.put((s, corpusDir), (pairs, deg, capped))
+        true
+      case None => false
+    }
+
+  /** Load-or-build-and-persist; true when the snapshot was reused. */
+  private[graft] def cnGraphEnsure(s: org.apache.spark.sql.SparkSession,
+      corpusDir: String, artifactDir: String): Boolean = {
+    val hit = cnGraphLoadFrom(s, corpusDir, artifactDir)
+    if (!hit) {
+      cnGraphCache.remove((s, corpusDir)) // stale snapshot ≠ fresh cache
+      cnGraphPersistTo(s, corpusDir, artifactDir)
+    }
+    hit
+  }
+
+  /** Drop the cached link-prediction graph (Bench's isolated
+    * re-measure pass; block reclamation follows the coClosure
+    * ContextCleaner path). */
+  private[graft] def cnGraphInvalidate(): Unit = cnGraphCache.clear()
+
+  /** Oracle CTE chain for [[cnGraph]] (li → pairs → und → deg → capped)
+    * — one definition spliced into both consumers' oracles so the
+    * window/cap semantics can only change in lockstep. */
+  private def cnGraphOracle: String =
+    s"""li AS MATERIALIZED (
+          SELECT l_orderkey, l_partkey FROM lineitem WHERE $CnWindow),
+        pairs AS MATERIALIZED (
+          SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+          FROM li x JOIN li y
+            ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        und AS MATERIALIZED (
+          SELECT a AS src, b AS dst FROM pairs
+          UNION ALL SELECT b, a FROM pairs),
+        deg AS MATERIALIZED (
+          SELECT src, CAST(count(*) AS BIGINT) AS deg
+          FROM und GROUP BY src),
+        capped AS MATERIALIZED (
+          SELECT u.src, u.dst FROM und u
+          JOIN deg d ON d.src = u.src AND d.deg <= $CnHubCap)"""
+
+  private val graphCommonNeighbors = Q(
+    "graph_common_neighbors",
+    (s, dir) => {
+      val (pairs, deg, capped) = cnGraph(s, dir)
       val cn = capped.as("e1").join(capped.as("e2"),
           col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
         .groupBy(col("e1.dst").as("u"), col("e2.dst").as("v"))
@@ -815,21 +912,7 @@ object GraphBpeQueries {
         .orderBy(col("cn").desc, col("jaccard_ppm").desc, col("u"), col("v"))
         .limit(20)
     },
-    Some(s"""WITH li AS MATERIALIZED (
-              SELECT l_orderkey, l_partkey FROM lineitem WHERE $CnWindow),
-            pairs AS MATERIALIZED (
-              SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
-              FROM li x JOIN li y
-                ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
-            und AS MATERIALIZED (
-              SELECT a AS src, b AS dst FROM pairs
-              UNION ALL SELECT b, a FROM pairs),
-            deg AS MATERIALIZED (
-              SELECT src, CAST(count(*) AS BIGINT) AS deg
-              FROM und GROUP BY src),
-            capped AS MATERIALIZED (
-              SELECT u.src, u.dst FROM und u
-              JOIN deg d ON d.src = u.src AND d.deg <= $CnHubCap),
+    Some(s"""WITH $cnGraphOracle,
             c AS (
               SELECT e1.dst AS u, e2.dst AS v, CAST(count(*) AS BIGINT) AS cn
               FROM capped e1 JOIN capped e2
@@ -846,6 +929,54 @@ object GraphBpeQueries {
             JOIN deg du ON du.src = n.u
             JOIN deg dv ON dv.src = n.v
             ORDER BY n.cn DESC, jaccard_ppm DESC, n.u, n.v
+            LIMIT 20"""))
+
+  // Adamic-Adar link prediction (Adamic & Adar 2003) over the SAME
+  // windowed co-purchase graph graph_common_neighbors audits — the
+  // weighted refinement of its raw count: each shared neighbor z
+  // contributes 1/ln(deg z), so a niche shared partner carries more
+  // signal than a popular one (the principle the hub CAP applies as a
+  // hard cutoff, here applied smoothly below the cap). The per-wedge
+  // term quantizes ONE double to micro units at the wedge row (§7.4.1
+  // per-row rule — deg z ≥ 2 for any shared neighbor, so ln > 0), then
+  // exact BIGINT sums; the wedge join, anti-join, and top-k run on the
+  // shared cnGraph artifact (built once per session/corpus — the
+  // coClosure discipline), so this query's marginal cost is one wedge
+  // aggregate + TakeOrderedAndProject. Full (aa desc, u, v) tie-break.
+  private val graphAdamicAdar = Q(
+    "graph_adamic_adar",
+    (s, dir) => {
+      val (pairs, deg, capped) = cnGraph(s, dir)
+      val wedges = capped.as("e1").join(capped.as("e2"),
+          col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+        .select(col("e1.src").as("z"), col("e1.dst").as("u"),
+          col("e2.dst").as("v"))
+        .join(deg.select(col("src").as("z"), col("deg").as("dz")), Seq("z"))
+      wedges
+        .groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("cn"),
+          sum(expr(
+            "CAST(round(1000000.0 / ln(CAST(dz AS DOUBLE)), 0) AS BIGINT)"))
+            .as("aa_micro"))
+        .join(pairs.select(col("a").as("u"), col("b").as("v")),
+          Seq("u", "v"), "left_anti")
+        .orderBy(col("aa_micro").desc, col("u"), col("v"))
+        .limit(20)
+    },
+    Some(s"""WITH $cnGraphOracle,
+            w AS (
+              SELECT e1.dst AS u, e2.dst AS v,
+                CAST(count(*) AS BIGINT) AS cn,
+                CAST(sum(CAST(round(1000000.0 / ln(CAST(d.deg AS DOUBLE)), 0)
+                  AS BIGINT)) AS BIGINT) AS aa_micro
+              FROM capped e1
+              JOIN capped e2 ON e1.src = e2.src AND e1.dst < e2.dst
+              JOIN deg d ON d.src = e1.src
+              GROUP BY e1.dst, e2.dst)
+            SELECT u, v, cn, aa_micro FROM w
+            WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                              WHERE p.a = w.u AND p.b = w.v)
+            ORDER BY aa_micro DESC, u, v
             LIMIT 20"""))
 
   /** Newman modularity readout of the LPA communities — the quality score
@@ -1710,5 +1841,6 @@ object GraphBpeQueries {
     bpeEncode, graphLabelProp, graphTriangles, graphKcore,
     graphCommonNeighbors, graphModularity, graphAssortativity,
     graphDegreeDist, bpeTrain, graphClusteringCoeff, tokenizerUnigram,
-    tokenizerUnigramR2, graphBfsDistance, tokenizerWordpiece, graphHits)
+    tokenizerUnigramR2, graphBfsDistance, tokenizerWordpiece, graphHits,
+    graphAdamicAdar)
 }

@@ -313,6 +313,25 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("common-neighbors + adamic-adar share ONE link-prediction graph") {
+    val before = GraphBpeQueries.cnGraphBuildCount
+    val pCn = graft.SparkEntry.queries("graph_common_neighbors")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val pAa = graft.SparkEntry.queries("graph_adamic_adar")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(GraphBpeQueries.cnGraphBuildCount - before <= 1,
+      "link-prediction graph rebuilt across the pair")
+    // both consumers read the checkpointed pair/degree frames; neither
+    // re-runs the lineitem self-join in its own plan
+    Seq("graph_common_neighbors" -> pCn, "graph_adamic_adar" -> pAa)
+      .foreach { case (n, p) =>
+        assert(p.contains("Scan ExistingRDD"),
+          s"$n no longer reads the checkpointed cnGraph artifact")
+        assert(!p.contains("l_orderkey"),
+          s"$n re-derives co-purchase pairs from lineitem")
+      }
+  }
+
   test("text family shares ONE tokenize artifact (no per-query re-tokenize)") {
     val family = Seq("text_tokens", "text_tfidf", "text_bm25",
       "text_unigram_nll", "text_bigram_nll", "text_lexical_diversity",

@@ -70,6 +70,39 @@ class RankGraphStatSpec extends SparkSpec {
     assert(r.getAs[Long]("assort_micro") < 0L)
   }
 
+  test("graph_adamic_adar matches a local wedge recount") {
+    val li = Tables.lineitem(spark, sfDir)
+      .where(expr("l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' AND " +
+        "l_shipdate < TIMESTAMP '1996-01-01 00:00:00'"))
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Long]("l_partkey")))
+    val byOrder = li.groupBy(_._1).values.map(_.map(_._2).distinct.sorted)
+    val pairs = byOrder.flatMap(ps =>
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j)))
+      .toSet
+    val und = pairs.toSeq.flatMap(p => Seq(p, p.swap))
+    val deg = und.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
+    val capped = und.filter { case (src, _) => deg(src) <= 128L }
+    val scores = capped.groupBy(_._1).values.flatMap { es =>
+      val ns = es.map(_._2).sorted
+      val z = es.head._1
+      val term = math.round(1000000.0 / math.log(deg(z).toDouble))
+      for (i <- ns.indices; j <- (i + 1) until ns.length)
+        yield ((ns(i), ns(j)), term)
+    }.toSeq.groupBy(_._1)
+      .map { case (uv, ts) => (uv, ts.length.toLong, ts.map(_._2).sum) }
+      .filterNot { case (uv, _, _) => pairs.contains(uv) }
+    val expected = scores.toSeq
+      .sortBy { case ((u, v), _, aa) => (-aa, u, v) }.take(20)
+      .map { case ((u, v), cn, aa) => (u, v, cn, aa) }
+    val got = Registry.queries("graph_adamic_adar")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"),
+        r.getAs[Long]("cn"), r.getAs[Long]("aa_micro")))
+    assert(got.toSeq === expected)
+    // every shared neighbor has degree ≥ 2, so scores are positive
+    assert(got.forall(_._4 > 0L))
+  }
+
   test("graph_hits matches a local integer HITS recompute") {
     val off = graft.identity.GraphArtifacts.Offset
     val fwd = Tables.events(spark, sfDir)
