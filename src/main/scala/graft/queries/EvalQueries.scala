@@ -1226,8 +1226,92 @@ object EvalQueries {
               * 1000000000.0, 0) AS BIGINT) AS unc_nano
           FROM terms GROUP BY lang, n, n_pos"""))
 
+  // Trapezoidal PR-AUC per lang — the imbalanced-gate companion of
+  // eval_auc_rank's ROC view (with 1% positives a useless gate still
+  // scores ROC-AUC ≈ 0.5 while its PR-AUC collapses toward the base
+  // rate, which is also the readout's published baseline). Sweep the
+  // bucketed scores high→low; per bucket the cumulative (TP, FP) give
+  // the PR point, and the trapezoid Δrecall·(prec + prec_prev)/2 is the
+  // tie-aware area step (all docs in a bucket move together — the
+  // eval_auc_rank half-weight stance in PR space; the curve anchors at
+  // precision 1 before the first bucket, the standard (0,1) anchor).
+  // Each bucket's contribution quantizes ONE double to nano units from
+  // exact cumulative BIGINTs (§7.4.1 per-row rule), then exact integer
+  // sums; degenerate single-class langs report -1, matching the AUC
+  // convention. Shape: one corpus aggregate to the ≤ 2001-bucket
+  // histogram; cum window + readout live there.
+  private val evalPrAuc = Q(
+    "eval_pr_auc",
+    (s, dir) => {
+      val hist = scoredDf(s, dir)
+        .groupBy(col("lang"), col("bucket"))
+        .agg(sum(col("pos")).as("np"),
+          (count(lit(1)) - sum(col("pos"))).as("nn"))
+      val tot = hist.groupBy(col("lang"))
+        .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist
+        .withColumn("cum_tp", sum(col("np")).over(w))
+        .withColumn("cum_fp", sum(col("nn")).over(w))
+        .join(tot, "lang")
+        .withColumn("term", expr(
+          """CASE WHEN np = 0 OR n_pos = 0 THEN 0L
+             ELSE CAST(round(CAST(np AS DOUBLE) / CAST(n_pos AS DOUBLE)
+               * ((CAST(cum_tp AS DOUBLE) / CAST(cum_tp + cum_fp AS DOUBLE))
+                  + (CASE WHEN cum_tp - np + cum_fp - nn = 0 THEN 1.0
+                     ELSE CAST(cum_tp - np AS DOUBLE)
+                       / CAST(cum_tp - np + cum_fp - nn AS DOUBLE) END))
+               / 2.0 * 1000000000.0, 0) AS BIGINT) END"""))
+        .groupBy(col("lang"), col("n_pos"), col("n_neg"))
+        .agg(sum(col("term")).as("area"))
+        .select(col("lang"), col("n_pos"), col("n_neg"),
+          expr("""CASE WHEN n_pos = 0 OR n_neg = 0 THEN -1L
+                  ELSE area END""").as("pr_auc_nano"),
+          expr("""CASE WHEN n_pos = 0 OR n_neg = 0 THEN -1L
+                  ELSE CAST(round(CAST(n_pos AS DOUBLE)
+                    / CAST(n_pos + n_neg AS DOUBLE) * 1000000000.0, 0)
+                    AS BIGINT) END""").as("baseline_nano"))
+    },
+    Some(s"""WITH scored AS ($scoredSql),
+          hist AS (
+            SELECT lang, bucket, CAST(sum(pos) AS BIGINT) AS np,
+              CAST(count(*) - sum(pos) AS BIGINT) AS nn
+            FROM scored GROUP BY lang, bucket),
+          tot AS (
+            SELECT lang, CAST(sum(np) AS BIGINT) AS n_pos,
+              CAST(sum(nn) AS BIGINT) AS n_neg
+            FROM hist GROUP BY lang),
+          cum AS (
+            SELECT lang, np, nn,
+              CAST(sum(np) OVER (PARTITION BY lang ORDER BY bucket DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS cum_tp,
+              CAST(sum(nn) OVER (PARTITION BY lang ORDER BY bucket DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS cum_fp
+            FROM hist),
+          terms AS (
+            SELECT c.lang, t.n_pos, t.n_neg,
+              CASE WHEN np = 0 OR n_pos = 0 THEN 0
+              ELSE CAST(round(CAST(np AS DOUBLE) / CAST(n_pos AS DOUBLE)
+                * ((CAST(cum_tp AS DOUBLE) / CAST(cum_tp + cum_fp AS DOUBLE))
+                   + (CASE WHEN cum_tp - np + cum_fp - nn = 0 THEN 1.0
+                      ELSE CAST(cum_tp - np AS DOUBLE)
+                        / CAST(cum_tp - np + cum_fp - nn AS DOUBLE) END))
+                / 2.0 * 1000000000.0, 0) AS BIGINT) END AS term
+            FROM cum c JOIN tot t ON c.lang = t.lang)
+          SELECT lang, n_pos, n_neg,
+            CASE WHEN n_pos = 0 OR n_neg = 0 THEN -1
+              ELSE CAST(sum(term) AS BIGINT) END AS pr_auc_nano,
+            CASE WHEN n_pos = 0 OR n_neg = 0 THEN -1
+              ELSE CAST(round(CAST(n_pos AS DOUBLE)
+                / CAST(n_pos + n_neg AS DOUBLE) * 1000000000.0, 0) AS BIGINT)
+              END AS baseline_nano
+          FROM terms GROUP BY lang, n_pos, n_neg"""))
+
   val all: Seq[Q] = Seq(evalAucRank, evalCalibrationBins, evalRateCi, evalBleu,
     evalRougeN, evalRougeL, evalChrf, evalTokenF1, evalPassAtK,
     evalDistinctN, evalEloBt, evalBootstrapCi, evalAgreement,
-    evalBrierDecomp)
+    evalBrierDecomp, evalPrAuc)
 }

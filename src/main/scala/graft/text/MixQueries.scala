@@ -569,6 +569,62 @@ object MixQueries {
              SELECT src_a, src_b, CAST(sum(contrib) AS BIGINT) AS jsd_nano
              FROM contrib GROUP BY src_a, src_b"""))
 
+  // UCB1 bandit state over source domains (Auer et al. 2002) — the
+  // online data-selection view of the mixture problem (ODM / bandit
+  // data sampling): each source is an arm, a "pull" is a document
+  // drawn from it, the reward is the rule gate's pass bit, and UCB1's
+  // mean + √(2 ln N / n) says which source the NEXT training batch
+  // should sample to balance exploiting high-quality sources against
+  // exploring under-sampled ones. This query materializes the bandit
+  // state after replaying the corpus as the pull history: per source
+  // the exact (n, n_pass) counts, the ppm mean, the exploration bonus
+  // and UCB score as floors of ONE double expression over exact BIGINTs
+  // (IEEE ln/sqrt are correctly rounded on both engines — the Wilson-CI
+  // stance), and the pick flag via a (score desc, source) rank. Scale:
+  // ONE source-keyed aggregate over the scan; the scoring and rank live
+  // on the ≤ #sources frame.
+  private val mixUcbBandit = Q(
+    "mix_ucb_bandit",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val arms = Tables.documents(s, dir)
+        .select(col("source"),
+          expr("""CAST((size(filter(split(lower(text), '[^a-z]+'),
+                 t -> t <> '')) >= 20 AND n_chars >= 100) AS LONG)""")
+            .as("pass"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("pass")).as("n_pass"))
+      val tot = arms.agg(sum(col("n")).as("big_n"))
+      val bonus =
+        """CAST(floor(sqrt(2.0 * ln(CAST(big_n AS DOUBLE)) / CAST(n AS DOUBLE))
+             * 1000000.0) AS BIGINT)"""
+      arms.crossJoin(broadcast(tot)) // 1-row pull total
+        .select(col("source"), col("n"), col("n_pass"),
+          expr("n_pass * 1000000 div n").as("mean_ppm"),
+          expr(bonus).as("bonus_ppm"),
+          (expr("n_pass * 1000000 div n") + expr(bonus)).as("ucb_ppm"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("ucb_ppm").desc, col("source"))).cast("long"))
+    },
+    Some("""WITH arms AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN len(list_filter(string_split_regex(
+                    lower(text), '[^a-z]+'), t -> t <> '')) >= 20
+                  AND n_chars >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+              FROM documents GROUP BY source),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS big_n FROM arms),
+            scored AS (
+              SELECT source, n, n_pass,
+                CAST(n_pass * 1000000 // n AS BIGINT) AS mean_ppm,
+                CAST(floor(sqrt(2.0 * ln(CAST(big_n AS DOUBLE))
+                    / CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS bonus_ppm
+              FROM arms, tot)
+            SELECT source, n, n_pass, mean_ppm, bonus_ppm,
+              mean_ppm + bonus_ppm AS ucb_ppm,
+              CAST(row_number() OVER (ORDER BY mean_ppm + bonus_ppm DESC,
+                source) AS BIGINT) AS rk
+            FROM scored"""))
+
   val all: Seq[Q] = Seq(qualityPplBuckets, mixTokenBudget, mixDoremi,
-    mixAnnealSchedule, mixUnimax, mixDomainSimilarity)
+    mixAnnealSchedule, mixUnimax, mixDomainSimilarity, mixUcbBandit)
 }
