@@ -979,6 +979,125 @@ object GraphBpeQueries {
             ORDER BY aa_micro DESC, u, v
             LIMIT 20"""))
 
+  // BPE-dropout encode (Provilkov et al., ACL 2020) — the subword
+  // regularizer: during encoding each learned merge is stochastically
+  // skipped, so a word sees multiple segmentations across epochs and the
+  // model learns compositional subwords instead of memorizing one
+  // segmentation per word. The paper drops per merge OCCURRENCE; this
+  // engine's deterministic variant drops per (word, merge) via the
+  // PortableHash uniform at rate ~10% (u16 < 6554/65536) — coarser but
+  // seeded, so the oracle hash-matches and a training run is exactly
+  // reproducible (swap the seed derivation for an epoch-keyed PRF to get
+  // the paper's per-epoch resampling, changing nothing structural).
+  // Readout: per doc the baseline and dropout token counts side by side
+  // — dropout splits in AGGREGATE (the regularization price the spec
+  // pins at corpus level; per word it is NOT an invariant, since a
+  // skipped high-rank merge can free characters for a lower-rank
+  // overlapping merge to join more pairs — "baba" under merges ab,ba).
+  // Work rides the SAME vocab artifact and driver-bounded
+  // 20-merge list as bpe_encode; the conditional replace is per-row
+  // codegen over the vocab frame.
+  private[queries] def bpeApplyDropout(vocab: DataFrame,
+      merges: Seq[String]): DataFrame =
+    merges.foldLeft(vocab.select(col("w"),
+      concat(lit(" "), expr("regexp_replace(w, '(.)', '$1 ')")).as("s"))) { (df, m) =>
+      val u16 = PortableHash.md5Hex4(s"concat(w, '|$m')")
+      df.withColumn("s", expr(
+        s"""CASE WHEN ($u16) < 6554 THEN s
+            ELSE replace(s, ' ${m.charAt(0)} ${m.charAt(1)} ', ' $m ') END"""))
+    }.select(col("w"), expr("filter(split(trim(s), ' '), t -> t <> '')").as("toks"))
+
+  private val bpeEncodeDropout = Q(
+    "bpe_encode_dropout",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val wc = graft.text.TextArtifacts.wordCounts(s, dir)
+        .select(col("doc_id"), col("token").as("w"), col("cnt"))
+      val vocab = graft.text.TextArtifacts.vocab(s, dir)
+        .select(col("token").as("w"), col("freq"))
+      val merges = vocab
+        .select(col("freq"), explode(expr(
+          """CASE WHEN length(w) < 2 THEN array()
+             ELSE transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))
+             END""")).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(20)
+        .select(col("pair")).collect().map(_.getString(0)) // 20 rows — bounded
+      val base = bpeApply(vocab, merges.toSeq)
+        .select(col("w"), size(col("toks")).cast("long").as("ntok"))
+      val drop = bpeApplyDropout(vocab, merges.toSeq)
+        .select(col("w"), size(col("toks")).cast("long").as("ndrop"))
+      wc.join(base, "w").join(drop, "w")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_words"),
+          sum(col("cnt") * col("ntok")).as("n_bpe_tokens"),
+          sum(col("cnt") * col("ndrop")).as("n_drop_tokens"))
+        .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+          col("n_drop_tokens"),
+          expr("(n_bpe_tokens * 1000000) div n_words").as("fertility_ppm"),
+          expr("(n_drop_tokens * 1000000) div n_words").as("drop_fertility_ppm"))
+    },
+    Some {
+      val u16 = PortableHash.md5Hex4("w || '|' || m.pair")
+      s"""WITH RECURSIVE words AS (
+            SELECT doc_id, unnest(list_filter(
+              string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS w
+            FROM documents),
+          wc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt
+                 FROM words GROUP BY doc_id, w),
+          vocab AS (SELECT w, CAST(sum(cnt) AS BIGINT) AS freq
+                    FROM wc GROUP BY w),
+          pairs AS (
+            SELECT substr(w, i, 2) AS pair, freq
+            FROM vocab, unnest(range(1, len(w))) AS u(i)
+            WHERE len(w) >= 2),
+          agg AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+                  FROM pairs GROUP BY pair),
+          merges AS (
+            SELECT pair, row_number() OVER (ORDER BY cnt DESC, pair) AS rk
+            FROM (SELECT pair, cnt FROM agg ORDER BY cnt DESC, pair LIMIT 20)),
+          enc AS (
+            SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s, 0 AS step
+            FROM vocab
+            UNION ALL
+            SELECT e.w,
+              CASE WHEN ($u16) < 6554 THEN e.s
+              ELSE replace(e.s,
+                ' ' || substr(m.pair, 1, 1) || ' ' || substr(m.pair, 2, 1) || ' ',
+                ' ' || m.pair || ' ') END,
+              e.step + 1
+            FROM enc e JOIN merges m ON m.rk = e.step + 1),
+          encb AS (
+            SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s, 0 AS step
+            FROM vocab
+            UNION ALL
+            SELECT e.w,
+              replace(e.s,
+                ' ' || substr(m.pair, 1, 1) || ' ' || substr(m.pair, 2, 1) || ' ',
+                ' ' || m.pair || ' '),
+              e.step + 1
+            FROM encb e JOIN merges m ON m.rk = e.step + 1),
+          ndrop AS (
+            SELECT w, CAST(len(list_filter(string_split(trim(s), ' '),
+              t -> t <> '')) AS BIGINT) AS ndrop
+            FROM enc WHERE step = 20),
+          nbase AS (
+            SELECT w, CAST(len(list_filter(string_split(trim(s), ' '),
+              t -> t <> '')) AS BIGINT) AS ntok
+            FROM encb WHERE step = 20)
+          SELECT wc.doc_id, CAST(sum(wc.cnt) AS BIGINT) AS n_words,
+            CAST(sum(wc.cnt * nb.ntok) AS BIGINT) AS n_bpe_tokens,
+            CAST(sum(wc.cnt * nd.ndrop) AS BIGINT) AS n_drop_tokens,
+            CAST(sum(wc.cnt * nb.ntok) * 1000000 // sum(wc.cnt) AS BIGINT)
+              AS fertility_ppm,
+            CAST(sum(wc.cnt * nd.ndrop) * 1000000 // sum(wc.cnt) AS BIGINT)
+              AS drop_fertility_ppm
+          FROM wc
+          JOIN nbase nb ON nb.w = wc.w
+          JOIN ndrop nd ON nd.w = wc.w
+          GROUP BY wc.doc_id"""
+    })
+
   /** Newman modularity readout of the LPA communities — the quality score
     * community detection is judged by (Q = Σ_c [e_c/m − (d_c/2m)²]):
     * per community its node count, degree mass d_c, internal edge count
@@ -1842,5 +1961,5 @@ object GraphBpeQueries {
     graphCommonNeighbors, graphModularity, graphAssortativity,
     graphDegreeDist, bpeTrain, graphClusteringCoeff, tokenizerUnigram,
     tokenizerUnigramR2, graphBfsDistance, tokenizerWordpiece, graphHits,
-    graphAdamicAdar)
+    graphAdamicAdar, bpeEncodeDropout)
 }

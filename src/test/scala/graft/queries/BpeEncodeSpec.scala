@@ -54,4 +54,52 @@ class BpeEncodeSpec extends SparkSpec {
     assert(bad === 0L)
     assert(df.count() > 0L)
   }
+
+  test("bpe_encode_dropout matches a full local replay and only ever splits") {
+    val sfDir = "/root/testdata/sf0.001"
+    def md5Hex4(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(2).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val wc = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(expr(
+        "filter(split(lower(text), '[^a-z]+'), t -> t <> '')")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("w"), r.getAs[Long]("cnt")))
+    val vocab = wc.groupBy(_._2).map { case (w, vs) => w -> vs.map(_._3).sum }
+    val merges = vocab.toSeq
+      .flatMap { case (w, f) => w.sliding(2).filter(_.length == 2).map(_ -> f) }
+      .groupBy(_._1).map { case (p, vs) => p -> vs.map(_._2).sum }.toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(20).map(_._1)
+    def seg(w: String, dropout: Boolean): Int = {
+      var s = " " + w.map(c => s"$c ").mkString
+      merges.foreach { m =>
+        val skip = dropout && md5Hex4(s"$w|$m") < 6554L
+        if (!skip) s = s.replace(s" ${m(0)} ${m(1)} ", s" $m ")
+      }
+      s.trim.split(" ").count(_.nonEmpty)
+    }
+    val expected = wc.groupBy(_._1).map { case (doc, vs) =>
+      val nWords = vs.map(_._3).sum
+      val nBase = vs.map { case (_, w, c) => c * seg(w, dropout = false) }.sum
+      val nDrop = vs.map { case (_, w, c) => c * seg(w, dropout = true) }.sum
+      doc -> ((nWords, nBase, nDrop,
+        nBase * 1000000L / nWords, nDrop * 1000000L / nWords))
+    }
+    val got = graft.SparkEntry.queries("bpe_encode_dropout")(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens"),
+          r.getAs[Long]("n_drop_tokens"), r.getAs[Long]("fertility_ppm"),
+          r.getAs[Long]("drop_fertility_ppm")))).toMap
+    assert(got === expected)
+    // Dropout splits IN AGGREGATE (the regularization price). Note this
+    // is not a per-word invariant: skipping a high-rank merge can free
+    // characters for a lower-rank overlapping merge to join MORE pairs
+    // ("baba" under merges ab,ba: baseline 3 tokens, ab-dropped 2), so
+    // only the corpus total is asserted.
+    assert(got.values.map(_._3).sum > got.values.map(_._2).sum)
+  }
 }
