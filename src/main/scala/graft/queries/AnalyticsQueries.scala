@@ -1104,6 +1104,91 @@ object AnalyticsQueries {
           LEFT JOIN contrib c ON c.event_type = g.event_type AND c.day_no = g.day_no"""
     })
 
+  /** One-sided CUSUM change detection (Page 1954) on the daily count
+    * per event_type — the sequential drift alarm next to ts_ewma/
+    * ts_holt's smoothers and trend_dow_anomaly's pointwise z-score: a
+    * slow upward shift too small for any single day to flag accumulates
+    * in S_t = max(0, S_{t−1} + x_t − (μ + κ)) until it crosses h. The
+    * max() makes this recurrence NON-linear — no weight-table recast
+    * exists (the ts_ewma/ts_holt trick is linearity) — so the engine
+    * folds it: per type ONE sorted day array (the min..max grid, gaps
+    * at 0) and a codegen `aggregate` that carries the running S, with
+    * μ from the type's own day mean, κ = μ/4 (slack) and h = μ (alarm
+    * at one mean-day of accumulated excess), all exact integer milli.
+    * Scale: one daily aggregate (the shuffle) then one row per type
+    * holding a day-span-bounded array (~365·years entries — the
+    * window_rolling_median boundedness stance); the oracle replays the
+    * fold as a per-type recursive CTE. */
+  private val tsCusum = Q(
+    "ts_cusum",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day_no"))
+        .groupBy(col("event_type"), col("day_no"))
+        .agg(count(lit(1)).as("cnt"))
+      val series = daily.groupBy(col("event_type"))
+        .agg(min(col("day_no")).as("d0"), max(col("day_no")).as("d1"),
+          sum(col("cnt")).as("tot"), count(lit(1)).as("nd"),
+          map_from_entries(collect_list(struct(col("day_no"), col("cnt"))))
+            .as("m"))
+        .select(col("event_type"), col("d0"),
+          expr("tot * 1000 div (d1 - d0 + 1)").as("mu_milli"),
+          expr("""transform(sequence(d0, d1),
+                 d -> coalesce(element_at(m, d), 0L))""").as("cnts"))
+      series
+        .withColumn("states", expr(
+          """aggregate(cnts, array(CAST(0 AS BIGINT)),
+               (acc, x) -> array_append(acc,
+                 greatest(0L, element_at(acc, CAST(size(acc) AS INT))
+                   + x * 1000 - (mu_milli + mu_milli div 4))))"""))
+        .select(col("event_type"), col("d0"), col("mu_milli"),
+          explode(expr(
+            """transform(sequence(1, CAST(size(cnts) AS INT)),
+                 i -> named_struct('i', i, 'cnt', element_at(cnts, i),
+                   's', element_at(states, i + 1)))""")).as("p"))
+        .select(col("event_type"),
+          (col("d0") + col("p.i") - 1).as("day_no"),
+          col("p.cnt").as("cnt"),
+          col("p.s").as("cusum_milli"),
+          (col("p.s") > col("mu_milli")).as("alarm"))
+    },
+    Some("""WITH RECURSIVE daily AS (
+              SELECT event_type, epoch_ns(ts) // 1000 // 86400000000 AS day_no,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM events GROUP BY 1, 2),
+            stats AS (
+              SELECT event_type, min(day_no) AS d0, max(day_no) AS d1,
+                CAST(sum(cnt) * 1000 // (max(day_no) - min(day_no) + 1)
+                  AS BIGINT) AS mu_milli
+              FROM daily GROUP BY event_type),
+            gdays AS (
+              SELECT event_type, mu_milli, d0,
+                unnest(range(d0, d1 + 1)) AS day_no
+              FROM stats),
+            grid AS (
+              SELECT g.event_type, g.mu_milli,
+                g.day_no,
+                CAST(g.day_no - g.d0 + 1 AS BIGINT) AS rn,
+                coalesce(d.cnt, 0) AS cnt
+              FROM gdays g
+              LEFT JOIN daily d
+                ON d.event_type = g.event_type AND d.day_no = g.day_no),
+            c AS (
+              SELECT event_type, mu_milli, rn, day_no, cnt,
+                greatest(0, cnt * 1000 - (mu_milli + mu_milli // 4)) AS s
+              FROM grid WHERE rn = 1
+              UNION ALL
+              SELECT g.event_type, g.mu_milli, g.rn, g.day_no, g.cnt,
+                greatest(0, c.s + g.cnt * 1000
+                  - (g.mu_milli + g.mu_milli // 4))
+              FROM c JOIN grid g
+                ON g.event_type = c.event_type AND g.rn = c.rn + 1)
+            SELECT event_type, day_no, cnt,
+              CAST(s AS BIGINT) AS cusum_milli,
+              s > mu_milli AS alarm
+            FROM c"""))
+
   /** k-anonymity audit of a quasi-identifier release (Sweeney 2002) —
     * the privacy check run BEFORE publishing any per-user extract: under
     * QI = (nation, market segment, account balance rounded to hundreds),
@@ -1550,9 +1635,9 @@ object AnalyticsQueries {
       attributionMultitouch,
       experimentTtest, cdcLogCompact, abSrmCheck, funnelWindow,
       joinScd2Pit, streakIslands, trendWowGrowth, trendDowAnomaly,
-      eventsConcentration, tsEwma, tsHolt, survivalKm, privacyDpCounts,
-      privacyKAnonymity, windowRollingMedian, resampleInterpolate,
-      eventsPathTopk)
+      eventsConcentration, tsEwma, tsHolt, tsCusum, survivalKm,
+      privacyDpCounts, privacyKAnonymity, windowRollingMedian,
+      resampleInterpolate, eventsPathTopk)
 
   /** Top user paths — the "what journeys do users actually take"
     * product-analytics readout next to event_transitions' single-step
