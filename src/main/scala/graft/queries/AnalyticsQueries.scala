@@ -142,6 +142,91 @@ object AnalyticsQueries {
             FROM seq WHERE prev_type IS NOT NULL
             GROUP BY prev_type, event_type"""))
 
+  // Long-run occupancy of the user-journey Markov chain — the
+  // where-do-users-END-UP readout on top of event_transitions' raw
+  // matrix: two power-iteration steps of π' = πP from the uniform start
+  // (the graph_pagerank fixed-iteration stance: a finite plan the oracle
+  // can mirror non-recursively; two steps already separate sinks from
+  // pass-through states on a ~10-state chain). The chain is restricted
+  // to states WITH outgoing transitions (a terminal type has no row in
+  // P; restricting + row-normalizing is the declared dangling-state
+  // semantics, documented here rather than silently absorbing).
+  // Determinism: P cells quantize to ppm per cell (cnt·10⁶ div rowtot,
+  // exact ints), each iteration sums v·p products in exact BIGINT and
+  // divides ONCE by 10⁶ — truncation is deterministic and identical on
+  // both engines. Scale: the transition aggregate is the one corpus
+  // shuffle; everything after lives on the ≤ states² frame.
+  private val eventsMarkovStationary = Q(
+    "events_markov_stationary",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val trans = ev.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .where(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(eager = true) // tiny; feeds P, states, and both steps
+      // keep only transitions among states that THEMSELVES have out-edges
+      val states = trans.select(col("prev_type").as("st")).distinct()
+      val closed = trans.join(states.select(col("st").as("event_type")),
+        Seq("event_type"), "left_semi")
+      val tot = closed.groupBy(col("prev_type")).agg(sum(col("cnt")).as("rt"))
+      val p = closed.join(tot, "prev_type")
+        .select(col("prev_type").as("i"), col("event_type").as("j"),
+          expr("cnt * 1000000 div rt").as("p_ppm"))
+      val v0 = states
+        .crossJoin(broadcast(states.agg(count(lit(1)).as("ns")))) // 1-row
+        .select(col("st"), expr("1000000 div ns").as("v"))
+      def step(v: DataFrame): DataFrame =
+        p.join(v.select(col("st").as("i"), col("v")), "i")
+          .groupBy(col("j"))
+          .agg(expr("sum(v * p_ppm) div 1000000").as("v"))
+          .select(col("j").as("st"), col("v"))
+      val v2 = step(step(v0))
+      v2.select(col("st").as("state"), col("v").as("pi_ppm"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("pi_ppm").desc, col("state"))).cast("long"))
+    },
+    Some("""WITH seq AS (
+              SELECT user_id, event_type,
+                lag(event_type) OVER (PARTITION BY user_id
+                  ORDER BY epoch_ns(ts) // 1000, event_id) AS prev_type
+              FROM events),
+            trans AS (
+              SELECT prev_type, event_type AS next_type,
+                CAST(count(*) AS BIGINT) AS cnt
+              FROM seq WHERE prev_type IS NOT NULL
+              GROUP BY prev_type, event_type),
+            states AS (SELECT DISTINCT prev_type AS st FROM trans),
+            closed AS (
+              SELECT t.prev_type, t.next_type, t.cnt FROM trans t
+              WHERE EXISTS (SELECT 1 FROM states s WHERE s.st = t.next_type)),
+            tot AS (SELECT prev_type, CAST(sum(cnt) AS BIGINT) AS rt
+                    FROM closed GROUP BY prev_type),
+            p AS (
+              SELECT c.prev_type AS i, c.next_type AS j,
+                CAST(c.cnt * 1000000 // t.rt AS BIGINT) AS p_ppm
+              FROM closed c JOIN tot t ON t.prev_type = c.prev_type),
+            v0 AS (
+              SELECT st, CAST(1000000 // (SELECT count(*) FROM states)
+                AS BIGINT) AS v
+              FROM states),
+            v1 AS (
+              SELECT p.j AS st, CAST(sum(v0.v * p.p_ppm) // 1000000 AS BIGINT)
+                AS v
+              FROM p JOIN v0 ON v0.st = p.i GROUP BY p.j),
+            v2 AS (
+              SELECT p.j AS st, CAST(sum(v1.v * p.p_ppm) // 1000000 AS BIGINT)
+                AS v
+              FROM p JOIN v1 ON v1.st = p.i GROUP BY p.j)
+            SELECT st AS state, v AS pi_ppm,
+              CAST(row_number() OVER (ORDER BY v DESC, st) AS BIGINT) AS rk
+            FROM v2"""))
+
   // Trailing-7-day rolling stats per user — the RANGE window frame
   // (time-interval peers, not row counts), the one window shape the
   // battery in window_funcs doesn't cover. Scale: the window partitions
@@ -1637,7 +1722,7 @@ object AnalyticsQueries {
       joinScd2Pit, streakIslands, trendWowGrowth, trendDowAnomaly,
       eventsConcentration, tsEwma, tsHolt, tsCusum, survivalKm,
       privacyDpCounts, privacyKAnonymity, windowRollingMedian,
-      resampleInterpolate, eventsPathTopk)
+      resampleInterpolate, eventsPathTopk, eventsMarkovStationary)
 
   /** Top user paths — the "what journeys do users actually take"
     * product-analytics readout next to event_transitions' single-step
