@@ -1214,7 +1214,7 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("cnt"))
       val series = daily.groupBy(col("event_type"))
         .agg(min(col("day_no")).as("d0"), max(col("day_no")).as("d1"),
-          sum(col("cnt")).as("tot"), count(lit(1)).as("nd"),
+          sum(col("cnt")).as("tot"),
           map_from_entries(collect_list(struct(col("day_no"), col("cnt"))))
             .as("m"))
         .select(col("event_type"), col("d0"),
@@ -1282,11 +1282,14 @@ object AnalyticsQueries {
     * three attributes; the release gate is "suppress or generalize until
     * rows_below_ppm = 0 at the chosen k". One row per policy threshold
     * k ∈ {2, 5, 10, 20} with the class-size floor and total class count
-    * carried for context. The balance bucket uses floor division on a
-    * SHIFTED non-negative value (TPC-H acctbal ∈ [−999.99, 9999.99];
-    * Spark div truncates toward zero where DuckDB // floors, so the
-    * +1000 shift keeps the operands where they agree — the established
-    * negative-div rule). Scale: ONE QI-keyed aggregate over the scan;
+    * carried for context. The balance bucket FLOORS BEFORE CASTING on a
+    * SHIFTED non-negative value (TPC-H acctbal ∈ [−999.99, 9999.99]):
+    * the shift keeps Spark's truncating div and DuckDB's flooring //
+    * in agreement, and the explicit floor() closes the second, sneakier
+    * divergence — Spark's double→BIGINT cast truncates where DuckDB's
+    * ROUNDS to nearest (6299.83 + 1000 → 7299 vs 7300), which moves
+    * boundary customers across buckets while the threshold aggregates
+    * can coincidentally still match. Scale: ONE QI-keyed aggregate;
     * the threshold explode (×4) and all readouts live on the
     * class-sized frame. */
   private val privacyKAnonymity = Q(
@@ -1294,7 +1297,7 @@ object AnalyticsQueries {
     (s, dir) => {
       val classes = Tables.customer(s, dir)
         .select(col("c_nationkey"), col("c_mktsegment"),
-          expr("CAST((c_acctbal + 1000.0) AS BIGINT) div 100").as("bal_bucket"))
+          expr("CAST(floor(c_acctbal + 1000.0) AS BIGINT) div 100").as("bal_bucket"))
         .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"))
         .agg(count(lit(1)).as("cs"))
       val tot = classes.agg(sum(col("cs")).as("n_rows"),
@@ -1312,7 +1315,7 @@ object AnalyticsQueries {
     },
     Some("""WITH classes AS (
               SELECT c_nationkey, c_mktsegment,
-                CAST(c_acctbal + 1000.0 AS BIGINT) // 100 AS bal_bucket,
+                CAST(floor(c_acctbal + 1000.0) AS BIGINT) // 100 AS bal_bucket,
                 CAST(count(*) AS BIGINT) AS cs
               FROM customer GROUP BY 1, 2, 3),
             tot AS (

@@ -188,6 +188,43 @@ object GraphBpeQueries {
     * BpeEncodeSpec can pin the application semantics on hand-checked
     * words (boundary safety, concat-reconstruction, the left-to-right
     * overlap rule both engines share). */
+  /** Top-20 character-bigram merges learned from the vocabulary — ONE
+    * definition shared by bpe_encode and bpe_encode_dropout (a change
+    * to the cap or the (cnt desc, pair) tie-break moves both encoders
+    * in lockstep, so "baseline vs dropout fertility" can never compare
+    * against a stale merge table). 20 rows — driver-bounded. */
+  private[queries] def bpeMerges(vocab: DataFrame): Seq[String] =
+    vocab
+      .select(col("freq"), explode(expr(
+        """CASE WHEN length(w) < 2 THEN array()
+           ELSE transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))
+           END""")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(20)
+      .select(col("pair")).collect().map(_.getString(0)).toSeq
+
+  /** Oracle CTE prefix (words → wc → vocab → pairs → agg → merges) —
+    * the [[bpeMerges]] twin both encode oracles splice, same lockstep
+    * rationale. */
+  private val bpeMergesOracle: String =
+    """words AS (
+         SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS w
+         FROM documents),
+       wc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt
+              FROM words GROUP BY doc_id, w),
+       vocab AS (SELECT w, CAST(sum(cnt) AS BIGINT) AS freq
+                 FROM wc GROUP BY w),
+       pairs AS (
+         SELECT substr(w, i, 2) AS pair, freq
+         FROM vocab, unnest(range(1, len(w))) AS u(i)
+         WHERE len(w) >= 2),
+       agg AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+               FROM pairs GROUP BY pair),
+       merges AS (
+         SELECT pair, row_number() OVER (ORDER BY cnt DESC, pair) AS rk
+         FROM (SELECT pair, cnt FROM agg ORDER BY cnt DESC, pair LIMIT 20))"""
+
   private[queries] def bpeApply(vocab: DataFrame, merges: Seq[String]): DataFrame =
     merges.foldLeft(vocab.select(col("w"),
       concat(lit(" "), expr("regexp_replace(w, '(.)', '$1 ')")).as("s"))) { (df, m) =>
@@ -205,15 +242,7 @@ object GraphBpeQueries {
         .select(col("doc_id"), col("token").as("w"), col("cnt"))
       val vocab = graft.text.TextArtifacts.vocab(s, dir)
         .select(col("token").as("w"), col("freq"))
-      val merges = vocab
-        .select(col("freq"), explode(expr(
-          """CASE WHEN length(w) < 2 THEN array()
-             ELSE transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))
-             END""")).as("pair"))
-        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
-        .orderBy(col("cnt").desc, col("pair")).limit(20)
-        .select(col("pair")).collect().map(_.getString(0)) // 20 rows — bounded
-      val encoded = bpeApply(vocab, merges.toSeq)
+      val encoded = bpeApply(vocab, bpeMerges(vocab))
         .select(col("w"), size(col("toks")).cast("long").as("ntok"))
       wc.join(encoded, "w")
         .groupBy(col("doc_id"))
@@ -222,25 +251,9 @@ object GraphBpeQueries {
         .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
           expr("(n_bpe_tokens * 1000000) div n_words").as("fertility_ppm"))
     },
-    Some("""WITH RECURSIVE words AS (
-              SELECT doc_id, unnest(list_filter(
-                string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS w
-              FROM documents),
-            wc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt
-                   FROM words GROUP BY doc_id, w),
-            vocab AS (SELECT w, CAST(sum(cnt) AS BIGINT) AS freq
-                      FROM wc GROUP BY w),
-            pairs AS (
-              SELECT substr(w, i, 2) AS pair, freq
-              FROM vocab, unnest(range(1, len(w))) AS u(i)
-              WHERE len(w) >= 2),
-            agg AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
-                    FROM pairs GROUP BY pair),
-            merges AS (
-              SELECT pair, row_number() OVER (ORDER BY cnt DESC, pair) AS rk
-              FROM (SELECT pair, cnt FROM agg ORDER BY cnt DESC, pair LIMIT 20)),
+    Some(s"""WITH RECURSIVE $bpeMergesOracle,
             enc AS (
-              SELECT w, ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS s, 0 AS step
+              SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s, 0 AS step
               FROM vocab
               UNION ALL
               SELECT e.w,
@@ -1015,17 +1028,10 @@ object GraphBpeQueries {
         .select(col("doc_id"), col("token").as("w"), col("cnt"))
       val vocab = graft.text.TextArtifacts.vocab(s, dir)
         .select(col("token").as("w"), col("freq"))
-      val merges = vocab
-        .select(col("freq"), explode(expr(
-          """CASE WHEN length(w) < 2 THEN array()
-             ELSE transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))
-             END""")).as("pair"))
-        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
-        .orderBy(col("cnt").desc, col("pair")).limit(20)
-        .select(col("pair")).collect().map(_.getString(0)) // 20 rows — bounded
-      val base = bpeApply(vocab, merges.toSeq)
+      val merges = bpeMerges(vocab) // the bpe_encode table, one definition
+      val base = bpeApply(vocab, merges)
         .select(col("w"), size(col("toks")).cast("long").as("ntok"))
-      val drop = bpeApplyDropout(vocab, merges.toSeq)
+      val drop = bpeApplyDropout(vocab, merges)
         .select(col("w"), size(col("toks")).cast("long").as("ndrop"))
       wc.join(base, "w").join(drop, "w")
         .groupBy(col("doc_id"))
@@ -1039,23 +1045,7 @@ object GraphBpeQueries {
     },
     Some {
       val u16 = PortableHash.md5Hex4("w || '|' || m.pair")
-      s"""WITH RECURSIVE words AS (
-            SELECT doc_id, unnest(list_filter(
-              string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS w
-            FROM documents),
-          wc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt
-                 FROM words GROUP BY doc_id, w),
-          vocab AS (SELECT w, CAST(sum(cnt) AS BIGINT) AS freq
-                    FROM wc GROUP BY w),
-          pairs AS (
-            SELECT substr(w, i, 2) AS pair, freq
-            FROM vocab, unnest(range(1, len(w))) AS u(i)
-            WHERE len(w) >= 2),
-          agg AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
-                  FROM pairs GROUP BY pair),
-          merges AS (
-            SELECT pair, row_number() OVER (ORDER BY cnt DESC, pair) AS rk
-            FROM (SELECT pair, cnt FROM agg ORDER BY cnt DESC, pair LIMIT 20)),
+      s"""WITH RECURSIVE $bpeMergesOracle,
           enc AS (
             SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s, 0 AS step
             FROM vocab
@@ -1926,13 +1916,19 @@ object GraphBpeQueries {
         .groupBy(col("dst")).agg(sum(col("h1p")).as("a2"))
       val a2p = a2.crossJoin(broadcast(a2.agg(max(col("a2")).as("ma")))) // 1-row max
         .select(col("dst"), expr("a2 * 1000000 div ma").as("a2p"))
-      h1p.select(lit("hub").as("side"), col("src").as("node"),
+      // top-10 per side via orderBy+limit (TakeOrderedAndProject — the
+      // graph_common_neighbors discipline: per-partition partial top-k,
+      // no corpus-wide rank window); the rk window then runs on the
+      // 20-row result only
+      val hubsTop = h1p.select(lit("hub").as("side"), col("src").as("node"),
           col("h1p").as("score_ppm"))
-        .unionAll(a2p.select(lit("auth").as("side"), col("dst").as("node"),
-          col("a2p").as("score_ppm")))
+        .orderBy(col("score_ppm").desc, col("node")).limit(10)
+      val authsTop = a2p.select(lit("auth").as("side"), col("dst").as("node"),
+          col("a2p").as("score_ppm"))
+        .orderBy(col("score_ppm").desc, col("node")).limit(10)
+      hubsTop.unionAll(authsTop)
         .withColumn("rk", row_number().over(Window.partitionBy(col("side"))
           .orderBy(col("score_ppm").desc, col("node"))).cast("long"))
-        .where(col("rk") <= 10)
     },
     Some(s"""WITH ${graft.identity.GraphArtifacts.fwdOracle},
         a1 AS (SELECT dst, CAST(count(*) AS BIGINT) AS a1 FROM fwd GROUP BY dst),

@@ -16,7 +16,7 @@ class KAnonymitySpec extends SparkSpec {
   test("privacy_k_anonymity matches a local class recount") {
     val rows = Tables.customer(spark, sfDir)
       .select(col("c_nationkey").cast("long"), col("c_mktsegment"),
-        expr("CAST((c_acctbal + 1000.0) AS BIGINT) div 100").as("b"))
+        expr("CAST(floor(c_acctbal + 1000.0) AS BIGINT) div 100").as("b"))
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     val classes = rows.groupBy(identity).map(_._2.length.toLong).toSeq
