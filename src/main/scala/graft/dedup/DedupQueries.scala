@@ -892,8 +892,48 @@ object DedupQueries {
                 JOIN sh sb ON sb.doc_id = c.b)"""
     })
 
+  // The LSH S-curve of THIS engine's banding config — the design-point
+  // readout a dedup operator tunes against: with b bands of r rows the
+  // probability two docs at Jaccard similarity s become candidates is
+  // 1 − (1 − s^r)^b; the table makes the configured trade-off (miss
+  // rate below the knee vs false-candidate rate above it) inspectable
+  // next to the measured recall specs. Constants are spliced from
+  // MinHashSignature (NumHashes/BandSize — the ONE config definition),
+  // so a banding change moves this readout in lockstep. Determinism
+  // without pow(): s = i/20, so (1 − s^r)^b = (20^r − i^r)^b / 20^(r·b)
+  // — both EXACT BIGINTs under 2^53 at (r, b) = (3, 4), hence exactly
+  // representable doubles, and the single IEEE division + round is
+  // bit-identical on both engines. 19 literal rows — no scan at all.
+  private val dedupLshScurve = {
+    import graft.functions.MinHashSignature.{NumHashes, BandSize}
+    val r = BandSize
+    val b = NumHashes / BandSize
+    val base = Seq.fill(r)(20L).product // 20^r
+    val denb = Seq.fill(b)(base).product // 20^(r·b) < 2^53
+    require(denb < (1L << 53), "LSH S-curve exactness bound exceeded")
+    val iPowR = Seq.fill(r)("i").mkString(" * ") // i^r as repeated multiply
+    val numB = Seq.fill(b)(s"($base - $iPowR)").mkString(" * ") // (20^r − i^r)^b
+    val collide =
+      s"""CAST(round((1.0 - CAST($numB AS DOUBLE) / $denb.0) * 1000000.0, 0)
+          AS BIGINT)"""
+    Q(
+      "dedup_lsh_scurve",
+      (s, dir) =>
+        s.range(1, 20).toDF("i").select(
+          expr("i * 5").as("s_pct"),
+          expr(collide).as("collide_ppm"),
+          lit(b.toLong).as("bands"),
+          lit(r.toLong).as("rows_per_band")),
+      Some(s"""SELECT CAST(i * 5 AS BIGINT) AS s_pct,
+                 $collide AS collide_ppm,
+                 CAST($b AS BIGINT) AS bands,
+                 CAST($r AS BIGINT) AS rows_per_band
+               FROM (SELECT unnest(range(1, 20)) AS i)"""))
+  }
+
   val all: Seq[Q] = Seq(dedupMinhash, dedupMinhashPairs, dedupSimhash,
     dedupNgramJaccard, dedupClusters, splitLeakageSafe, corpusClean,
     dedupIncremental, dedupSubstring, dedupWinnowFp, dedupWinnowPairs,
-    dedupKeepBest, minePreferencePairs, dedupSoft, dedupMinhashEst)
+    dedupKeepBest, minePreferencePairs, dedupSoft, dedupMinhashEst,
+    dedupLshScurve)
 }

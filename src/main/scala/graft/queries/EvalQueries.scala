@@ -1310,8 +1310,53 @@ object EvalQueries {
               END AS baseline_nano
           FROM terms GROUP BY lang, n_pos, n_neg"""))
 
+  // Expected / maximum calibration error per lang — the single-number
+  // summary eval_calibration_bins' table rolls up to (and the
+  // recalibration KPI eval_brier_decomp's reliability term motivates):
+  // over 10 equal-width forecast bins, ECE = Σ (n_b/N)·|conf_b − acc_b|
+  // and MCE = max_b |conf_b − acc_b|, with the same hard-sigmoid
+  // forecast the gate family shares. EXACT end to end, no doubles at
+  // all: (n_b/N)|conf−acc| = |Σp − 1000·o_b| / (1000·N), so ECE_ppm =
+  // Σ_b|Σp − 1000·o_b| · 1000 div N and each bin's MCE candidate is
+  // |Σp − 1000·o_b| · 1000 div n_b — pure BIGINT arithmetic on both
+  // engines. One corpus aggregate to ≤ langs × 10 bins.
+  private val evalEce = Q(
+    "eval_ece",
+    (s, dir) => {
+      val bins = scoredDf(s, dir)
+        .withColumn("pm", expr("least(greatest((bucket + 1000) div 4, 0L), 1000L)"))
+        .withColumn("b10", expr("least(pm div 100, 9L)"))
+        .groupBy(col("lang"), col("b10"))
+        .agg(count(lit(1)).as("nb"), sum(col("pos")).as("ob"),
+          sum(col("pm")).as("sp"))
+      bins
+        .select(col("lang"), col("nb"), expr("abs(sp - 1000 * ob)").as("dev"),
+          expr("abs(sp - 1000 * ob) * 1000 div nb").as("mce_cand"))
+        .groupBy(col("lang"))
+        .agg(sum(col("nb")).as("n"), count(lit(1)).as("n_bins"),
+          sum(col("dev")).as("devsum"), max(col("mce_cand")).as("mce_ppm"))
+        .select(col("lang"), col("n"), col("n_bins"),
+          expr("devsum * 1000 div n").as("ece_ppm"), col("mce_ppm"))
+    },
+    Some(s"""WITH scored AS ($scoredSql),
+          bins AS (
+            SELECT lang,
+              least(least(greatest((bucket + 1000) // 4, 0), 1000) // 100, 9)
+                AS b10,
+              CAST(count(*) AS BIGINT) AS nb,
+              CAST(sum(pos) AS BIGINT) AS ob,
+              CAST(sum(least(greatest((bucket + 1000) // 4, 0), 1000))
+                AS BIGINT) AS sp
+            FROM scored GROUP BY 1, 2)
+          SELECT lang, CAST(sum(nb) AS BIGINT) AS n,
+            CAST(count(*) AS BIGINT) AS n_bins,
+            CAST(sum(abs(sp - 1000 * ob)) * 1000 // sum(nb) AS BIGINT)
+              AS ece_ppm,
+            CAST(max(abs(sp - 1000 * ob) * 1000 // nb) AS BIGINT) AS mce_ppm
+          FROM bins GROUP BY lang"""))
+
   val all: Seq[Q] = Seq(evalAucRank, evalCalibrationBins, evalRateCi, evalBleu,
     evalRougeN, evalRougeL, evalChrf, evalTokenF1, evalPassAtK,
     evalDistinctN, evalEloBt, evalBootstrapCi, evalAgreement,
-    evalBrierDecomp, evalPrAuc)
+    evalBrierDecomp, evalPrAuc, evalEce)
 }

@@ -57,6 +57,53 @@ class PrAucBanditSpec extends SparkSpec {
     }
   }
 
+  test("eval_ece matches a local binned recount, MCE dominates ECE") {
+    val scored = EvalQueries.scoredDf(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("bucket"),
+        r.getAs[Long]("pos")))
+    val expected = scored.groupBy(_._1).map { case (lang, ds) =>
+      val bins = ds.map { case (_, b, y) =>
+        val pm = math.min(math.max((b + 1000L) / 4L, 0L), 1000L)
+        (math.min(pm / 100L, 9L), pm, y)
+      }.groupBy(_._1).map { case (_, vs) =>
+        (vs.length.toLong, vs.map(_._3).sum, vs.map(_._2).sum)
+      }
+      val n = bins.map(_._1).sum
+      val devs = bins.map { case (nb, ob, sp) => (nb, math.abs(sp - 1000 * ob)) }
+      lang -> ((n, bins.size.toLong,
+        devs.map(_._2).sum * 1000 / n,
+        devs.map { case (nb, d) => d * 1000 / nb }.max))
+    }
+    val got = Registry.queries("eval_ece")(spark, sfDir).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_bins"),
+          r.getAs[Long]("ece_ppm"), r.getAs[Long]("mce_ppm")))).toMap
+    assert(got === expected)
+    // MCE is the max of what ECE weight-averages, so it dominates
+    // (up to the two independent div-truncations)
+    got.values.foreach { case (_, _, ece, mce) => assert(mce + 1000L >= ece) }
+  }
+
+  test("dedup_lsh_scurve is the exact (b=4, r=3) collision curve") {
+    val got = Registry.queries("dedup_lsh_scurve")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("s_pct") ->
+        ((r.getAs[Long]("collide_ppm"), r.getAs[Long]("bands"),
+          r.getAs[Long]("rows_per_band")))).toMap
+    assert(got.size === 19)
+    got.foreach { case (sPct, (p, b, r)) =>
+      assert(b === 4L && r === 3L)
+      val s = sPct.toDouble / 100.0
+      val exact = math.round((1.0 - math.pow(1.0 - s * s * s, 4)) * 1e6)
+      // the engine avoids pow() via exact integer numerators; the libm
+      // check here may differ by the last ulp before rounding
+      assert(math.abs(p - exact) <= 1L, s"s=$sPct%")
+    }
+    // an S-curve: monotone increasing, 0-ish at low s, ~1 at high s
+    val curve = got.toSeq.sortBy(_._1).map(_._2._1)
+    assert(curve.sliding(2).forall(w => w(0) <= w(1)))
+    assert(curve.head < 1000L && curve.last > 990000L)
+  }
+
   test("mix_ucb_bandit matches a local UCB1 recount") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("source"),
