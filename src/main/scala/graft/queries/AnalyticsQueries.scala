@@ -1360,6 +1360,7 @@ object AnalyticsQueries {
         .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
         .groupBy(col("user_id"))
         .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .localCheckpoint(eager = true) // observation end + lifetimes: ONE scan
       val mx = users.agg(max(col("d1")).as("mx"))
       val byT = users.crossJoin(broadcast(mx)) // 1-row observation end
         .select((col("d1") - col("d0")).as("t"),
