@@ -1910,8 +1910,12 @@ object GraphBpeQueries {
         .select(col("dst"), expr("a1 * 1000000 div m1").as("a1p"))
       val h1 = fwd.join(a1p, "dst")
         .groupBy(col("src")).agg(sum(col("a1p")).as("h1"))
+      // checkpointed: consumed by BOTH the hub top-k and the a² pull —
+      // without it each TakeOrdered branch re-runs the whole half-step
+      // chain from the edge artifact (visible as a doubled plan)
       val h1p = h1.crossJoin(broadcast(h1.agg(max(col("h1")).as("mh")))) // 1-row max
         .select(col("src"), expr("h1 * 1000000 div mh").as("h1p"))
+        .localCheckpoint(eager = true)
       val a2 = fwd.join(h1p, "src")
         .groupBy(col("dst")).agg(sum(col("h1p")).as("a2"))
       val a2p = a2.crossJoin(broadcast(a2.agg(max(col("a2")).as("ma")))) // 1-row max
