@@ -1300,6 +1300,7 @@ object AnalyticsQueries {
           expr("CAST(floor(c_acctbal + 1000.0) AS BIGINT) div 100").as("bal_bucket"))
         .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"))
         .agg(count(lit(1)).as("cs"))
+        .localCheckpoint(eager = true) // totals + threshold rollup: ONE scan
       val tot = classes.agg(sum(col("cs")).as("n_rows"),
         count(lit(1)).as("n_classes"), min(col("cs")).as("min_class_size"))
       classes

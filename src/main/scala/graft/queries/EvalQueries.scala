@@ -1170,6 +1170,7 @@ object EvalQueries {
         .withColumn("pm", expr("least(greatest((bucket + 1000) div 4, 0L), 1000L)"))
         .groupBy(col("lang"), col("pm"))
         .agg(count(lit(1)).as("nk"), sum(col("pos")).as("ok"))
+        .localCheckpoint(eager = true) // totals + terms: ONE tokenize scan
       val tot = bins.groupBy(col("lang"))
         .agg(sum(col("nk")).as("n"), sum(col("ok")).as("n_pos"))
       bins.join(tot, "lang")
@@ -1247,6 +1248,7 @@ object EvalQueries {
         .groupBy(col("lang"), col("bucket"))
         .agg(sum(col("pos")).as("np"),
           (count(lit(1)) - sum(col("pos"))).as("nn"))
+        .localCheckpoint(eager = true) // totals + cum sweep: ONE tokenize scan
       val tot = hist.groupBy(col("lang"))
         .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"))
       val w = Window.partitionBy(col("lang")).orderBy(col("bucket").desc)

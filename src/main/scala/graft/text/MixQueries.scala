@@ -594,6 +594,7 @@ object MixQueries {
             .as("pass"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n"), sum(col("pass")).as("n_pass"))
+        .localCheckpoint(eager = true) // pull total + scoring: ONE scan
       val tot = arms.agg(sum(col("n")).as("big_n"))
       val bonus =
         """CAST(floor(sqrt(2.0 * ln(CAST(big_n AS DOUBLE)) / CAST(n AS DOUBLE))
