@@ -1477,6 +1477,7 @@ object CurationQueries {
         col("doc_id"),
         size(expr("filter(split(text, '\\\\s+'), t -> t <> '')")).cast("long")
           .as("toks"))
+        .localCheckpoint(eager = true) // corpus count + rank: ONE tokenize scan
       val n = d.agg(count(lit(1)).as("n"))
       d.withColumn("r", row_number().over(
           Window.orderBy(col("toks"), col("doc_id"))).cast("long"))
