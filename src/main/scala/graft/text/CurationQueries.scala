@@ -1447,6 +1447,59 @@ object CurationQueries {
           LIMIT 50"""
     })
 
+  // Neyman allocation for stratified sampling (Neyman 1934) — the
+  // statistically optimal way to split a fixed annotation/eval budget
+  // across strata: n_h ∝ N_h·S_h, so big AND internally-varied strata
+  // get the samples (equal or proportional splits waste budget on
+  // homogeneous strata — the readout sample_stratified's equal-rate
+  // design cannot give). Strata = lang, measurement = n_chars, budget =
+  // 100. Determinism: per-stratum variance is an exact rational from
+  // BIGINT (n·Σx² − (Σx)²)/n², the stddev is ONE IEEE sqrt of identical
+  // integer-derived doubles, the weight N_h·S_h quantizes to integer
+  // milli PER STRATUM (§7.4.1 — a double Σ over strata would be
+  // order-sensitive), and the allocation is an exact integer floor
+  // share of the quantized weight total (Σ alloc ≤ budget by
+  // construction — the remainder is the declared rounding residue, not
+  // silently redistributed). ONE lang-keyed aggregate over the scan;
+  // everything after lives on the ≤ #langs frame.
+  private val sampleNeyman = Q(
+    "sample_neyman",
+    (s, dir) => {
+      val strata = Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sx"),
+          sum(col("n_chars") * col("n_chars")).as("sxx"))
+        .select(col("lang"), col("n_docs"),
+          expr("""CAST(round(sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)
+                 / CAST(n_docs * n_docs AS DOUBLE)) * 1000.0, 0) AS BIGINT)""")
+            .as("s_milli"))
+        .select(col("lang"), col("n_docs"),
+          col("s_milli"), (col("n_docs") * col("s_milli")).as("w_milli"))
+      val tot = strata.agg(sum(col("w_milli")).as("wt"))
+      strata.crossJoin(broadcast(tot)) // 1-row weight total
+        .select(col("lang"), col("n_docs"), col("s_milli"), col("w_milli"),
+          expr("w_milli * 100 div wt").as("alloc"))
+    },
+    Some("""WITH strata AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sx,
+                CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+              FROM documents GROUP BY lang),
+            w AS (
+              SELECT lang, n_docs,
+                CAST(round(sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)
+                  / CAST(n_docs * n_docs AS DOUBLE)) * 1000.0, 0) AS BIGINT)
+                  AS s_milli
+              FROM strata),
+            ww AS (
+              SELECT lang, n_docs, s_milli,
+                CAST(n_docs * s_milli AS BIGINT) AS w_milli
+              FROM w)
+            SELECT lang, n_docs, s_milli, w_milli,
+              CAST(w_milli * 100 // (SELECT sum(w_milli) FROM ww) AS BIGINT)
+                AS alloc
+            FROM ww"""))
+
   // Competence-based curriculum ordering (Platanios et al., NAACL 2019):
   // at training-progress fraction p the model's "competence" c(p) = √p
   // gates which difficulty percentiles are sampleable, which inverts to
@@ -1529,5 +1582,5 @@ object CurationQueries {
     qualityGopherRules,
     textCodeDetect, corpusDrift, tokenizerCoverage, docChunkingCdc,
     textWatermarkDetect, qualityDsir, sampleWeightedGumbel,
-    curriculumPacing)
+    curriculumPacing, sampleNeyman)
 }
