@@ -131,6 +131,9 @@ object Bench {
             .cnGraphEnsure(spark, sfDir, s"$adir/cngraph")),
           "text" -> (() => graft.text.TextArtifacts
             .ensure(spark, sfDir, s"$adir/text")))
+        // Keys are "ensure_"-prefixed so a warm-mode record can never be
+        // diffed against a cold-mode per-artifact key set (ADVICE r07 #4);
+        // the JSON line also carries "artifact_mode":"warm".
         ensures.map { case (n, fn) =>
           val t0 = System.nanoTime()
           val hit = try fn() catch { case e: Throwable =>
@@ -140,7 +143,7 @@ object Bench {
           }
           val dt = (System.nanoTime() - t0) / 1e9
           println(s"# artifact_ensure $n ${if (hit) "warm" else "cold"}")
-          n -> Seq(dt)
+          s"ensure_$n" -> Seq(dt)
         }
       case _ =>
         // Isolated re-measure (VERDICT r06 task 1): artifact builds were
@@ -194,8 +197,10 @@ object Bench {
         .mkString("{", ",", "}")
       val samples =
         if (withSamples) s""""artifact_samples":$samplesJson,""" else ""
+      val mode = if (artifactDir.isDefined) "warm" else "cold"
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""noise":{"start":${fmt(noiseStart)},"end":${fmt(noiseEnd)}},""" +
+        s""""artifact_mode":"$mode",""" +
         s""""artifact_sec":${fmt(artifactSec)},"artifacts":$artifactsJson,""" +
         samples +
         s""""queries":$qs,"sf":"$sfDir"}"""

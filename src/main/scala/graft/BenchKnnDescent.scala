@@ -42,10 +42,12 @@ object BenchKnnDescent {
     val planes = args.drop(1).headOption.map(_.toInt).getOrElse(16)
     val nClusters = math.max(n / 100L, 1L)
     // center(cid, d) and noise(id, d) from xxhash64 → uniform in [-1, 1]
-    // and ±0.25 respectively: deterministic, engine-native, no RNG state
+    // and [0, 0.25) respectively: deterministic, engine-native, no RNG
+    // state. pmod, not % — Spark's % keeps the dividend sign, which
+    // would skew the centers negative (ADVICE r07 #2).
     val dims = (0 until 64).map { d =>
-      val center = s"(xxhash64(vec_id % $nClusters * 64 + $d) % 1000) / 500.0 - 1.0"
-      val noise = s"(xxhash64(vec_id * 64 + $d + 7777777) % 1000) / 4000.0"
+      val center = s"pmod(xxhash64(vec_id % $nClusters * 64 + $d), 1000) / 500.0 - 1.0"
+      val noise = s"pmod(xxhash64(vec_id * 64 + $d + 7777777), 1000) / 4000.0"
       expr(s"CAST($center + $noise AS FLOAT)")
     }
     val emb = spark.range(n).select(col("id").as("vec_id"),
@@ -69,10 +71,29 @@ object BenchKnnDescent {
     // candidates ≤ deg + deg² per node
     val bound = n * (12L + 144L)
     val ok = candPairs <= bound && outRows <= 3L * n
+
+    // Convergence driver at scale (VERDICT r07 task 4): measured rounds
+    // + per-round deltas. Post-seed rounds run capped-reverse und (deg
+    // ≤ 6), so EVERY round's candidate set is bounded by (6 + 36)·n —
+    // the cappedUnd contract; the one-round cand bound above already
+    // dominates it, and knnDescentConverge itself caps rounds at 5, so
+    // the converge pass inherits the same corpus-linearity tripwire via
+    // its own fan-out (a blow-up would OOM/stall loudly, and the delta
+    // telemetry below exposes any round whose edge set stops shrinking).
+    val tC = System.nanoTime()
+    val (tkC, rounds, deltas) = graft.sim.SimQueries.knnDescentConverge(emb, planes)
+    val convRows = tkC.queryExecution.toRdd.count()
+    val convSec = (System.nanoTime() - tC) / 1e9
+    val okConv = convRows <= 3L * n
+
     println(f"""{"metric":"knn_descent_scale","vectors":$n,"planes":$planes,""" +
       f""""seed_edges":$seedEdges,"cand_pairs":$candPairs,"cand_bound":$bound,""" +
-      f""""out_rows":$outRows,"seed_sec":$seedSec%.1f,"value":$sec%.1f}""")
+      f""""out_rows":$outRows,"seed_sec":$seedSec%.1f,""" +
+      f""""converge_rounds":$rounds,""" +
+      s""""converge_deltas_ppm":[${deltas.mkString(",")}],""" +
+      f""""converge_rows":$convRows,"converge_sec":$convSec%.1f,""" +
+      f""""value":$sec%.1f}""")
     spark.stop()
-    if (!ok) sys.exit(1)
+    if (!ok || !okConv) sys.exit(1)
   }
 }

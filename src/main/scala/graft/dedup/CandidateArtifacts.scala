@@ -1,7 +1,5 @@
 package graft.dedup
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -54,9 +52,9 @@ import graft.queries.Tables
   */
 object CandidateArtifacts {
 
-  private val sigCache = new ConcurrentHashMap[(SparkSession, String), DataFrame]
-  private val pairCache = new ConcurrentHashMap[(SparkSession, String), DataFrame]
-  private val clusterCache = new ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private val sigCache = new graft.queries.SessionCache[DataFrame](Seq(_))
+  private val pairCache = new graft.queries.SessionCache[DataFrame](Seq(_))
+  private val clusterCache = new graft.queries.SessionCache[DataFrame](Seq(_))
   private val builds = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** How many times the signature artifact has been built this JVM —
@@ -111,7 +109,7 @@ object CandidateArtifacts {
 
   /** Drop all cached artifacts (tests that restart sessions). */
   def invalidate(): Unit = {
-    sigCache.clear(); pairCache.clear(); clusterCache.clear()
+    sigCache.invalidate(); pairCache.invalidate(); clusterCache.invalidate()
   }
 
   // ---------------------------------------------------------------------
@@ -151,9 +149,9 @@ object CandidateArtifacts {
       corpusFingerprint(s, corpusDir),
       Seq("signatures", "pairs", "clusters")) match {
       case Some(m) =>
-        sigCache.put((s, corpusDir), m("signatures"))
-        pairCache.put((s, corpusDir), m("pairs"))
-        clusterCache.put((s, corpusDir), m("clusters"))
+        sigCache.put(s, corpusDir, m("signatures"))
+        pairCache.put(s, corpusDir, m("pairs"))
+        clusterCache.put(s, corpusDir, m("clusters"))
         true
       case None => false
     }
@@ -165,26 +163,18 @@ object CandidateArtifacts {
     val hit = loadFrom(s, corpusDir, artifactDir)
     if (!hit) {
       // a stale snapshot must not satisfy the session cache either
-      sigCache.remove((s, corpusDir))
-      pairCache.remove((s, corpusDir))
-      clusterCache.remove((s, corpusDir))
+      sigCache.remove(s, corpusDir)
+      pairCache.remove(s, corpusDir)
+      clusterCache.remove(s, corpusDir)
       persistTo(s, corpusDir, artifactDir)
     }
     hit
   }
 
-  private def memo(cache: ConcurrentHashMap[(SparkSession, String), DataFrame],
-      s: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
-    // Evict ONLY the cache being entered, and do it before its
-    // computeIfAbsent: a nested build (pairs → signatures) runs inside
-    // pairCache's mapping function, and ConcurrentHashMap forbids
-    // modifying the map a mapping function is computing into — evicting
-    // all three caches here could corrupt the in-flight bin.
-    evictStopped(cache)
-    cache.computeIfAbsent((s, dir), _ => build)
-  }
-
-  private def evictStopped(
-      cache: ConcurrentHashMap[(SparkSession, String), DataFrame]): Unit =
-    cache.keySet.removeIf { case (sess, _) => sess.sparkContext.isStopped }
+  // Eviction + the bounded multi-dir residency contract live in
+  // SessionCache (VERDICT r07 task 7); the only-the-entered-cache
+  // concurrency stance is documented there.
+  private def memo(cache: graft.queries.SessionCache[DataFrame],
+      s: SparkSession, dir: String)(build: => DataFrame): DataFrame =
+    cache.getOrBuild(s, dir)(build)
 }

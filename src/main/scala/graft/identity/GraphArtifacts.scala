@@ -1,6 +1,5 @@
 package graft.identity
 
-import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -68,10 +67,10 @@ object GraphArtifacts {
     * inside [Offset, Offset + 2^39), far from BIGINT overflow. */
   val MaxAliasKey: Long = 1L << 39
 
-  private val fwdCache = new ConcurrentHashMap[(SparkSession, String), DataFrame]
-  private val undCache = new ConcurrentHashMap[(SparkSession, String), DataFrame]
-  private val degCache = new ConcurrentHashMap[(SparkSession, String), DataFrame]
-  private val coPairCache = new ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private val fwdCache = new graft.queries.SessionCache[DataFrame](Seq(_))
+  private val undCache = new graft.queries.SessionCache[DataFrame](Seq(_))
+  private val degCache = new graft.queries.SessionCache[DataFrame](Seq(_))
+  private val coPairCache = new graft.queries.SessionCache[DataFrame](Seq(_))
   private val builds = new AtomicInteger(0)
   private val buildNs = new AtomicLong(0L)
 
@@ -163,7 +162,8 @@ object GraphArtifacts {
 
   /** Drop all cached artifacts (tests that restart sessions). */
   def invalidate(): Unit = {
-    fwdCache.clear(); undCache.clear(); degCache.clear(); coPairCache.clear()
+    fwdCache.invalidate(); undCache.invalidate()
+    degCache.invalidate(); coPairCache.invalidate()
   }
 
   // ---------------------------------------------------------------------
@@ -196,10 +196,10 @@ object GraphArtifacts {
       graphFingerprint(s, corpusDir),
       Seq("fwd", "und", "deg", "copairs")) match {
       case Some(m) =>
-        fwdCache.put((s, corpusDir), m("fwd"))
-        undCache.put((s, corpusDir), m("und"))
-        degCache.put((s, corpusDir), m("deg"))
-        coPairCache.put((s, corpusDir), m("copairs"))
+        fwdCache.put(s, corpusDir, m("fwd"))
+        undCache.put(s, corpusDir, m("und"))
+        degCache.put(s, corpusDir, m("deg"))
+        coPairCache.put(s, corpusDir, m("copairs"))
         true
       case None => false
     }
@@ -210,23 +210,17 @@ object GraphArtifacts {
     if (!hit) {
       // a stale snapshot must not satisfy the session cache either
       Seq(fwdCache, undCache, degCache, coPairCache)
-        .foreach(_.remove((s, corpusDir)))
+        .foreach(_.remove(s, corpusDir))
       persistTo(s, corpusDir, artifactDir)
     }
     hit
   }
 
-  private def memo(cache: ConcurrentHashMap[(SparkSession, String), DataFrame],
-      s: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
-    evictStopped(cache)
-    cache.computeIfAbsent((s, dir), _ => {
+  private def memo(cache: graft.queries.SessionCache[DataFrame],
+      s: SparkSession, dir: String)(build: => DataFrame): DataFrame =
+    cache.getOrBuild(s, dir) {
       val t0 = System.nanoTime()
       builds.incrementAndGet()
       try build finally buildNs.addAndGet(System.nanoTime() - t0)
-    })
-  }
-
-  private def evictStopped(
-      cache: ConcurrentHashMap[(SparkSession, String), DataFrame]): Unit =
-    cache.keySet.removeIf { case (sess, _) => sess.sparkContext.isStopped }
+    }
 }

@@ -496,8 +496,8 @@ object GraphBpeQueries {
       statsFromClosure(deg, closed, nEdges)
   }
 
-  private val coClosureCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String), (DataFrame, DataFrame, Long)]
+  private val coClosureCache =
+    new SessionCache[(DataFrame, DataFrame, Long)](v => Seq(v._1, v._2))
   private val coClosureBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** How many times the co-purchase closure has been built this JVM —
@@ -517,27 +517,21 @@ object GraphBpeQueries {
     * CandidateArtifacts concurrency contract). Bench pre-builds and
     * attributes it as `graph_triclosure`. */
   private[graft] def coClosure(s: org.apache.spark.sql.SparkSession,
-      dir: String): (DataFrame, DataFrame, Long) = {
-    coClosureCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    coClosureCache.computeIfAbsent((s, dir), _ => {
+      dir: String): (DataFrame, DataFrame, Long) =
+    coClosureCache.getOrBuild(s, dir) {
       coClosureBuilds.incrementAndGet()
       val (deg, closed, n) = triangleClosure(
         graft.identity.GraphArtifacts.coPairs(s, dir),
         pairsCheckpointed = true)
       (deg, closed.localCheckpoint(eager = true), n)
-    })
-  }
+    }
 
   /** Drop the cached closure (Bench's isolated re-measure pass). Block
-    * reclamation (ADVICE r06: a long-lived multi-corpus session pins one
-    * checkpointed deg + closed frame per corpus dir): clearing the map
-    * drops the only strong references to the checkpointed frames, and
-    * Spark's ContextCleaner unpersists a localCheckpoint's RDD blocks
-    * once the RDD object is garbage-collected — so a multi-corpus
-    * session bounds its block-manager footprint by invalidating between
-    * corpora (calling `unpersist()` here would be a no-op: it uncaches
-    * CacheManager entries, not checkpoint blocks). */
-  private[graft] def coClosureInvalidate(): Unit = coClosureCache.clear()
+    * reclamation is deterministic now (VERDICT r07 task 7): SessionCache
+    * caps residency at 2 dirs per session AND explicitly unpersists an
+    * evicted entry's checkpoint blocks — no ContextCleaner/GC timing in
+    * the loop. */
+  private[graft] def coClosureInvalidate(): Unit = coClosureCache.invalidate()
 
   // Parquet persistence for the closure — the ArtifactStore contract the
   // other three families already follow (VERDICT r06 task 4: the warm
@@ -564,7 +558,7 @@ object GraphBpeQueries {
       Seq("co_deg", "co_closed", "co_nedges")) match {
       case Some(m) =>
         val n = m("co_nedges").head().getLong(0)
-        coClosureCache.put((s, corpusDir), (m("co_deg"), m("co_closed"), n))
+        coClosureCache.put(s, corpusDir, (m("co_deg"), m("co_closed"), n))
         true
       case None => false
     }
@@ -574,7 +568,7 @@ object GraphBpeQueries {
       corpusDir: String, artifactDir: String): Boolean = {
     val hit = coClosureLoadFrom(s, corpusDir, artifactDir)
     if (!hit) {
-      coClosureCache.remove((s, corpusDir)) // stale snapshot ≠ fresh cache
+      coClosureCache.remove(s, corpusDir) // stale snapshot ≠ fresh cache
       coClosurePersistTo(s, corpusDir, artifactDir)
     }
     hit
@@ -795,9 +789,10 @@ object GraphBpeQueries {
   private val CnWindow = "l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' " +
     "AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'"
 
-  private val cnGraphCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String),
-    (DataFrame, DataFrame, DataFrame)]
+  // pairs + deg are checkpointed (released on eviction); capped derives
+  // from them, so its entry in the release list is a documented no-op.
+  private val cnGraphCache =
+    new SessionCache[(DataFrame, DataFrame, DataFrame)](v => Seq(v._1, v._2))
   private val cnGraphBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** How many times the link-prediction graph has been built this JVM —
@@ -815,8 +810,7 @@ object GraphBpeQueries {
     * the sibling caches. */
   private[graft] def cnGraph(s: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, DataFrame, DataFrame) = {
-    cnGraphCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    cnGraphCache.computeIfAbsent((s, dir), _ => {
+    cnGraphCache.getOrBuild(s, dir) {
       cnGraphBuilds.incrementAndGet()
       val li = Tables.lineitem(s, dir).where(expr(CnWindow))
         .select(col("l_orderkey"), col("l_partkey"))
@@ -836,7 +830,7 @@ object GraphBpeQueries {
         deg.where(col("deg") <= CnHubCap).select(col("src")),
         Seq("src"), "left_semi")
       (pairs, deg, capped)
-    })
+    }
   }
 
   // Parquet persistence for the link-prediction graph — the
@@ -867,7 +861,7 @@ object GraphBpeQueries {
         val capped = und.join(
           deg.where(col("deg") <= CnHubCap).select(col("src")),
           Seq("src"), "left_semi")
-        cnGraphCache.put((s, corpusDir), (pairs, deg, capped))
+        cnGraphCache.put(s, corpusDir, (pairs, deg, capped))
         true
       case None => false
     }
@@ -877,7 +871,7 @@ object GraphBpeQueries {
       corpusDir: String, artifactDir: String): Boolean = {
     val hit = cnGraphLoadFrom(s, corpusDir, artifactDir)
     if (!hit) {
-      cnGraphCache.remove((s, corpusDir)) // stale snapshot ≠ fresh cache
+      cnGraphCache.remove(s, corpusDir) // stale snapshot ≠ fresh cache
       cnGraphPersistTo(s, corpusDir, artifactDir)
     }
     hit
@@ -886,7 +880,7 @@ object GraphBpeQueries {
   /** Drop the cached link-prediction graph (Bench's isolated
     * re-measure pass; block reclamation follows the coClosure
     * ContextCleaner path). */
-  private[graft] def cnGraphInvalidate(): Unit = cnGraphCache.clear()
+  private[graft] def cnGraphInvalidate(): Unit = cnGraphCache.invalidate()
 
   /** Oracle CTE chain for [[cnGraph]] (li → pairs → und → deg → capped)
     * — one definition spliced into both consumers' oracles so the
@@ -1583,13 +1577,21 @@ object GraphBpeQueries {
     * scores `q(sub, q)`, returned as (word, freq, piece) rows — the DP
     * fold and the packed-argmax backtrack described in the
     * tokenizer_unigram Scaladoc. */
-  private[graft] def uniPieces(occ: DataFrame, q: DataFrame): DataFrame = {
+  private[graft] def uniPieces(occ: DataFrame, q0: DataFrame): DataFrame = {
+    // The q frame is inventory-bounded (≤ ~330 rows) but its SUBTREE is
+    // not: round 2's scores derive from round 1's ENTIRE Viterbi E-step.
+    // Both the underflow probe below and the broadcast join would each
+    // evaluate that subtree — exactly the 2.28 → 4.74 s r7 regression on
+    // tokenizer_unigram_r2 (VERDICT r07 task 1: the guard and the
+    // doubling landed in the same commit). Checkpoint once: the probe
+    // and the broadcast then read ~330 materialized rows.
+    val q = q0.localCheckpoint(eager = true)
     // Packed-argmax underflow guard (ADVICE r06): the backtrack packs
     // (score + 10⁹)·64 + (63 − j) and decodes j via % 64, which silently
     // decodes garbage if any Viterbi score drops below −10⁹ micro-nats.
     // A path has ≤ UniMaxWordLen pieces, so min(q)·UniMaxWordLen bounds
-    // every dp value — assert it clears the offset (the q frame is
-    // inventory-bounded, ≤ ~330 rows, so this probe job is free).
+    // every dp value — assert it clears the offset (free on the
+    // checkpointed inventory).
     val minQRow = q.agg(min(col("q"))).head()
     val minQ = if (minQRow.isNullAt(0)) 0L else minQRow.getLong(0)
     require(minQ * UniMaxWordLen > -1000000000L,

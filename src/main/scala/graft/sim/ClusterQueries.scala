@@ -305,6 +305,91 @@ object ClusterQueries {
           WHERE rk <= 3"""
     })
 
+  /** FILTERED ANN search (VERDICT r07 task 3) — top-k under a metadata
+    * predicate, the production retrieval shape every RAG/dedup stack
+    * runs ("nearest neighbors WHERE lang = 'en'"): each query (vec_id
+    * < 20) retrieves its top-3 among corpus vectors sharing its OWN
+    * `label`, probing its two nearest trained cells (the sim_ivf_nprobe
+    * dial). The predicate is part of the INDEX KEY: the probe joins the
+    * corpus on the COMPOSITE (cell, label), so only matching posting
+    * lists are read BEFORE any distance is scored — post-filtering an
+    * unfiltered top-k instead is recall-lossy (a query's true same-label
+    * neighbors get displaced from the top-k by filtered-out vectors;
+    * AnnRecallSpec measures exactly this gap on the corpus).
+    *
+    * Scale shape: identical to sim_ivf_nprobe — centroids and the
+    * (query × nprobe) probe list broadcast; the corpus side reads only
+    * the probed (cell, label) buckets. At 100 TB the composite key IS
+    * the physical layout lever: partition the index by (cell, label
+    * bucket) and the predicate becomes partition pruning, never a scan
+    * +discard. Cell membership is integer-exact, label equality is
+    * exact, the in-bucket cosine is the bit-exact ordered double fold —
+    * both engines rank identical candidate sets.
+    */
+  private val simAnnFiltered = Q(
+    "sim_ann_filtered",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val qf = quantized(emb)
+      val cent = trainedCentroids(emb)
+      val cells = assign(qf, cent).select(col("vec_id"), col("cid").as("cell"))
+      val vecs = emb.select(col("vec_id"), col("label"), col("embedding"),
+        expr("dot_ordered(embedding, embedding)").as("norm2"))
+        .join(cells, "vec_id")
+        .localCheckpoint(eager = true) // assignment feeds corpus side + probe ranking
+      val wProbe = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("cid"))
+      val probes = qf.where(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("qe"))
+        .crossJoin(broadcast(cent))
+        .withColumn("dist", expr(distExpr))
+        .withColumn("rn", row_number().over(wProbe))
+        .where(col("rn") <= 2)
+        .select(col("q_id"), col("cid").as("cell"))
+      val queries = vecs.where(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("label"),
+          col("embedding").as("q_emb"), col("norm2").as("q_norm2"))
+      // the probe list carries the predicate value — the join below is
+      // on (cell, label), the composite posting-list key
+      val probeSet = probes.join(queries, "q_id")
+      val wTop = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      vecs.join(broadcast(probeSet), Seq("cell", "label"))
+        .where(col("vec_id") =!= col("q_id"))
+        .withColumn("cos",
+          expr("dot_ordered(embedding, q_emb)") /
+            sqrt(col("norm2") * col("q_norm2")))
+        .withColumn("rk", row_number().over(wTop).cast("long"))
+        .where(col("rk") <= 3)
+        .select(col("q_id"), col("label"), col("vec_id"),
+          round(col("cos"), 6).as("cos"), col("rk"))
+    },
+    Some {
+      val dot = SimOracle.dot("a.embedding", "q.embedding")
+      val na  = SimOracle.dot("a.embedding", "a.embedding")
+      val nq  = SimOracle.dot("q.embedding", "q.embedding")
+      s"""WITH $kmeansOracleCte,
+          probes AS (
+            SELECT vec_id AS q_id, cid AS cell
+            FROM (SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                  FROM d2 WHERE vec_id < 20)
+            WHERE rn <= 2)
+          SELECT q_id, label, vec_id, round(cos, 6) AS cos, rk
+          FROM (SELECT q_id, label, vec_id, cos,
+                  CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos DESC, vec_id) AS BIGINT) AS rk
+                FROM (SELECT p.q_id, q.label AS label, a.vec_id,
+                        $dot / sqrt($na * $nq) AS cos
+                      FROM probes p
+                      JOIN embeddings q ON q.vec_id = p.q_id
+                      JOIN cells ca ON ca.cid = p.cell
+                      JOIN embeddings a ON a.vec_id = ca.vec_id
+                        AND a.label = q.label
+                      WHERE a.vec_id <> p.q_id))
+          WHERE rk <= 3"""
+    })
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     * embeddings with the trained coarse quantizer, then within each
     * cluster drop every vector that has a higher-priority (lower vec_id)
@@ -767,5 +852,5 @@ object ClusterQueries {
     })
 
   val all: Seq[Q] = Seq(clusterKmeans, simIvfTrained, simIvfNprobe, dedupSemantic,
-    simPqTopk, simIvfadcTopk, simIvfIncremental, sampleKcenter)
+    simPqTopk, simIvfadcTopk, simIvfIncremental, sampleKcenter, simAnnFiltered)
 }

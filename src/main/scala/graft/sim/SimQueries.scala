@@ -634,12 +634,16 @@ object SimQueries {
     * undirected neighborhood ∪ neighbors-of-neighbors as id-only pairs
     * (a_id, c_id). Exposed for [[graft.BenchKnnDescent]]'s fan-out
     * telemetry. */
-  def knnDescentCandidates(seed: DataFrame): DataFrame = {
-    // undirected neighborhood: a→b and b→a both mean "b is near a"
-    val und = seed
+  def knnDescentCandidates(seed: DataFrame): DataFrame =
+    candidatesFromUnd(seed
       .union(seed.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .distinct()
-      .localCheckpoint(eager = true) // one-hop side + both two-hop sides
+      .localCheckpoint(eager = true)) // one-hop side + both two-hop sides
+
+  /** und → one-hop ∪ two-hop candidate id pairs. The caller owns the und
+    * checkpoint lifecycle ([[knnDescentConverge]] releases each round's
+    * frame once the round's top-k is materialized). */
+  private def candidatesFromUnd(und: DataFrame): DataFrame = {
     val twoHop = und.select(col("a_id"), col("b_id").as("mid"))
       .join(und.select(col("a_id").as("mid"), col("b_id").as("c_id")), "mid")
       .select(col("a_id"), col("c_id"))
@@ -647,6 +651,94 @@ object SimQueries {
       .union(twoHop)
       .where(col("a_id") =!= col("c_id"))
       .distinct()
+  }
+
+  /** Undirected neighborhood of a SCORED top-k graph `(q_id, vec_id,
+    * cos, rk)` with the reverse side CAPPED at the top-[[reverse cap =
+    * 3]] in-edges by cosine — NN-descent's reverse sampling (ρ in
+    * Dong-Charikar-Li). The seed round's 12²·n fan-out bound held
+    * because seed out-degree is table-bounded; from round 2 on the
+    * in-degree is whatever the data concentrates on a hub vector, so an
+    * uncapped reverse union would let one popular vector quadratically
+    * inflate the two-hop join. Capped: deg ≤ 3 out + 3 reverse = 6, so
+    * candidates ≤ (6 + 6²)·n per round — corpus-linear at ANY round,
+    * the bound BenchKnnDescent asserts. The cap is k-bounded via the
+    * same TopKByValue Aggregator as the forward selection (map-side ≤ 3
+    * rows per node, no rank window). */
+  private def cappedUnd(tk: DataFrame): DataFrame = {
+    val tkAgg = udaf(new graft.functions.TopKByValue(3),
+      graft.functions.TopKByValue.inputEncoder)
+    val fwd = tk.select(col("q_id").as("a_id"), col("vec_id").as("b_id"))
+    val rev = tk
+      .groupBy(col("vec_id"))
+      .agg(tkAgg(col("cos"), col("q_id")).as("top"))
+      .select(col("vec_id").as("a_id"), explode(col("top")).as("e"))
+      .select(col("a_id"), col("e._2").as("b_id"))
+    fwd.union(rev).distinct()
+  }
+
+  /** One post-seed NN-descent round over a scored top-k graph —
+    * capped-reverse und → candidates → exact-cosine top-3 re-select.
+    * The SAME three stages [[knnDescentConverge]] runs per round (it
+    * inlines them to manage the und checkpoint lifecycle), so the
+    * convergence driver's round semantics are hash-checked against
+    * DuckDB through `sim_knn_descent_r2` even though its round COUNT is
+    * data-dependent. */
+  def knnDescentRound(tk: DataFrame, emb: DataFrame): DataFrame =
+    knnDescentTopK(
+      candidatesFromUnd(cappedUnd(tk).localCheckpoint(eager = true)), emb)
+
+  /** Multi-round NN-descent with a convergence criterion (VERDICT r07
+    * task 4): round 1 is the registered `sim_knn_descent` round off the
+    * two-table LSH-forest seed; each later round is [[knnDescentRound]]
+    * (capped-reverse candidates, exact re-select). Stops when the
+    * round's directed edge-set delta — top-3 edges NOT present in the
+    * previous round's graph, in ppm of the edge count — drops below
+    * `epsPpm`, or at `maxRounds`. Each round's graph is checkpointed
+    * and the superseded round's frames released (the Components
+    * iteration discipline), so resident state is one graph + one und no
+    * matter how many rounds run.
+    *
+    * @return (final scored top-k frame, rounds run, per-round delta ppm)
+    */
+  def knnDescentConverge(emb: DataFrame, planes: Int = NumPlanes,
+      maxRounds: Int = 5, epsPpm: Long = 50000L)
+      : (DataFrame, Int, Seq[Long]) = {
+    require(maxRounds >= 1 && maxRounds <= 64,
+      s"maxRounds $maxRounds outside (0, 64] — each round checkpoints a " +
+        "corpus-sized graph; a runaway budget is a mis-set knob")
+    val seed = knnDescentSeed(emb, planes).localCheckpoint(eager = true)
+    // round 1 = the registered sim_knn_descent round, its und inlined so
+    // the checkpoint releases once the round's top-k materializes
+    val und1 = seed
+      .union(seed.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .distinct().localCheckpoint(eager = true)
+    var tk = knnDescentTopK(candidatesFromUnd(und1), emb)
+      .localCheckpoint(eager = true)
+    graft.identity.Components.unpersistCheckpoint(und1)
+    var rounds = 1
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def deltaPpm(newTk: DataFrame, prev: DataFrame): Long = {
+      val next = newTk.select(col("q_id").as("a_id"), col("vec_id").as("b_id"))
+      val changed = next.join(prev, Seq("a_id", "b_id"), "left_anti").count()
+      changed * 1000000L / math.max(newTk.count(), 1L)
+    }
+    deltas += deltaPpm(tk, seed)
+    while (rounds < maxRounds && deltas.last >= epsPpm) {
+      // knnDescentRound's stages, inlined so the round's und checkpoint
+      // can be released the moment the round's top-k is materialized
+      val und = cappedUnd(tk).localCheckpoint(eager = true)
+      val next = knnDescentTopK(candidatesFromUnd(und), emb)
+        .localCheckpoint(eager = true)
+      graft.identity.Components.unpersistCheckpoint(und)
+      deltas += deltaPpm(next,
+        tk.select(col("q_id").as("a_id"), col("vec_id").as("b_id")))
+      graft.identity.Components.unpersistCheckpoint(tk)
+      tk = next
+      rounds += 1
+    }
+    graft.identity.Components.unpersistCheckpoint(seed)
+    (tk, rounds, deltas.toSeq)
   }
 
   /** Exact-cosine re-score + k-bounded top-3 re-select over candidate
@@ -722,7 +814,110 @@ object SimQueries {
           WHERE rk <= 3"""
     })
 
+  /** SECOND NN-descent round (VERDICT r07 task 4's oracle anchor) —
+    * exactly [[knnDescentRound]] applied to `sim_knn_descent`'s output:
+    * capped-reverse undirected neighborhood (top-3 in-edges by the
+    * round-1 cosine — the Dong-Charikar-Li reverse sampling that keeps
+    * hub in-degree from quadratically inflating the two-hop join),
+    * candidates, exact-cosine top-3 re-select. This is the round body
+    * [[knnDescentConverge]] repeats, unrolled once so DuckDB can replay
+    * it — the convergence driver's round SEMANTICS are hash-checked
+    * here even though its round COUNT is data-dependent (the
+    * approx_stats/_frame companion pattern).
+    *
+    * Scale shape per round: und degree ≤ 6 (3 out + 3 capped reverse),
+    * so candidates ≤ (6 + 6²)·n id-only pairs — corpus-linear at ANY
+    * round; embeddings attach only at the final gather; re-select is
+    * the k-bounded TopKByValue Aggregator.
+    */
+  private val simKnnDescentR2 = Q(
+    "sim_knn_descent_r2",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val r1 = knnDescentTopK(knnDescentCandidates(knnDescentSeed(emb)), emb)
+      knnDescentRound(r1, emb)
+    },
+    Some {
+      val dot = SimOracle.dot("a.embedding", "c.embedding")
+      val na  = SimOracle.dot("a.embedding", "a.embedding")
+      val nc  = SimOracle.dot("c.embedding", "c.embedding")
+      s"""WITH bk AS (${lshOracle()}),
+          bk1 AS (${lshOracle(NumPlanes, NumPlanes)}),
+          ${seedOracle("bk", "seed0")},
+          ${seedOracle("bk1", "seed1")},
+          seed AS (
+            SELECT a_id, b_id FROM seed0
+            UNION
+            SELECT a_id, b_id FROM seed1),
+          und AS (
+            SELECT a_id, b_id FROM seed
+            UNION
+            SELECT b_id, a_id FROM seed),
+          cand AS (
+            SELECT a_id, b_id AS c_id FROM und
+            UNION
+            SELECT x.a_id, y.b_id AS c_id
+            FROM und x JOIN und y ON y.a_id = x.b_id
+            WHERE y.b_id <> x.a_id),
+          r1 AS MATERIALIZED (
+            SELECT q_id, vec_id, round(cos, 6) AS cos FROM (
+              SELECT cand.a_id AS q_id, cand.c_id AS vec_id,
+                $dot / sqrt($na * $nc) AS cos,
+                row_number() OVER (PARTITION BY cand.a_id
+                  ORDER BY $dot / sqrt($na * $nc) DESC, cand.c_id) AS rk
+              FROM cand
+              JOIN embeddings a ON a.vec_id = cand.a_id
+              JOIN embeddings c ON c.vec_id = cand.c_id)
+            WHERE rk <= 3),
+          rev AS (
+            SELECT vec_id AS a_id, q_id AS b_id FROM (
+              SELECT q_id, vec_id,
+                row_number() OVER (PARTITION BY vec_id
+                  ORDER BY cos DESC, q_id) AS rn
+              FROM r1)
+            WHERE rn <= 3),
+          und2 AS (
+            SELECT q_id AS a_id, vec_id AS b_id FROM r1
+            UNION
+            SELECT a_id, b_id FROM rev),
+          cand2 AS (
+            SELECT a_id, b_id AS c_id FROM und2
+            UNION
+            SELECT x.a_id, y.b_id AS c_id
+            FROM und2 x JOIN und2 y ON y.a_id = x.b_id
+            WHERE y.b_id <> x.a_id)
+          SELECT q_id, vec_id, round(cos, 6) AS cos, rk FROM (
+            SELECT cand2.a_id AS q_id, cand2.c_id AS vec_id,
+              $dot / sqrt($na * $nc) AS cos,
+              CAST(row_number() OVER (PARTITION BY cand2.a_id
+                ORDER BY $dot / sqrt($na * $nc) DESC, cand2.c_id) AS BIGINT) AS rk
+            FROM cand2
+            JOIN embeddings a ON a.vec_id = cand2.a_id
+            JOIN embeddings c ON c.vec_id = cand2.c_id)
+          WHERE rk <= 3"""
+    })
+
+  /** NN-descent TO CONVERGENCE (VERDICT r07 task 4): iterate
+    * [[knnDescentRound]] until the round's directed edge-set delta
+    * drops under 5% (50 000 ppm — the measured recall-plateau knee, see
+    * [[knnDescentConverge]]) or the 5-round cap. The round count is
+    * data-dependent, so no SQL oracle exists (declared rows-only, the
+    * approx_stats stance); the round BODY is hash-pinned by
+    * `sim_knn_descent_r2` and the plateau/delta behavior by
+    * KnnGraphSpec. `rounds` and `final_delta_ppm` ride every row so the
+    * rows-only record still exposes the convergence diagnostics. */
+  private val simKnnDescentConverged = Q(
+    "sim_knn_descent_converged",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (tk, rounds, deltas) = knnDescentConverge(emb)
+      tk.withColumn("rounds", lit(rounds.toLong))
+        .withColumn("final_delta_ppm", lit(deltas.last))
+    },
+    None)
+
   val all: Seq[Q] = Seq(simLshBuckets, simBruteforce, simAnnBucketed,
     dedupEmbedding, simIvfTopk, simAnnMultiprobe, embedQuantizeInt8,
-    simSqTopk, simKnnGraph, simKnnDescent)
+    simSqTopk, simKnnGraph, simKnnDescent, simKnnDescentR2,
+    simKnnDescentConverged)
 }

@@ -1477,8 +1477,13 @@ object CurationQueries {
           col("s_milli"), (col("n_docs") * col("s_milli")).as("w_milli"))
       val tot = strata.agg(sum(col("w_milli")).as("wt"))
       strata.crossJoin(broadcast(tot)) // 1-row weight total
+        // wt = 0 (every stratum single-doc or zero-variance) would be
+        // divide-by-zero: ANSI Spark throws while DuckDB // yields NULL
+        // (ADVICE r07 #3) — both engines declare alloc = 0 instead, the
+        // eval_pr_auc degenerate-input convention.
         .select(col("lang"), col("n_docs"), col("s_milli"), col("w_milli"),
-          expr("w_milli * 100 div wt").as("alloc"))
+          expr("CASE WHEN wt = 0 THEN 0L ELSE w_milli * 100 div wt END")
+            .as("alloc"))
     },
     Some("""WITH strata AS (
               SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
@@ -1496,8 +1501,9 @@ object CurationQueries {
                 CAST(n_docs * s_milli AS BIGINT) AS w_milli
               FROM w)
             SELECT lang, n_docs, s_milli, w_milli,
-              CAST(w_milli * 100 // (SELECT sum(w_milli) FROM ww) AS BIGINT)
-                AS alloc
+              CAST(CASE WHEN (SELECT sum(w_milli) FROM ww) = 0 THEN 0
+                ELSE w_milli * 100 // (SELECT sum(w_milli) FROM ww)
+                END AS BIGINT) AS alloc
             FROM ww"""))
 
   // Competence-based curriculum ordering (Platanios et al., NAACL 2019):

@@ -40,10 +40,14 @@ import graft.queries.Tables
   */
 object TextArtifacts {
 
-  private val wcCache = new ConcurrentHashMap[(SparkSession, String), DataFrame]
-  private val vocabCache = new ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private val wcCache = new graft.queries.SessionCache[DataFrame](Seq(_))
+  private val vocabCache = new graft.queries.SessionCache[DataFrame](Seq(_))
   private val builds = new AtomicInteger(0)
   private val buildNs = new AtomicLong(0L)
+
+  /** Dirs resident per cache for `s` — the multi-dir bound spec probe. */
+  private[graft] def residentDirs(s: SparkSession): Int =
+    math.max(wcCache.residentDirs(s), vocabCache.residentDirs(s))
 
   /** Artifact builds this JVM — pinned by PlanSpec (≤ 2 per corpus:
     * wordCounts + vocab). */
@@ -74,7 +78,7 @@ object TextArtifacts {
     }
 
   /** Drop all cached artifacts (tests that restart sessions). */
-  def invalidate(): Unit = { wcCache.clear(); vocabCache.clear() }
+  def invalidate(): Unit = { wcCache.invalidate(); vocabCache.invalidate() }
 
   // ---------------------------------------------------------------------
   // Parquet persistence — same contract as CandidateArtifacts /
@@ -100,8 +104,8 @@ object TextArtifacts {
     graft.queries.ArtifactStore.loadSnapshot(s, artifactDir,
       fingerprint(s, corpusDir), Seq("word_counts", "vocab")) match {
       case Some(m) =>
-        wcCache.put((s, corpusDir), m("word_counts"))
-        vocabCache.put((s, corpusDir), m("vocab"))
+        wcCache.put(s, corpusDir, m("word_counts"))
+        vocabCache.put(s, corpusDir, m("vocab"))
         true
       case None => false
     }
@@ -111,23 +115,17 @@ object TextArtifacts {
     val hit = loadFrom(s, corpusDir, artifactDir)
     if (!hit) {
       // a stale snapshot must not satisfy the session cache either
-      wcCache.remove((s, corpusDir)); vocabCache.remove((s, corpusDir))
+      wcCache.remove(s, corpusDir); vocabCache.remove(s, corpusDir)
       persistTo(s, corpusDir, artifactDir)
     }
     hit
   }
 
-  private def memo(cache: ConcurrentHashMap[(SparkSession, String), DataFrame],
-      s: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
-    evictStopped(cache)
-    cache.computeIfAbsent((s, dir), _ => {
+  private def memo(cache: graft.queries.SessionCache[DataFrame],
+      s: SparkSession, dir: String)(build: => DataFrame): DataFrame =
+    cache.getOrBuild(s, dir) {
       val t0 = System.nanoTime()
       builds.incrementAndGet()
       try build finally buildNs.addAndGet(System.nanoTime() - t0)
-    })
-  }
-
-  private def evictStopped(
-      cache: ConcurrentHashMap[(SparkSession, String), DataFrame]): Unit =
-    cache.keySet.removeIf { case (sess, _) => sess.sparkContext.isStopped }
+    }
 }

@@ -2,7 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.functions._
 
-import graft.queries.{Q, Tables}
+import graft.queries.{DriverGuard, Q, Tables}
 
 /** Distributed quality-classifier TRAINING — the step every production
   * curation stack runs that the engine previously only consumed the
@@ -132,16 +132,16 @@ object TrainQueries {
         "exact-integer design range (0, 8e9) — rescale UShift before use")
     val history = scala.collection.mutable.ArrayBuffer(Array.fill(NumBuckets)(0L))
     for (_ <- 1 to Rounds) {
-      val grad = withP(docFeat, history.last)
-        .withColumn("e", col("p") - lit(1000000L) * col("y"))
-        .select(explode(col("bc")).as("f"), col("e"))
-        .groupBy(col("f.bucket")).agg(sum(col("e") * col("f.cnt")).as("g"))
-        .collect()
       // bucket domain is [0, 256) by md5Byte construction; anything
-      // larger means the feature hash broke — fail before the driver
-      // materializes an unbounded frame (VERDICT r06 task 6 discipline)
-      require(grad.length <= NumBuckets,
-        s"gradient has ${grad.length} buckets > $NumBuckets")
+      // larger means the feature hash broke — collectBounded fetches at
+      // most NumBuckets+1 rows, so a broken hash fails BEFORE the driver
+      // materializes an unbounded frame (ADVICE r07 #1)
+      val grad = DriverGuard.collectBounded(
+        withP(docFeat, history.last)
+          .withColumn("e", col("p") - lit(1000000L) * col("y"))
+          .select(explode(col("bc")).as("f"), col("e"))
+          .groupBy(col("f.bucket")).agg(sum(col("e") * col("f.cnt")).as("g")),
+        NumBuckets, "quality_logreg_train gradient")
       val gm = grad.map(r => r.getLong(0) -> r.getLong(1)).toMap
       history += updateWeights(history.last, gm, totTokens)
     }

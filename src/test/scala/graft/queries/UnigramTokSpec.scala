@@ -164,6 +164,26 @@ class UnigramTokSpec extends SparkSpec {
     assert(got1 !== got2)
   }
 
+  test("packed-argmax underflow guard trips on an inventory past the offset (negative)") {
+    import spark.implicits._
+    // a piece score of −10⁸ micro-nats × 20-char words reaches −2·10⁹ —
+    // past the 10⁹ packing offset, where the % 64 decode would silently
+    // return garbage j's on BOTH engines (the mirrored-oracle-blind bug
+    // class, VERDICT r07 task 2). uniPieces must refuse to segment.
+    val words = Seq(("abab", 3L)).toDF("word", "freq")
+    val occ = GraphBpeQueries.uniOcc(words)
+    val poisoned = Seq(("a", -100000000L), ("b", -100000000L), ("ab", -5L))
+      .toDF("sub", "q")
+    val e = intercept[IllegalArgumentException] {
+      GraphBpeQueries.uniPieces(occ, poisoned).collect()
+    }
+    assert(e.getMessage.contains("packed-argmax underflow"))
+    // and a healthy inventory (the corpus path's magnitude) passes
+    val healthy = Seq(("a", -2000000L), ("b", -2000000L), ("ab", -1000000L))
+      .toDF("sub", "q")
+    assert(GraphBpeQueries.uniPieces(occ, healthy).count() > 0)
+  }
+
   test("tokenizer_unigram_r2 on the corpus: fixed point reached and verified") {
     val r1 = Registry.queries("tokenizer_unigram")(spark, sfDir).collect()
       .map(r => (r.getAs[String]("piece"), r.getAs[Long]("cnt"))).toSet

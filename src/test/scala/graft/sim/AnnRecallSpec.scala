@@ -64,6 +64,45 @@ class AnnRecallSpec extends SparkSpec {
     assert(rNprobe >= 0.60, f"nprobe-2 recall floor: $rNprobe%.2f < 0.60 (measured 0.67)")
   }
 
+  test("filtered ANN: composite-key probe beats post-filtering, floor vs filtered truth") {
+    val emb = Tables.embeddings(spark, dir)
+    // brute-force FILTERED ground truth: top-3 among same-label vectors
+    val vecs = emb.collect().map { r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[Seq[Float]]("embedding").toArray)
+    }
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val truth = vecs.filter(_._1 < 20).flatMap { case (q, ql, qe) =>
+      vecs.filter { case (v, l, _) => v != q && l == ql }
+        .map { case (v, _, e) =>
+          (v, dot(e, qe) / math.sqrt(dot(e, e) * dot(qe, qe)))
+        }
+        .sortBy { case (v, c) => (-c, v) }.take(3)
+        .map { case (v, _) => (q, v) }
+    }.toSet
+    assert(truth.size == 60)
+
+    val filtered = pairs(graft.SparkEntry.queries("sim_ann_filtered")(spark, dir))
+    val rFiltered = (filtered & truth).size.toDouble / truth.size
+
+    // the naive alternative: post-filter the UNFILTERED nprobe-2 top-3 —
+    // filtered-out vectors displace true same-label neighbors from the
+    // top-k before the predicate ever applies, so recall collapses
+    val labels = vecs.map(v => v._1 -> v._2).toMap
+    val post = pairs(graft.SparkEntry.queries("sim_ivf_nprobe")(spark, dir))
+      .filter { case (q, v) => labels(q) == labels(v) }
+    val rPost = (post & truth).size.toDouble / truth.size
+
+    info(f"filtered-ANN recall@3: composite-key=$rFiltered%.2f post-filter=$rPost%.2f")
+    assert(rFiltered > rPost,
+      f"composite-key probe ($rFiltered%.2f) must beat post-filtering ($rPost%.2f)")
+    assert(rFiltered >= 0.55, f"filtered-ANN recall floor: $rFiltered%.2f < 0.55")
+  }
+
   test("PQ asymmetric-distance recall@3 vs exact L2 (16x compression)") {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(spark)

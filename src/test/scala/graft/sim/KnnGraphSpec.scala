@@ -87,7 +87,30 @@ class KnnGraphSpec extends SparkSpec {
       val cands = n1 ++ n1.flatMap(b => undNbrs.getOrElse(b, Set.empty))
       a -> top3(a, cands)
     }.toMap
-    (ids, truth, seed, descent)
+    (ids, truth, seed, descent, cos _, top3 _)
+  }
+
+  /** One capped-reverse descent round (the sim_knn_descent_r2 /
+    * knnDescentConverge round body) recounted sequentially over a
+    * directed top-3 graph: reverse edges capped at the top-3 in-edges by
+    * the ROUNDED round-1 cosine (the engine ranks the reverse side on
+    * the 6-place output cos), then one-hop ∪ two-hop re-select. */
+  private def localRound2(ids: Seq[Long], g: Map[Long, Seq[Long]],
+      cos: (Long, Long) => Double,
+      top3: (Long, Iterable[Long]) => Seq[Long]): Map[Long, Seq[Long]] = {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val fwd = ids.flatMap(a => g(a).map(v => (a, v, r6(cos(a, v)))))
+    val rev = fwd.groupBy(_._2).toSeq.flatMap { case (v, es) =>
+      es.sortBy { case (q, _, c) => (-c, q) }.take(3).map(e => (v, e._1))
+    }
+    val und = (fwd.map { case (a, b, _) => (a, b) } ++ rev).toSet
+    val nbrs = und.groupBy(_._1).map { case (a, es) => a -> es.map(_._2) }
+    ids.map { a =>
+      val n1 = nbrs.getOrElse(a, Set.empty[Long])
+      val cands = n1 ++ n1.flatMap(b => nbrs.getOrElse(b, Set.empty[Long]))
+      a -> top3(a, cands)
+    }.toMap
   }
 
   private def recallOf(ids: Seq[Long], truth: Map[Long, Set[Long]],
@@ -97,7 +120,7 @@ class KnnGraphSpec extends SparkSpec {
   }
 
   test("sim_knn_descent matches the local NN-descent round exactly") {
-    val (_, _, _, descent) = localDescent(sfDir)
+    val (_, _, _, descent, _, _) = localDescent(sfDir)
     val got = Registry.queries("sim_knn_descent")(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
         r.getAs[Long]("rk")))
@@ -108,14 +131,15 @@ class KnnGraphSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
-  test("sim_knn_descent lifts recall@3 over the LSH seed on a clustered corpus") {
-    // The sf* embeddings are isotropic noise — no manifold for descent to
-    // climb (seed ≈ descent ≈ 2% recall there, both algorithms blind).
-    // Engineered fixture: 16 tight clusters whose spread crosses LSH
-    // hyperplanes, so each cluster SPLITS across buckets — the seed sees
-    // only the same-bucket fragment of a node's true neighborhood, while
-    // one neighbor-of-neighbor hop reconnects the fragments. This is the
-    // regime NN-descent exists for (Dong et al., WWW'11 §1).
+  /** Engineered clustered corpus for the descent tests: the sf*
+    * embeddings are isotropic noise — no manifold for descent to climb
+    * (seed ≈ descent ≈ 2% recall there, both algorithms blind). 16 tight
+    * clusters whose spread crosses LSH hyperplanes, so each cluster
+    * SPLITS across buckets — the seed sees only the same-bucket fragment
+    * of a node's true neighborhood, while one neighbor-of-neighbor hop
+    * reconnects the fragments. This is the regime NN-descent exists for
+    * (Dong et al., WWW'11 §1). */
+  private lazy val clusteredDir: String = {
     val rnd = new scala.util.Random(42)
     val rows = (0 until 16).flatMap { c =>
       val center = Array.fill(64)(rnd.nextGaussian())
@@ -129,7 +153,12 @@ class KnnGraphSpec extends SparkSpec {
     rows.toDF("vec_id", "embedding", "label")
       .withColumn("label", col("label").cast("int"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    val (ids, truth, seed, descent) = localDescent(dir)
+    dir
+  }
+
+  test("sim_knn_descent lifts recall@3 over the LSH seed on a clustered corpus") {
+    val dir = clusteredDir
+    val (ids, truth, seed, descent, _, _) = localDescent(dir)
     val got = Registry.queries("sim_knn_descent")(spark, dir).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
         r.getAs[Long]("rk")))
@@ -142,6 +171,42 @@ class KnnGraphSpec extends SparkSpec {
     // pinned floor: one refinement round must add ≥ 5 recall points
     assert(rDescent > rSeed + 0.05,
       f"descent recall $rDescent%.4f did not lift seed $rSeed%.4f")
+  }
+
+  test("sim_knn_descent_r2 matches the local capped-reverse second round exactly") {
+    val (ids, _, _, descent, cos, top3) = localDescent(sfDir)
+    val expected = localRound2(ids, descent, cos, top3).toSeq.flatMap {
+      case (a, ns) => ns.zipWithIndex.map { case (v, i) => (a, v, (i + 1).toLong) }
+    }
+    val got = Registry.queries("sim_knn_descent_r2")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("rk")))
+    assert(got.toSet === expected.toSet)
+    assert(got.nonEmpty)
+  }
+
+  test("knnDescentConverge: clustered corpus converges under the round cap, recall plateaus") {
+    val dir = clusteredDir
+    val emb = Tables.embeddings(spark, dir)
+    val (ids, truth, _, descent1, _, _) = localDescent(dir)
+    val (tk, rounds, deltas) = SimQueries.knnDescentConverge(emb)
+    info(s"rounds=$rounds deltas=${deltas.mkString(",")}")
+    // the clustered manifold is what descent converges ON: the delta
+    // criterion must fire before the 5-round cap (genuine convergence,
+    // not cap exhaustion), and the final delta is the run's smallest
+    assert(rounds < 5, s"expected convergence before the cap, ran $rounds")
+    assert(deltas.last < 50000L, s"final delta ${deltas.last} >= eps")
+    assert(deltas.last === deltas.min,
+      s"final delta should be the run's smallest: $deltas")
+    // recall plateau: the converged graph is at least as good as the
+    // one-round graph (descent refines toward the true kNN graph)
+    val got = tk.collect().map(r =>
+      r.getAs[Long]("q_id") -> r.getAs[Long]("vec_id"))
+      .groupBy(_._1).map { case (a, vs) => a -> vs.map(_._2).toSeq }
+    val r1 = recallOf(ids, truth, descent1)
+    val rConv = recallOf(ids, truth, got)
+    info(f"recall@3 round1=$r1%.4f converged=$rConv%.4f")
+    assert(rConv >= r1, f"converged recall $rConv%.4f below round-1 $r1%.4f")
   }
 
   test("eval_mrr first ranks match the brute-force label scan") {
