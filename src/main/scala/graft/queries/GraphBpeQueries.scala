@@ -1759,18 +1759,14 @@ object GraphBpeQueries {
         .as("q"))
   }
 
-  private val tokenizerUnigramR2 = Q(
-    "tokenizer_unigram_r2",
-    (s, dir) => {
-      graft.functions.GraftFunctions.register(s)
-      val words = uniWords(s, dir)
-      val occ = uniOcc(words).localCheckpoint(eager = true) // both rounds
-      val m1 = uniPieces(occ, uniSeedQ(occ))
-        .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
-      uniTable(uniPieces(occ, uniRound2Q(occ, m1)))
-    },
-    Some(s"""WITH RECURSIVE $uniOracleRound1,
-             v2 AS (
+  /** The round-2 oracle CTE chain (re-estimated inventory v2/q2 → second
+    * Viterbi dp2/choice2 → backtrack bt2) on top of [[uniOracleRound1]] —
+    * ONE definition shared by tokenizer_unigram_r2 and
+    * tokenizer_fertility, so the trained model both queries read can only
+    * change in lockstep. Splice as `WITH RECURSIVE $uniOracleRound1,
+    * $uniOracleRound2, …` and read `bt2` (per-word pieces). */
+  private val uniOracleRound2: String =
+    s"""v2 AS (
                SELECT piece AS sub, cnt AS c FROM m WHERE len(piece) > 1
                UNION ALL
                SELECT s.sub, coalesce(m2src.cnt, 0) + 1 AS c
@@ -1809,7 +1805,27 @@ object GraphBpeQueries {
                    CAST(bt2.pos - ch.j AS INT)) AS piece
                FROM bt2 JOIN choice2 ch
                  ON ch.word = bt2.word AND ch.i = bt2.pos
-               WHERE bt2.pos > 0),
+               WHERE bt2.pos > 0)"""
+
+  /** Round-2 (trained-model) segmentation of every vocabulary word —
+    * (word, freq, piece) rows; the shared Spark twin of
+    * [[uniOracleRound2]], consumed by tokenizer_unigram_r2 (M-step
+    * readout) and tokenizer_fertility (per-word piece counts). */
+  private[graft] def uniRound2Pieces(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val words = uniWords(s, dir)
+    val occ = uniOcc(words).localCheckpoint(eager = true) // both rounds
+    val m1 = uniPieces(occ, uniSeedQ(occ))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+    uniPieces(occ, uniRound2Q(occ, m1))
+  }
+
+  private val tokenizerUnigramR2 = Q(
+    "tokenizer_unigram_r2",
+    (s, dir) => uniTable(uniRound2Pieces(s, dir)),
+    Some(s"""WITH RECURSIVE $uniOracleRound1,
+             $uniOracleRound2,
              mm AS (
                SELECT b.piece, CAST(sum(w.freq) AS BIGINT) AS cnt
                FROM bt2 b JOIN words w ON w.word = b.word
@@ -1820,6 +1836,65 @@ object GraphBpeQueries {
              FROM mm, tot3
              ORDER BY cnt DESC, piece
              LIMIT 100"""))
+
+  /** Tokenizer FERTILITY audit per language — pieces emitted per word
+    * under the TRAINED (round-2) unigram model: the standard multilingual
+    * tokenizer-quality readout (a lang whose fertility runs high pays
+    * more sequence length per sentence — the "tokenizer tax" that decides
+    * whether a vocab serves a language or fragments it). Closes the
+    * train→apply loop the BPE family already has (bpe_train →
+    * bpe_encode): tokenizer_unigram_r2 LEARNS the model, this APPLIES it
+    * corpus-wide and rolls the cost up per lang.
+    *
+    * Scale shape: the trained segmentation is vocab-sized work (each
+    * word Viterbi-segments once via [[uniRound2Pieces]], no matter its
+    * corpus multiplicity — the unigram family's central factoring); the
+    * corpus appears only through the shared wordCounts artifact, joined
+    * to the per-word piece counts on the word key and folded to ≤ #langs
+    * rows in ONE aggregate. Words longer than [[UniMaxWordLen]] sit
+    * outside the trained vocabulary and are excluded from BOTH counts on
+    * both engines (declared, not silent). fert_ppm guards the
+    * all-long-words degenerate lang with the sample_neyman zero
+    * convention.
+    */
+  private val tokenizerFertility = Q(
+    "tokenizer_fertility",
+    (s, dir) => {
+      val perWord = uniRound2Pieces(s, dir)
+        .groupBy(col("word")).agg(count(lit(1)).as("n_pieces_w"))
+      val wc = graft.text.TextArtifacts.wordCounts(s, dir)
+        .withColumnRenamed("token", "word")
+      wc.join(perWord, "word") // len <= UniMaxWordLen filter rides the join
+        .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+          "doc_id")
+        .groupBy(col("lang"))
+        .agg(sum(col("cnt")).as("n_words"),
+          sum(col("cnt") * col("n_pieces_w")).as("n_pieces"))
+        .select(col("lang"), col("n_words"), col("n_pieces"),
+          expr("CASE WHEN n_words = 0 THEN 0L ELSE n_pieces * 1000000 div n_words END")
+            .as("fert_ppm"))
+    },
+    Some(s"""WITH RECURSIVE $uniOracleRound1,
+             $uniOracleRound2,
+             pw AS (
+               SELECT word, CAST(count(*) AS BIGINT) AS n_pieces_w
+               FROM bt2 WHERE piece IS NOT NULL GROUP BY word),
+             wc AS (
+               SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cnt
+               FROM (SELECT doc_id, unnest(list_filter(string_split_regex(
+                       lower(text), '[^a-z]+'), x -> x <> '')) AS word
+                     FROM documents)
+               GROUP BY doc_id, word)
+             SELECT d.lang,
+               CAST(sum(wc.cnt) AS BIGINT) AS n_words,
+               CAST(sum(wc.cnt * pw.n_pieces_w) AS BIGINT) AS n_pieces,
+               CAST(CASE WHEN sum(wc.cnt) = 0 THEN 0
+                 ELSE sum(wc.cnt * pw.n_pieces_w) * 1000000 // sum(wc.cnt)
+                 END AS BIGINT) AS fert_ppm
+             FROM wc
+             JOIN pw USING (word)
+             JOIN documents d USING (doc_id)
+             GROUP BY d.lang"""))
 
   /** Multi-source BFS distance histogram over the signup graph — the
     * shortest-path member of the graph family (components answers
@@ -1963,5 +2038,5 @@ object GraphBpeQueries {
     graphCommonNeighbors, graphModularity, graphAssortativity,
     graphDegreeDist, bpeTrain, graphClusteringCoeff, tokenizerUnigram,
     tokenizerUnigramR2, graphBfsDistance, tokenizerWordpiece, graphHits,
-    graphAdamicAdar, bpeEncodeDropout)
+    graphAdamicAdar, bpeEncodeDropout, tokenizerFertility)
 }

@@ -968,6 +968,34 @@ class PlanSpec extends SparkSpec {
       "ROUGE lost the sorted-merge clipped-match kernel")
   }
 
+  test("sim_ann_filtered probes via a broadcast composite-key hash join, never a cartesian") {
+    val p = plan("sim_ann_filtered")
+    // the probe list (queries × nprobe, predicate value attached) must
+    // broadcast against the corpus on the COMPOSITE (cell, label) key —
+    // the posting-list read that makes the predicate pushdown real, not
+    // a scan-and-discard post-filter. (The bounded queries × K centroid
+    // cross for probe ranking is the trained-centroid pattern and is
+    // allowed — it never touches the corpus side.)
+    assert("BroadcastHashJoin \\[cell#\\d+L, label#\\d+\\]".r
+      .findFirstIn(p).isDefined,
+      "corpus probe is not a composite (cell, label) broadcast hash join: " +
+        p.take(2000))
+    assert(!p.contains("CartesianProduct"),
+      "filtered-ANN probe degenerated to a cartesian")
+  }
+
+  test("sim_knn_descent_r2 keeps the round body window-free on the selection path") {
+    val p = plan("sim_knn_descent_r2")
+    // both the forward top-3 re-select AND the capped-reverse sampling
+    // must be the k-bounded TopKByValue ObjectHashAggregate — a rank
+    // window in either place sorts every candidate/in-edge list through
+    // a per-node exchange at corpus scale
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window "),
+      "descent round-2 selection fell back to a rank window")
+    assert(!p.contains("CartesianProduct"), "round-2 plan went all-pairs")
+  }
+
   test("sim_knn_descent re-selects via the k-bounded aggregator, never a rank window") {
     val p = plan("sim_knn_descent")
     // per-node top-3 must be the TopKByValue ObjectHashAggregate (map-side

@@ -184,6 +184,56 @@ class UnigramTokSpec extends SparkSpec {
     assert(GraphBpeQueries.uniPieces(occ, healthy).count() > 0)
   }
 
+  test("tokenizer_fertility equals a sequential per-lang recount of the trained model") {
+    // round-2 (trained) per-word piece counts via the shared sequential EM
+    val corpus = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        Option(r.getAs[String]("text")).getOrElse("")))
+    val words = corpus
+      .flatMap(_._3.toLowerCase.split("[^a-z]+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, os) => w -> os.length.toLong }
+      .filter(_._1.length <= 20)
+    val cnt0 = scala.collection.mutable.Map.empty[String, Long]
+    words.foreach { case (w, f) =>
+      for (j <- 0 until w.length; l <- 1 to 4 if j + l <= w.length)
+        cnt0(w.substring(j, j + l)) =
+          cnt0.getOrElse(w.substring(j, j + l), 0L) + f
+    }
+    val top = cnt0.toSeq.sortBy { case (s0, c) => (-c, s0) }.take(300)
+    val q0 = qFrom((top ++ cnt0.toSeq.filter(_._1.length == 1)).toMap)
+    val m1 = scala.collection.mutable.Map.empty[String, Long]
+    words.foreach { case (w, f) =>
+      viterbi(w, q0).foreach(p => m1(p) = m1.getOrElse(p, 0L) + f)
+    }
+    val v2 = m1.toMap.filter(_._1.length > 1) ++
+      cnt0.keys.filter(_.length == 1)
+        .map(c => c -> (m1.getOrElse(c, 0L) + 1L))
+    val q2 = qFrom(v2)
+    val piecesPerWord: Map[String, Long] =
+      words.keys.map(w => w -> viterbi(w, q2).length.toLong).toMap
+    // per-lang fold over the corpus word multiset (words > 20 chars out)
+    val agg = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    corpus.foreach { case (_, lang, text) =>
+      text.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+        .filter(_.length <= 20).foreach { w =>
+          val (nw, np) = agg.getOrElse(lang, (0L, 0L))
+          agg(lang) = (nw + 1L, np + piecesPerWord(w))
+        }
+    }
+    val expected = agg.map { case (lang, (nw, np)) =>
+      (lang, nw, np, if (nw == 0) 0L else np * 1000000L / nw)
+    }.toSet
+    val got = Registry.queries("tokenizer_fertility")(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_pieces"), r.getAs[Long]("fert_ppm"))).toSet
+    assert(got === expected)
+    // a fertility audit only means something if the model actually
+    // compresses: every lang must average under 2.5 pieces per word
+    assert(got.forall(_._4 < 2500000L), s"fertility degenerated: $got")
+    assert(got.nonEmpty)
+  }
+
   test("tokenizer_unigram_r2 on the corpus: fixed point reached and verified") {
     val r1 = Registry.queries("tokenizer_unigram")(spark, sfDir).collect()
       .map(r => (r.getAs[String]("piece"), r.getAs[Long]("cnt"))).toSet
