@@ -92,7 +92,8 @@ object Bench {
       "graph_triclosure" -> (() => graft.queries.GraphBpeQueries.coClosure(spark, sfDir)),
       "graph_cnpairs" -> (() => graft.queries.GraphBpeQueries.cnGraph(spark, sfDir)),
       "text_wc" -> (() => graft.text.TextArtifacts.wordCounts(spark, sfDir)),
-      "text_vocab" -> (() => graft.text.TextArtifacts.vocab(spark, sfDir)))
+      "text_vocab" -> (() => graft.text.TextArtifacts.vocab(spark, sfDir)),
+      "sim_descent_r1" -> (() => graft.sim.SimQueries.descentR1(spark, sfDir)))
     // A failed build must NOT vanish into an inflated query time
     // (VERDICT r06 what's-wrong #2): log it and mark the line -1.
     def buildOnce(): Seq[(String, Double)] = artifactBuilds.map { case (n, fn) =>
@@ -110,6 +111,7 @@ object Bench {
       graft.queries.GraphBpeQueries.coClosureInvalidate()
       graft.queries.GraphBpeQueries.cnGraphInvalidate()
       graft.text.TextArtifacts.invalidate()
+      graft.sim.SimQueries.descentInvalidate()
     }
     // Warm mode (VERDICT r06 task 4): SPARK_GRAFT_ARTIFACT_DIR=<dir>
     // ensure()s each family against a parquet snapshot dir instead of

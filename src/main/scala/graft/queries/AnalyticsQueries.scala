@@ -1336,6 +1336,187 @@ object AnalyticsQueries {
               min_class_size
             FROM th, tot"""))
 
+  private val FdrB = 200
+  private val FdrAlphaPpm = 50000L // α = 0.05
+
+  /** Benjamini–Hochberg FDR across the A/B metric family — the
+    * multiple-comparisons gate every experimentation platform runs on
+    * top of per-metric tests (experiment_ttest reads K metrics; at
+    * α = 0.05, ~K/20 false "significant" lines are EXPECTED under the
+    * null, and BH is the standard correction). Per-metric p-values come
+    * from RE-RANDOMIZATION inference (Fisher-style randomization test —
+    * exact for a randomized assignment, no normality assumption): the
+    * test statistic is the signed sum D = Σ x_u·(±1 by the md5 arm),
+    * and the null re-draws the assignment with a seeded fair coin per
+    * (user, replica) — the SAME relabeling across all metrics within a
+    * replica, so the joint null preserves cross-metric correlation
+    * (the property BH's validity under dependence leans on). B = 200,
+    * add-one p; then BH: rank p ascending, k_max = max k with
+    * p_(k)·m ≤ k·α — an EXACT integer inequality in ppm (no p·m/k
+    * division), rejected = rank ≤ k_max. INTEGER END TO END. Scale
+    * shape: the user×metric grid rides one checkpointed frame; the ×B
+    * explode fans out 3-long rows and map-side combines to metrics × B;
+    * ranking and the BH sweep live on the ≤ #metrics frame. */
+  private val abFdrBh = Q(
+    "ab_fdr_bh",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+        expr("CAST(round(value * 100.0, 0) AS BIGINT)").as("vq"))
+      val users = ev.select(col("user_id")).distinct()
+        .withColumn("sgn", expr(
+          s"CASE WHEN (${md5Arm("CAST(user_id AS STRING)")}) = 0 THEN 1L ELSE -1L END"))
+      val types = ev.select(col("event_type")).distinct()
+      val cells = ev.groupBy(col("user_id"), col("event_type"))
+        .agg(sum(col("vq")).as("cents"))
+      val metric = users.crossJoin(broadcast(types))
+        .join(cells, Seq("user_id", "event_type"), "left")
+        .select(col("user_id"), col("event_type"), col("sgn"),
+          coalesce(col("cents"), lit(0L)).as("x"))
+        .localCheckpoint(eager = true) // observed stat + B-replica explode
+      val obs = metric.groupBy(col("event_type"))
+        .agg(sum(col("sgn") * col("x")).as("d_obs"))
+      val coin = graft.queries.PortableHash.md5Byte(
+        "concat(CAST(user_id AS STRING), '|', CAST(r AS STRING))")
+      val reps = metric
+        .select(col("user_id"), col("event_type"), col("x"),
+          explode(expr(s"sequence(0, ${FdrB - 1})")).as("r"))
+        .select(col("event_type"), col("r"),
+          expr(s"CASE WHEN (($coin) % 2) = 0 THEN x ELSE -x END").as("sd"))
+        .groupBy(col("event_type"), col("r")).agg(sum(col("sd")).as("ps"))
+      val pvals = reps.join(obs, "event_type")
+        .groupBy(col("event_type"))
+        .agg(max(col("d_obs")).as("d_obs"),
+          sum(expr("CAST(abs(ps) >= abs(d_obs) AS LONG)")).as("n_extreme"))
+        .select(col("event_type"), col("d_obs"),
+          expr(s"((n_extreme + 1) * 1000000) div (${FdrB + 1})").as("p_ppm"))
+      val m1 = pvals.agg(count(lit(1)).as("m"))
+      val ranked = pvals.crossJoin(broadcast(m1)) // 1-row hypothesis count
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("p_ppm"), col("event_type"))).cast("long"))
+      val kmax = ranked.agg(coalesce(max(
+        when(col("p_ppm") * col("m") <= col("rk") * lit(FdrAlphaPpm),
+          col("rk"))), lit(0L)).as("k_max"))
+      ranked.crossJoin(broadcast(kmax)) // 1-row BH cutoff
+        .select(col("event_type"), col("d_obs"), col("p_ppm"), col("rk"),
+          expr(s"rk * $FdrAlphaPpm div m").as("bh_thresh_ppm"),
+          (col("rk") <= col("k_max")).as("rejected"))
+    },
+    Some {
+      val coin = graft.queries.PortableHash.md5Byte(
+        "CAST(user_id AS VARCHAR) || '|' || CAST(r AS VARCHAR)")
+      s"""WITH ev AS (
+            SELECT user_id, event_type,
+              CAST(round(value * 100.0, 0) AS BIGINT) AS vq
+            FROM events),
+          users AS (
+            SELECT user_id,
+              CASE WHEN (${md5Arm("CAST(user_id AS VARCHAR)")}) = 0
+                   THEN 1 ELSE -1 END AS sgn
+            FROM (SELECT DISTINCT user_id FROM ev)),
+          types AS (SELECT DISTINCT event_type FROM ev),
+          cells AS (
+            SELECT user_id, event_type, CAST(sum(vq) AS BIGINT) AS cents
+            FROM ev GROUP BY user_id, event_type),
+          metric AS (
+            SELECT u.user_id, t.event_type, u.sgn, coalesce(c.cents, 0) AS x
+            FROM users u CROSS JOIN types t
+            LEFT JOIN cells c
+              ON c.user_id = u.user_id AND c.event_type = t.event_type),
+          obs AS (
+            SELECT event_type, CAST(sum(sgn * x) AS BIGINT) AS d_obs
+            FROM metric GROUP BY event_type),
+          reps AS (
+            SELECT event_type, r,
+              CAST(sum(CASE WHEN (($coin) % 2) = 0 THEN x ELSE -x END)
+                AS BIGINT) AS ps
+            FROM (SELECT user_id, event_type, x,
+                    unnest(range(0, $FdrB)) AS r
+                  FROM metric)
+            GROUP BY event_type, r),
+          pvals AS (
+            SELECT o.event_type, o.d_obs,
+              ((CAST(sum(CASE WHEN abs(r.ps) >= abs(o.d_obs)
+                    THEN 1 ELSE 0 END) AS BIGINT) + 1) * 1000000)
+                // ${FdrB + 1} AS p_ppm
+            FROM reps r JOIN obs o ON o.event_type = r.event_type
+            GROUP BY o.event_type, o.d_obs),
+          m1 AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pvals),
+          ranked AS (
+            SELECT p.event_type, p.d_obs, p.p_ppm, m1.m,
+              CAST(row_number() OVER (ORDER BY p.p_ppm, p.event_type)
+                AS BIGINT) AS rk
+            FROM pvals p, m1),
+          kmax AS (
+            SELECT coalesce(max(CASE WHEN p_ppm * m <= rk * $FdrAlphaPpm
+                THEN rk END), 0) AS k_max
+            FROM ranked)
+          SELECT event_type, d_obs, p_ppm, rk,
+            CAST(rk * $FdrAlphaPpm // m AS BIGINT) AS bh_thresh_ppm,
+            rk <= k_max AS rejected
+          FROM ranked, kmax"""
+    })
+
+  /** l-diversity audit — the release gate k-anonymity alone cannot give:
+    * a class can be large (k-anonymous) yet carry ONE sensitive value,
+    * so membership still discloses the attribute (the homogeneity
+    * attack). Quasi-identifiers here are (nation, balance bucket); the
+    * sensitive attribute is the market segment; a class is l-diverse
+    * when it carries ≥ l DISTINCT sensitive values. One row per policy
+    * threshold l ∈ {2, 3, 5} with rows/classes below, plus the corpus
+    * floor. The balance bucket reuses privacy_k_anonymity's
+    * shift-floor-then-cast discipline (Spark truncating div vs DuckDB
+    * flooring //, double→BIGINT cast truncation vs rounding). Scale:
+    * ONE QI-keyed aggregate carrying a distinct-count (partial-aggregable
+    * per class since segments per class ≤ 5); thresholds explode (×3)
+    * on the class-sized frame. */
+  private val privacyLDiversity = Q(
+    "privacy_l_diversity",
+    (s, dir) => {
+      val classes = Tables.customer(s, dir)
+        .select(col("c_nationkey"),
+          expr("CAST(floor(c_acctbal + 1000.0) AS BIGINT) div 100").as("bal_bucket"),
+          col("c_mktsegment"))
+        .groupBy(col("c_nationkey"), col("bal_bucket"))
+        .agg(count(lit(1)).as("cs"),
+          countDistinct(col("c_mktsegment")).as("ds"))
+        .localCheckpoint(eager = true) // totals + threshold rollup: ONE scan
+      val tot = classes.agg(sum(col("cs")).as("n_rows"),
+        count(lit(1)).as("n_classes"), min(col("ds")).as("min_distinct"))
+      classes
+        .select(explode(expr("array(2L, 3L, 5L)")).as("l"), col("cs"), col("ds"))
+        .groupBy(col("l"))
+        .agg(sum(expr("CASE WHEN ds < l THEN cs ELSE 0L END")).as("rows_below"),
+          sum(expr("CAST(ds < l AS LONG)")).as("classes_below"))
+        .crossJoin(broadcast(tot)) // 1-row totals
+        .select(col("l"), col("n_classes"), col("classes_below"),
+          col("rows_below"),
+          expr("rows_below * 1000000 div n_rows").as("rows_below_ppm"),
+          col("min_distinct"))
+    },
+    Some("""WITH classes AS (
+              SELECT c_nationkey,
+                CAST(floor(c_acctbal + 1000.0) AS BIGINT) // 100 AS bal_bucket,
+                CAST(count(*) AS BIGINT) AS cs,
+                CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS ds
+              FROM customer GROUP BY 1, 2),
+            tot AS (
+              SELECT CAST(sum(cs) AS BIGINT) AS n_rows,
+                CAST(count(*) AS BIGINT) AS n_classes,
+                CAST(min(ds) AS BIGINT) AS min_distinct
+              FROM classes),
+            th AS (
+              SELECT l, CAST(sum(CASE WHEN ds < l THEN cs ELSE 0 END) AS BIGINT)
+                  AS rows_below,
+                CAST(sum(CASE WHEN ds < l THEN 1 ELSE 0 END) AS BIGINT)
+                  AS classes_below
+              FROM classes, (SELECT unnest([2, 3, 5]) AS l)
+              GROUP BY l)
+            SELECT CAST(l AS BIGINT) AS l, n_classes, classes_below, rows_below,
+              CAST(rows_below * 1000000 // n_rows AS BIGINT) AS rows_below_ppm,
+              min_distinct
+            FROM th, tot"""))
+
   /** Kaplan–Meier survival over user lifetimes — the censoring-aware
     * churn curve cohort_retention cannot give (a user still active at
     * observation end is EVIDENCE of survival ≥ t, not of churn at t;
@@ -1723,10 +1904,10 @@ object AnalyticsQueries {
       windowRollingStats, cdcScd2, resampleFfill, rfmSegments,
       rollingActiveUsers, rollingActiveHll, rollingActiveHllFrame,
       attributionMultitouch,
-      experimentTtest, cdcLogCompact, abSrmCheck, funnelWindow,
+      experimentTtest, cdcLogCompact, abSrmCheck, abFdrBh, funnelWindow,
       joinScd2Pit, streakIslands, trendWowGrowth, trendDowAnomaly,
       eventsConcentration, tsEwma, tsHolt, tsCusum, survivalKm,
-      privacyDpCounts, privacyKAnonymity, windowRollingMedian,
+      privacyDpCounts, privacyKAnonymity, privacyLDiversity, windowRollingMedian,
       resampleInterpolate, eventsPathTopk, eventsMarkovStationary)
 
   /** Top user paths — the "what journeys do users actually take"

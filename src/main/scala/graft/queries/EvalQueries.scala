@@ -1038,6 +1038,86 @@ object EvalQueries {
           FROM bands b JOIN base ON base.lang = b.lang"""
     })
 
+  private val PermB = 200
+
+  /** Paired sign-flip permutation test — the distribution-free
+    * significance engine the parametric family (experiment_ttest's
+    * normal assumption, eval_bootstrap_ci's resampling CI) is missing:
+    * for per-item paired differences d_i, the exact null "the pairing
+    * is symmetric" is simulated by flipping each d_i's sign with a
+    * seeded fair coin, and the p-value is the fraction of flipped sums
+    * at least as extreme as the observed one. The tested pairing here
+    * is production-real: is the chars/5 token-count estimator (the
+    * budgeting shortcut every pipeline uses before tokenizing) BIASED
+    * against the real tokenizer count — d_i = 5·n_tok(i) − n_chars(i)
+    * per document. B = 200 sign assignments, md5-seeded per (doc,
+    * replica) so runs, engines, and cluster sizes agree bit-for-bit;
+    * p uses the add-one convention (n_extreme+1)/(B+1) — the observed
+    * assignment is itself one draw from the null, which also keeps
+    * p > 0 exactly. INTEGER END TO END (d_i, ±1 signs, BIGINT sums; the
+    * one division is a ppm floor of non-negative integers); the mean
+    * readout is one double division of exact integers, rounded once.
+    * Scale shape: the per-doc d rides the scan, the ×B explode fans out
+    * 3-long rows (never text), the replica aggregate map-side combines
+    * to exactly B rows, and the verdict is a 1-row fold. */
+  private val evalPermutationTest = Q(
+    "eval_permutation_test",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          (lit(5L) * size(expr(tokenizeExpr)).cast("long") - col("n_chars"))
+            .as("d"))
+        .localCheckpoint(eager = true) // observed sum + B-replica explode
+      val obs = d.agg(count(lit(1)).as("n"), sum(col("d")).as("d_sum"))
+      val coin = PortableHash.md5Byte(
+        "concat(CAST(doc_id AS STRING), '|', CAST(r AS STRING))")
+      val perms = d
+        .select(col("doc_id"), col("d"),
+          explode(expr(s"sequence(0, ${PermB - 1})")).as("r"))
+        .select(col("r"),
+          expr(s"CASE WHEN (($coin) % 2) = 0 THEN d ELSE -d END").as("sd"))
+        .groupBy(col("r")).agg(sum(col("sd")).as("ps"))
+      perms.crossJoin(broadcast(obs)) // 1-row observed stats
+        .agg(max(col("n")).as("n"), max(col("d_sum")).as("d_sum"),
+          count(lit(1)).as("n_perm"),
+          sum(expr("CAST(abs(ps) >= abs(d_sum) AS LONG)")).as("n_extreme"))
+        .select(col("n"), col("d_sum"),
+          expr("round(CAST(d_sum AS DOUBLE) / CAST(n AS DOUBLE), 3) + 0.0")
+            .as("d_mean"),
+          col("n_perm"), col("n_extreme"),
+          expr("((n_extreme + 1) * 1000000) div (n_perm + 1)").as("p_ppm"))
+    },
+    Some {
+      val coin = PortableHash.md5Byte(
+        "CAST(doc_id AS VARCHAR) || '|' || CAST(r AS VARCHAR)")
+      s"""WITH d AS (
+            SELECT doc_id,
+              5 * CAST(len(list_filter(string_split_regex(lower(text),
+                '[^a-z]+'), t -> t <> '')) AS BIGINT) - n_chars AS d
+            FROM documents),
+          obs AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(d) AS BIGINT) AS d_sum
+            FROM d),
+          perms AS (
+            SELECT r, CAST(sum(CASE WHEN (($coin) % 2) = 0
+                THEN d ELSE -d END) AS BIGINT) AS ps
+            FROM (SELECT doc_id, d, unnest(range(0, $PermB)) AS r FROM d)
+            GROUP BY r),
+          verdict AS (
+            SELECT max(n) AS n, max(d_sum) AS d_sum,
+              CAST(count(*) AS BIGINT) AS n_perm,
+              CAST(sum(CASE WHEN abs(ps) >= abs(d_sum) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_extreme
+            FROM perms, obs)
+          SELECT n, d_sum,
+            round(CAST(d_sum AS DOUBLE) / CAST(n AS DOUBLE), 3) + 0.0 AS d_mean,
+            n_perm, n_extreme,
+            ((n_extreme + 1) * 1000000) // (n_perm + 1) AS p_ppm
+          FROM verdict"""
+    })
+
   /** Paired-classifier agreement — the two readouts a gate comparison
     * runs before swapping filters: McNemar's χ² on the DISCORDANT pairs
     * ((b−c)²/(b+c) — "do the rule gate and the logreg gate keep
@@ -1360,5 +1440,5 @@ object EvalQueries {
   val all: Seq[Q] = Seq(evalAucRank, evalCalibrationBins, evalRateCi, evalBleu,
     evalRougeN, evalRougeL, evalChrf, evalTokenF1, evalPassAtK,
     evalDistinctN, evalEloBt, evalBootstrapCi, evalAgreement,
-    evalBrierDecomp, evalPrAuc, evalEce)
+    evalBrierDecomp, evalPrAuc, evalEce, evalPermutationTest)
 }

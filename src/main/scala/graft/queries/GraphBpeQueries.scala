@@ -114,6 +114,89 @@ object GraphBpeQueries {
                    GROUP BY wd.dst)
             SELECT node, round(r2, 4) AS rank FROM r2"""))
 
+  /** Per-seed restart mass in nano-units. 10⁹ (not the pagerank query's
+    * 10¹²) so the damped per-node accumulations stay far inside BIGINT
+    * even when the seed set reaches 10⁸ nodes: total circulating mass is
+    * n_seeds·10⁹, and mass conservation bounds every per-node sum (and
+    * its ×85 damping product) by 85·n_seeds·10⁹ < 9.2·10¹⁸ for any graph
+    * shape, hub or not. */
+  private val PprSeedMassNano = 1000000000L
+
+  /** Personalized PageRank from a seeded node set — the seed-expansion
+    * primitive behind graph-based corpus curation (start from a curated
+    * whitelist, walk the link/identity graph, harvest the high-mass
+    * frontier; the crawl-frontier scoring shape). Two Jacobi iterations
+    * of r ← 0.15·e_seeds + 0.85·AᵀD⁻¹r with restart mass only on the
+    * md5-selected seed set (~1/8 of nodes — the portable-hash seeding
+    * convention, so the oracle reproduces the set exactly).
+    *
+    * Unlike `graph_pagerank` (per-row pico-quantized doubles), this is
+    * INTEGER END TO END: mass lives in nano-units, the per-edge spread
+    * is BIGINT floor division mass div deg (both engines floor — mass is
+    * non-negative), and the damping affine (mass·15·10⁹·is_seed +
+    * 85·c) div 100 is exact BIGINT arithmetic; no double is ever
+    * computed, so no rounding convention can drift. Scale shape: same as
+    * pagerank — one shuffle per iteration (contributions group on the
+    * edge head) over the session-shared checkpointed edge artifact; the
+    * `mass > 0` pushdown keeps iteration-1 traffic to the seed
+    * neighborhoods only (on a 100 TB graph with a 0.1% seed set, round
+    * 1 touches the seeds' out-edges, not the graph). */
+  private val graphPpr = Q(
+    "graph_ppr",
+    (s, dir) => {
+      val und = graft.identity.GraphArtifacts.und(s, dir)
+      val deg = graft.identity.GraphArtifacts.deg(s, dir)
+      val nodes = deg.withColumn("is_seed",
+        expr(s"CAST(((${PortableHash.md5Byte("CAST(src AS STRING)")}) < 32) AS LONG)"))
+      val withDeg = und.join(deg, "src")
+      // one mass spread: per-edge floor share of src's mass, grouped on dst
+      def step(r: DataFrame): DataFrame =
+        withDeg.join(r.select(col("node"), col("mass")).where(col("mass") > 0),
+            col("src") === col("node"))
+          .groupBy(col("dst"))
+          .agg(sum(expr("mass div deg")).as("c"))
+      // teleport-to-seeds damping over ALL nodes (a zero-in-mass seed
+      // still gets its restart mass)
+      def damp(c: DataFrame): DataFrame =
+        nodes.join(c, col("src") === col("dst"), "left")
+          .select(col("src").as("node"), col("is_seed"),
+            expr(s"(is_seed * ${15 * PprSeedMassNano} + 85 * coalesce(c, 0)) div 100")
+              .as("mass"))
+      val r0 = nodes.select(col("src").as("node"), col("is_seed"),
+        (col("is_seed") * lit(PprSeedMassNano)).as("mass"))
+      val r2 = damp(step(damp(step(r0))))
+      r2.where(col("mass") > 0)
+        .select(col("node"), col("is_seed"), col("mass").as("ppr_nano"))
+    },
+    Some(s"""WITH ${graft.identity.GraphArtifacts.fwdOracle},
+            ${graft.identity.GraphArtifacts.undOracle},
+            ${graft.identity.GraphArtifacts.degOracle},
+            nodes AS (SELECT src, deg,
+              CASE WHEN (${PortableHash.md5Byte("CAST(src AS VARCHAR)")}) < 32
+                   THEN 1 ELSE 0 END AS is_seed
+              FROM deg),
+            wd AS (SELECT und.src, und.dst, deg.deg
+                   FROM und JOIN deg ON und.src = deg.src),
+            r0 AS (SELECT src AS node, is_seed,
+                     CAST(is_seed * $PprSeedMassNano AS BIGINT) AS mass
+                   FROM nodes),
+            c1 AS (SELECT wd.dst, CAST(sum(r0.mass // wd.deg) AS BIGINT) AS c
+                   FROM wd JOIN r0 ON r0.node = wd.src
+                   WHERE r0.mass > 0 GROUP BY wd.dst),
+            r1 AS (SELECT n.src AS node, n.is_seed,
+                     CAST((n.is_seed * ${15 * PprSeedMassNano}
+                       + 85 * coalesce(c1.c, 0)) // 100 AS BIGINT) AS mass
+                   FROM nodes n LEFT JOIN c1 ON c1.dst = n.src),
+            c2 AS (SELECT wd.dst, CAST(sum(r1.mass // wd.deg) AS BIGINT) AS c
+                   FROM wd JOIN r1 ON r1.node = wd.src
+                   WHERE r1.mass > 0 GROUP BY wd.dst),
+            r2 AS (SELECT n.src AS node, n.is_seed,
+                     CAST((n.is_seed * ${15 * PprSeedMassNano}
+                       + 85 * coalesce(c2.c, 0)) // 100 AS BIGINT) AS mass
+                   FROM nodes n LEFT JOIN c2 ON c2.dst = n.src)
+            SELECT node, CAST(is_seed AS BIGINT) AS is_seed, mass AS ppr_nano
+            FROM r2 WHERE mass > 0"""))
+
   // The counting step of BPE tokenizer training, distributed: adjacent
   // symbol-pair frequencies over the corpus, weighted by word frequency.
   // The expensive explode runs over the DISTINCT-WORD table (vocabulary-
@@ -2038,5 +2121,5 @@ object GraphBpeQueries {
     graphCommonNeighbors, graphModularity, graphAssortativity,
     graphDegreeDist, bpeTrain, graphClusteringCoeff, tokenizerUnigram,
     tokenizerUnigramR2, graphBfsDistance, tokenizerWordpiece, graphHits,
-    graphAdamicAdar, bpeEncodeDropout, tokenizerFertility)
+    graphAdamicAdar, bpeEncodeDropout, tokenizerFertility, graphPpr)
 }

@@ -1579,6 +1579,102 @@ object CurationQueries {
           FROM st"""
     })
 
+  /** Stage-drop attribution through the curation gates — the "where did
+    * my data go" funnel every pipeline owner reads before anything else
+    * ships: raw → length gate (n_chars ≥ 100) → token gate (n_tok ≥ 20)
+    * → language gate (the latin-script model targets en/es/de/fr —
+    * declared, like every gate here) → exact-dedup survivor (min doc_id
+    * per md5(text) among docs passing the earlier gates — dedup
+    * operates on the cleaned corpus, the production order). One row per
+    * stage with surviving docs/tokens, the docs dropped AT that stage,
+    * and the drop rate in ppm of the previous stage.
+    *
+    * Scale shape: per-doc flags ride ONE scan (5 longs + the md5 per
+    * doc, checkpointed); the dedup survivor is one h-keyed min;
+    * the ×5 stage explode fans out long-only rows and map-side combines
+    * to 5; the lag/ppm readout lives on the 5-row frame. Monotone by
+    * construction (stage k's survivors are a subset of k−1's), so the
+    * ppm division is over non-negative integers. */
+  private val corpusFunnel = Q(
+    "corpus_funnel",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val flags0 = Tables.documents(s, dir)
+        .select(col("doc_id"), md5(col("text")).as("h"),
+          size(expr(tokenizeExpr)).cast("long").as("n_tok"),
+          (col("n_chars") >= 100).cast("long").as("f1"),
+          col("lang").isin("en", "es", "de", "fr").cast("long").as("f3"))
+        .withColumn("f2", (col("n_tok") >= 20).cast("long"))
+        .localCheckpoint(eager = true) // survivor min + stage rollup: ONE scan
+      val keep = flags0.where(expr("f1 * f2 * f3 = 1"))
+        .groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+      val staged = flags0.join(keep, Seq("h"), "left")
+        .select(col("n_tok"), col("f1"), col("f2"), col("f3"),
+          coalesce((col("doc_id") === col("keep_id")).cast("long"), lit(0L))
+            .as("f4"),
+          explode(expr("array(0L, 1L, 2L, 3L, 4L)")).as("stage"))
+        .withColumn("surv", expr(
+          """CASE WHEN stage = 0 THEN 1L
+                  WHEN stage = 1 THEN f1
+                  WHEN stage = 2 THEN f1 * f2
+                  WHEN stage = 3 THEN f1 * f2 * f3
+                  ELSE f1 * f2 * f3 * f4 END"""))
+        .groupBy(col("stage"))
+        .agg(sum(col("surv")).as("n_docs"),
+          sum(col("surv") * col("n_tok")).as("n_tokens"))
+      staged
+        .withColumn("prev", lag(col("n_docs"), 1).over(Window.orderBy(col("stage"))))
+        .select(col("stage"),
+          expr("""CASE stage WHEN 0 THEN 'raw' WHEN 1 THEN 'length'
+                  WHEN 2 THEN 'tokens' WHEN 3 THEN 'langid'
+                  ELSE 'dedup' END""").as("stage_name"),
+          col("n_docs"), col("n_tokens"),
+          coalesce(col("prev") - col("n_docs"), lit(0L)).as("dropped_docs"),
+          coalesce(expr("(prev - n_docs) * 1000000 div nullif(prev, 0)"), lit(0L))
+            .as("drop_ppm"))
+    },
+    Some("""WITH base AS (
+              SELECT doc_id, md5(text) AS h, n_chars, lang,
+                CAST(len(list_filter(string_split_regex(lower(text),
+                  '[^a-z]+'), t -> t <> '')) AS BIGINT) AS n_tok
+              FROM documents),
+            flags0 AS (
+              SELECT doc_id, h, n_tok,
+                CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END AS f1,
+                CASE WHEN n_tok >= 20 THEN 1 ELSE 0 END AS f2,
+                CASE WHEN lang IN ('en','es','de','fr') THEN 1 ELSE 0 END AS f3
+              FROM base),
+            keep AS (
+              SELECT h, min(doc_id) AS keep_id
+              FROM flags0 WHERE f1 * f2 * f3 = 1 GROUP BY h),
+            flags AS (
+              SELECT f.n_tok, f.f1, f.f2, f.f3,
+                coalesce(CASE WHEN f.doc_id = k.keep_id THEN 1 ELSE 0 END, 0)
+                  AS f4
+              FROM flags0 f LEFT JOIN keep k ON k.h = f.h),
+            staged AS (
+              SELECT stage, CAST(sum(surv) AS BIGINT) AS n_docs,
+                CAST(sum(surv * n_tok) AS BIGINT) AS n_tokens
+              FROM (SELECT n_tok, stage,
+                      CASE WHEN stage = 0 THEN 1
+                           WHEN stage = 1 THEN f1
+                           WHEN stage = 2 THEN f1 * f2
+                           WHEN stage = 3 THEN f1 * f2 * f3
+                           ELSE f1 * f2 * f3 * f4 END AS surv
+                    FROM flags, (SELECT unnest([0, 1, 2, 3, 4]) AS stage))
+              GROUP BY stage)
+            SELECT CAST(stage AS BIGINT) AS stage,
+              CASE stage WHEN 0 THEN 'raw' WHEN 1 THEN 'length'
+                   WHEN 2 THEN 'tokens' WHEN 3 THEN 'langid'
+                   ELSE 'dedup' END AS stage_name,
+              n_docs, n_tokens,
+              coalesce(prev - n_docs, 0) AS dropped_docs,
+              CAST(coalesce((prev - n_docs) * 1000000 // nullif(prev, 0), 0)
+                AS BIGINT) AS drop_ppm
+            FROM (SELECT stage, n_docs, n_tokens,
+                    lag(n_docs) OVER (ORDER BY stage) AS prev
+                  FROM staged)"""))
+
   val all: Seq[Q] = Seq(sampleHash, sampleStratified, sampleReservoir,
     textPiiScrub,
     textEditDistance, packSequences, vocabTopk, contaminationCheck,
@@ -1588,5 +1684,5 @@ object CurationQueries {
     qualityGopherRules,
     textCodeDetect, corpusDrift, tokenizerCoverage, docChunkingCdc,
     textWatermarkDetect, qualityDsir, sampleWeightedGumbel,
-    curriculumPacing, sampleNeyman)
+    curriculumPacing, sampleNeyman, corpusFunnel)
 }

@@ -799,6 +799,122 @@ object TextQueries {
                                      WHERE token <> '' GROUP BY token))
                          WHERE rk <= 500))"""))
 
+  /** Heaps'-law fit of n-gram-type growth — Zipf's companion diagnostic
+    * (V(N) ≈ K·N^β): OLS slope of ln(cumulative distinct word-bigram
+    * types) on ln(cumulative bigram occurrences) across 10 corpus-prefix
+    * checkpoints. A flattening curve (low β) means the corpus has
+    * saturated — more data buys repetition, not coverage — the
+    * "is another crawl snapshot worth tokenizing" readout; template
+    * corpora saturate early, OCR noise never saturates. Bigrams, not
+    * unigrams: the unigram vocabulary of a bounded-domain corpus
+    * saturates inside the first prefix (measured on this fixture: all
+    * 31 unigram types appear in bucket 0, a zero-variance y series),
+    * while combination types keep growing — the same reason novelty
+    * dedup (text_novelty) keys on n-grams.
+    *
+    * The cumulative-distinct-at-each-prefix problem is reformulated so
+    * NO per-prefix distinct pass exists: a type is new at exactly one
+    * prefix (its FIRST occurrence), so cumulative types at bucket b =
+    * Σ_{fb ≤ b} count(types first seen in fb) — one type-keyed
+    * min-aggregate. Prefix buckets are value-ranges of doc_id (any
+    * fixed monotone order serves a growth curve; no global row-number
+    * window at corpus scale). The one explode feeds exactly two
+    * map-side-combinable aggregates; the cumsums and the regression
+    * live on the ≤ 10-row bucket frame. Determinism: the zipf
+    * discipline — ln of identical BIGINTs, floor-quantized to
+    * micro-nats BEFORE the exact-integer moment sums; one closed-form
+    * division at the end (the shared slope/r² fragments, so the two
+    * fits cannot drift). A zero-variance series (fully saturated
+    * corpus) reads -1 in both outputs instead of dividing by zero —
+    * the eval_pr_auc degenerate convention; the guard is exact BIGINT
+    * arithmetic (|n·Σxx| ≤ 10·(2·10⁷)² ≈ 4·10¹⁵ at any corpus size,
+    * since x and y are micro-nat logs of BIGINT-bounded counts). */
+  private val heapsGuardSql =
+    "(n_terms * sxx - sx * sx) = 0 OR (n_terms * syy - sy * sy) = 0"
+  private val textHeapsFit = Q(
+    "text_heaps_fit",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, dir)
+      val bounds = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      val db = docs.select(col("doc_id"), col("text"))
+        .crossJoin(broadcast(bounds)) // 1-row id range
+        .select(expr("least(9, (doc_id - lo) * 10 div (hi - lo + 1))").as("bucket"),
+          col("text"))
+      val grams = db
+        .select(col("bucket"), explode(expr("word_ngrams(text, 2, false)")).as("tok"))
+        .localCheckpoint(eager = true) // occurrence totals + first-seen pass
+      val tokc = grams.groupBy(col("bucket")).agg(count(lit(1)).as("toks"))
+      val newt = grams
+        .groupBy(col("tok")).agg(min(col("bucket")).as("fb"))
+        .groupBy(col("fb")).agg(count(lit(1)).as("newt"))
+      val w = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pts = tokc.join(newt, col("bucket") === col("fb"), "left")
+        .select(col("bucket"), col("toks"),
+          coalesce(col("newt"), lit(0L)).as("nw"))
+        .select(sum(col("toks")).over(w).as("ct"), sum(col("nw")).over(w).as("cy"))
+        .where(col("ct") > 0 && col("cy") > 0)
+        .select(
+          expr("CAST(floor(ln(CAST(ct AS DOUBLE)) * 1000000.0) AS BIGINT)").as("x"),
+          expr("CAST(floor(ln(CAST(cy AS DOUBLE)) * 1000000.0) AS BIGINT)").as("y"))
+      pts
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("n_terms"), col("sx"), col("sy"),
+          expr(s"CASE WHEN $heapsGuardSql THEN -1L ELSE $zipfSlopeSql END")
+            .as("beta_ppm"),
+          expr(s"CASE WHEN $heapsGuardSql THEN -1L ELSE $zipfR2Sql END")
+            .as("r2_ppm"))
+    },
+    Some(s"""WITH bounds AS (
+              SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+            db AS (
+              SELECT least(9, (doc_id - lo) * 10 // (hi - lo + 1)) AS bucket,
+                list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                  t -> t <> '') AS toks
+              FROM documents, bounds),
+            grams AS (
+              SELECT bucket, concat_ws(' ', toks[i], toks[i+1]) AS tok
+              FROM db, unnest(range(1, greatest(len(toks), 1))) AS u(i)),
+            tokc AS (
+              SELECT bucket, CAST(count(*) AS BIGINT) AS toks
+              FROM grams GROUP BY bucket),
+            newt AS (
+              SELECT fb, CAST(count(*) AS BIGINT) AS newt
+              FROM (SELECT tok, min(bucket) AS fb
+                    FROM grams GROUP BY tok)
+              GROUP BY fb),
+            cum AS (
+              SELECT CAST(sum(tokc.toks) OVER (ORDER BY tokc.bucket
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ct,
+                CAST(sum(coalesce(newt.newt, 0)) OVER (ORDER BY tokc.bucket
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cy
+              FROM tokc LEFT JOIN newt ON newt.fb = tokc.bucket),
+            pts AS (
+              SELECT CAST(floor(ln(CAST(ct AS DOUBLE)) * 1000000.0) AS BIGINT)
+                  AS x,
+                CAST(floor(ln(CAST(cy AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+              FROM cum WHERE ct > 0 AND cy > 0),
+            m AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_terms,
+                CAST(sum(x) AS BIGINT) AS sx,
+                CAST(sum(y) AS BIGINT) AS sy,
+                CAST(sum(x * y) AS BIGINT) AS sxy,
+                CAST(sum(x * x) AS BIGINT) AS sxx,
+                CAST(sum(y * y) AS BIGINT) AS syy
+              FROM pts)
+            SELECT n_terms, sx, sy,
+              CASE WHEN $heapsGuardSql THEN CAST(-1 AS BIGINT)
+                   ELSE $zipfSlopeSql END AS beta_ppm,
+              CASE WHEN $heapsGuardSql THEN CAST(-1 AS BIGINT)
+                   ELSE $zipfR2Sql END AS r2_ppm
+            FROM m"""))
+
   /** RAKE keyword extraction (Rose et al. 2010) — the unsupervised
     * per-document keyword primitive (index terms, topic tags, dedup
     * keys for titles): candidate phrases are maximal stopword-free token
@@ -969,5 +1085,5 @@ object TextQueries {
     tokenCount, textTfidf, textUnigramNll, textBm25, textEntropy, corpusStats,
     textBigramNll, textReadability, lmKnBigram, evalLangidConfusion,
     textSentenceStats, textLexicalDiversity, textZipfFit, textRakeKeywords,
-    corrSpearman)
+    corrSpearman, textHeapsFit)
 }

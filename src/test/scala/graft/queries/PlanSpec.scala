@@ -997,7 +997,15 @@ class PlanSpec extends SparkSpec {
   }
 
   test("sim_knn_descent re-selects via the k-bounded aggregator, never a rank window") {
-    val p = plan("sim_knn_descent")
+    // pin the BUILD pipeline, not the registered query: sim_knn_descent
+    // now returns the session-shared checkpointed graph (descentR1), so
+    // its own plan is a checkpoint scan — the shape under audit is the
+    // artifact build's
+    val emb = graft.queries.Tables.embeddings(spark, dir)
+    val p = graft.sim.SimQueries.knnDescentTopK(
+      graft.sim.SimQueries.knnDescentCandidates(
+        graft.sim.SimQueries.knnDescentSeed(emb)), emb)
+      .queryExecution.executedPlan.toString
     // per-node top-3 must be the TopKByValue ObjectHashAggregate (map-side
     // ≤ k rows per node reach the exchange); a row_number window here
     // would sort every candidate list through one exchange per node

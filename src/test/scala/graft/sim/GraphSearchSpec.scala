@@ -1,0 +1,149 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.{Registry, Tables}
+
+/** Brute-force cross-checks for the graph-ANN query path
+  * (`sim_graph_search`): an exact sequential replay of route-then-walk on
+  * the sf corpus, and a recall audit on the engineered clustered corpus
+  * (the KnnGraphSpec fixture regime) proving the graph hops lift recall
+  * over pure LSH routing.
+  */
+class GraphSearchSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** In-core replay of the whole search: table-0/1 seed, descent round-1
+    * graph, capped-reverse adjacency, bucket-routed entry, two beam
+    * hops. Returns (final per-query top-3 in rank order, truth top-3,
+    * entry-bucket-only top-3) for queries vec_id < 8. */
+  private def localSearch(dir: String) = {
+    val emb = Tables.embeddings(spark, dir)
+    def bucketsOf(firstPlane: Int): Map[Long, String] =
+      SimQueries.lshBuckets(emb, 8, firstPlane)
+        .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[String]("bucket"))
+        .toMap
+    val (buckets0, buckets1) = (bucketsOf(0), bucketsOf(8))
+    val raw = emb.collect().map { r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Seq[Float]]("embedding").toArray
+    }.toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def cos(a: Long, b: Long): Double =
+      dot(raw(a), raw(b)) / math.sqrt(dot(raw(a), raw(a)) * dot(raw(b), raw(b)))
+    val ids = raw.keys.toSeq
+    def topK(a: Long, pool: Iterable[Long], k: Int): Seq[Long] =
+      pool.filter(_ != a).toSeq.distinct.map(v => v -> cos(a, v))
+        .sortBy { case (v, c) => (-c, v) }.take(k).map(_._1)
+    // round-1 descent graph (the KnnGraphSpec localDescent recount)
+    def seedDir(bk: Map[Long, String]): Map[Long, Seq[Long]] =
+      ids.map(a => a -> topK(a, ids.filter(v => bk(v) == bk(a)), 3)).toMap
+    val (s0, s1) = (seedDir(buckets0), seedDir(buckets1))
+    val undNbrs: Map[Long, Set[Long]] = {
+      val directed = ids.flatMap(a => (s0(a) ++ s1(a)).map(a -> _))
+      (directed ++ directed.map(_.swap)).groupBy(_._1)
+        .map { case (a, es) => a -> es.map(_._2).toSet }
+    }
+    val r1: Map[Long, Seq[Long]] = ids.map { a =>
+      val n1 = undNbrs.getOrElse(a, Set.empty)
+      a -> topK(a, n1 ++ n1.flatMap(b => undNbrs.getOrElse(b, Set.empty)), 3)
+    }.toMap
+    // capped-reverse adjacency over r1 (rev ranked on the ROUNDED cos —
+    // the engine ranks the reverse side on the 6-place output value)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val fwd = ids.flatMap(a => r1(a).map(v => (a, v, r6(cos(a, v)))))
+    val rev = fwd.groupBy(_._2).toSeq.flatMap { case (v, es) =>
+      es.sortBy { case (q, _, c) => (-c, q) }.take(3).map(e => (v, e._1))
+    }
+    val undEdges: Set[(Long, Long)] =
+      (fwd.map { case (a, b, _) => (a, b) } ++ rev).toSet
+    val adj: Map[Long, Set[Long]] =
+      undEdges.groupBy(_._1).map { case (a, es) => a -> es.map(_._2) }
+    val queries = ids.filter(_ < 8)
+    def bucketPeers(q: Long, bk: Map[Long, String]): Seq[Long] =
+      ids.filter(v => v != q && bk(v) == bk(q))
+    val search: Map[Long, Seq[Long]] = queries.flatMap { q =>
+      // LSH-forest routing: one entry per hash table
+      val entries = (topK(q, bucketPeers(q, buckets0), 1) ++
+        topK(q, bucketPeers(q, buckets1), 1)).distinct
+      if (entries.isEmpty) None
+      else {
+        def hop(beam: Seq[Long], k: Int): Seq[Long] = {
+          val cands = (beam ++ beam.flatMap(b =>
+            adj.getOrElse(b, Set.empty[Long]))).filter(_ != q)
+          topK(q, cands, k)
+        }
+        Some(q -> hop(hop(hop(entries, 4), 4), 3))
+      }
+    }.toMap
+    val truth = queries.map(q => q -> topK(q, ids, 3).toSet).toMap
+    // zero-hop baseline: the best the two-table ROUTING alone can answer
+    val bucketOnly = queries.map { q =>
+      q -> topK(q, bucketPeers(q, buckets0) ++ bucketPeers(q, buckets1), 3).toSet
+    }.toMap
+    (search, truth, bucketOnly)
+  }
+
+  private def recallOf(got: Map[Long, Iterable[Long]],
+      truth: Map[Long, Set[Long]]): Double = {
+    val qs = truth.keys.toSeq
+    qs.map(q => (got.getOrElse(q, Nil).toSet & truth(q)).size).sum.toDouble /
+      qs.map(truth(_).size).sum
+  }
+
+  test("sim_graph_search matches the sequential route-then-walk replay exactly") {
+    val (search, _, _) = localSearch(sfDir)
+    val got = Registry.queries("sim_graph_search")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("rk")))
+    val expected = search.toSeq.flatMap { case (q, ns) =>
+      ns.zipWithIndex.map { case (v, i) => (q, v, (i + 1).toLong) }
+    }
+    assert(got.toSet === expected.toSet)
+    assert(got.nonEmpty)
+  }
+
+  /** 16 tight clusters split across LSH buckets (the KnnGraphSpec
+    * regime): routing alone sees only the query's same-bucket fragment;
+    * the two graph hops must reconnect the cluster. */
+  private lazy val clusteredDir: String = {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 16).flatMap { c =>
+      val center = Array.fill(64)(rnd.nextGaussian())
+      (0 until 30).map { p =>
+        val e = center.map(x => (x + 0.45 * rnd.nextGaussian()).toFloat)
+        (c * 30L + p, e.toSeq, c)
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graph_search_fix").toString
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .withColumn("label", col("label").cast("int"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("sim_graph_search on a clustered corpus: beats bucket-only routing, recall floor") {
+    val dir = clusteredDir
+    val (search, truth, bucketOnly) = localSearch(dir)
+    val got = Registry.queries("sim_graph_search")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("rk")))
+    val expected = search.toSeq.flatMap { case (q, ns) =>
+      ns.zipWithIndex.map { case (v, i) => (q, v, (i + 1).toLong) }
+    }
+    assert(got.toSet === expected.toSet)
+    val gotByQ = got.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSeq }
+    val (rSearch, rBucket) = (recallOf(gotByQ, truth), recallOf(bucketOnly, truth))
+    info(f"recall@3 search=$rSearch%.4f bucket-only=$rBucket%.4f")
+    assert(rSearch > rBucket,
+      f"graph hops must add recall over routing alone: $rSearch%.4f vs $rBucket%.4f")
+    assert(rSearch >= 0.5, f"clustered-corpus recall floor: $rSearch%.4f")
+  }
+}
