@@ -132,7 +132,9 @@ object Bench {
           "cngraph" -> (() => graft.queries.GraphBpeQueries
             .cnGraphEnsure(spark, sfDir, s"$adir/cngraph")),
           "text" -> (() => graft.text.TextArtifacts
-            .ensure(spark, sfDir, s"$adir/text")))
+            .ensure(spark, sfDir, s"$adir/text")),
+          "descent" -> (() => graft.sim.SimQueries
+            .descentEnsure(spark, sfDir, s"$adir/descent")))
         // Keys are "ensure_"-prefixed so a warm-mode record can never be
         // diffed against a cold-mode per-artifact key set (ADVICE r07 #4);
         // the JSON line also carries "artifact_mode":"warm".

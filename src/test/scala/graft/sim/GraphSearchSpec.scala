@@ -129,6 +129,49 @@ class GraphSearchSpec extends SparkSpec {
     dir
   }
 
+  /** Tiny self-contained corpus for the snapshot round-trip (NOT the
+    * shared clusteredDir — this test mutates its embeddings table to
+    * prove stale-fingerprint invalidation). */
+  private def snapshotFixture(seed: Int, n: Int, dir: String): Unit = {
+    val rnd = new scala.util.Random(seed)
+    import spark.implicits._
+    (0 until n).map(i =>
+        (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat).toSeq, 0))
+      .toDF("vec_id", "embedding", "label")
+      .withColumn("label", col("label").cast("int"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
+  test("descent snapshot: persist/load round-trip, warm graph identical, stale key rebuilds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-descent-fix").toString
+    val art = java.nio.file.Files.createTempDirectory("graft-descent-art").toString
+    snapshotFixture(seed = 11, n = 60, dir)
+    assert(!SimQueries.descentEnsure(spark, dir, art),
+      "ensure claimed a hit on an empty artifact dir")
+    def graph(): Set[(Long, Long, Long)] =
+      SimQueries.descentR1(spark, dir).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+          r.getAs[Long]("rk"))).toSet
+    val g1 = graph()
+    assert(g1.nonEmpty)
+
+    // unchanged corpus, cold session cache → parquet-backed reload
+    SimQueries.descentInvalidate()
+    assert(SimQueries.descentEnsure(spark, dir, art),
+      "unchanged corpus did not reuse the persisted snapshot")
+    assert(SimQueries.descentR1(spark, dir).queryExecution.executedPlan
+      .toString.contains("Scan parquet"), "loaded graph is not parquet-backed")
+    assert(graph() === g1)
+
+    // changed embeddings → stale fingerprint → rebuild, new graph shape
+    SimQueries.descentInvalidate()
+    snapshotFixture(seed = 12, n = 40, dir)
+    assert(!SimQueries.descentEnsure(spark, dir, art),
+      "changed corpus reused a stale snapshot")
+    assert(graph() !== g1)
+    SimQueries.descentInvalidate()
+  }
+
   test("sim_graph_search on a clustered corpus: beats bucket-only routing, recall floor") {
     val dir = clusteredDir
     val (search, truth, bucketOnly) = localSearch(dir)
