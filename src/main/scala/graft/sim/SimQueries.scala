@@ -120,11 +120,11 @@ object SimQueries {
     * `firstPlane` selects the hash table (the knnSeedDirected convention);
     * sim_graph_search routes entries through BOTH tables. */
   def bucketedTopK(emb: DataFrame, queryPred: Column, k: Int,
-      firstPlane: Int = 0): DataFrame = {
+      firstPlane: Int = 0, planes: Int = NumPlanes): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     // checkpoint: bucket codes + norms feed both join sides; without it the
     // 8 × 64-term projections run twice
-    val withBucket = lshBuckets(emb, NumPlanes, firstPlane)
+    val withBucket = lshBuckets(emb, planes, firstPlane)
       .join(emb, "vec_id")
       .withColumn("norm2", expr(dotExpr("embedding", "embedding")))
       .localCheckpoint(eager = true)
@@ -668,7 +668,7 @@ object SimQueries {
     * the bound BenchKnnDescent asserts. The cap is k-bounded via the
     * same TopKByValue Aggregator as the forward selection (map-side ≤ 3
     * rows per node, no rank window). */
-  private def cappedUnd(tk: DataFrame): DataFrame = {
+  private[graft] def cappedUnd(tk: DataFrame): DataFrame = {
     val tkAgg = udaf(new graft.functions.TopKByValue(3),
       graft.functions.TopKByValue.inputEncoder)
     val fwd = tk.select(col("q_id").as("a_id"), col("vec_id").as("b_id"))
@@ -990,49 +990,100 @@ object SimQueries {
     * singleton in BOTH tables' buckets has no entry point and drops on
     * both engines (declared — production returns its IVF fallback
     * there). */
+  /** Bucket-code index over BOTH hash tables — (vec_id, bucket, tbl),
+    * part of the BUILT graph index (alongside the descent graph and its
+    * capped adjacency), not a search-time computation: routing a query
+    * batch must not re-project the corpus. Two separate 8-plane
+    * projections unioned (a fused 16×64-term single projection was
+    * MEASURED 2.5× slower — it falls off the fast codegen path). At
+    * 100 TB this frame is written bucket-partitioned, so the entry
+    * probe below becomes partition pruning (the sim_ann_filtered
+    * composite-key layout argument). */
+  def forestCodes(emb: DataFrame, planes: Int = NumPlanes): DataFrame =
+    lshBuckets(emb, planes, 0).withColumn("tbl", lit(0))
+      .union(lshBuckets(emb, planes, planes).withColumn("tbl", lit(1)))
+
+  /** The search body shared by the registered `sim_graph_search` query
+    * and [[graft.BenchGraphSearch]] (ONE definition — the probe measures
+    * exactly the shipped shape): LSH-forest routing — the query's
+    * bucket row in `codes` probes each table's members, in-bucket exact
+    * top-1 per (query, table) — then `hops` beam-expansion rounds over
+    * `adj`, exact-cosine re-score each round, beam top-`beamWidth`
+    * between hops, final top-`k` with rank. Returns (q_id, vec_id,
+    * cos raw, rk) — callers round on output. `codes` and `adj` are the
+    * prebuilt index (callers checkpoint them); per-query search work is
+    * then bucket-sized + beam·deg-sized — constant in corpus size. */
+  def graphSearch(emb: DataFrame, adj: DataFrame, codes: DataFrame,
+      queryPred: Column, beamWidth: Int = 4, k: Int = 3,
+      hops: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val vecs = emb.select(col("vec_id"), col("embedding"),
+      expr(dotExpr("embedding", "embedding")).as("norm2"))
+    val queries = vecs.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"), col("norm2").as("q_norm2"))
+      .where(queryPred)
+    // The beam/candidate side is per-query-bounded (≤ queries ×
+    // beam·(1+deg) rows of two longs) while vecs/adj/codes are
+    // corpus-sized index frames — so the SMALL side broadcasts,
+    // EXPLICITLY, in every join below: left to AQE's unknown-size
+    // estimates after window+distinct stages, Spark shuffles the
+    // corpus-fat side per hop instead (measured at the 100k-vector
+    // probe: 49 s → the whole search drops to index-scan time once the
+    // beam broadcasts). This is the shape that survives 100 TB: the
+    // index never moves, the beam rides the closure.
+    def expand(beam: DataFrame): DataFrame =
+      beam.select(col("q_id"), col("vec_id"))
+        .union(adj.join(broadcast(beam), col("vec_id") === col("a_id"))
+          .select(col("q_id"), col("b_id").as("vec_id")))
+        .where(col("vec_id") =!= col("q_id"))
+        .distinct()
+    def score(cand: DataFrame, kk: Int): DataFrame =
+      vecs.join(broadcast(cand), "vec_id")
+        .join(broadcast(queries), "q_id")
+        .withColumn("cos", expr(dotExpr("embedding", "q_emb"))
+          / sqrt(col("norm2") * col("q_norm2")))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+        .where(col("rk") <= kk)
+    // LSH-forest routing: one entry per hash table (a single table's
+    // quantization can strand the query in an off-manifold fragment;
+    // the second table is an independent re-route — same reason the
+    // descent seed spans tables). Exact in-bucket top-1 per
+    // (query, table), then distinct (both tables may route to one node).
+    val qcodes = codes.select(col("vec_id").as("q_id"), col("tbl"),
+        col("bucket")).where(queryPred)
+    val entryCand = codes.join(broadcast(qcodes), Seq("tbl", "bucket"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("tbl"), col("vec_id"))
+    val entry = vecs.join(broadcast(entryCand), "vec_id")
+      .join(broadcast(queries), "q_id")
+      .withColumn("cos", expr(dotExpr("embedding", "q_emb"))
+        / sqrt(col("norm2") * col("q_norm2")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id"), col("tbl"))
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .where(col("rk") === 1)
+      .select(col("q_id"), col("vec_id"))
+      .distinct()
+    val beam = (1 until hops).foldLeft(entry) { (b, _) =>
+      score(expand(b), beamWidth).select(col("q_id"), col("vec_id"))
+    }
+    score(expand(beam), k)
+  }
+
   private val simGraphSearch = Q(
     "sim_graph_search",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, dir)
       // the index: the session-shared round-1 descent graph (built once
-      // per corpus — see descentR1), capped-reverse adjacency
+      // per corpus — see descentR1), capped-reverse adjacency + the
+      // bucket-code routing table
       val adj = cappedUnd(descentR1(s, dir))
         .localCheckpoint(eager = true) // read by all three hops
-      val vecs = emb.select(col("vec_id"), col("embedding"),
-        expr(dotExpr("embedding", "embedding")).as("norm2"))
-      val queries = vecs.where(col("vec_id") < 8)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("norm2").as("q_norm2"))
-      def expand(beam: DataFrame): DataFrame =
-        beam.select(col("q_id"), col("vec_id"))
-          .union(beam.join(adj, col("vec_id") === col("a_id"))
-            .select(col("q_id"), col("b_id").as("vec_id")))
-          .where(col("vec_id") =!= col("q_id"))
-          .distinct()
-      def score(cand: DataFrame, k: Int): DataFrame =
-        cand.join(vecs, "vec_id")
-          .join(broadcast(queries), "q_id")
-          .withColumn("cos", expr(dotExpr("embedding", "q_emb"))
-            / sqrt(col("norm2") * col("q_norm2")))
-          .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
-            .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
-          .where(col("rk") <= k)
-      // LSH-forest routing: one entry per hash table (a single table's
-      // quantization can strand the query in an off-manifold fragment;
-      // the second table is an independent re-route — same reason the
-      // descent seed spans tables). Deliberately two bucketedTopK calls:
-      // a fused single-projection variant computing both tables' codes
-      // in one 16×64-term select was MEASURED 2.5× SLOWER (10 s vs 4 s
-      // at every SF — the 2048-term generated projection falls off the
-      // fast codegen path), so per-table checkpoints stay.
-      val entry = bucketedTopK(emb, col("q_id") < 8, 1)
-        .union(bucketedTopK(emb, col("q_id") < 8, 1, NumPlanes))
-        .select(col("q_id"), col("vec_id"))
-        .distinct()
-      val beam1 = score(expand(entry), 4).select(col("q_id"), col("vec_id"))
-      val beam2 = score(expand(beam1), 4).select(col("q_id"), col("vec_id"))
-      score(expand(beam2), 3)
+      val codes = forestCodes(emb)
+        .localCheckpoint(eager = true) // probe side + query side
+      graphSearch(emb, adj, codes, col("q_id") < 8)
         .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos"),
           col("rk"))
     },
