@@ -172,6 +172,56 @@ class GraphSearchSpec extends SparkSpec {
     SimQueries.descentInvalidate()
   }
 
+  private def md5Byte(s: String): Int = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    "0123456789abcdef".indexOf(h(0)) * 16 + "0123456789abcdef".indexOf(h(1))
+  }
+
+  test("sim_graph_incremental: delta/base membership, exact cosines, attach recall") {
+    val dir = clusteredDir
+    val got = Registry.queries("sim_graph_incremental")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cos"), r.getAs[Long]("rk")))
+    assert(got.nonEmpty)
+    val raw = Tables.embeddings(spark, dir).collect().map { r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Seq[Float]]("embedding").toArray
+    }.toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def cos(a: Long, b: Long): Double =
+      dot(raw(a), raw(b)) / math.sqrt(dot(raw(a), raw(a)) * dot(raw(b), raw(b)))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val newIds = raw.keySet.filter(v => md5Byte(v.toString) < 26)
+    // membership: attach edges go FROM the delta batch INTO the base
+    got.foreach { case (q, v, c, rk) =>
+      assert(newIds(q), s"new_id $q not in the delta batch")
+      assert(!newIds(v), s"attached $v is not a base vector")
+      assert(rk >= 1 && rk <= 3)
+      assert(c === r6(cos(q, v)), s"cos($q,$v)")
+    }
+    // ≤ 3 attach edges per new node, ranked by descending cosine
+    got.groupBy(_._1).foreach { case (q, es) =>
+      assert(es.length <= 3, s"$q has ${es.length} attach edges")
+      val byRk = es.sortBy(_._4).map(e => cos(e._1, e._2))
+      assert(byRk.zip(byRk.tail).forall { case (a, b) => a >= b }, s"$q ranks")
+    }
+    // attach quality: recall vs the exact base-side top-3 per new node
+    val baseIds = raw.keySet -- newIds
+    val truth = got.map(_._1).distinct.map { q =>
+      q -> baseIds.filter(_ != q).toSeq.map(v => v -> cos(q, v))
+        .sortBy { case (v, c) => (-c, v) }.take(3).map(_._1).toSet
+    }.toMap
+    val hit = got.count { case (q, v, _, _) => truth(q)(v) }
+    val recall = hit.toDouble / (truth.size * 3)
+    info(f"attach recall@3 = $recall%.4f over ${truth.size} new vectors")
+    assert(recall >= 0.5, f"attach recall floor: $recall%.4f")
+  }
+
   test("sim_graph_search on a clustered corpus: beats bucket-only routing, recall floor") {
     val dir = clusteredDir
     val (search, truth, bucketOnly) = localSearch(dir)
