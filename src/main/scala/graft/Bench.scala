@@ -93,7 +93,8 @@ object Bench {
       "graph_cnpairs" -> (() => graft.queries.GraphBpeQueries.cnGraph(spark, sfDir)),
       "text_wc" -> (() => graft.text.TextArtifacts.wordCounts(spark, sfDir)),
       "text_vocab" -> (() => graft.text.TextArtifacts.vocab(spark, sfDir)),
-      "sim_descent_r1" -> (() => graft.sim.SimQueries.descentR1(spark, sfDir)))
+      "sim_descent_r1" -> (() => graft.sim.SimQueries.descentR1(spark, sfDir)),
+      "sim_base_index" -> (() => graft.sim.SimQueries.baseIndexBuild(spark, sfDir)))
     // A failed build must NOT vanish into an inflated query time
     // (VERDICT r06 what's-wrong #2): log it and mark the line -1.
     def buildOnce(): Seq[(String, Double)] = artifactBuilds.map { case (n, fn) =>
@@ -134,7 +135,9 @@ object Bench {
           "text" -> (() => graft.text.TextArtifacts
             .ensure(spark, sfDir, s"$adir/text")),
           "descent" -> (() => graft.sim.SimQueries
-            .descentEnsure(spark, sfDir, s"$adir/descent")))
+            .descentEnsure(spark, sfDir, s"$adir/descent")),
+          "base_index" -> (() => graft.sim.SimQueries
+            .baseIndexEnsure(spark, sfDir, s"$adir/base_index")))
         // Keys are "ensure_"-prefixed so a warm-mode record can never be
         // diffed against a cold-mode per-artifact key set (ADVICE r07 #4);
         // the JSON line also carries "artifact_mode":"warm".

@@ -27,6 +27,23 @@ object SimQueries {
   private val Dim = 64
   private val NumPlanes = 8
 
+  /** Planes-per-corpus-size law (VERDICT r08 task 5): size each hash
+    * table so the expected in-bucket population stays ~[[TargetBucket]]
+    * (buckets = 2^planes, so planes = round(log2(n / 30))) — big enough
+    * that the in-bucket exact top-3 seeds real neighbors, small enough
+    * that seeding stays corpus-linear (the bucket-quadratic seed join
+    * is (n/2^p)² per bucket × 2^p buckets = n²/2^p). Floor of
+    * [[NumPlanes]]: the REGISTERED queries pin planes = 8 for oracle
+    * stability at test SFs; the law is the production/bench sizing
+    * knob ([[graft.BenchGraphSearch]] asserts its recall floor at 2 M
+    * vectors under exactly this law). */
+  val TargetBucket = 30L
+  def planesFor(n: Long): Int = {
+    val p = math.round(math.log(math.max(n, 1L).toDouble / TargetBucket)
+      / math.log(2.0)).toInt
+    math.max(NumPlanes, p)
+  }
+
   /** dot(a, b) as an ordered left fold in double — the native codegen'd
     * expression (graft.functions.DotOrdered); bit-identical to the
     * `aggregate(zip_with(...))` HOF formulation it replaced (same widen ×
@@ -794,29 +811,98 @@ object SimQueries {
         .localCheckpoint(eager = true)
     }
 
-  /** Drop the cached descent graph and the incremental-insert base
-    * index (tests / bench passes). */
+  /** Drop the cached descent graph, the incremental-insert base index
+    * and the attach log (tests / bench passes). */
   def descentInvalidate(): Unit = {
     descentCache.invalidate()
     baseIndexCache.invalidate()
+    attachCache.invalidate()
   }
 
   private val baseIndexCache =
-    new graft.queries.SessionCache[(DataFrame, DataFrame)](t => Seq(t._1, t._2))
+    new graft.queries.SessionCache[(DataFrame, DataFrame, DataFrame)](
+      t => Seq(t._1, t._2, t._3))
 
-  /** Session-shared (adjacency, bucket codes) of the BASE split's index
-    * for `sim_graph_incremental` — production grows an EXISTING index;
+  private val baseBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** How many times the base-split index was actually derived (not
+    * cache-served) — the PlanSpec share-one-artifact probe. */
+  def baseIndexBuildCount: Int = baseBuilds.get()
+
+  /** The base split of the corpus — everything NOT in the md5-selected
+    * delta batch ([[NewVecByte]]); the served index that
+    * `sim_graph_incremental` grows and `sim_graph_compact` folds the
+    * attach edges into. */
+  private def baseSplit(s: SparkSession, dir: String): DataFrame = {
+    val isNew = expr(
+      s"(${graft.queries.PortableHash.md5Byte("CAST(vec_id AS STRING)")}) < $NewVecByte")
+    Tables.embeddings(s, dir).where(not(isNew))
+  }
+
+  /** Session-shared (scored r1 graph, capped adjacency, bucket codes)
+    * of the BASE split's index for `sim_graph_incremental` /
+    * `sim_graph_compact` — production grows an EXISTING index;
     * rebuilding it inside every insert batch would charge the build to
     * the ingest path (the descentR1 argument, applied to the base
-    * split). */
+    * split). The scored graph rides along because compaction folds
+    * attach edges into it BY COSINE — the capped adjacency alone has
+    * forgotten the scores. */
   private def baseIndex(s: SparkSession, dir: String,
-      base: => DataFrame): (DataFrame, DataFrame) =
+      base: => DataFrame): (DataFrame, DataFrame, DataFrame) =
     baseIndexCache.getOrBuild(s, dir) {
+      baseBuilds.incrementAndGet()
       val b = base
       val r1 = knnDescentTopK(knnDescentCandidates(knnDescentSeed(b)), b)
-      (cappedUnd(r1).localCheckpoint(eager = true),
+        .localCheckpoint(eager = true)
+      (r1, cappedUnd(r1).localCheckpoint(eager = true),
         forestCodes(b).localCheckpoint(eager = true))
     }
+
+  /** Build-or-serve the base-split index off the default md5 split —
+    * the bench's cold artifact line (VERDICT r08 task 1: without it the
+    * one-time base build lands on `sim_graph_incremental`'s query
+    * line). Returns (scored r1 graph, capped adjacency, bucket
+    * codes). */
+  def baseIndexBuild(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    baseIndex(s, dir, baseSplit(s, dir))
+
+  /** Write the base-split index (scored graph + capped adjacency +
+    * bucket codes) as a parquet snapshot keyed by the embeddings
+    * fingerprint — the descentPersistTo lifecycle applied to the
+    * incremental-insert twin. */
+  def baseIndexPersistTo(s: SparkSession, corpusDir: String,
+      artifactDir: String): Unit = {
+    val (r1, adj, codes) = baseIndexBuild(s, corpusDir)
+    graft.queries.ArtifactStore.writeSnapshot(s, artifactDir,
+      descentFingerprint(s, corpusDir),
+      Seq("base_r1" -> r1, "base_adj" -> adj, "base_codes" -> codes))
+  }
+
+  /** Seed the session cache from a persisted base-index snapshot whose
+    * key matches the CURRENT embeddings fingerprint; false otherwise. */
+  def baseIndexLoadFrom(s: SparkSession, corpusDir: String,
+      artifactDir: String): Boolean =
+    graft.queries.ArtifactStore.loadSnapshot(s, artifactDir,
+      descentFingerprint(s, corpusDir),
+      Seq("base_r1", "base_adj", "base_codes")) match {
+      case Some(m) =>
+        baseIndexCache.put(s, corpusDir,
+          (m("base_r1"), m("base_adj"), m("base_codes")))
+        true
+      case None => false
+    }
+
+  /** Load-or-build-and-persist; true when the snapshot was reused. */
+  def baseIndexEnsure(s: SparkSession, corpusDir: String,
+      artifactDir: String): Boolean = {
+    val hit = baseIndexLoadFrom(s, corpusDir, artifactDir)
+    if (!hit) {
+      baseIndexCache.remove(s, corpusDir)
+      baseIndexPersistTo(s, corpusDir, artifactDir)
+    }
+    hit
+  }
 
   // ---------------------------------------------------------------------
   // Parquet persistence — the GraphArtifacts/CandidateArtifacts contract
@@ -1056,7 +1142,7 @@ object SimQueries {
     * `qcodes` (q_id, tbl, bucket) the queries' own routing codes. */
   def graphSearchFrom(vecs: DataFrame, adj: DataFrame, codes: DataFrame,
       queries: DataFrame, qcodes: DataFrame, beamWidth: Int = 4,
-      k: Int = 3, hops: Int = 3): DataFrame = {
+      k: Int = 3, hops: Int = 3, broadcastQueries: Boolean = true): DataFrame = {
     // The beam/candidate side is per-query-bounded (≤ queries ×
     // beam·(1+deg) rows of two longs) while vecs/adj/codes are
     // corpus-sized index frames — so the SMALL side broadcasts,
@@ -1064,17 +1150,26 @@ object SimQueries {
     // estimates after window+distinct stages, Spark shuffles the
     // corpus-fat side per hop instead (measured at the 100k-vector
     // probe: 49 s → the whole search drops to index-scan time once the
-    // beam broadcasts). This is the shape that survives 100 TB: the
-    // index never moves, the beam rides the closure.
+    // beam broadcasts). This is the shape that survives 100 TB as long
+    // as the QUERY BATCH is bounded: the index never moves, the beam
+    // rides the closure. The beam is still query-count-PROPORTIONAL,
+    // so an unbounded batch (sim_graph_incremental's md5-selected ~10%
+    // delta grows with the corpus) must set `broadcastQueries = false`
+    // above [[BroadcastQueryMaxRows]] — past that the hints would blow
+    // through driver memory / Spark's 8 GB broadcast cap, and a plain
+    // shuffled hash join on q_id/vec_id is the correct large-batch plan
+    // (both sides are then data-sized and AQE's estimates are fine).
+    def bq(df: DataFrame): DataFrame =
+      if (broadcastQueries) broadcast(df) else df
     def expand(beam: DataFrame): DataFrame =
       beam.select(col("q_id"), col("vec_id"))
-        .union(adj.join(broadcast(beam), col("vec_id") === col("a_id"))
+        .union(adj.join(bq(beam), col("vec_id") === col("a_id"))
           .select(col("q_id"), col("b_id").as("vec_id")))
         .where(col("vec_id") =!= col("q_id"))
         .distinct()
     def score(cand: DataFrame, kk: Int): DataFrame =
-      vecs.join(broadcast(cand), "vec_id")
-        .join(broadcast(queries), "q_id")
+      vecs.join(bq(cand), "vec_id")
+        .join(bq(queries), "q_id")
         .withColumn("cos", expr(dotExpr("embedding", "q_emb"))
           / sqrt(col("norm2") * col("q_norm2")))
         .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
@@ -1085,11 +1180,11 @@ object SimQueries {
     // the second table is an independent re-route — same reason the
     // descent seed spans tables). Exact in-bucket top-1 per
     // (query, table), then distinct (both tables may route to one node).
-    val entryCand = codes.join(broadcast(qcodes), Seq("tbl", "bucket"))
+    val entryCand = codes.join(bq(qcodes), Seq("tbl", "bucket"))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("tbl"), col("vec_id"))
-    val entry = vecs.join(broadcast(entryCand), "vec_id")
-      .join(broadcast(queries), "q_id")
+    val entry = vecs.join(bq(entryCand), "vec_id")
+      .join(bq(queries), "q_id")
       .withColumn("cos", expr(dotExpr("embedding", "q_emb"))
         / sqrt(col("norm2") * col("q_norm2")))
       .withColumn("rk", row_number().over(
@@ -1098,8 +1193,23 @@ object SimQueries {
       .where(col("rk") === 1)
       .select(col("q_id"), col("vec_id"))
       .distinct()
+      // CHECKPOINT EVERY BEAM (entry + each hop's survivors): expand()
+      // references its input beam TWICE (union side + adj-join side),
+      // so without a cut the hop-N plan embeds the hop-(N-1) subtree
+      // twice and the whole search re-executes earlier hops ~2^hops
+      // times — invisible at 8 queries (the "~4 s flat" fixed DAG),
+      // ~2 orders of magnitude at a 6k-query insert batch (MEASURED at
+      // the 100k-vector compact probe: one grow cycle 211 s → 6.8 s
+      // end-to-end once the beams cut). The checkpointed frame is
+      // id-pairs only, ≤ beam rows per query — milliseconds to
+      // materialize at any batch size.
+      .localCheckpoint(eager = true)
     val beam = (1 until hops).foldLeft(entry) { (b, _) =>
-      score(expand(b), beamWidth).select(col("q_id"), col("vec_id"))
+      val nb = score(expand(b), beamWidth)
+        .select(col("q_id"), col("vec_id"))
+        .localCheckpoint(eager = true)
+      graft.identity.Components.unpersistCheckpoint(b)
+      nb
     }
     score(expand(beam), k)
   }
@@ -1249,46 +1359,98 @@ object SimQueries {
     * oracle-reproducible). */
   private val NewVecByte = 26
 
+  /** Query-batch row cap for [[graphSearchFrom]]'s broadcast plan
+    * (ADVICE r08 #1): ~2 M rows of (id, 64-float embedding, norm) is
+    * ~0.6 GB serialized — comfortably under Spark's 8 GB broadcast hard
+    * limit and typical driver headroom; a bigger delta batch shuffles
+    * instead. */
+  private[sim] val BroadcastQueryMaxRows = 2L * 1024 * 1024
+
   /** Incremental index growth — the INSERT path of the graph-ANN
-    * lifecycle (build → search → GROW → compact-at-rebuild), the HNSW
+    * lifecycle (build → search → GROW → [[graphCompact]]), the HNSW
     * insert shape: a delta batch of new vectors (md5-selected ~10%) is
     * each routed through the BASE index exactly like a search
     * (LSH-forest entry from the base bucket table, three beam hops over
     * the base adjacency), and its final top-3 become the new node's
     * attach edges. Reverse-edge maintenance (capping an old node's
-    * in-degree when new arrivals displace its neighbors) is DECLARED to
-    * happen at the next compaction — the batch-refresh policy real
-    * vector stores run, so serving degree bounds hold between rebuilds.
+    * in-degree when new arrivals displace its neighbors) happens at the
+    * next compaction — `sim_graph_compact` — the batch-refresh policy
+    * real vector stores run, so serving degree bounds hold between
+    * rebuilds.
     *
     * Scale shape: the base index frames (graph, adjacency, codes) are
     * built once per snapshot (here inline over the base split; the
     * artifact lifecycle is descentR1/descentEnsure's); the delta batch
-    * rides [[graphSearchFrom]] — per-new-vector work is bucket-sized +
-    * beam·deg-sized, constant in corpus size, so ingest throughput is
-    * flat no matter how large the served index grows. Determinism: the
-    * SimQueries cosine/tiebreak convention end to end. */
-  private val simGraphIncremental = Q(
-    "sim_graph_incremental",
-    (s, dir) => {
-      graft.functions.GraftFunctions.register(s)
-      val emb = Tables.embeddings(s, dir)
-      val isNew = expr(
-        s"(${graft.queries.PortableHash.md5Byte("CAST(vec_id AS STRING)")}) < $NewVecByte")
-      val base = emb.where(not(isNew))
-      val newV = emb.where(isNew)
-      val (adj, codes) = baseIndex(s, dir, base)
-      val vecs = base.select(col("vec_id"), col("embedding"),
-        expr(dotExpr("embedding", "embedding")).as("norm2"))
-      val queries = newV.select(col("vec_id").as("q_id"),
-        col("embedding").as("q_emb"),
-        expr(dotExpr("embedding", "embedding")).as("q_norm2"))
-      val qcodes = forestCodes(newV)
-        .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
-      graphSearchFrom(vecs, adj, codes, queries, qcodes)
-        .select(col("q_id").as("new_id"), col("vec_id"),
-          round(col("cos"), 6).as("cos"), col("rk"))
-    },
-    Some {
+    * rides [[graphSearchFrom]] — PER-NEW-VECTOR work is bucket-sized +
+    * beam·deg-sized, constant in corpus size. Total batch cost scales
+    * with the batch itself, and the broadcast-the-queries plan holds
+    * only below [[BroadcastQueryMaxRows]] — above it the batch shuffles
+    * (ADVICE r08 #1), so large-batch ingest is shuffle-bound, not flat.
+    * Determinism: the SimQueries cosine/tiebreak convention end to
+    * end. */
+  private val attachCache = new graft.queries.SessionCache[DataFrame](Seq(_))
+
+  /** Scored attach edges of the delta batch routed through the base
+    * index — the shared body of `sim_graph_incremental` (which reports
+    * them) and `sim_graph_compact` (which folds them into the served
+    * adjacency). Returns (q_id, vec_id, cos ROUNDED to 6, rk).
+    *
+    * ALWAYS computes (and re-publishes to the session cache): this IS
+    * the insert path, so its cost is the marginal ingest cost by
+    * definition — serving it from a cache would make the insert query's
+    * bench line read ~0. The COMPACTION side reads
+    * [[attachEdgesServed]] instead: production compaction folds the
+    * attach log the insert path already emitted, so re-running the
+    * search inside the compact query would charge ingest work to the
+    * maintenance line (the r8 attribution-bug class, one level up). */
+  def attachEdges(s: SparkSession, dir: String): DataFrame = {
+    val out = attachEdgesCompute(s, dir).localCheckpoint(eager = true)
+    attachCache.put(s, dir, out)
+    out
+  }
+
+  /** The attach log as the compaction job sees it: whatever the insert
+    * path last emitted this session, or one fresh derivation. */
+  def attachEdgesServed(s: SparkSession, dir: String): DataFrame =
+    attachCache.getOrBuild(s, dir) {
+      attachEdgesCompute(s, dir).localCheckpoint(eager = true)
+    }
+
+  private def attachEdgesCompute(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    val isNew = expr(
+      s"(${graft.queries.PortableHash.md5Byte("CAST(vec_id AS STRING)")}) < $NewVecByte")
+    val base = emb.where(not(isNew))
+    val newV = emb.where(isNew)
+    val (_, adj, codes) = baseIndexBuild(s, dir)
+    val vecs = base.select(col("vec_id"), col("embedding"),
+      expr(dotExpr("embedding", "embedding")).as("norm2"))
+    val queries = newV.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"),
+      expr(dotExpr("embedding", "embedding")).as("q_norm2"))
+    val qcodes = forestCodes(newV)
+      .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
+    // The delta batch is corpus-PROPORTIONAL (~10% by md5), so the
+    // broadcast-the-queries plan only holds below the row cap; a
+    // bigger batch falls back to shuffled joins (ADVICE r08 #1). The
+    // probe reads vec_id only and stops at cap+1 rows.
+    val bcast = newV.select(col("vec_id"))
+      .limit(BroadcastQueryMaxRows.toInt + 1)
+      .count() <= BroadcastQueryMaxRows
+    graphSearchFrom(vecs, adj, codes, queries, qcodes,
+        broadcastQueries = bcast)
+      .select(col("q_id"), col("vec_id"),
+        round(col("cos"), 6).as("cos"), col("rk"))
+  }
+
+  /** Shared oracle CTE chain for the incremental-insert pair
+    * (`sim_graph_incremental`, `sim_graph_compact`): base/delta md5
+    * split, base-split LSH-forest seed + round-1 descent graph (`r1`) +
+    * capped adjacency (`adj`), delta routing codes, LSH-forest entry +
+    * three beam hops — ending in `attach(q_id, vec_id, cos RAW, rk ≤
+    * 3)`. Callers append their own final SELECT. */
+  private def attachOracleCtes: String = {
       val dot = SimOracle.dot("a.embedding", "c.embedding")
       val na  = SimOracle.dot("a.embedding", "a.embedding")
       val nc  = SimOracle.dot("c.embedding", "c.embedding")
@@ -1380,18 +1542,75 @@ object SimQueries {
           ${beamCte("b1", "c1", 4)},
           ${hopCte("c2", "b1")},
           ${beamCte("b2", "c2", 4)},
-          ${hopCte("c3", "b2")}
-          SELECT q_id AS new_id, vec_id, round(cos, 6) AS cos, rk FROM (
-            SELECT c.q_id, c.vec_id,
-              $dotS / sqrt($nq * $nv) AS cos,
-              CAST(row_number() OVER (PARTITION BY c.q_id
-                ORDER BY $dotS / sqrt($nq * $nv) DESC, c.vec_id) AS BIGINT)
-                AS rk
-            FROM c3 c
-            JOIN embeddings q ON q.vec_id = c.q_id
-            JOIN embeddings v ON v.vec_id = c.vec_id)
-          WHERE rk <= 3"""
-    })
+          ${hopCte("c3", "b2")},
+          attach AS (
+            SELECT q_id, vec_id, cos, rk FROM (
+              SELECT c.q_id, c.vec_id,
+                $dotS / sqrt($nq * $nv) AS cos,
+                CAST(row_number() OVER (PARTITION BY c.q_id
+                  ORDER BY $dotS / sqrt($nq * $nv) DESC, c.vec_id) AS BIGINT)
+                  AS rk
+              FROM c3 c
+              JOIN embeddings q ON q.vec_id = c.q_id
+              JOIN embeddings v ON v.vec_id = c.vec_id)
+            WHERE rk <= 3)"""
+  }
+
+  private val simGraphIncremental = Q(
+    "sim_graph_incremental",
+    (s, dir) =>
+      attachEdges(s, dir).select(col("q_id").as("new_id"), col("vec_id"),
+        col("cos"), col("rk")),
+    Some(s"""$attachOracleCtes
+          SELECT q_id AS new_id, vec_id, round(cos, 6) AS cos, rk
+          FROM attach"""))
+
+  /** Graph-ANN COMPACTION — the reverse-edge maintenance
+    * `sim_graph_incremental` defers (VERDICT r08 task 2), closing the
+    * lifecycle build → search → grow → COMPACT: fold the delta batch's
+    * scored attach edges into the base split's scored round-1 graph,
+    * then re-enforce the serving degree bound with the SAME
+    * capped-reverse selection the build uses ([[cappedUnd]]: every
+    * node keeps its ≤ 3 out-edges; in-edges re-compete on cosine and
+    * only the top-3 survive — a new arrival that displaces an old
+    * node's neighbor evicts the weakest in-edge instead of growing the
+    * hub). Output is the compacted undirected adjacency (deg ≤ 6 over
+    * base ∪ delta); the routing codes re-emit as [[forestCodes]] over
+    * the full corpus — a pure projection, not part of the fold.
+    *
+    * Scale shape: the fold is a union of two k-bounded edge lists
+    * (≤ 3n rows of (long, long, double)) and one k-bounded reverse
+    * aggregate ([[graft.functions.TopKByValue]], map-side ≤ 3 rows per
+    * node) — one shuffle on vec_id, corpus-linear, no re-scoring (the
+    * scores were paid at build/insert time). Determinism: both engines
+    * rank the reverse side on the ROUNDED 6-place cosine with q_id
+    * tiebreak — the value the attach/r1 records carry. */
+  def graphCompact(baseR1: DataFrame, attach: DataFrame): DataFrame =
+    cappedUnd(baseR1.select(col("q_id"), col("vec_id"), col("cos"))
+      .unionByName(attach.select(col("q_id"), col("vec_id"), col("cos"))))
+
+  private val simGraphCompact = Q(
+    "sim_graph_compact",
+    (s, dir) => {
+      val (r1, _, _) = baseIndexBuild(s, dir)
+      graphCompact(r1, attachEdgesServed(s, dir))
+    },
+    Some(s"""$attachOracleCtes,
+          folded AS (
+            SELECT q_id, vec_id, cos FROM r1
+            UNION ALL
+            SELECT q_id, vec_id, round(cos, 6) AS cos FROM attach),
+          rev2 AS (
+            SELECT vec_id AS a_id, q_id AS b_id FROM (
+              SELECT q_id, vec_id,
+                row_number() OVER (PARTITION BY vec_id
+                  ORDER BY cos DESC, q_id) AS rn
+              FROM folded)
+            WHERE rn <= 3)
+          SELECT a_id, b_id FROM (
+            SELECT q_id AS a_id, vec_id AS b_id FROM folded
+            UNION
+            SELECT a_id, b_id FROM rev2)"""))
 
   /** NN-descent TO CONVERGENCE (VERDICT r07 task 4): iterate
     * [[knnDescentRound]] until the round's directed edge-set delta
@@ -1415,5 +1634,6 @@ object SimQueries {
   val all: Seq[Q] = Seq(simLshBuckets, simBruteforce, simAnnBucketed,
     dedupEmbedding, simIvfTopk, simAnnMultiprobe, embedQuantizeInt8,
     simSqTopk, simKnnGraph, simKnnDescent, simKnnDescentR2,
-    simKnnDescentConverged, simGraphSearch, simGraphIncremental)
+    simKnnDescentConverged, simGraphSearch, simGraphIncremental,
+    simGraphCompact)
 }

@@ -222,6 +222,182 @@ class GraphSearchSpec extends SparkSpec {
     assert(recall >= 0.5, f"attach recall floor: $recall%.4f")
   }
 
+  test("sim_graph_incremental: ONE base-index build serves repeated insert batches") {
+    val dir = clusteredDir
+    SimQueries.descentInvalidate()
+    val before = SimQueries.baseIndexBuildCount
+    val r1 = Registry.queries("sim_graph_incremental")(spark, dir).collect().toSet
+    val r2 = Registry.queries("sim_graph_incremental")(spark, dir).collect().toSet
+    assert(SimQueries.baseIndexBuildCount - before <= 1,
+      "base index rebuilt across insert batches — the build is charged to ingest")
+    assert(r1 === r2)
+    assert(r1.nonEmpty)
+  }
+
+  test("base-index snapshot: persist/load round-trip, parquet-backed, stale key rebuilds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-baseidx-fix").toString
+    val art = java.nio.file.Files.createTempDirectory("graft-baseidx-art").toString
+    snapshotFixture(seed = 21, n = 80, dir)
+    assert(!SimQueries.baseIndexEnsure(spark, dir, art),
+      "ensure claimed a hit on an empty artifact dir")
+    def attach(): Set[(Long, Long, Long)] =
+      Registry.queries("sim_graph_incremental")(spark, dir).collect()
+        .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("vec_id"),
+          r.getAs[Long]("rk"))).toSet
+    val a1 = attach()
+    assert(a1.nonEmpty)
+
+    // unchanged corpus, cold session cache → parquet-backed reload, and
+    // the insert query's answer is identical off the loaded index
+    SimQueries.descentInvalidate()
+    assert(SimQueries.baseIndexEnsure(spark, dir, art),
+      "unchanged corpus did not reuse the persisted base-index snapshot")
+    val (_, adjLoaded, _) = SimQueries.baseIndexBuild(spark, dir)
+    assert(adjLoaded.queryExecution.executedPlan.toString.contains("Scan parquet"),
+      "loaded base adjacency is not parquet-backed")
+    assert(attach() === a1)
+
+    // changed embeddings → stale fingerprint → rebuild
+    SimQueries.descentInvalidate()
+    snapshotFixture(seed = 22, n = 60, dir)
+    assert(!SimQueries.baseIndexEnsure(spark, dir, art),
+      "changed corpus reused a stale base-index snapshot")
+    SimQueries.descentInvalidate()
+  }
+
+  test("graphSearchFrom: shuffled (broadcast-off) fallback returns identical attach edges") {
+    val dir = clusteredDir
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val newPred = expr(
+      s"(${graft.queries.PortableHash.md5Byte("CAST(vec_id AS STRING)")}) < 26")
+    val base = emb.where(not(newPred))
+    val newV = emb.where(newPred)
+    val r1 = SimQueries.knnDescentTopK(
+      SimQueries.knnDescentCandidates(SimQueries.knnDescentSeed(base)), base)
+    val adj = SimQueries.cappedUnd(r1).localCheckpoint(eager = true)
+    val codes = SimQueries.forestCodes(base).localCheckpoint(eager = true)
+    val vecs = base.select(col("vec_id"), col("embedding"),
+      expr("dot_ordered(embedding, embedding)").as("norm2"))
+    val queries = newV.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"),
+      expr("dot_ordered(embedding, embedding)").as("q_norm2"))
+    val qcodes = SimQueries.forestCodes(newV)
+      .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
+    def run(bcast: Boolean): Set[(Long, Long, Double, Long)] =
+      SimQueries.graphSearchFrom(vecs, adj, codes, queries, qcodes,
+          broadcastQueries = bcast)
+        .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos"),
+          col("rk"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+    val withB = run(bcast = true)
+    val without = run(bcast = false)
+    assert(withB.nonEmpty)
+    assert(withB === without,
+      "the large-batch shuffle fallback diverges from the broadcast plan")
+  }
+
+  test("sim_graph_compact: in-core fold replay, deg ≤ 6, delta nodes wired in") {
+    val dir = clusteredDir
+    val got = Registry.queries("sim_graph_compact")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    // replay the FOLD in-core from the engine's own (oracle-green)
+    // inputs: base r1 scored graph ∪ attach edges, forward edges kept,
+    // reverse side re-competing at top-3 by (rounded cos desc, q_id)
+    val (r1df, _, _) = SimQueries.baseIndexBuild(spark, dir)
+    val r1 = r1df.collect().map(r => (r.getAs[Long]("q_id"),
+      r.getAs[Long]("vec_id"), r.getAs[Double]("cos")))
+    val attach = Registry.queries("sim_graph_incremental")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("new_id"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos")))
+    val folded = r1 ++ attach
+    val fwd = folded.map(e => (e._1, e._2))
+    val rev = folded.groupBy(_._2).toSeq.flatMap { case (v, es) =>
+      es.sortBy(e => (-e._3, e._1)).take(3).map(e => (v, e._1))
+    }
+    assert(got === (fwd ++ rev).toSet)
+    // serving degree bound survives the fold
+    val degMax = got.groupBy(_._1).map(_._2.size).max
+    assert(degMax <= 6, s"post-compaction max degree $degMax")
+    // every attached delta node is wired into the compacted adjacency
+    // (out-edges at least; in-edges only if it won a reverse slot)
+    attach.map(_._1).distinct.foreach { n =>
+      assert(got.exists(_._1 == n), s"delta node $n missing from adjacency")
+    }
+    // NOTE deliberately NOT asserted: directed fan-IN (how many a_id
+    // rows point AT a node) is unbounded by design — a hub can sit in
+    // arbitrarily many nodes' top-3. Search cost only reads adj BY
+    // a_id, so the serving bound is the out-degree asserted above; the
+    // reverse CAP guarantees each node's own adjacency list gains at
+    // most 3 reverse slots, which the fold replay already pins.
+  }
+
+  test("post-compaction search: replay-equivalent, new vectors reachable, recall floor") {
+    val dir = clusteredDir
+    val emb = Tables.embeddings(spark, dir)
+    val adj2 = Registry.queries("sim_graph_compact")(spark, dir)
+      .localCheckpoint(eager = true)
+    val codes = SimQueries.forestCodes(emb).localCheckpoint(eager = true)
+    val got = SimQueries.graphSearch(emb, adj2, codes, col("q_id") < 8)
+      .select(col("q_id"), col("vec_id"), col("rk")).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("rk")))
+    assert(got.nonEmpty)
+    // in-core route-then-walk replay over the engine's OWN compacted
+    // adjacency (the fold itself is pinned by the previous test)
+    val raw = emb.collect().map { r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Seq[Float]]("embedding").toArray
+    }.toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def cos(a: Long, b: Long): Double =
+      dot(raw(a), raw(b)) / math.sqrt(dot(raw(a), raw(a)) * dot(raw(b), raw(b)))
+    val ids = raw.keys.toSeq
+    def topK(a: Long, pool: Iterable[Long], k: Int): Seq[Long] =
+      pool.filter(_ != a).toSeq.distinct.map(v => v -> cos(a, v))
+        .sortBy { case (v, c) => (-c, v) }.take(k).map(_._1)
+    val adjMap = adj2.collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+      .groupBy(_._1).map { case (a, es) => a -> es.map(_._2).toSet }
+    def bucketsOf(firstPlane: Int): Map[Long, String] =
+      SimQueries.lshBuckets(emb, 8, firstPlane).collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[String]("bucket")).toMap
+    val (b0, b1) = (bucketsOf(0), bucketsOf(8))
+    val queries = ids.filter(_ < 8)
+    val expected = queries.flatMap { q =>
+      val entries = (topK(q, ids.filter(v => b0(v) == b0(q)), 1) ++
+        topK(q, ids.filter(v => b1(v) == b1(q)), 1)).distinct
+      if (entries.isEmpty) None
+      else {
+        def hop(beam: Seq[Long], k: Int): Seq[Long] =
+          topK(q, (beam ++ beam.flatMap(b =>
+            adjMap.getOrElse(b, Set.empty[Long]))).filter(_ != q), k)
+        Some(q -> hop(hop(hop(entries, 4), 4), 3))
+      }
+    }.toMap
+    val expectedRows = expected.toSeq.flatMap { case (q, ns) =>
+      ns.zipWithIndex.map { case (v, i) => (q, v, (i + 1).toLong) }
+    }
+    assert(got.toSet === expectedRows.toSet)
+    // the compacted index must be able to ANSWER WITH delta vectors
+    // (pre-compaction, base-split search could never return them)
+    def md5B(v: Long): Int = md5Byte(v.toString)
+    val newIds = ids.filter(v => md5B(v) < 26).toSet
+    assert(got.exists(g => newIds(g._2)),
+      "no delta vector ever surfaces in post-compaction answers")
+    // recall floor vs full-corpus truth — search quality survives the fold
+    val truth = queries.map(q => q -> topK(q, ids, 3).toSet).toMap
+    val gotByQ = got.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSeq }
+    val r = recallOf(gotByQ, truth)
+    info(f"post-compaction recall@3 = $r%.4f")
+    assert(r >= 0.5, f"post-compaction recall floor: $r%.4f")
+  }
+
   test("sim_graph_search on a clustered corpus: beats bucket-only routing, recall floor") {
     val dir = clusteredDir
     val (search, truth, bucketOnly) = localSearch(dir)

@@ -209,6 +209,32 @@ class KnnGraphSpec extends SparkSpec {
     assert(rConv >= r1, f"converged recall $rConv%.4f below round-1 $r1%.4f")
   }
 
+  test("knnDescentConverge accounting: fixed-2-round run reproduces the hash-pinned frames and their delta (sf0.01)") {
+    // VERDICT r08 task 8: `sim_knn_descent_converged` is rows-only by
+    // design (data-dependent round count), so pin the DRIVER's
+    // accounting against the two oracle-green components: a forced
+    // 2-round run must end ON the sim_knn_descent_r2 graph, and its
+    // final_delta_ppm must be exactly the edge-set delta between the
+    // hash-pinned round-1 and round-2 frames.
+    val dir01 = "/root/testdata/sf0.01"
+    def edges(name: String): Set[(Long, Long)] =
+      Registry.queries(name)(spark, dir01).select("q_id", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r1 = edges("sim_knn_descent")
+    val r2 = edges("sim_knn_descent_r2")
+    val (tk, rounds, deltas) =
+      SimQueries.knnDescentConverge(Tables.embeddings(spark, dir01),
+        maxRounds = 2, epsPpm = 0L)
+    assert(rounds === 2 && deltas.length === 2,
+      s"forced 2-round run reported rounds=$rounds deltas=$deltas")
+    val tkEdges = tk.select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tkEdges === r2, "converge driver's round-2 graph drifted from sim_knn_descent_r2")
+    val expectedDelta = (r2 -- r1).size * 1000000L / r2.size
+    assert(deltas.last === expectedDelta,
+      s"final_delta_ppm ${deltas.last} != recounted $expectedDelta")
+  }
+
   test("eval_mrr first ranks match the brute-force label scan") {
     val vecs = Tables.embeddings(spark, sfDir).collect().map { r =>
       (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
