@@ -14,20 +14,21 @@ import org.apache.spark.sql.functions._
   *  - adjacency max degree ≤ 6 (3 forward + 3 capped reverse — the
   *    bound that makes every hop's frontier ≤ beam·(1+deg) per query,
   *    CONSTANT in corpus size);
-  *  - output ≤ k rows per query.
-  *
-  * Recall@k against the exact brute-force top-k over the full corpus is
-  * printed as quality telemetry for the routed+walked answer.
+  *  - output ≤ k rows per ANSWERED query, and ≥ 90% of the
+  *    stride-selected query population answered;
+  *  - recall@3 ≥ 0.5 against the exact brute-force top-3 whenever
+  *    planes follow [[graft.sim.SimQueries.planesFor]]'s
+  *    in-bucket-~30 law (the shipped sizing contract).
   *
   * Prints ONE JSON line:
   *   {"metric":"graph_search_scale","vectors":n,"planes":p,
   *    "queries":q,"adj_edges":e,"adj_deg_max":d,"build_sec":b,
   *    "search_sec":s,"recall":r,"value":total}
   *
-  * Exits non-zero if a structural bound breaks.
+  * Exits non-zero if a structural bound or the recall floor breaks.
   *
   * Usage: graft.BenchGraphSearch [numVectors] [planes] [numQueries]
-  *   (default 2,000,000 vectors, 16 planes, 64 queries)
+  *   (default 2,000,000 vectors, planesFor(n) planes, 64 queries)
   */
 object BenchGraphSearch {
   def main(args: Array[String]): Unit = {
@@ -42,7 +43,11 @@ object BenchGraphSearch {
     spark.sparkContext.setLogLevel("ERROR")
 
     val n = args.headOption.map(_.toLong).getOrElse(2000000L)
-    val planes = args.drop(1).headOption.map(_.toInt).getOrElse(16)
+    // default = the planes-per-corpus-size law (in-bucket ~30); the
+    // recall floor below is asserted only under the law — an explicit
+    // override is a what-if probe, not the shipped sizing.
+    val planes = args.drop(1).headOption.map(_.toInt)
+      .getOrElse(graft.sim.SimQueries.planesFor(n))
     val nQueries = args.drop(2).headOption.map(_.toLong).getOrElse(64L)
     val nClusters = math.max(n / 100L, 1L)
     // the BenchKnnDescent corpus: hash-derived cluster centers + noise
@@ -89,14 +94,29 @@ object BenchGraphSearch {
 
     val qCount = got.map(_._1).distinct.length
     val okDeg = degMax <= 6L
-    val okOut = got.length <= 3L * math.max(qCount, 1)
+    // ADVICE r08 #3: assert against the INTENDED query population (ids
+    // matching the stride predicate), not a count derived from the
+    // output itself — ≤ k rows per answered query, and ≥ 90% of the
+    // selected queries answered. A bucket-singleton query legitimately
+    // drops (no entry point — declared), but silent mass drops must
+    // fail the probe.
+    val expectedQ = ((n + stride - 1) / stride).toInt
+    val okOut = got.groupBy(_._1).valuesIterator.forall(_.length <= 3) &&
+      qCount <= expectedQ && qCount * 10 >= expectedQ * 9
+    // recall floor under the planes law (VERDICT r08 task 5): measured
+    // 0.568 at 2 M/16 planes — 0.5 is the contract. Only asserted when
+    // planes follow the law; an explicit override probes other points.
+    val lawPlanes = planes == graft.sim.SimQueries.planesFor(n)
+    val okRecall = !lawPlanes || recall >= 0.5
     val total = (System.nanoTime() - t0) / 1e9
 
     println(f"""{"metric":"graph_search_scale","vectors":$n,"planes":$planes,""" +
-      f""""queries":$qCount,"adj_edges":$adjEdges,"adj_deg_max":$degMax,""" +
+      f""""queries":$qCount,"queries_expected":$expectedQ,""" +
+      f""""adj_edges":$adjEdges,"adj_deg_max":$degMax,""" +
       f""""build_sec":$buildSec%.1f,"search_sec":$searchSec%.1f,""" +
-      f""""recall":$recall%.3f,"value":$total%.1f}""")
+      f""""recall":$recall%.3f,"recall_floor_asserted":$lawPlanes,""" +
+      f""""value":$total%.1f}""")
     spark.stop()
-    if (!okDeg || !okOut) sys.exit(1)
+    if (!okDeg || !okOut || !okRecall) sys.exit(1)
   }
 }

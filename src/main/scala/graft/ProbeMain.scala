@@ -3,14 +3,28 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Ad-hoc isolated artifact/query timing probe (local profiling only):
-  * `ProbeMain <sfDir> <what>` where what ∈ {descent, triclosure}.
-  * Warms the JVM on sf0.001 first, then times the named build twice
-  * with invalidation between passes — the Bench cold protocol, minus
-  * the surrounding 258-query run.
+  * `ProbeMain <sfDir> <what> [warmupDir]` where what ∈ {descent,
+  * triclosure, base_index}. Warms the JVM on `warmupDir` (default the sf0.001
+  * sibling of `sfDir` when it exists, else `sfDir` itself) first, then
+  * times the named build twice with invalidation between passes — the
+  * Bench cold protocol, minus the surrounding 258-query run.
   */
 object ProbeMain {
+  private val Whats = Set("descent", "triclosure", "base_index")
+
   def main(args: Array[String]): Unit = {
+    // ADVICE r08 #4: validate args and take the warmup dir as an
+    // argument instead of a hardcoded fixture path.
+    if (args.length < 2 || !Whats(args(1))) {
+      System.err.println(
+        s"usage: graft.ProbeMain <sfDir> <${Whats.mkString("|")}> [warmupDir]")
+      sys.exit(2)
+    }
     val dir = args(0); val what = args(1)
+    val warmupDir = args.drop(2).headOption.getOrElse {
+      val sib = new java.io.File(new java.io.File(dir).getParent, "sf0.001")
+      if (sib.isDirectory) sib.toString else dir
+    }
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -27,12 +41,20 @@ object ProbeMain {
         graft.queries.GraphBpeQueries.coClosureInvalidate()
         graft.queries.GraphBpeQueries.coClosure(spark, dir)._1
           .queryExecution.toRdd.count()
+      case "base_index" =>
+        graft.sim.SimQueries.descentInvalidate()
+        val (r1, adj, codes) = graft.sim.SimQueries.baseIndexBuild(spark, dir)
+        r1.queryExecution.toRdd.count()
+        adj.queryExecution.toRdd.count()
+        codes.queryExecution.toRdd.count()
     }
-    // JVM warm on the small corpus
-    val smallDir = "/root/testdata/sf0.001"
+    // JVM warm on the (small) warmup corpus
     what match {
-      case "descent" => graft.sim.SimQueries.descentR1(spark, smallDir)
-      case "triclosure" => graft.queries.GraphBpeQueries.coClosure(spark, smallDir)
+      case "descent" => graft.sim.SimQueries.descentR1(spark, warmupDir)
+      case "triclosure" =>
+        graft.queries.GraphBpeQueries.coClosure(spark, warmupDir)
+      case "base_index" =>
+        graft.sim.SimQueries.baseIndexBuild(spark, warmupDir)
     }
     (1 to 3).foreach { i =>
       val t0 = System.nanoTime()

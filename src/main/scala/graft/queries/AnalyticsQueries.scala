@@ -1352,8 +1352,11 @@ object AnalyticsQueries {
     * replica, so the joint null preserves cross-metric correlation
     * (the property BH's validity under dependence leans on). B = 200,
     * add-one p; then BH: rank p ascending, k_max = max k with
-    * p_(k)·m ≤ k·α — an EXACT integer inequality in ppm (no p·m/k
-    * division), rejected = rank ≤ k_max. INTEGER END TO END. Scale
+    * p_(k)·m ≤ k·α, decided on the EXACT rational p = (n_extreme+1)/(B+1)
+    * by integer cross-multiplication ((n_extreme+1)·10⁶·m ≤
+    * k·α_ppm·(B+1)) — the ppm-floored p_ppm column is display-only,
+    * since its floor understates p and could reject a boundary
+    * hypothesis exact BH accepts. INTEGER END TO END. Scale
     * shape: the user×metric grid rides one checkpointed frame; the ×B
     * explode fans out 3-long rows and map-side combines to metrics × B;
     * ranking and the BH sweep live on the ≤ #metrics frame. */
@@ -1388,14 +1391,21 @@ object AnalyticsQueries {
         .groupBy(col("event_type"))
         .agg(max(col("d_obs")).as("d_obs"),
           sum(expr("CAST(abs(ps) >= abs(d_obs) AS LONG)")).as("n_extreme"))
-        .select(col("event_type"), col("d_obs"),
+        .select(col("event_type"), col("d_obs"), col("n_extreme"),
           expr(s"((n_extreme + 1) * 1000000) div (${FdrB + 1})").as("p_ppm"))
       val m1 = pvals.agg(count(lit(1)).as("m"))
       val ranked = pvals.crossJoin(broadcast(m1)) // 1-row hypothesis count
         .withColumn("rk", row_number().over(
           Window.orderBy(col("p_ppm"), col("event_type"))).cast("long"))
+      // BH decision on the EXACT p = (n_extreme+1)/(B+1) via integer
+      // cross-multiplication (ADVICE r08 #2): the ppm FLOOR understates
+      // p, so a boundary hypothesis could be rejected that exact BH
+      // accepts. p_ppm stays display-only. (Ordering by p_ppm is still
+      // ordering by exact p: the floor is injective over n_extreme —
+      // steps of ~1e6/(B+1) ≫ 1.)
       val kmax = ranked.agg(coalesce(max(
-        when(col("p_ppm") * col("m") <= col("rk") * lit(FdrAlphaPpm),
+        when((col("n_extreme") + 1) * lit(1000000L) * col("m")
+            <= col("rk") * lit(FdrAlphaPpm) * lit(FdrB + 1L),
           col("rk"))), lit(0L)).as("k_max"))
       ranked.crossJoin(broadcast(kmax)) // 1-row BH cutoff
         .select(col("event_type"), col("d_obs"), col("p_ppm"), col("rk"),
@@ -1436,6 +1446,8 @@ object AnalyticsQueries {
             GROUP BY event_type, r),
           pvals AS (
             SELECT o.event_type, o.d_obs,
+              CAST(sum(CASE WHEN abs(r.ps) >= abs(o.d_obs)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
               ((CAST(sum(CASE WHEN abs(r.ps) >= abs(o.d_obs)
                     THEN 1 ELSE 0 END) AS BIGINT) + 1) * 1000000)
                 // ${FdrB + 1} AS p_ppm
@@ -1443,12 +1455,14 @@ object AnalyticsQueries {
             GROUP BY o.event_type, o.d_obs),
           m1 AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pvals),
           ranked AS (
-            SELECT p.event_type, p.d_obs, p.p_ppm, m1.m,
+            SELECT p.event_type, p.d_obs, p.n_extreme, p.p_ppm, m1.m,
               CAST(row_number() OVER (ORDER BY p.p_ppm, p.event_type)
                 AS BIGINT) AS rk
             FROM pvals p, m1),
           kmax AS (
-            SELECT coalesce(max(CASE WHEN p_ppm * m <= rk * $FdrAlphaPpm
+            SELECT coalesce(max(CASE WHEN
+                (n_extreme + 1) * 1000000 * m
+                  <= rk * $FdrAlphaPpm * ${FdrB + 1}
                 THEN rk END), 0) AS k_max
             FROM ranked)
           SELECT event_type, d_obs, p_ppm, rk,

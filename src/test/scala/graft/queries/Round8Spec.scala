@@ -131,14 +131,18 @@ class Round8Spec extends SparkSpec {
           u -> (if (md5Byte(s"$u|$r") % 2 == 0) 1L else -1L)).toMap
         math.abs(users.map(u => coins(u) * x(u, t)).sum) >= math.abs(dObs)
       }
-      (t, dObs, (extreme + 1L) * 1000000L / 201L)
+      (t, dObs, extreme + 0L, (extreme + 1L) * 1000000L / 201L)
     }
     val m = types.length.toLong
-    val ranked = pvals.sortBy(p => (p._3, p._1)).zipWithIndex
-      .map { case ((t, d, p), i) => (t, d, p, i + 1L) }
-    val kMax = ranked.filter { case (_, _, p, rk) => p * m <= rk * 50000L }
-      .map(_._4).maxOption.getOrElse(0L)
-    ranked.foreach { case (t, d, p, rk) =>
+    val ranked = pvals.sortBy(p => (p._4, p._1)).zipWithIndex
+      .map { case ((t, d, ne, p), i) => (t, d, ne, p, i + 1L) }
+    // exact-rational BH decision by integer cross-multiplication
+    // (ADVICE r08 #2): (n_extreme+1)·10⁶·m ≤ rk·α_ppm·(B+1); the
+    // floored p_ppm is display-only.
+    val kMax = ranked.filter { case (_, _, ne, _, rk) =>
+        (ne + 1L) * 1000000L * m <= rk * 50000L * 201L }
+      .map(_._5).maxOption.getOrElse(0L)
+    ranked.foreach { case (t, d, _, p, rk) =>
       assert(got(t) === ((d, p, rk, rk * 50000L / m, rk <= kMax)), s"type $t")
     }
     // BH rejections are a PREFIX of the p-ascending order (the sweep's
