@@ -1,10 +1,11 @@
 package graft.sources
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths}
 
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -67,18 +68,25 @@ object NdjsonSource {
     * key (`/root/reference/src/KissmetricsToDatabase.php:723-724`); None
     * for digit-less names. */
   def fileNo(p: Path): Option[Long] = {
-    val m = "\\d+".r.findFirstIn(p.getFileName.toString)
+    val m = "\\d+".r.findFirstIn(p.getName)
     m.flatMap(_.toLongOption)
   }
 
-  /** `*.json` files under `dir` in natural order, hidden files skipped. */
-  def listNatural(dir: String): Seq[(Path, Option[Long])] = {
-    val s = Files.list(Paths.get(dir))
-    val files = try s.iterator().asScala.toList finally s.close()
-    files
-      .filter(p => Files.isRegularFile(p))
-      .filter(p => p.getFileName.toString.endsWith(".json"))
-      .filter(p => !p.getFileName.toString.startsWith("."))
+  /** `*.json` files under `dir` in natural order, hidden files skipped.
+    * Hadoop `FileSystem` end to end (O1): `dir` may carry ANY registered
+    * scheme — `file:`, `s3a:`, `hdfs:`, a test-scoped wrapper — the
+    * reference's bucket sync collapses into reading the object store
+    * directly (`/root/reference/src/Operations/SyncBucket.php:36-45`).
+    * Scheme-resolution is the caller's Hadoop `Configuration` (the
+    * session's, at plan time), NOT the JVM-default filesystem. */
+  def listNatural(dir: String, conf: Configuration): Seq[(Path, Option[Long])] = {
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    fs.listStatus(dirPath).toSeq
+      .filter(_.isFile)
+      .map(_.getPath)
+      .filter(p => p.getName.endsWith(".json"))
+      .filter(p => !p.getName.startsWith("."))
       .map(p => (p, fileNo(p)))
       .sortBy { case (p, no) => (no.getOrElse(Long.MaxValue), p.toString) }
   }
@@ -143,34 +151,48 @@ private[sources] class NdjsonScan(path: String, pushed: Array[Filter],
     }
   }
 
+  // Planning runs on the driver: the SESSION's Hadoop conf resolves the
+  // path's scheme (s3a credentials, test fs registrations, ...); the
+  // same conf ships to executors inside the reader factory, so open()
+  // resolves identically there — the standard FileFormat contract.
+  private def hadoopConf: Configuration =
+    SparkSession.active.sessionState.newHadoopConf()
+
   override def planInputPartitions(): Array[InputPartition] =
-    NdjsonSource.listNatural(path)
+    NdjsonSource.listNatural(path, hadoopConf)
       .filter { case (_, no) => pushed.isEmpty || keep(no) }
       .map { case (p, no) =>
         NdjsonPartition(p.toString, no): InputPartition
       }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new NdjsonReaderFactory(required.fieldNames)
+    new NdjsonReaderFactory(required.fieldNames,
+      new org.apache.spark.util.SerializableConfiguration(hadoopConf))
 }
 
 private[sources] case class NdjsonPartition(file: String, fileNo: Option[Long])
   extends InputPartition
 
-private[sources] class NdjsonReaderFactory(fields: Array[String])
+private[sources] class NdjsonReaderFactory(fields: Array[String],
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new NdjsonPartitionReader(partition.asInstanceOf[NdjsonPartition], fields)
+    new NdjsonPartitionReader(partition.asInstanceOf[NdjsonPartition], fields,
+      conf.value)
 }
 
 /** Streams one file; blank lines are skipped (F1, the reference's
   * `empty($line)` skip — `/root/reference/src/Operations/ProcessFile.php:29-31`)
   * but still advance `line_no`, so lineage points at the physical line. */
 private[sources] class NdjsonPartitionReader(part: NdjsonPartition,
-    fields: Array[String]) extends PartitionReader[InternalRow] {
+    fields: Array[String], conf: Configuration)
+    extends PartitionReader[InternalRow] {
 
-  private val reader = Files.newBufferedReader(Paths.get(part.file),
-    StandardCharsets.UTF_8)
+  private val reader = {
+    val p = new Path(part.file)
+    new java.io.BufferedReader(new java.io.InputStreamReader(
+      p.getFileSystem(conf).open(p), StandardCharsets.UTF_8))
+  }
   private var lineNo = 0L
   private var current: String = _
 

@@ -50,6 +50,38 @@ class NdjsonV2Spec extends SparkSpec {
     assert(plan.contains("Filter"), plan.take(1000))
   }
 
+  test("O1: V2 source + text ingest both read a non-file FileSystem scheme (graftfs://)") {
+    spark.sparkContext.hadoopConfiguration.set("fs.graftfs.impl",
+      classOf[GraftTestFileSystem].getName)
+    val local = corpus()
+    val uri = "graftfs://" + local
+
+    // V2 source: same rows as the file:// read, lineage carries the scheme
+    val viaScheme = spark.read.format("graft-ndjson").load(uri)
+    val rows = viaScheme.collect()
+    assert(rows.length == 4, rows.mkString("; "))
+    assert(rows.forall(_.getAs[String]("file").startsWith("graftfs:")),
+      "file lineage lost the scheme — listing fell back to a default fs")
+    def content(df: org.apache.spark.sql.DataFrame) =
+      df.select("file_no", "line_no", "line").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(content(viaScheme) ===
+      content(spark.read.format("graft-ndjson").load(local)))
+
+    // planning-time watermark pruning works THROUGH the scheme
+    val pruned = spark.read.format("graft-ndjson").load(uri)
+      .where(col("file_no") > 2L)
+    assert(pruned.rdd.getNumPartitions == 1,
+      s"got ${pruned.rdd.getNumPartitions} splits")
+    assert(pruned.collect().map(_.getAs[Long]("file_no")).toSeq == Seq(10L))
+
+    // the text-source ingest chain (rawLines → events) reads it too
+    val ev = graft.ingest.NdjsonReader.events(
+      graft.ingest.NdjsonReader.rawLines(spark, s"$uri/*.json"))
+    assert(ev.count() == 4)
+    assert(ev.where(col("name") === "buy").count() == 1)
+  }
+
   test("feeds the existing parse/repair chain end-to-end") {
     val df = spark.read.format("graft-ndjson").load(corpus())
     val ev = graft.ingest.NdjsonReader.events(df)
