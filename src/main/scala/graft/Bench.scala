@@ -94,7 +94,8 @@ object Bench {
       "text_wc" -> (() => graft.text.TextArtifacts.wordCounts(spark, sfDir)),
       "text_vocab" -> (() => graft.text.TextArtifacts.vocab(spark, sfDir)),
       "sim_descent_r1" -> (() => graft.sim.SimQueries.descentR1(spark, sfDir)),
-      "sim_base_index" -> (() => graft.sim.SimQueries.baseIndexBuild(spark, sfDir)))
+      "sim_base_index" -> (() => graft.sim.SimQueries.baseIndexBuild(spark, sfDir)),
+      "uni_round2" -> (() => graft.queries.GraphBpeQueries.uniRound2Pieces(spark, sfDir)))
     // A failed build must NOT vanish into an inflated query time
     // (VERDICT r06 what's-wrong #2): log it and mark the line -1.
     def buildOnce(): Seq[(String, Double)] = artifactBuilds.map { case (n, fn) =>
@@ -113,6 +114,7 @@ object Bench {
       graft.queries.GraphBpeQueries.cnGraphInvalidate()
       graft.text.TextArtifacts.invalidate()
       graft.sim.SimQueries.descentInvalidate()
+      graft.queries.GraphBpeQueries.uniRound2Invalidate()
     }
     // Warm mode (VERDICT r06 task 4): SPARK_GRAFT_ARTIFACT_DIR=<dir>
     // ensure()s each family against a parquet snapshot dir instead of
@@ -137,7 +139,9 @@ object Bench {
           "descent" -> (() => graft.sim.SimQueries
             .descentEnsure(spark, sfDir, s"$adir/descent")),
           "base_index" -> (() => graft.sim.SimQueries
-            .baseIndexEnsure(spark, sfDir, s"$adir/base_index")))
+            .baseIndexEnsure(spark, sfDir, s"$adir/base_index")),
+          "uni_round2" -> (() => graft.queries.GraphBpeQueries
+            .uniRound2Ensure(spark, sfDir, s"$adir/uni_round2")))
         // Keys are "ensure_"-prefixed so a warm-mode record can never be
         // diffed against a cold-mode per-artifact key set (ADVICE r07 #4);
         // the JSON line also carries "artifact_mode":"warm".

@@ -1890,18 +1890,70 @@ object GraphBpeQueries {
                  ON ch.word = bt2.word AND ch.i = bt2.pos
                WHERE bt2.pos > 0)"""
 
+  private val uniR2Cache = new SessionCache[DataFrame](Seq(_))
+  private val uniR2Builds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** How many times the trained unigram segmentation has been derived
+    * this JVM — pinned by PlanSpec: running tokenizer_unigram_r2 AND
+    * tokenizer_fertility must train it once. */
+  private[graft] def uniRound2BuildCount: Int = uniR2Builds.get()
+
   /** Round-2 (trained-model) segmentation of every vocabulary word —
     * (word, freq, piece) rows; the shared Spark twin of
     * [[uniOracleRound2]], consumed by tokenizer_unigram_r2 (M-step
-    * readout) and tokenizer_fertility (per-word piece counts). */
+    * readout) and tokenizer_fertility (per-word piece counts).
+    *
+    * SESSION ARTIFACT (VERDICT r08 task 6): the two-round EM train
+    * (seed quantize → Viterbi → re-estimate → Viterbi) is the pair's
+    * dominant shared cost (~6 s isolated at sf0.1) and is vocab-sized —
+    * the TRAIN side of a train→apply split, built once per corpus
+    * snapshot in production. Bench pre-builds and attributes it as
+    * `uni_round2`; parquet persist/ensure keys on the documents
+    * fingerprint. */
   private[graft] def uniRound2Pieces(s: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    val words = uniWords(s, dir)
-    val occ = uniOcc(words).localCheckpoint(eager = true) // both rounds
-    val m1 = uniPieces(occ, uniSeedQ(occ))
-      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
-    uniPieces(occ, uniRound2Q(occ, m1))
+      dir: String): DataFrame =
+    uniR2Cache.getOrBuild(s, dir) {
+      uniR2Builds.incrementAndGet()
+      graft.functions.GraftFunctions.register(s)
+      val words = uniWords(s, dir)
+      val occ = uniOcc(words).localCheckpoint(eager = true) // both rounds
+      val m1 = uniPieces(occ, uniSeedQ(occ))
+        .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+      uniPieces(occ, uniRound2Q(occ, m1)).localCheckpoint(eager = true)
+    }
+
+  /** Drop the cached trained segmentation (Bench isolated re-measure). */
+  private[graft] def uniRound2Invalidate(): Unit = uniR2Cache.invalidate()
+
+  private def uniRound2Fingerprint(s: org.apache.spark.sql.SparkSession,
+      corpusDir: String): String =
+    TableFingerprint.of(s, s"$corpusDir/documents.parquet")
+
+  private[graft] def uniRound2PersistTo(s: org.apache.spark.sql.SparkSession,
+      corpusDir: String, artifactDir: String): Unit =
+    ArtifactStore.writeSnapshot(s, artifactDir,
+      uniRound2Fingerprint(s, corpusDir),
+      Seq("uni_round2_pieces" -> uniRound2Pieces(s, corpusDir)))
+
+  private[graft] def uniRound2LoadFrom(s: org.apache.spark.sql.SparkSession,
+      corpusDir: String, artifactDir: String): Boolean =
+    ArtifactStore.loadSnapshot(s, artifactDir,
+      uniRound2Fingerprint(s, corpusDir), Seq("uni_round2_pieces")) match {
+      case Some(m) =>
+        uniR2Cache.put(s, corpusDir, m("uni_round2_pieces"))
+        true
+      case None => false
+    }
+
+  /** Load-or-build-and-persist; true when the snapshot was reused. */
+  private[graft] def uniRound2Ensure(s: org.apache.spark.sql.SparkSession,
+      corpusDir: String, artifactDir: String): Boolean = {
+    val hit = uniRound2LoadFrom(s, corpusDir, artifactDir)
+    if (!hit) {
+      uniR2Cache.remove(s, corpusDir) // stale snapshot ≠ fresh cache
+      uniRound2PersistTo(s, corpusDir, artifactDir)
+    }
+    hit
   }
 
   private val tokenizerUnigramR2 = Q(

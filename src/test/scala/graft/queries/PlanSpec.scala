@@ -357,6 +357,26 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("unigram train→apply pair shares ONE trained segmentation") {
+    // VERDICT r08 task 6: tokenizer_fertility re-derived the two-round
+    // EM train (~6 s isolated at sf0.1) on every run; the trained
+    // segmentation is now a session artifact shared with
+    // tokenizer_unigram_r2 (bench line `uni_round2`).
+    GraphBpeQueries.uniRound2Invalidate()
+    val before = GraphBpeQueries.uniRound2BuildCount
+    val pR2 = graft.SparkEntry.queries("tokenizer_unigram_r2")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val pFert = graft.SparkEntry.queries("tokenizer_fertility")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(GraphBpeQueries.uniRound2BuildCount - before <= 1,
+      "trained unigram segmentation rebuilt across the train→apply pair")
+    Seq("tokenizer_unigram_r2" -> pR2, "tokenizer_fertility" -> pFert)
+      .foreach { case (n, p) =>
+        assert(p.contains("Scan ExistingRDD"),
+          s"$n no longer reads the checkpointed trained segmentation")
+      }
+  }
+
   test("event_transitions window is per-user, never a global sort") {
     val p = plan("event_transitions")
     val windowLine = p.linesIterator.find(_.contains("Window ")).getOrElse("")
