@@ -234,6 +234,28 @@ class UnigramTokSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("uni_round2 snapshot: persist/load round-trip, parquet-backed, answers unchanged") {
+    val art = java.nio.file.Files.createTempDirectory("graft-unir2-art").toString
+    GraphBpeQueries.uniRound2Invalidate()
+    assert(!GraphBpeQueries.uniRound2Ensure(spark, sfDir, art),
+      "ensure claimed a hit on an empty artifact dir")
+    def fert(): Set[(String, Long, Long, Long)] =
+      Registry.queries("tokenizer_fertility")(spark, sfDir).collect()
+        .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_words"),
+          r.getAs[Long]("n_pieces"), r.getAs[Long]("fert_ppm"))).toSet
+    val f1 = fert()
+    assert(f1.nonEmpty)
+    // cold session cache, same corpus → parquet-backed reload, same answer
+    GraphBpeQueries.uniRound2Invalidate()
+    assert(GraphBpeQueries.uniRound2Ensure(spark, sfDir, art),
+      "unchanged corpus did not reuse the persisted trained segmentation")
+    assert(GraphBpeQueries.uniRound2Pieces(spark, sfDir)
+      .queryExecution.executedPlan.toString.contains("Scan parquet"),
+      "loaded segmentation is not parquet-backed")
+    assert(fert() === f1)
+    GraphBpeQueries.uniRound2Invalidate()
+  }
+
   test("tokenizer_unigram_r2 on the corpus: fixed point reached and verified") {
     val r1 = Registry.queries("tokenizer_unigram")(spark, sfDir).collect()
       .map(r => (r.getAs[String]("piece"), r.getAs[Long]("cnt"))).toSet
