@@ -6,8 +6,9 @@ import org.apache.spark.sql.SparkSession
   * `ProbeMain <sfDir> <what> [warmupDir]` where what ∈ {descent,
   * triclosure, base_index}. Warms the JVM on `warmupDir` (default the sf0.001
   * sibling of `sfDir` when it exists, else `sfDir` itself) first, then
-  * times the named build twice with invalidation between passes — the
-  * Bench cold protocol, minus the surrounding 258-query run.
+  * times the named build over THREE passes with invalidation between
+  * them — the Bench cold protocol, minus the surrounding full-registry
+  * run (RegistrySpec pins the registered-query count).
   */
 object ProbeMain {
   private val Whats = Set("descent", "triclosure", "base_index")

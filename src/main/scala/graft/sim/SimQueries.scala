@@ -1139,7 +1139,16 @@ object SimQueries {
     * `sim_graph_incremental` needs, where queries (the new-vector batch)
     * are NOT part of the indexed corpus: `vecs`/`adj`/`codes` describe
     * the base index, `queries` carries (q_id, q_emb, q_norm2) and
-    * `qcodes` (q_id, tbl, bucket) the queries' own routing codes. */
+    * `qcodes` (q_id, tbl, bucket) the queries' own routing codes.
+    *
+    * EAGER (ADVICE r09 #2): building this frame EXECUTES the whole
+    * search — the entry and every hop beam must localCheckpoint eagerly
+    * (see the 2^hops note below), so there is no lazy plan to inspect.
+    * The RETURNED frame is itself an eager localCheckpoint (k-bounded:
+    * ≤ queries × k rows), which lets this method release every
+    * intermediate beam before returning; the caller owns the returned
+    * checkpoint's lifecycle ([[graft.identity.Components
+    * .unpersistCheckpoint]] once its rows are consumed or re-cached). */
   def graphSearchFrom(vecs: DataFrame, adj: DataFrame, codes: DataFrame,
       queries: DataFrame, qcodes: DataFrame, beamWidth: Int = 4,
       k: Int = 3, hops: Int = 3, broadcastQueries: Boolean = true): DataFrame = {
@@ -1211,7 +1220,12 @@ object SimQueries {
       graft.identity.Components.unpersistCheckpoint(b)
       nb
     }
-    score(expand(beam), k)
+    // materialize the k-bounded answer, then release the last beam —
+    // without this the final hop's checkpoint lingered until the
+    // ContextCleaner happened to GC it (ADVICE r09 #2)
+    val out = score(expand(beam), k).localCheckpoint(eager = true)
+    graft.identity.Components.unpersistCheckpoint(beam)
+    out
   }
 
   private val simGraphSearch = Q(
@@ -1404,7 +1418,7 @@ object SimQueries {
     * search inside the compact query would charge ingest work to the
     * maintenance line (the r8 attribution-bug class, one level up). */
   def attachEdges(s: SparkSession, dir: String): DataFrame = {
-    val out = attachEdgesCompute(s, dir).localCheckpoint(eager = true)
+    val out = attachEdgesCompute(s, dir)
     attachCache.put(s, dir, out)
     out
   }
@@ -1412,9 +1426,7 @@ object SimQueries {
   /** The attach log as the compaction job sees it: whatever the insert
     * path last emitted this session, or one fresh derivation. */
   def attachEdgesServed(s: SparkSession, dir: String): DataFrame =
-    attachCache.getOrBuild(s, dir) {
-      attachEdgesCompute(s, dir).localCheckpoint(eager = true)
-    }
+    attachCache.getOrBuild(s, dir)(attachEdgesCompute(s, dir))
 
   private def attachEdgesCompute(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -1438,10 +1450,16 @@ object SimQueries {
     val bcast = newV.select(col("vec_id"))
       .limit(BroadcastQueryMaxRows.toInt + 1)
       .count() <= BroadcastQueryMaxRows
-    graphSearchFrom(vecs, adj, codes, queries, qcodes,
-        broadcastQueries = bcast)
+    val search = graphSearchFrom(vecs, adj, codes, queries, qcodes,
+      broadcastQueries = bcast)
+    // re-checkpoint the ROUNDED projection (the session-cached shape)
+    // and release the raw search checkpoint — one resident frame, not two
+    val out = search
       .select(col("q_id"), col("vec_id"),
         round(col("cos"), 6).as("cos"), col("rk"))
+      .localCheckpoint(eager = true)
+    graft.identity.Components.unpersistCheckpoint(search)
+    out
   }
 
   /** Shared oracle CTE chain for the incremental-insert pair

@@ -49,9 +49,19 @@ object StreamAttach {
     *              (q_id, vec_id) exactly like the md5hash JDBC sink)
     */
   def attach(stream: DataFrame, vecs: DataFrame, adj: DataFrame,
-      codes: DataFrame, planes: Int = 8)(
+      codes: DataFrame)(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
     graft.functions.GraftFunctions.register(stream.sparkSession)
+    // The query-side codes MUST be computed with the same plane count the
+    // supplied index was built with — a mismatch makes every bucket join
+    // empty and silently drops all streamed vectors (ADVICE r09 #1). The
+    // index frame is the authority: read the bucket width off one row
+    // (each table's code is one char per plane).
+    val planes = codes.select(length(col("bucket"))).limit(1).collect() match {
+      case Array(r) => r.getInt(0)
+      case _ => throw new IllegalArgumentException(
+        "StreamAttach.attach: empty codes frame — no index to attach to")
+    }
     stream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, id: Long) =>
