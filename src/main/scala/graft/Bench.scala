@@ -93,6 +93,8 @@ object Bench {
       "graph_cnpairs" -> (() => graft.queries.GraphBpeQueries.cnGraph(spark, sfDir)),
       "text_wc" -> (() => graft.text.TextArtifacts.wordCounts(spark, sfDir)),
       "text_vocab" -> (() => graft.text.TextArtifacts.vocab(spark, sfDir)),
+      "index_postings" -> (() => graft.text.IndexArtifacts.postings(spark, sfDir)),
+      "index_norms" -> (() => graft.text.IndexArtifacts.norms(spark, sfDir)),
       "sim_descent_r1" -> (() => graft.sim.SimQueries.descentR1(spark, sfDir)),
       "sim_base_index" -> (() => graft.sim.SimQueries.baseIndexBuild(spark, sfDir)),
       "uni_round2" -> (() => graft.queries.GraphBpeQueries.uniRound2Pieces(spark, sfDir)))
@@ -113,6 +115,7 @@ object Bench {
       graft.queries.GraphBpeQueries.coClosureInvalidate()
       graft.queries.GraphBpeQueries.cnGraphInvalidate()
       graft.text.TextArtifacts.invalidate()
+      graft.text.IndexArtifacts.invalidate()
       graft.sim.SimQueries.descentInvalidate()
       graft.queries.GraphBpeQueries.uniRound2Invalidate()
     }
@@ -136,6 +139,8 @@ object Bench {
             .cnGraphEnsure(spark, sfDir, s"$adir/cngraph")),
           "text" -> (() => graft.text.TextArtifacts
             .ensure(spark, sfDir, s"$adir/text")),
+          "index" -> (() => graft.text.IndexArtifacts
+            .ensure(spark, sfDir, s"$adir/index")),
           "descent" -> (() => graft.sim.SimQueries
             .descentEnsure(spark, sfDir, s"$adir/descent")),
           "base_index" -> (() => graft.sim.SimQueries

@@ -12,10 +12,11 @@ import org.apache.spark.sql.functions._
   *      ([[graft.sim.SimQueries.graphSearchFrom]], the shipped insert
   *      body: entry routing over the GROWN code table, beam hops over
   *      the COMPACTED adjacency);
-  *   2. COMPACT — fold the attach edges via
+  *   2. DELETE + COMPACT — tombstone ~2% of the already-indexed ids,
+  *      then fold the attach edges and sweep the kill-list via
   *      [[graft.sim.SimQueries.graphCompact]] (the shipped operator —
-  *      one definition, the probe cannot drift) and re-emit the batch's
-  *      bucket codes;
+  *      one definition, the probe cannot drift), re-emitting the
+  *      snapshot (scored log, codes, vectors) over the survivors;
   *
   * with the serving bound ASSERTED after EVERY cycle: compacted
   * adjacency max out-degree ≤ 6 (3 forward + 3 reverse-capped — the
@@ -81,6 +82,13 @@ object BenchGraphCompact {
     val degMaxes = Array.ofDim[Long](cycles)
     val growSec = Array.ofDim[Double](cycles)
     val compactSec = Array.ofDim[Double](cycles)
+    // cumulative kill-list (VERDICT r09 task 1: cycles include DELETES):
+    // each cycle tombstones ~2% of the already-indexed ids and the
+    // compaction sweeps them — post-sweep the adjacency must hold the
+    // degree bound AND carry no tombstoned endpoint.
+    var tombAll = spark.range(0).select(col("id").as("vec_id"))
+      .localCheckpoint(eager = true)
+    var deleted = 0L
     var ok = true
     for (c <- 0 until cycles) {
       val lo = baseN + c * chunk
@@ -104,16 +112,33 @@ object BenchGraphCompact {
       growSec(c) = (System.nanoTime() - tG) / 1e9
 
       val tC = System.nanoTime()
-      val adjNew = graphCompact(g, attach).localCheckpoint(eager = true)
-      val gNew = g.select(col("q_id"), col("vec_id"), col("cos"))
-        .unionByName(attach.select(col("q_id"), col("vec_id"), col("cos")))
+      // this cycle's delete batch: ~2% of the ALREADY-indexed ids,
+      // xxhash64-selected (deterministic, disjoint from the insert batch)
+      val tombC = vecs.select(col("vec_id"))
+        .where(expr(s"pmod(xxhash64(vec_id * 31 + $c), 50) = 0"))
         .localCheckpoint(eager = true)
-      val codesNew = codes.union(forestCodes(batch, planes))
+      def sweep(df: org.apache.spark.sql.DataFrame) =
+        df.join(tombC, Seq("vec_id"), "left_anti")
+      val adjNew = graphCompact(g, attach, Some(tombC))
         .localCheckpoint(eager = true)
-      val vecsNew = vecs.union(toVecs(batch)).localCheckpoint(eager = true)
-      Seq(g, adj, codes, vecs, attach)
+      // the re-persisted snapshot drops the tombstones everywhere: the
+      // scored log (else the next fold would resurrect swept edges),
+      // the routing codes and the vector payloads
+      val gNew = sweep(g.select(col("q_id"), col("vec_id"), col("cos"))
+          .unionByName(attach.select(col("q_id"), col("vec_id"), col("cos")))
+          .join(tombC.select(col("vec_id").as("q_id")), Seq("q_id"), "left_anti"))
+        .localCheckpoint(eager = true)
+      val codesNew = sweep(codes.union(forestCodes(batch, planes)))
+        .localCheckpoint(eager = true)
+      val vecsNew = sweep(vecs.union(toVecs(batch)))
+        .localCheckpoint(eager = true)
+      val tombNew = tombAll.union(tombC).localCheckpoint(eager = true)
+      deleted += tombC.count()
+      Seq(g, adj, codes, vecs, attach, tombAll)
         .foreach(graft.identity.Components.unpersistCheckpoint)
       g = gNew; adj = adjNew; codes = codesNew; vecs = vecsNew
+      tombAll = tombNew
+      graft.identity.Components.unpersistCheckpoint(tombC)
       // compact_sec is the FOLD's cost only (the eager checkpoints above
       // already executed it); the degree-bound audit below is assertion
       // work, timed outside the telemetry line (ADVICE r09 #3)
@@ -121,18 +146,27 @@ object BenchGraphCompact {
       degMaxes(c) = adj.groupBy(col("a_id")).agg(count(lit(1)).as("deg"))
         .agg(max(col("deg"))).collect()(0).getLong(0)
       ok &&= degMaxes(c) <= 6L
+      // swept means SWEPT: no tombstoned endpoint survives in the
+      // served adjacency, on either side
+      val ghost = adj.join(tombAll, adj("a_id") === tombAll("vec_id")).count() +
+        adj.join(tombAll, adj("b_id") === tombAll("vec_id")).count()
+      ok &&= ghost == 0L
       System.err.println(f"# cycle ${c + 1}: +${hi - lo} vectors, " +
-        f"deg_max ${degMaxes(c)}, grow ${growSec(c)}%.1fs compact ${compactSec(c)}%.1fs")
+        f"deg_max ${degMaxes(c)}, ghosts $ghost, " +
+        f"grow ${growSec(c)}%.1fs compact ${compactSec(c)}%.1fs")
     }
 
     // final serving-quality telemetry: the fully-grown compacted index
-    // answers a spread-out query sample; exact brute force is truth
+    // answers a spread-out query sample over the SURVIVORS (deleted ids
+    // are out of corpus and truth alike); exact brute force is truth
+    val live = emb.join(tombAll, Seq("vec_id"), "left_anti")
+      .localCheckpoint(eager = true)
     val stride = math.max(n / 64L, 1L)
     val pred = col("q_id") % stride === 0
-    val got = graphSearch(emb, adj, codes, pred)
+    val got = graphSearch(live, adj, codes, pred)
       .select(col("q_id"), col("vec_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    val truth = bruteForceTopK(emb, pred, 3)
+    val truth = bruteForceTopK(live, pred, 3)
       .select(col("q_id"), col("vec_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val truthByQ = truth.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
@@ -142,7 +176,7 @@ object BenchGraphCompact {
 
     def arr(a: Seq[Double]) = a.map(v => f"$v%.1f").mkString("[", ",", "]")
     println(s"""{"metric":"graph_compact_scale","vectors":$n,"base":$baseN,""" +
-      s""""cycles":$cycles,"planes":$planes,""" +
+      s""""cycles":$cycles,"planes":$planes,"deleted":$deleted,""" +
       s""""deg_max_per_cycle":${degMaxes.mkString("[", ",", "]")},""" +
       s""""build_sec":${f"$buildSec%.1f"},"grow_sec":${arr(growSec.toSeq)},""" +
       s""""compact_sec":${arr(compactSec.toSeq)},""" +

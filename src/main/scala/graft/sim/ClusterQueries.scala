@@ -785,6 +785,104 @@ object ClusterQueries {
                min(dist) AS min_dist, max(dist) AS max_dist
              FROM cells GROUP BY cid"""))
 
+  /** Tombstone-aware IVF maintenance — the DELETE twin of
+    * `sim_ivf_incremental` (VERDICT r09 task 6): the `del:`-salted
+    * kill-list ([[SimQueries.tombstones]]'s convention, ~10%) lands on
+    * the standing lake index, and the readout is the per-cell erasure
+    * report — population before, tombstoned count, survivors, and the
+    * mean residual distance over the SURVIVORS only — i.e. the cell
+    * stats genuinely reflect the removals instead of silently carrying
+    * deleted members (the gap the r9 verdict named).
+    *
+    * Scale shape: the tombstone flag is a PURE function of vec_id (md5),
+    * so deletion costs no join at all — one broadcast-centroid assign
+    * pass over the lake (the trained path's own cost; production reads
+    * the stored cell assignment instead) plus a flag column folded into
+    * the same map-side-combined aggregate. Survivor means are integer
+    * `div` guarded by a CASE so a fully-erased cell reports NULL, not a
+    * division error, on both engines. */
+  private val simIvfDelete = Q(
+    "sim_ivf_delete",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val half = md5Byte("CAST(vec_id AS STRING)")
+      val lake = emb.where(expr(s"($half) >= 128"))
+      assign(quantized(lake), trainedCentroids(lake))
+        .withColumn("is_del", expr(SimQueries.delPredSql("STRING")))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_before"),
+          sum(expr("CASE WHEN is_del THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
+            .as("n_del"),
+          sum(expr("CASE WHEN is_del THEN CAST(0 AS BIGINT) ELSE dist END"))
+            .as("sum_after"))
+        .select(col("cid"), col("n_before"), col("n_del"),
+          (col("n_before") - col("n_del")).as("n_after"),
+          expr("""CASE WHEN n_before - n_del > 0
+                  THEN sum_after div (n_before - n_del) END""")
+            .as("mean_dist_after"))
+    },
+    Some(s"""WITH qa AS (
+               SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT))
+                   AS qe
+               FROM embeddings),
+             lake AS (
+               SELECT * FROM qa
+               WHERE ${md5Byte("CAST(vec_id AS VARCHAR)")} >= 128),
+             c0 AS (SELECT vec_id AS cid, qe AS ce FROM lake
+                    WHERE vec_id < $K),
+             d1 AS (
+               SELECT q.vec_id, c.cid,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   i -> (q.qe[i] - c.ce[i]) * (q.qe[i] - c.ce[i])))
+                   AS BIGINT) AS dist
+               FROM lake q, c0 c),
+             a1 AS (
+               SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY dist, cid) AS rn
+                 FROM d1)
+               WHERE rn = 1),
+             s1 AS (
+               SELECT a1.cid, t.i AS pos,
+                 CAST(sum(q.qe[t.i]) AS BIGINT) // count(*) AS cv
+               FROM a1 JOIN lake q USING (vec_id),
+                 generate_series(1, 64) AS t(i)
+               GROUP BY a1.cid, t.i),
+             c1 AS (SELECT cid, list(cv ORDER BY pos) AS ce
+                    FROM s1 GROUP BY cid),
+             dl AS (
+               SELECT q.vec_id, c.cid,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   i -> (q.qe[i] - c.ce[i]) * (q.qe[i] - c.ce[i])))
+                   AS BIGINT) AS dist
+               FROM lake q, c1 c),
+             cells AS (
+               SELECT vec_id, cid, dist FROM (
+                 SELECT vec_id, cid, dist,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY dist, cid) AS rn
+                 FROM dl)
+               WHERE rn = 1),
+             flagged AS (
+               SELECT cid, dist,
+                 ${SimQueries.delPredSql("VARCHAR")} AS is_del
+               FROM cells),
+             agg AS (
+               SELECT cid, CAST(count(*) AS BIGINT) AS n_before,
+                 CAST(sum(CASE WHEN is_del THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_del,
+                 CAST(sum(CASE WHEN is_del THEN 0 ELSE dist END) AS BIGINT)
+                   AS sum_after
+               FROM flagged GROUP BY cid)
+             SELECT cid, n_before, n_del,
+               n_before - n_del AS n_after,
+               CASE WHEN n_before - n_del > 0
+                 THEN sum_after // (n_before - n_del) END AS mean_dist_after
+             FROM agg"""))
+
   /** Greedy k-center (farthest-point-first) coreset selection — the
     * diversity-maximizing data-selection rule (Sener & Savarese's core-set
     * active learning; 2-approximation of the k-center objective): start
@@ -852,5 +950,6 @@ object ClusterQueries {
     })
 
   val all: Seq[Q] = Seq(clusterKmeans, simIvfTrained, simIvfNprobe, dedupSemantic,
-    simPqTopk, simIvfadcTopk, simIvfIncremental, sampleKcenter, simAnnFiltered)
+    simPqTopk, simIvfadcTopk, simIvfIncremental, simIvfDelete, sampleKcenter,
+    simAnnFiltered)
 }

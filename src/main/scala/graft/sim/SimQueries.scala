@@ -1603,9 +1603,39 @@ object SimQueries {
     * scores were paid at build/insert time). Determinism: both engines
     * rank the reverse side on the ROUNDED 6-place cosine with q_id
     * tiebreak — the value the attach/r1 records carry. */
-  def graphCompact(baseR1: DataFrame, attach: DataFrame): DataFrame =
-    cappedUnd(baseR1.select(col("q_id"), col("vec_id"), col("cos"))
-      .unionByName(attach.select(col("q_id"), col("vec_id"), col("cos"))))
+  def graphCompact(baseR1: DataFrame, attach: DataFrame,
+      tombstones: Option[DataFrame] = None): DataFrame = {
+    val folded = baseR1.select(col("q_id"), col("vec_id"), col("cos"))
+      .unionByName(attach.select(col("q_id"), col("vec_id"), col("cos")))
+    // DELETE sweep (VERDICT r09 task 1): drop every scored edge touching
+    // a tombstoned node BEFORE the capped-reverse selection, so a
+    // deleted hub's in-neighbors re-compete for its freed reverse slots
+    // under the same top-3 rule — the swept graph is exactly the graph
+    // the fold would have built had the tombstoned rows never existed.
+    // Two shuffled left_anti joins: the kill-list is corpus-PROPORTIONAL
+    // (an erasure batch, a dedup loser list), so it must never broadcast
+    // — both joins are keyed, corpus-linear, and feed the same one
+    // exchange the fold already pays.
+    val swept = tombstones.fold(folded) { t =>
+      val ids = t.select(col("vec_id"))
+      folded
+        .join(ids.select(col("vec_id").as("q_id")), Seq("q_id"), "left_anti")
+        .join(ids, Seq("vec_id"), "left_anti")
+    }
+    cappedUnd(swept)
+  }
+
+  /** md5-selected erasure kill-list over `vec_id` — the deterministic,
+    * oracle-reproducible stand-in for a GDPR/dedup-driven delete batch
+    * (~10%: `md5('del:' || vec_id)` first byte < [[NewVecByte]]; the
+    * `del:` salt keeps it independent of the insert-batch split, so a
+    * vector can be both newly inserted and subsequently deleted). */
+  private[graft] def delPredSql(cast: String): String =
+    s"(${graft.queries.PortableHash.md5Byte(s"concat('del:', CAST(vec_id AS $cast))")}) < $NewVecByte"
+
+  def tombstones(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).where(expr(delPredSql("STRING")))
+      .select(col("vec_id"))
 
   private val simGraphCompact = Q(
     "sim_graph_compact",
@@ -1627,6 +1657,187 @@ object SimQueries {
             WHERE rn <= 3)
           SELECT a_id, b_id FROM (
             SELECT q_id AS a_id, vec_id AS b_id FROM folded
+            UNION
+            SELECT a_id, b_id FROM rev2)"""))
+
+  /** Serve-time DELETE — the tombstone half of the graph-ANN delete
+    * path (VERDICT r09 task 1), the FAISS/HNSW soft-delete shape: the
+    * index (adjacency + routing codes, built over the full corpus) is
+    * NOT rebuilt; instead the [[tombstones]] kill-list is anti-joined
+    * off the scoring and routing frames once, before the search, so a
+    * deleted vector can never be an entry point, never enters a beam
+    * (beams are scored survivors), and is never returned. Edges
+    * incident to tombstones stay in the adjacency until the next
+    * [[graphCompact]] sweep (`sim_graph_sweep`) — dead weight on the
+    * expansion side only, exactly the cost window a real store accepts
+    * between delete and compaction.
+    *
+    * Scale shape: the kill-list is corpus-proportional, so both
+    * anti-joins are shuffled (never broadcast) and run ONCE on the
+    * index frames — per-query serve cost is unchanged
+    * (bucket + beam·deg). At 100 TB the filtered codes/vecs are what
+    * the snapshot re-persist would write anyway. */
+  private val simGraphDelete = Q(
+    "sim_graph_delete",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val adj = cappedUnd(descentR1(s, dir))
+        .localCheckpoint(eager = true)
+      val tomb = tombstones(s, dir)
+      val live = emb.join(tomb, Seq("vec_id"), "left_anti")
+      val vecs = live.select(col("vec_id"), col("embedding"),
+        expr(dotExpr("embedding", "embedding")).as("norm2"))
+      val codes = forestCodes(emb)
+        .join(tomb, Seq("vec_id"), "left_anti")
+        .localCheckpoint(eager = true)
+      val queries = vecs.where(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("norm2").as("q_norm2"))
+      val qcodes = codes.where(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
+      val out = graphSearchFrom(vecs, adj, codes, queries, qcodes)
+      Seq(adj, codes).foreach(graft.identity.Components.unpersistCheckpoint)
+      out.select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos"),
+        col("rk"))
+    },
+    Some {
+      val dot = SimOracle.dot("a.embedding", "c.embedding")
+      val na  = SimOracle.dot("a.embedding", "a.embedding")
+      val nc  = SimOracle.dot("c.embedding", "c.embedding")
+      val dotE = SimOracle.dot("a.embedding", "b.embedding")
+      val nb   = SimOracle.dot("b.embedding", "b.embedding")
+      val dotS = SimOracle.dot("q.embedding", "v.embedding")
+      val nq   = SimOracle.dot("q.embedding", "q.embedding")
+      val nv   = SimOracle.dot("v.embedding", "v.embedding")
+      def entryCte(name: String, bk: String): String =
+        s"""$name AS (
+            SELECT q_id, vec_id FROM (
+              SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+                row_number() OVER (PARTITION BY a.vec_id
+                  ORDER BY $dotE / sqrt($na * $nb) DESC, b.vec_id) AS rk
+              FROM live a
+              JOIN $bk ba ON ba.vec_id = a.vec_id
+              JOIN $bk bb ON bb.bucket = ba.bucket
+              JOIN live b ON b.vec_id = bb.vec_id
+                AND b.vec_id <> a.vec_id
+              WHERE a.vec_id < 8)
+            WHERE rk = 1)"""
+      def hopCte(cName: String, from: String): String =
+        s"""$cName AS (
+            SELECT q_id, vec_id FROM $from
+            UNION
+            SELECT f.q_id, u.b_id AS vec_id
+            FROM $from f JOIN adj u ON u.a_id = f.vec_id
+            WHERE u.b_id <> f.q_id)"""
+      def beamCte(bName: String, cName: String, k: Int): String =
+        s"""$bName AS (
+            SELECT q_id, vec_id FROM (
+              SELECT c.q_id, c.vec_id,
+                row_number() OVER (PARTITION BY c.q_id
+                  ORDER BY $dotS / sqrt($nq * $nv) DESC, c.vec_id) AS rk
+              FROM $cName c
+              JOIN live q ON q.vec_id = c.q_id
+              JOIN live v ON v.vec_id = c.vec_id)
+            WHERE rk <= $k)"""
+      s"""WITH live AS (
+            SELECT * FROM embeddings WHERE NOT (${delPredSql("VARCHAR")})),
+          bk AS (${lshOracle()}),
+          bk1 AS (${lshOracle(NumPlanes, NumPlanes)}),
+          ${seedOracle("bk", "seed0")},
+          ${seedOracle("bk1", "seed1")},
+          seed AS (
+            SELECT a_id, b_id FROM seed0
+            UNION
+            SELECT a_id, b_id FROM seed1),
+          und AS (
+            SELECT a_id, b_id FROM seed
+            UNION
+            SELECT b_id, a_id FROM seed),
+          cand AS (
+            SELECT a_id, b_id AS c_id FROM und
+            UNION
+            SELECT x.a_id, y.b_id AS c_id
+            FROM und x JOIN und y ON y.a_id = x.b_id
+            WHERE y.b_id <> x.a_id),
+          r1 AS MATERIALIZED (
+            SELECT q_id, vec_id, round(cos, 6) AS cos FROM (
+              SELECT cand.a_id AS q_id, cand.c_id AS vec_id,
+                $dot / sqrt($na * $nc) AS cos,
+                row_number() OVER (PARTITION BY cand.a_id
+                  ORDER BY $dot / sqrt($na * $nc) DESC, cand.c_id) AS rk
+              FROM cand
+              JOIN embeddings a ON a.vec_id = cand.a_id
+              JOIN embeddings c ON c.vec_id = cand.c_id)
+            WHERE rk <= 3),
+          rev AS (
+            SELECT vec_id AS a_id, q_id AS b_id FROM (
+              SELECT q_id, vec_id,
+                row_number() OVER (PARTITION BY vec_id
+                  ORDER BY cos DESC, q_id) AS rn
+              FROM r1)
+            WHERE rn <= 3),
+          adj AS (
+            SELECT q_id AS a_id, vec_id AS b_id FROM r1
+            UNION
+            SELECT a_id, b_id FROM rev),
+          ${entryCte("entry0", "bk")},
+          ${entryCte("entry1", "bk1")},
+          entry AS (
+            SELECT q_id, vec_id FROM entry0
+            UNION
+            SELECT q_id, vec_id FROM entry1),
+          ${hopCte("c1", "entry")},
+          ${beamCte("b1", "c1", 4)},
+          ${hopCte("c2", "b1")},
+          ${beamCte("b2", "c2", 4)},
+          ${hopCte("c3", "b2")}
+          SELECT q_id, vec_id, round(cos, 6) AS cos, rk FROM (
+            SELECT c.q_id, c.vec_id,
+              $dotS / sqrt($nq * $nv) AS cos,
+              CAST(row_number() OVER (PARTITION BY c.q_id
+                ORDER BY $dotS / sqrt($nq * $nv) DESC, c.vec_id) AS BIGINT)
+                AS rk
+            FROM c3 c
+            JOIN live q ON q.vec_id = c.q_id
+            JOIN live v ON v.vec_id = c.vec_id)
+          WHERE rk <= 3"""
+    })
+
+  /** Tombstone SWEEP at compaction — `sim_graph_compact` with the
+    * delete batch honored: the fold drops every scored edge touching a
+    * tombstoned node before the capped-reverse re-selection
+    * ([[graphCompact]]'s `tombstones` arm), so deleted nodes leave the
+    * served adjacency entirely and their former in-neighbors re-compete
+    * for the freed reverse slots. Output shape = `sim_graph_compact`
+    * (undirected adjacency, deg ≤ 6 over the SURVIVORS). */
+  private val simGraphSweep = Q(
+    "sim_graph_sweep",
+    (s, dir) => {
+      val (r1, _, _) = baseIndexBuild(s, dir)
+      graphCompact(r1, attachEdgesServed(s, dir),
+        Some(tombstones(s, dir)))
+    },
+    Some(s"""$attachOracleCtes,
+          tomb AS (
+            SELECT vec_id FROM embeddings WHERE ${delPredSql("VARCHAR")}),
+          folded AS (
+            SELECT q_id, vec_id, cos FROM r1
+            UNION ALL
+            SELECT q_id, vec_id, round(cos, 6) AS cos FROM attach),
+          swept AS (
+            SELECT q_id, vec_id, cos FROM folded
+            WHERE q_id NOT IN (SELECT vec_id FROM tomb)
+              AND vec_id NOT IN (SELECT vec_id FROM tomb)),
+          rev2 AS (
+            SELECT vec_id AS a_id, q_id AS b_id FROM (
+              SELECT q_id, vec_id,
+                row_number() OVER (PARTITION BY vec_id
+                  ORDER BY cos DESC, q_id) AS rn
+              FROM swept)
+            WHERE rn <= 3)
+          SELECT a_id, b_id FROM (
+            SELECT q_id AS a_id, vec_id AS b_id FROM swept
             UNION
             SELECT a_id, b_id FROM rev2)"""))
 
@@ -1653,5 +1864,5 @@ object SimQueries {
     dedupEmbedding, simIvfTopk, simAnnMultiprobe, embedQuantizeInt8,
     simSqTopk, simKnnGraph, simKnnDescent, simKnnDescentR2,
     simKnnDescentConverged, simGraphSearch, simGraphIncremental,
-    simGraphCompact)
+    simGraphCompact, simGraphDelete, simGraphSweep)
 }

@@ -163,5 +163,58 @@ object IndexQueries {
           FROM bs LEFT JOIN lake USING (term)"""
     })
 
-  val all: Seq[Q] = Seq(indexInverted, indexIncremental)
+  /** BM25 SERVED FROM THE INDEX (VERDICT r09 task 2) — the same ranking
+    * as `text_bm25`, answered from the [[IndexArtifacts]] postings +
+    * norms instead of re-scanning the corpus: the query terms' posting
+    * blocks are delta-DECODED (running sum per (term, block) rebuilds
+    * doc_ids from `block·100 + Σdelta`), per-(term, doc) tf comes off
+    * the decoded pairs, df/cf ride the posting rows, doc length joins in
+    * from the norms sidecar, and corpus stats are ONE aggregate over
+    * norms. The scoring expression is [[TextQueries.bm25ScoreExpr]]
+    * VERBATIM and the oracle is `text_bm25`'s oracle verbatim — served
+    * ≡ recomputed, hash-checked.
+    *
+    * Scale shape: everything after the term filter is bounded by the
+    * QUERY's posting lists (|terms| × df rows), decoded with one
+    * pos-window per (term, block) — ≤ 100 rows per partition key. The
+    * norms join is keyed on doc_id (at production scale a stored,
+    * co-partitioned doc-stats table; the posting side is the small one
+    * and AQE broadcast-joins it). No tokenization, no documents scan —
+    * PlanSpec pins both out of the served plan. */
+  private val textBm25Served = Q(
+    "text_bm25_served",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      import org.apache.spark.sql.expressions.Window
+      val post = IndexArtifacts.postings(s, dir)
+      val norms = IndexArtifacts.norms(s, dir)
+      val stats = norms.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("sum_dl"))
+      val decoded = post
+        .where(col("term").isin(TextQueries.bm25QueryTerms: _*))
+        .select(col("term"), col("df"), col("block"),
+          posexplode(split(col("postings"), " ")).as(Seq("pos", "pair")))
+        .select(col("term"), col("df"), col("block"), col("pos"),
+          expr("CAST(element_at(split(pair, ':'), 1) AS BIGINT)").as("delta"),
+          expr("CAST(element_at(split(pair, ':'), 2) AS BIGINT)").as("tf"))
+        .withColumn("doc_id", col("block") * lit(BlockSize)
+          + sum(col("delta")).over(Window.partitionBy(col("term"), col("block"))
+            .orderBy(col("pos"))))
+      decoded
+        .join(norms, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("q", expr(TextQueries.bm25ScoreExpr))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_match"), sum(col("q")).as("sq"))
+        .orderBy(col("sq").desc, col("doc_id"))
+        .limit(10)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("sq").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("n_match"),
+          round(col("sq").cast("double") / 1000000.0, 4).as("bm25"), col("rk"))
+    },
+    Some(TextQueries.bm25OracleSql))
+
+  val all: Seq[Q] = Seq(indexInverted, indexIncremental, textBm25Served)
 }

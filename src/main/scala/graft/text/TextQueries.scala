@@ -15,7 +15,7 @@ object TextQueries {
   /** Word-token pipeline — the native one-pass expression, bit-identical
     * to `filter(split(lower(text), '[^a-z]+'), t -> t <> '')` (pinned by
     * WordNgramsSpec; the DuckDB oracles keep the SQL formulation). */
-  private val tokenizeExpr = "word_ngrams(text, 1, false)"
+  private[text] val tokenizeExpr = "word_ngrams(text, 1, false)"
 
   // Global token frequency — the session-shared vocabulary artifact
   // (TextArtifacts: one tokenize+aggregate pass for the whole family).
@@ -297,42 +297,29 @@ object TextQueries {
   // ROW, per-doc totals are order-free BIGINT sums, and the top-10 ranks
   // on the BIGINT total (doc_id tiebreak) via orderBy+limit — a
   // TakeOrderedAndProject, not a global single-reducer window.
-  private val textBm25 = Q(
-    "text_bm25",
-    (s, dir) => {
-      graft.functions.GraftFunctions.register(s)
-      val docs = Tables.documents(s, dir)
-      val dl = docs.select(col("doc_id"),
-        size(expr(tokenizeExpr)).cast("long").as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      // the IN-list filter rides the shared (doc, token, cnt) artifact —
-      // same bounded shape, no per-query tokenize pass
-      val tf = TextArtifacts.wordCounts(s, dir)
-        .where(col("token").isin("spark", "dup", "window"))
-        .select(col("doc_id"), col("token").as("term"), col("cnt").as("tf"))
-      val df_ = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
-      tf.join(broadcast(df_), "term")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("q", expr(
-          """CAST(round(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-                              / (CAST(df AS DOUBLE) + 0.5))
-                 * (CAST(tf AS DOUBLE) * 2.2)
-                 / (CAST(tf AS DOUBLE)
-                    + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
-                                    / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
-                 * 1000000.0, 0) AS BIGINT)"""))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_match"), sum(col("q")).as("sq"))
-        .orderBy(col("sq").desc, col("doc_id"))
-        .limit(10)
-        .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("sq").desc, col("doc_id"))).cast("long"))
-        .select(col("doc_id"), col("n_match"),
-          round(col("sq").cast("double") / 1000000.0, 4).as("bm25"), col("rk"))
-    },
-    Some("""WITH dl AS (
+  /** Per-(term, doc) BM25 contribution (k1=1.2, b=0.75) quantized to
+    * integer micro-units — over columns (tf, df, dl, n_docs, sum_dl).
+    * SHARED verbatim by `text_bm25` (corpus-recomputed) and
+    * `text_bm25_served` (postings-artifact-served): identical integer
+    * inputs through the textually identical expression tree is the
+    * served ≡ recomputed guarantee. */
+  private[text] val bm25ScoreExpr =
+    """CAST(round(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                        / (CAST(df AS DOUBLE) + 0.5))
+           * (CAST(tf AS DOUBLE) * 2.2)
+           / (CAST(tf AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                              / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+           * 1000000.0, 0) AS BIGINT)"""
+
+  /** The fixed demo query-term set both BM25 queries rank against. */
+  private[text] val bm25QueryTerms = Seq("spark", "dup", "window")
+
+  /** `text_bm25`'s full DuckDB oracle — also `text_bm25_served`'s
+    * oracle VERBATIM: the served query's correctness claim is exactly
+    * "same answer as recomputing from the corpus". */
+  private[text] val bm25OracleSql =
+    """WITH dl AS (
               SELECT doc_id, CAST(len(list_filter(
                 string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS BIGINT) AS dl
               FROM documents),
@@ -366,7 +353,37 @@ object TextQueries {
               FROM scored GROUP BY doc_id)
             SELECT doc_id, n_match, round(CAST(sq AS DOUBLE) / 1000000.0, 4) AS bm25,
               CAST(row_number() OVER (ORDER BY sq DESC, doc_id) AS BIGINT) AS rk
-            FROM totals ORDER BY sq DESC, doc_id LIMIT 10"""))
+            FROM totals ORDER BY sq DESC, doc_id LIMIT 10"""
+
+  private val textBm25 = Q(
+    "text_bm25",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, dir)
+      val dl = docs.select(col("doc_id"),
+        size(expr(tokenizeExpr)).cast("long").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      // the IN-list filter rides the shared (doc, token, cnt) artifact —
+      // same bounded shape, no per-query tokenize pass
+      val tf = TextArtifacts.wordCounts(s, dir)
+        .where(col("token").isin(bm25QueryTerms: _*))
+        .select(col("doc_id"), col("token").as("term"), col("cnt").as("tf"))
+      val df_ = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      tf.join(broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("q", expr(bm25ScoreExpr))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_match"), sum(col("q")).as("sq"))
+        .orderBy(col("sq").desc, col("doc_id"))
+        .limit(10)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("sq").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("n_match"),
+          round(col("sq").cast("double") / 1000000.0, 4).as("bm25"), col("rk"))
+    },
+    Some(bm25OracleSql))
 
   // Character-entropy quality signal (Gopher-style symbol statistics):
   // Shannon entropy in nats over the [a-z] letter distribution per doc.

@@ -1036,4 +1036,18 @@ class PlanSpec extends SparkSpec {
     // final gather — never a cartesian
     assert(!p.contains("CartesianProduct"), "descent plan went all-pairs")
   }
+
+  test("text_bm25_served answers from the index — no corpus scan, no re-tokenization") {
+    // build the index artifacts first (session checkpoints), then audit
+    // the SERVED plan: it must read only the checkpointed postings/norms
+    // frames — a documents.parquet scan or a word_ngrams call here means
+    // the serve path silently recomputes what the index already stores
+    graft.text.IndexArtifacts.postings(spark, dir)
+    graft.text.IndexArtifacts.norms(spark, dir)
+    val p = plan("text_bm25_served")
+    assert(!p.contains("word_ngrams"), "served plan re-tokenizes the corpus")
+    assert(!p.contains("documents.parquet"), "served plan scans the corpus")
+    assert(p.contains("ExistingRDD") || p.contains("Scan parquet"),
+      "served plan reads neither a checkpoint nor a parquet snapshot: " + p.take(500))
+  }
 }

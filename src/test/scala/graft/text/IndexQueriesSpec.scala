@@ -94,4 +94,58 @@ class IndexQueriesSpec extends SparkSpec {
     assert(byId(1L).getAs[Long]("n_bad") === 0L)
     assert(byId(1L).getAs[String]("action") === "keep")
   }
+
+  test("text_bm25_served ≡ text_bm25: the index answers exactly what a corpus recompute answers") {
+    def rows(name: String): Seq[(Long, Long, Double, Long)] =
+      Registry.queries(name)(spark, sfDir).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_match"),
+          r.getAs[Double]("bm25"), r.getAs[Long]("rk"))).toSeq
+    val served = rows("text_bm25_served")
+    val recomputed = rows("text_bm25")
+    assert(served.nonEmpty)
+    assert(served.toSet === recomputed.toSet,
+      "served-from-postings BM25 diverges from the corpus recompute")
+  }
+
+  test("index snapshot: persist/load round-trip, parquet-backed, stale key rebuilds") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-fix").toString
+    val art = java.nio.file.Files.createTempDirectory("graft-idx-art").toString
+    def fixture(seed: Int, n: Int): Unit = {
+      val rnd = new scala.util.Random(seed)
+      import spark.implicits._
+      (0 until n).map { i =>
+        val words = Seq.fill(5 + rnd.nextInt(20))(
+          Seq("spark", "dup", "window", "alpha", "beta", "gamma")(rnd.nextInt(6)))
+        (i.toLong, words.mkString(" "))
+      }.toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    }
+    fixture(seed = 31, n = 250)
+    TextArtifacts.invalidate(); IndexArtifacts.invalidate()
+    assert(!IndexArtifacts.ensure(spark, dir, art),
+      "ensure claimed a hit on an empty artifact dir")
+    def served(): Set[(Long, Long, Double, Long)] =
+      Registry.queries("text_bm25_served")(spark, dir).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_match"),
+          r.getAs[Double]("bm25"), r.getAs[Long]("rk"))).toSet
+    val s1 = served()
+    assert(s1.nonEmpty)
+
+    // unchanged corpus, cold session cache → parquet-backed reload, and
+    // the served answer is identical off the loaded index
+    TextArtifacts.invalidate(); IndexArtifacts.invalidate()
+    assert(IndexArtifacts.ensure(spark, dir, art),
+      "unchanged corpus did not reuse the persisted index snapshot")
+    assert(IndexArtifacts.postings(spark, dir).queryExecution.executedPlan
+      .toString.contains("Scan parquet"), "loaded postings are not parquet-backed")
+    assert(served() === s1)
+
+    // changed corpus → stale fingerprint → rebuild
+    TextArtifacts.invalidate(); IndexArtifacts.invalidate()
+    fixture(seed = 32, n = 200)
+    assert(!IndexArtifacts.ensure(spark, dir, art),
+      "changed corpus reused a stale index snapshot")
+    TextArtifacts.invalidate(); IndexArtifacts.invalidate()
+  }
 }
