@@ -79,4 +79,80 @@ class StreamAttachSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  /** Streamed grow→compact→grow (VERDICT r09 task 5): an attach-edge
+    * threshold triggers the shipped graphCompact between micro-batches,
+    * the serving snapshot re-persists, and POST-compaction batches
+    * route over the compacted adjacency — provably, because batch 3's
+    * vectors are near-duplicates of batch 1's and can only be answered
+    * WITH batch-1 ids once those folded in. The degree bound holds at
+    * every compaction.
+    */
+  test("attachCompacting: threshold-triggered compaction, deg ≤ 6, post-compaction routing") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(19)
+    def vec(center: Array[Double], noise: Double): Seq[Float] =
+      center.map(x => (x + noise * rnd.nextGaussian()).toFloat).toSeq
+    val centers = Array.fill(30)(Array.fill(64)(rnd.nextGaussian()))
+    val baseRows = (0 until 240).map(i => (i.toLong, vec(centers(i % 30), 0.3)))
+    val b1 = (0 until 10).map(i => (1000L + i, vec(centers(0), 0.25)))
+    val b2 = (0 until 10).map(i => (2000L + i, vec(centers(1), 0.25)))
+    // batch 3 = near-duplicates of batch 1: their true nearest neighbors
+    // ARE the batch-1 twins (cos ≈ 1), answerable only post-compaction
+    val b3 = b1.map { case (id, e) =>
+      (id + 2000L, e.map(x => x + 1e-4f * rnd.nextGaussian().toFloat)) }
+
+    import spark.implicits._
+    val base = baseRows.toDF("vec_id", "embedding")
+      .localCheckpoint(eager = true)
+    val r1 = SimQueries.knnDescentTopK(
+      SimQueries.knnDescentCandidates(SimQueries.knnDescentSeed(base)), base)
+      .localCheckpoint(eager = true)
+    val adj = SimQueries.cappedUnd(r1).localCheckpoint(eager = true)
+    val codes = SimQueries.forestCodes(base).localCheckpoint(eager = true)
+    val vecs = base.select(col("vec_id"), col("embedding"),
+      expr("dot_ordered(embedding, embedding)").as("norm2"))
+      .localCheckpoint(eager = true)
+
+    val perBatch = scala.collection.mutable.Map.empty[Long, Set[(Long, Long)]]
+    val degAtCompact = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val snapDir = java.nio.file.Files.createTempDirectory("graft-attach-snap").toString
+    val source = MemoryStream[(Long, Seq[Float])]
+    // batches 1+2 emit ~60 attach edges ≥ the 40 threshold → exactly one
+    // compaction fires between batch 2 and batch 3
+    val q = StreamAttach.attachCompacting(
+      source.toDF().toDF("vec_id", "embedding"), vecs, adj, codes, r1,
+      maxAttach = 40L, snapshotDir = Some(snapDir))(
+      sink = (out, id) => perBatch(id) = out.collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet,
+      onCompact = (adjNew, _) => degAtCompact +=
+        adjNew.groupBy(col("a_id")).agg(count(lit(1)).as("deg"))
+          .agg(max(col("deg"))).collect()(0).getLong(0))
+    try {
+      source.addData(b1: _*); q.processAllAvailable()
+      assert(degAtCompact.isEmpty, "compaction fired below the threshold")
+      source.addData(b2: _*); q.processAllAvailable()
+      assert(degAtCompact.size == 1, "batch 2 should have crossed the threshold")
+      source.addData(b3: _*); q.processAllAvailable()
+      assert(degAtCompact.size == 1, "batch 3 alone re-crossed the threshold")
+
+      // serving degree bound holds at the compaction point
+      assert(degAtCompact.forall(_ <= 6L), s"deg after compact: $degAtCompact")
+      // PRE-compaction batches attach only to the base index
+      (perBatch(0) ++ perBatch(1)).foreach { case (_, v) =>
+        assert(v < 240L, s"pre-compaction batch answered with streamed id $v")
+      }
+      // POST-compaction: the near-duplicate batch must find its batch-1
+      // twins — only reachable through the re-persisted snapshot
+      val b3hits = perBatch(2)
+      assert(b3hits.nonEmpty)
+      val twinHits = b3hits.count { case (q3, v) => v == q3 - 2000L }
+      assert(twinHits >= 8,
+        s"only $twinHits/10 near-duplicates found their streamed twin post-compaction")
+      // the recoverable snapshot landed
+      assert(new java.io.File(s"$snapDir/compact_1/adj").exists(),
+        "compaction did not re-persist the serving snapshot")
+    } finally q.stop()
+  }
 }
