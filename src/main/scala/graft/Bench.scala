@@ -202,6 +202,21 @@ object Bench {
       name -> best
     }
     val noiseEnd = noiseProbe()
+    // Quiet-capture discipline (VERDICT r09 task 8): every round since
+    // r5 has had to annotate drift-window captures after the fact; with
+    // SPARK_GRAFT_REQUIRE_QUIET=1 a drifting machine REFUSES to emit a
+    // record instead — the probe pair is corpus-independent CPU work, so
+    // start→end movement beyond 1.5× is environmental by construction.
+    // Used for committed records (BASELINE.md); the driver's own capture
+    // runs without it.
+    val quietRatio = math.max(noiseEnd, 1e-9) / math.max(noiseStart, 1e-9)
+    if (sys.env.get("SPARK_GRAFT_REQUIRE_QUIET").exists(_ == "1")
+        && (quietRatio > 1.5 || quietRatio < 1.0 / 1.5)) {
+      System.err.println(f"# bench_rejected_drift noise ${noiseStart}%.3f -> " +
+        f"${noiseEnd}%.3f (${quietRatio}%.2fx > 1.5x) — no record emitted")
+      spark.stop()
+      sys.exit(2)
+    }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val artifactsJson = artifactTimes
       .map { case (n, t) => s"\"" + n + "\":" + fmt(t) }.mkString("{", ",", "}")

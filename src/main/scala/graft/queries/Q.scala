@@ -14,27 +14,40 @@ final case class Q(
 
 /** Aggregation point for every query module; SparkEntry delegates here. */
 object Registry {
-  def all: Seq[Q] =
-    CoreQueries.all ++
-      OlapQueries.all ++
-      LayoutQueries.all ++
-      AnalyticsQueries.all ++
-      EvalQueries.all ++
-      GraphBpeQueries.all ++
-      graft.identity.IdentityQueries.all ++
-      graft.text.TextQueries.all ++
-      graft.text.CurationQueries.all ++
-      graft.text.TrainQueries.all ++
-      graft.text.WebQueries.all ++
-      graft.text.IndexQueries.all ++
-      graft.text.MixQueries.all ++
-      graft.text.AssembleQueries.all ++
-      graft.dedup.DedupQueries.all ++
-      graft.sim.SimQueries.all ++
-      graft.sim.ClusterQueries.all ++
-      graft.sim.MiningQueries.all ++
-      graft.sim.ProjectionQueries.all ++
-      graft.multimodal.MultimodalQueries.all
+
+  /** Family name → contributing module, in registration order. The
+    * family is the module that defines the query — the unit a user
+    * browses the 260+-query surface by (VERDICT r09 task 7); the README
+    * query index is generated from this map and RegistrySpec pins the
+    * two in sync. */
+  val byFamily: Seq[(String, Seq[Q])] = Seq(
+    "core" -> CoreQueries.all,
+    "olap" -> OlapQueries.all,
+    "layout" -> LayoutQueries.all,
+    "analytics" -> AnalyticsQueries.all,
+    "eval" -> EvalQueries.all,
+    "graph-bpe" -> GraphBpeQueries.all,
+    "identity" -> graft.identity.IdentityQueries.all,
+    "text" -> graft.text.TextQueries.all,
+    "curation" -> graft.text.CurationQueries.all,
+    "train" -> graft.text.TrainQueries.all,
+    "web" -> graft.text.WebQueries.all,
+    "index" -> graft.text.IndexQueries.all,
+    "mix" -> graft.text.MixQueries.all,
+    "assemble" -> graft.text.AssembleQueries.all,
+    "dedup" -> graft.dedup.DedupQueries.all,
+    "sim" -> graft.sim.SimQueries.all,
+    "cluster" -> graft.sim.ClusterQueries.all,
+    "mining" -> graft.sim.MiningQueries.all,
+    "projection" -> graft.sim.ProjectionQueries.all,
+    "multimodal" -> graft.multimodal.MultimodalQueries.all)
+
+  def all: Seq[Q] = byFamily.flatMap(_._2)
+
+  /** Family of a registered query name (defined for every member of
+    * [[all]]). */
+  def familyOf: Map[String, String] =
+    byFamily.flatMap { case (f, qs) => qs.map(_.name -> f) }.toMap
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

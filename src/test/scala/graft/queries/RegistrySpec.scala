@@ -29,6 +29,31 @@ class RegistrySpec extends SparkSpec {
     assert(Registry.oracleSql.size == 261, s"oracle-checked=${Registry.oracleSql.size}")
   }
 
+  test("every query belongs to exactly one family") {
+    val fam = Registry.familyOf
+    Registry.all.foreach(q => assert(fam.contains(q.name), s"${q.name} has no family"))
+    assert(Registry.byFamily.map(_._2.size).sum == Registry.all.size)
+  }
+
+  test("README query index stays in sync (regenerate: runMain graft.QueryIndexGen)") {
+    val readme = java.nio.file.Files.readString(java.nio.file.Paths.get("README.md"))
+    val begin = readme.indexOf("QUERY_INDEX_BEGIN")
+    assert(begin >= 0, "README has no generated query index")
+    val end = readme.indexOf("QUERY_INDEX_END")
+    assert(end > begin)
+    val committed = readme.substring(begin, end).split("\n")
+      .filter(_.startsWith("| `")).toSeq
+      // drop the bench-time column (legitimately changes per capture):
+      // keep everything up to and including the oracle column's pipe
+      .map(r => r.take(r.lastIndexOf("|", r.length - 2) + 1))
+    val expected = graft.QueryIndexGen.structuralRows()
+    assert(committed.size == expected.size,
+      s"README lists ${committed.size} queries, registry has ${expected.size}")
+    committed.zip(expected).foreach { case (c, e) =>
+      assert(c == e, s"README index row drifted:\n  readme: $c\n  fresh:  $e")
+    }
+  }
+
   Registry.all.foreach { q =>
     test(s"${q.name} runs at sf0.001 and returns rows") {
       val df = q.run(spark, sfDir)
