@@ -109,16 +109,8 @@ object Bench {
       }
       n -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    def invalidateArtifacts(): Unit = {
-      graft.dedup.CandidateArtifacts.invalidate()
-      graft.identity.GraphArtifacts.invalidate()
-      graft.queries.GraphBpeQueries.coClosureInvalidate()
-      graft.queries.GraphBpeQueries.cnGraphInvalidate()
-      graft.text.TextArtifacts.invalidate()
-      graft.text.IndexArtifacts.invalidate()
-      graft.sim.SimQueries.descentInvalidate()
-      graft.queries.GraphBpeQueries.uniRound2Invalidate()
-    }
+    def invalidateArtifacts(): Unit =
+      graft.queries.ArtifactFamilies.invalidateAll()
     // Warm mode (VERDICT r06 task 4): SPARK_GRAFT_ARTIFACT_DIR=<dir>
     // ensure()s each family against a parquet snapshot dir instead of
     // cold-building — first run persists (cold), a rerun loads
@@ -128,25 +120,8 @@ object Bench {
     val artifactDir = sys.env.get("SPARK_GRAFT_ARTIFACT_DIR")
     val artifactSamples: Seq[(String, Seq[Double])] = artifactDir match {
       case Some(adir) if only.isEmpty =>
-        val ensures: Seq[(String, () => Boolean)] = Seq(
-          "lsh" -> (() => graft.dedup.CandidateArtifacts
-            .ensure(spark, sfDir, s"$adir/lsh")),
-          "graph" -> (() => graft.identity.GraphArtifacts
-            .ensure(spark, sfDir, s"$adir/graph")),
-          "coclosure" -> (() => graft.queries.GraphBpeQueries
-            .coClosureEnsure(spark, sfDir, s"$adir/coclosure")),
-          "cngraph" -> (() => graft.queries.GraphBpeQueries
-            .cnGraphEnsure(spark, sfDir, s"$adir/cngraph")),
-          "text" -> (() => graft.text.TextArtifacts
-            .ensure(spark, sfDir, s"$adir/text")),
-          "index" -> (() => graft.text.IndexArtifacts
-            .ensure(spark, sfDir, s"$adir/index")),
-          "descent" -> (() => graft.sim.SimQueries
-            .descentEnsure(spark, sfDir, s"$adir/descent")),
-          "base_index" -> (() => graft.sim.SimQueries
-            .baseIndexEnsure(spark, sfDir, s"$adir/base_index")),
-          "uni_round2" -> (() => graft.queries.GraphBpeQueries
-            .uniRound2Ensure(spark, sfDir, s"$adir/uni_round2")))
+        val ensures: Seq[(String, () => Boolean)] =
+          graft.queries.ArtifactFamilies.ensures(spark, sfDir, adir)
         // Keys are "ensure_"-prefixed so a warm-mode record can never be
         // diffed against a cold-mode per-artifact key set (ADVICE r07 #4);
         // the JSON line also carries "artifact_mode":"warm".

@@ -19,6 +19,24 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Warm correctness gate (VERDICT r09 task 4): with
+    // SPARK_GRAFT_ARTIFACT_DIR set, ensure() every artifact family
+    // against the parquet snapshot dir BEFORE dumping queries — the
+    // first pass persists (cold), a second pass loads, so every query
+    // reads the PERSISTED artifacts end to end and the DuckDB compare
+    // becomes the warm-path hash gate (CORRECTNESS_warm.json).
+    sys.env.get("SPARK_GRAFT_ARTIFACT_DIR").foreach { adir =>
+      graft.queries.ArtifactFamilies.ensures(spark, sfDir, adir)
+        .foreach { case (n, fn) =>
+          val hit = try fn() catch { case e: Throwable =>
+            System.err.println(s"[verify] artifact_ensure_failed $n " +
+              s"${e.getClass.getName}: ${e.getMessage}")
+            false
+          }
+          System.err.println(
+            s"[verify] artifact_ensure $n ${if (hit) "warm" else "cold"}")
+        }
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
