@@ -131,9 +131,28 @@ object DedupQueries {
           .map(b => s"$b, band$b").mkString(", ") + ") AS (band_no, band_hash)")
 
   /** Band self-join over an already-materialized (or exchange-reusable)
-    * signature frame — the "generate" half of generate-then-verify. */
-  private[graft] def pairsFromSignatures(sig: DataFrame): DataFrame = {
-    val long = stackBands(sig)
+    * signature frame — the "generate" half of generate-then-verify.
+    *
+    * `maxBucket` is the 100 TB degenerate-bucket guard (round-10 decade-3
+    * audit, SCALING.md): candidate pairs are Θ(Σ bucket²), so a corpus
+    * whose RANDOM pairs collide at constant probability (template farms,
+    * tiny-vocabulary text — the synthetic decade corpus measured 10×
+    * docs → 99× pairs) makes the verify stage quadratic through no fault
+    * of the plan. Capped, buckets wider than `maxBucket` are dropped
+    * before the self-join — the CCNet/BigCode "skip degenerate bands"
+    * rule: a bucket that wide is boilerplate the exact-hash and cluster
+    * paths already handle (clusterEdges stays k−1 per bucket and is NOT
+    * capped), not near-dup signal worth C(k,2) verifications. Default
+    * None = exact semantics, unchanged oracle surface. */
+  private[graft] def pairsFromSignatures(sig: DataFrame,
+      maxBucket: Option[Int] = None): DataFrame = {
+    val stacked = stackBands(sig)
+    val long = maxBucket.fold(stacked) { cap =>
+      val keep = stacked.groupBy(col("band_hash"))
+        .agg(count(lit(1)).as("bw")).where(col("bw") <= cap)
+        .select(col("band_hash"))
+      stacked.join(keep, "band_hash")
+    }
     val a = long.select(col("band_hash"), col("doc_id").as("a"))
     val b = long.select(col("band_hash"), col("doc_id").as("b"))
     a.join(b, "band_hash").where(col("a") < col("b"))

@@ -58,4 +58,33 @@ class LshScaleSpec extends SparkSpec {
     assert(total2 <= 3 * total1,
       s"pair count superlinear: $total1 -> $total2 on 2x corpus")
   }
+
+  /** The round-10 decade-3 guard: on a DEGENERATE corpus (one template
+    * class — every doc shares its bands), uncapped candidates are
+    * C(k, 2); with the bucket cap the hot band drops out of the pair
+    * list entirely while the CLUSTER path still links the class. */
+  test("maxBucket drops degenerate bands; default stays exact; clusters unaffected") {
+    val k = 60L
+    // one boilerplate class: identical text → identical signature/bands
+    val degenerate = spark.range(k).select(col("id").as("doc_id"),
+      lit("the exact same boilerplate paragraph repeated verbatim " * 3)
+        .as("text"))
+    val sig = DedupQueries.minhashSignaturesFull(degenerate)
+      .localCheckpoint(eager = true)
+    val uncapped = DedupQueries.pairsFromSignatures(sig).count()
+    assert(uncapped == k * (k - 1) / 2,
+      s"identical docs must produce C(k,2) uncapped pairs, got $uncapped")
+    val capped = DedupQueries.pairsFromSignatures(sig, maxBucket = Some(20))
+      .count()
+    assert(capped == 0L,
+      s"the degenerate band survived the cap: $capped pairs")
+    // explicit None = textually identical path
+    assert(DedupQueries.pairsFromSignatures(sig, None).count() == uncapped)
+    // a healthy corpus is untouched by a cap wider than its buckets
+    val healthy = DedupQueries.minhashSignaturesFull(corpus(1000))
+      .localCheckpoint(eager = true)
+    assert(DedupQueries.pairsFromSignatures(healthy, Some(50)).count() ==
+      DedupQueries.pairsFromSignatures(healthy).count(),
+      "cap altered a corpus with no degenerate buckets")
+  }
 }
