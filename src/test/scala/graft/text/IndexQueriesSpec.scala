@@ -95,6 +95,43 @@ class IndexQueriesSpec extends SparkSpec {
     assert(byId(1L).getAs[String]("action") === "keep")
   }
 
+  test("index_merge: touched terms only, lake∪batch postings round-trip, stats fold") {
+    def md5b(id: Long): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      ((h(0) >> 4) & 0xF) * 16 + (h(0) & 0xF)
+    }
+    val rows = Registry.queries("index_merge")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // recompute the split locally off the raw corpus
+    val docs = graft.queries.Tables.documents(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    def toks(t: String) = t.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).toSeq
+    val perDoc = docs.map { case (d, t) => (d, md5b(d) < 51, toks(t)) }
+    val touched = perDoc.filter(_._2).flatMap(_._3).toSet
+    val gotTerms = rows.map(_.getAs[String]("term")).toSet
+    assert(gotTerms == touched,
+      "merged output must cover exactly the batch-touched terms")
+    // per-term: df = lake + batch docs containing it; postings decode to
+    // the SORTED doc ids of lake ∪ batch
+    val docsByTerm = perDoc.flatMap { case (d, isBatch, ts) =>
+      ts.distinct.map(t => (t, d, isBatch)) }.groupBy(_._1)
+    rows.groupBy(_.getAs[String]("term")).foreach { case (term, rs) =>
+      val want = docsByTerm(term)
+      assert(rs.head.getAs[Long]("df") === want.size.toLong, s"df($term)")
+      assert(rs.head.getAs[Long]("df_batch") === want.count(_._3).toLong)
+      assert(rs.head.getAs[Long]("df_lake") === want.count(!_._3).toLong)
+      val decoded = rs.flatMap { r =>
+        val block = r.getAs[Long]("block")
+        r.getAs[String]("postings").split(" ")
+          .map(_.split(":")(0).toLong)
+          .scanLeft(block * 100L)(_ + _).tail
+      }.sorted
+      assert(decoded.toSeq == want.map(_._2).distinct.sorted.toSeq,
+        s"postings($term) decode mismatch")
+    }
+  }
+
   test("text_bm25_served ≡ text_bm25: the index answers exactly what a corpus recompute answers") {
     def rows(name: String): Seq[(Long, Long, Double, Long)] =
       Registry.queries(name)(spark, sfDir).collect()
