@@ -67,7 +67,17 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     noiseProbe() // untimed JIT pass for the probe itself
-    val noiseStart = noiseProbe()
+    // The probe pair must measure the MACHINE, not the heap the run
+    // carries: the warmup pass leaves session artifacts for warmDir that
+    // inflate a raw start probe the same way post-run state inflates a
+    // raw end probe (observed: raw start 0.149 vs cleaned 0.096 in the
+    // same window). Drop the warmup caches and take best-of-3 with GC
+    // nudges — the cleaned value is the gate's baseline; one raw sample
+    // stays for cross-round comparability.
+    graft.queries.ArtifactFamilies.invalidateAll()
+    def cleanedProbe(): Double =
+      (1 to 3).map { _ => System.gc(); Thread.sleep(500); noiseProbe() }.min
+    val noiseStart = cleanedProbe()
 
     // One-time artifact builds (VERDICT r05 #3), attributed explicitly:
     // the session-shared checkpoints (LSH signatures/pairs/clusters,
@@ -176,19 +186,34 @@ object Bench {
       System.gc()
       name -> best
     }
+    // The raw end probe is systematically inflated by post-run session
+    // state even on a quiet machine (r9: the QUIET capture read 3.7×
+    // start→end while the drift capture read 2.7× — the within-run pair
+    // cannot separate the two raw). For the gate below, measure the end
+    // probe in a CLEANED context: drop the session artifact caches,
+    // nudge GC so the ContextCleaner releases checkpoint blocks, and
+    // take best-of-3 — residual slowness is then the machine, not the
+    // heap the run built up. The FIRST (uncleaned) sample stays in the
+    // record as noise.end for cross-round comparability.
     val noiseEnd = noiseProbe()
+    val noiseEndClean = {
+      graft.queries.ArtifactFamilies.invalidateAll()
+      cleanedProbe()
+    }
     // Quiet-capture discipline (VERDICT r09 task 8): every round since
     // r5 has had to annotate drift-window captures after the fact; with
     // SPARK_GRAFT_REQUIRE_QUIET=1 a drifting machine REFUSES to emit a
-    // record instead — the probe pair is corpus-independent CPU work, so
-    // start→end movement beyond 1.5× is environmental by construction.
-    // Used for committed records (BASELINE.md); the driver's own capture
-    // runs without it.
-    val quietRatio = math.max(noiseEnd, 1e-9) / math.max(noiseStart, 1e-9)
+    // record instead — both probes are corpus-independent CPU work in a
+    // reclaimed heap, so a SLOWDOWN beyond 1.5× is environmental by
+    // construction and the per-query times are inflated. Only the slow
+    // direction gates: a FASTER end means the run's times were measured
+    // conservatively. Used for committed records (BASELINE.md); the
+    // driver's own capture runs without it.
+    val quietRatio = math.max(noiseEndClean, 1e-9) / math.max(noiseStart, 1e-9)
     if (sys.env.get("SPARK_GRAFT_REQUIRE_QUIET").exists(_ == "1")
-        && (quietRatio > 1.5 || quietRatio < 1.0 / 1.5)) {
+        && quietRatio > 1.5) {
       System.err.println(f"# bench_rejected_drift noise ${noiseStart}%.3f -> " +
-        f"${noiseEnd}%.3f (${quietRatio}%.2fx > 1.5x) — no record emitted")
+        f"${noiseEndClean}%.3f cleaned (${quietRatio}%.2fx > 1.5x) — no record emitted")
       spark.stop()
       sys.exit(2)
     }
@@ -205,7 +230,8 @@ object Bench {
         if (withSamples) s""""artifact_samples":$samplesJson,""" else ""
       val mode = if (artifactDir.isDefined) "warm" else "cold"
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-        s""""noise":{"start":${fmt(noiseStart)},"end":${fmt(noiseEnd)}},""" +
+        s""""noise":{"start":${fmt(noiseStart)},"end":${fmt(noiseEnd)},""" +
+        s""""end_clean":${fmt(noiseEndClean)}},""" +
         s""""artifact_mode":"$mode",""" +
         s""""artifact_sec":${fmt(artifactSec)},"artifacts":$artifactsJson,""" +
         samples +
@@ -221,7 +247,11 @@ object Bench {
     var keep = bySlowest.length
     while (keep > 1 && line(bySlowest.take(keep).sortBy(_._1)).length > 1800)
       keep -= 1
-    try {
+    // SPARK_GRAFT_ONLY is the local-profiling loop — a filtered run's
+    // handful of queries must never clobber the committed full-registry
+    // record (round 10: a 3-query isolated re-measure silently replaced
+    // the 265-query capture)
+    if (only.isEmpty) try {
       val full = line(bySlowest.sortBy(_._1), withSamples = true)
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         (full + "\n").getBytes("UTF-8"))
