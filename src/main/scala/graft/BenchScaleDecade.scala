@@ -70,8 +70,11 @@ object BenchScaleDecade {
       .select(col("lang")).distinct().collect().map(_.getString(0)).sorted
     val sources = graft.queries.Tables.documents(spark, srcDir)
       .select(col("source")).distinct().collect().map(_.getString(0)).sorted
+    // Escape single quotes — documents text is split only on spaces, so
+    // punctuation (including ') survives into the vocabulary, and an
+    // unescaped token would break the generated selectExpr (ADVICE r10).
     def arrLit(xs: Seq[String]) =
-      xs.map(x => s"'$x'").mkString("array(", ", ", ")")
+      xs.map(x => s"'${x.replace("'", "\\'")}'").mkString("array(", ", ", ")")
     val nDocs = 50000L
     spark.range(nDocs).selectExpr(
         "id AS doc_id",

@@ -25,7 +25,11 @@ object Verify {
     // first pass persists (cold), a second pass loads, so every query
     // reads the PERSISTED artifacts end to end and the DuckDB compare
     // becomes the warm-path hash gate (CORRECTNESS_warm.json).
-    sys.env.get("SPARK_GRAFT_ARTIFACT_DIR").foreach { adir =>
+    // Mirror Bench's guard: a filtered local-iteration run (query-name
+    // subset) should not pay all nine family builds it may never touch
+    // (ADVICE r10) — the warm gate only makes sense over the full dump.
+    sys.env.get("SPARK_GRAFT_ARTIFACT_DIR").filter(_ => only.isEmpty)
+      .foreach { adir =>
       graft.queries.ArtifactFamilies.ensures(spark, sfDir, adir)
         .foreach { case (n, fn) =>
           val hit = try fn() catch { case e: Throwable =>

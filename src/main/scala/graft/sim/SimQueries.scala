@@ -1148,7 +1148,15 @@ object SimQueries {
     * ≤ queries × k rows), which lets this method release every
     * intermediate beam before returning; the caller owns the returned
     * checkpoint's lifecycle ([[graft.identity.Components
-    * .unpersistCheckpoint]] once its rows are consumed or re-cached). */
+    * .unpersistCheckpoint]] once its rows are consumed or re-cached).
+    * ACCEPTED for the registered one-shot queries (sim_graph_search /
+    * _incremental / _delete): Verify/Bench consume a projection of the
+    * returned checkpoint and never release it, leaving ONE small
+    * (queries × k) resident block per execution until the
+    * ContextCleaner GCs it — bounded per run, so repeated Bench reps
+    * accumulate a few KB each, not corpus-sized state (ADVICE r10).
+    * Long-running callers (StreamAttach) MUST bind the raw frame and
+    * release it per trigger. */
   def graphSearchFrom(vecs: DataFrame, adj: DataFrame, codes: DataFrame,
       queries: DataFrame, qcodes: DataFrame, beamWidth: Int = 4,
       k: Int = 3, hops: Int = 3, broadcastQueries: Boolean = true): DataFrame = {

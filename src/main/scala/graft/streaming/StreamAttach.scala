@@ -70,11 +70,17 @@ object StreamAttach {
           expr("dot_ordered(embedding, embedding)").as("q_norm2"))
         val qcodes = graft.sim.SimQueries.forestCodes(batch, planes)
           .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
-        val out = graft.sim.SimQueries.graphSearchFrom(
+        // graphSearchFrom returns an eager checkpoint — bind the raw frame
+        // so it can be RELEASED once the sink has consumed this batch
+        // (ADVICE r10: releasing a .select projection is a no-op, the
+        // checkpoint would otherwise accumulate per trigger for the
+        // stream's lifetime).
+        val raw = graft.sim.SimQueries.graphSearchFrom(
             vecs, adj, codes, queries, qcodes)
-          .select(col("q_id"), col("vec_id"),
+        val out = raw.select(col("q_id"), col("vec_id"),
             round(col("cos"), 6).as("cos"), col("rk"))
         sink(out, id)
+        graft.identity.Components.unpersistCheckpoint(raw)
       }
       .start()
   }
@@ -151,10 +157,16 @@ object StreamAttach {
           expr("dot_ordered(embedding, embedding)").as("q_norm2"))
         val qcodes = graft.sim.SimQueries.forestCodes(b, planes)
           .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
-        val out = graft.sim.SimQueries.graphSearchFrom(
+        // Bind the RAW graphSearchFrom checkpoint, re-cut the rounded
+        // projection, then release the raw frame — releasing a .select
+        // projection is a no-op (unpersistCheckpoint matches the
+        // LogicalRDD root only), so the old `release(out)` silently
+        // leaked one checkpoint per trigger (ADVICE r10).
+        val raw = graft.sim.SimQueries.graphSearchFrom(
             servedVecs, servedAdj, servedCodes, queries, qcodes)
-          .select(col("q_id"), col("vec_id"),
-            round(col("cos"), 6).as("cos"), col("rk"))
+        val out = cp(raw.select(col("q_id"), col("vec_id"),
+            round(col("cos"), 6).as("cos"), col("rk")))
+        release(raw)
         sink(out, id)
         // grow the pending snapshot delta
         val al = cp(attachLog
@@ -168,7 +180,9 @@ object StreamAttach {
           .getOrElse(graft.sim.SimQueries.forestCodes(b, planes)))
         pendingCodes.foreach(release); pendingCodes = Some(pc)
         pendingAttach += out.count()
-        release(out)
+        // al/pv/pc are their OWN checkpoints now — the per-batch answer
+        // and input frames can go immediately.
+        release(out); release(b)
         if (pendingAttach >= maxAttach) {
           compactions += 1
           // the shipped maintenance operator, verbatim: fold the attach
