@@ -37,28 +37,60 @@ object IndexArtifacts {
 
   private val postCache = new graft.queries.SessionCache[DataFrame](Seq(_))
   private val normsCache = new graft.queries.SessionCache[DataFrame](Seq(_))
+  private val mergedCache = new graft.queries.SessionCache[DataFrame](Seq(_))
+
+  /** ENCODE: (doc_id, term, tf) rows → the canonical posting-row schema
+    * `(term, block, df, cf, df_block, cf_block, postings)` — the one
+    * layout every segment in the index family shares ([[postings]], the
+    * lake segment, and [[mergedPostings]]'s fold all call this, so the
+    * block math can never drift between build paths). Scale shape: one
+    * shuffled stats aggregate on term (vocab grows with the corpus —
+    * never broadcast) and one (term, block) group whose collect_list is
+    * bounded at ≤ [[BlockSize]] entries, stop-words included. */
+  private[text] def encodeBlocks(tf: DataFrame): DataFrame = {
+    val stats = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+    tf.join(stats, "term")
+      .withColumn("block", expr(s"doc_id div $BlockSize"))
+      .groupBy(col("term"), col("df"), col("cf"), col("block"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("ps"))
+      .select(col("term"), col("block"), col("df"), col("cf"),
+        size(col("ps")).cast("long").as("df_block"),
+        expr("aggregate(ps, CAST(0 AS BIGINT), (acc, p) -> acc + p.tf)")
+          .as("cf_block"),
+        expr(s"""array_join(transform(ps, (p, i) -> concat(
+                   CAST(p.doc_id - IF(i = 0, block * $BlockSize,
+                     element_at(ps, i).doc_id) AS STRING),
+                   ':', CAST(p.tf AS STRING))), ' ')""").as("postings"))
+  }
+
+  /** DECODE: posting rows → one row per (term, doc) —
+    * `(term, block, df, cf, pos, doc_id, tf)`; the running-sum window
+    * rebuilds doc_ids from `block·BlockSize + Σdelta`, partitioned per
+    * (term, block) so each window is ≤ [[BlockSize]] rows. Shared by the
+    * serve path (query-term slices), the delete sweep, and the merge
+    * fold (touched-term slices). */
+  private[text] def decodeBlocks(post: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    post
+      .select(col("term"), col("df"), col("cf"), col("block"),
+        posexplode(split(col("postings"), " ")).as(Seq("pos", "pair")))
+      .select(col("term"), col("df"), col("cf"), col("block"), col("pos"),
+        expr("CAST(element_at(split(pair, ':'), 1) AS BIGINT)").as("delta"),
+        expr("CAST(element_at(split(pair, ':'), 2) AS BIGINT)").as("tf"))
+      .withColumn("doc_id", col("block") * lit(BlockSize)
+        + sum(col("delta")).over(Window.partitionBy(col("term"), col("block"))
+          .orderBy(col("pos"))))
+      .drop("delta")
+  }
 
   /** Full-vocabulary block postings, checkpointed once per
     * (session, corpus). */
   def postings(s: SparkSession, dir: String): DataFrame =
     postCache.getOrBuild(s, dir) {
       graft.functions.GraftFunctions.register(s)
-      val tf = TextArtifacts.wordCounts(s, dir)
-        .select(col("doc_id"), col("token").as("term"), col("cnt").as("tf"))
-      val stats = tf.groupBy(col("term"))
-        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
-      tf.join(stats, "term")
-        .withColumn("block", expr(s"doc_id div $BlockSize"))
-        .groupBy(col("term"), col("df"), col("cf"), col("block"))
-        .agg(sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("ps"))
-        .select(col("term"), col("block"), col("df"), col("cf"),
-          size(col("ps")).cast("long").as("df_block"),
-          expr("aggregate(ps, CAST(0 AS BIGINT), (acc, p) -> acc + p.tf)")
-            .as("cf_block"),
-          expr(s"""array_join(transform(ps, (p, i) -> concat(
-                     CAST(p.doc_id - IF(i = 0, block * $BlockSize,
-                       element_at(ps, i).doc_id) AS STRING),
-                     ':', CAST(p.tf AS STRING))), ' ')""").as("postings"))
+      encodeBlocks(TextArtifacts.wordCounts(s, dir)
+        .select(col("doc_id"), col("token").as("term"), col("cnt").as("tf")))
         .localCheckpoint(eager = true)
     }
 
@@ -73,8 +105,77 @@ object IndexArtifacts {
         .localCheckpoint(eager = true)
     }
 
+  /** The md5-byte threshold selecting the ~10% erasure batch and the
+    * ~20% ingest batch (the ANN family's NewVecByte / dedup's
+    * incremental-split conventions, reused verbatim). */
+  private[text] val DelDocByte = 26
+  private[text] val BatchDocByte = 51
+
+  /** Deterministic, oracle-reproducible doc-level erasure kill-list
+    * (`sim_graph_delete`'s `delPredSql` shape on `doc_id`): ~10% of docs
+    * via `md5('del:' || doc_id)` first byte < [[DelDocByte]] — the
+    * `del:` salt keeps it independent of the lake/batch ingest split, so
+    * a doc can be both newly merged and subsequently erased. */
+  private[text] def delPredSql(cast: String): String =
+    s"(${graft.queries.PortableHash.md5Byte(s"concat('del:', CAST(doc_id AS $cast))")}) < $DelDocByte"
+
+  /** The kill-list frame — derived from the NORMS sidecar, not the
+    * corpus: the delete path must run index-side only (a real erasure
+    * batch arrives as ids; norms is the index's own doc table), and
+    * PlanSpec pins no documents scan through it. */
+  def docTombstones(s: SparkSession, dir: String): DataFrame =
+    norms(s, dir).where(expr(delPredSql("STRING"))).select(col("doc_id"))
+
+  /** MERGED SEGMENTS — the artifact the build→incremental→merge→serve
+    * loop closes on (VERDICT r10 task 2): the standing LAKE segment
+    * (docs with md5 byte ≥ [[BatchDocByte]] — `index_incremental`'s
+    * split) folded with the ingest batch's postings, Lucene
+    * segment-merge style. Only terms the batch TOUCHES are decoded and
+    * re-encoded over lake ∪ batch; untouched lake rows pass through
+    * byte-identical — and since an untouched term by definition has no
+    * batch docs, the union is LOGICALLY ≡ [[postings]] over the full
+    * corpus (IndexQueriesSpec pins the equality row-for-row, and
+    * `text_bm25_merged_served` serves from it against `text_bm25`'s
+    * oracle verbatim: serve-after-merge ≡ rebuild, hash-checked).
+    *
+    * Scale shape: the fold decodes only touched terms' lake postings
+    * (left_semi on the batch vocabulary — at production scale a
+    * term-range-partitioned read → partition pruning), the re-encode
+    * pays one (term, block) group bounded at ≤ BlockSize, and the
+    * pass-through side is a left_anti projection that never decodes.
+    * Work ∝ touched terms' postings, never the lake vocabulary. */
+  def mergedPostings(s: SparkSession, dir: String): DataFrame =
+    mergedCache.getOrBuild(s, dir) {
+      graft.functions.GraftFunctions.register(s)
+      val bkt = graft.queries.PortableHash.md5Byte("CAST(doc_id AS STRING)")
+      val tf = TextArtifacts.wordCounts(s, dir)
+        .withColumn("bucket", expr(bkt).cast("long"))
+        .select(col("doc_id"), col("bucket"),
+          col("token").as("term"), col("cnt").as("tf"))
+      // the standing lake segment: encoded once over lake docs only —
+      // the frame a production store would already hold as parquet
+      val lake = encodeBlocks(tf.where(col("bucket") >= BatchDocByte)
+        .select(col("doc_id"), col("term"), col("tf")))
+        .localCheckpoint(eager = true)
+      val batchTf = tf.where(col("bucket") < BatchDocByte)
+        .select(col("doc_id"), col("term"), col("tf"))
+      val touched = batchTf.select(col("term")).distinct()
+      // fold: decode ONLY touched lake postings, union the batch rows,
+      // re-encode — the merge never re-reads the corpus for lake docs
+      val foldedTf = decodeBlocks(lake.join(touched, Seq("term"), "left_semi"))
+        .select(col("doc_id"), col("term"), col("tf"))
+        .unionByName(batchTf)
+      val out = lake.join(touched, Seq("term"), "left_anti")
+        .unionByName(encodeBlocks(foldedTf))
+        .localCheckpoint(eager = true)
+      graft.identity.Components.unpersistCheckpoint(lake)
+      out
+    }
+
   /** Drop all cached artifacts (tests that restart sessions). */
-  def invalidate(): Unit = { postCache.invalidate(); normsCache.invalidate() }
+  def invalidate(): Unit = {
+    postCache.invalidate(); normsCache.invalidate(); mergedCache.invalidate()
+  }
 
   // ---------------------------------------------------------------------
   // Parquet persistence — the TextArtifacts contract: the index lands
@@ -88,14 +189,16 @@ object IndexArtifacts {
     graft.queries.ArtifactStore.writeSnapshot(s, artifactDir,
       fingerprint(s, corpusDir),
       Seq("postings" -> postings(s, corpusDir),
-        "norms" -> norms(s, corpusDir)))
+        "norms" -> norms(s, corpusDir),
+        "merged" -> mergedPostings(s, corpusDir)))
 
   def loadFrom(s: SparkSession, corpusDir: String, artifactDir: String): Boolean =
     graft.queries.ArtifactStore.loadSnapshot(s, artifactDir,
-      fingerprint(s, corpusDir), Seq("postings", "norms")) match {
+      fingerprint(s, corpusDir), Seq("postings", "norms", "merged")) match {
       case Some(m) =>
         postCache.put(s, corpusDir, m("postings"))
         normsCache.put(s, corpusDir, m("norms"))
+        mergedCache.put(s, corpusDir, m("merged"))
         true
       case None => false
     }
@@ -106,6 +209,7 @@ object IndexArtifacts {
     if (!hit) {
       // a stale snapshot must not satisfy the session cache either
       postCache.remove(s, corpusDir); normsCache.remove(s, corpusDir)
+      mergedCache.remove(s, corpusDir)
       persistTo(s, corpusDir, artifactDir)
     }
     hit

@@ -269,41 +269,182 @@ object IndexQueries {
     * co-partitioned doc-stats table; the posting side is the small one
     * and AQE broadcast-joins it). No tokenization, no documents scan —
     * PlanSpec pins both out of the served plan. */
+  /** The ONE BM25 serve body every served variant runs — from a posting
+    * frame in the canonical segment layout plus the norms sidecar, with
+    * an optional tombstone kill-list honored at serve time:
+    *
+    *  - query terms' posting blocks delta-DECODE per (term, block) —
+    *    ≤ [[BlockSize]] rows per window partition, bounded by the
+    *    QUERY's posting lists;
+    *  - with tombstones, decoded rows AND norms anti-join the kill-list
+    *    (a deleted doc can never score, never reach the top-10) and df
+    *    is RECOMPUTED over surviving postings per query term — a
+    *    query-bounded aggregate (≤ |terms| rows, broadcast back), so
+    *    idf reflects the erasure exactly as a rebuild would;
+    *  - corpus stats are one aggregate over (live) norms, and the
+    *    scoring expression is [[TextQueries.bm25ScoreExpr]] VERBATIM.
+    *
+    * Scale shape: the kill-list is corpus-proportional, so its
+    * anti-joins are shuffled (never broadcast); everything downstream
+    * of the term filter stays query-bounded. */
+  private def bm25ServeFrom(post: org.apache.spark.sql.DataFrame,
+      norms: org.apache.spark.sql.DataFrame,
+      tomb: Option[org.apache.spark.sql.DataFrame]): org.apache.spark.sql.DataFrame = {
+    val normsLive = tomb.fold(norms)(t => norms.join(t, Seq("doc_id"), "left_anti"))
+    val stats = normsLive.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val dec0 = IndexArtifacts.decodeBlocks(
+      post.where(col("term").isin(TextQueries.bm25QueryTerms: _*)))
+    val decoded = tomb match {
+      case None => dec0
+      case Some(t) =>
+        val live = dec0.join(t, Seq("doc_id"), "left_anti")
+        val dfLive = live.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        live.drop("df").join(broadcast(dfLive), "term")
+    }
+    decoded
+      .join(normsLive, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("q", expr(TextQueries.bm25ScoreExpr))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_match"), sum(col("q")).as("sq"))
+      .orderBy(col("sq").desc, col("doc_id"))
+      .limit(10)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("sq").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("n_match"),
+        round(col("sq").cast("double") / 1000000.0, 4).as("bm25"), col("rk"))
+  }
+
   private val textBm25Served = Q(
     "text_bm25_served",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      import org.apache.spark.sql.expressions.Window
-      val post = IndexArtifacts.postings(s, dir)
-      val norms = IndexArtifacts.norms(s, dir)
-      val stats = norms.agg(count(lit(1)).as("n_docs"),
-        sum(col("dl")).as("sum_dl"))
-      val decoded = post
-        .where(col("term").isin(TextQueries.bm25QueryTerms: _*))
-        .select(col("term"), col("df"), col("block"),
-          posexplode(split(col("postings"), " ")).as(Seq("pos", "pair")))
-        .select(col("term"), col("df"), col("block"), col("pos"),
-          expr("CAST(element_at(split(pair, ':'), 1) AS BIGINT)").as("delta"),
-          expr("CAST(element_at(split(pair, ':'), 2) AS BIGINT)").as("tf"))
-        .withColumn("doc_id", col("block") * lit(BlockSize)
-          + sum(col("delta")).over(Window.partitionBy(col("term"), col("block"))
-            .orderBy(col("pos"))))
-      decoded
-        .join(norms, "doc_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("q", expr(TextQueries.bm25ScoreExpr))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_match"), sum(col("q")).as("sq"))
-        .orderBy(col("sq").desc, col("doc_id"))
-        .limit(10)
-        .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("sq").desc, col("doc_id"))).cast("long"))
-        .select(col("doc_id"), col("n_match"),
-          round(col("sq").cast("double") / 1000000.0, 4).as("bm25"), col("rk"))
+      bm25ServeFrom(IndexArtifacts.postings(s, dir),
+        IndexArtifacts.norms(s, dir), None)
     },
     Some(TextQueries.bm25OracleSql))
 
+  /** Serve-after-MERGE (VERDICT r10 task 2) — the same BM25 serve body
+    * pointed at [[IndexArtifacts.mergedPostings]]: the lake segment
+    * folded with the ingest batch, Lucene segment-merge style. The
+    * oracle is `text_bm25`'s full-corpus recompute VERBATIM — so a green
+    * hash here IS the proof that serve-after-merge ≡ rebuild over the
+    * unioned corpus, closing the build→incremental→merge→serve loop
+    * (`index_merge` drew it; this query wires it). */
+  private val textBm25MergedServed = Q(
+    "text_bm25_merged_served",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      bm25ServeFrom(IndexArtifacts.mergedPostings(s, dir),
+        IndexArtifacts.norms(s, dir), None)
+    },
+    Some(TextQueries.bm25OracleSql))
+
+  /** Serve-time DELETE (VERDICT r10 task 1) — the retrieval twin of
+    * `sim_graph_delete`: the ~10% [[IndexArtifacts.docTombstones]]
+    * erasure batch is honored AT SERVE TIME without rebuilding the
+    * index — a tombstoned doc can never be returned, df/idf and the
+    * corpus stats reflect the removals (recomputed query-bounded over
+    * survivors), and the oracle recomputes BM25 from the corpus MINUS
+    * the deleted docs — served-with-tombstones ≡ rebuilt-without-
+    * deleted, hash-checked at sf0.01 and sf0.1. */
+  private val textBm25Swept = Q(
+    "text_bm25_swept",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      bm25ServeFrom(IndexArtifacts.postings(s, dir),
+        IndexArtifacts.norms(s, dir),
+        Some(IndexArtifacts.docTombstones(s, dir)))
+    },
+    Some(TextQueries.bm25OracleSqlOver(
+      s"SELECT doc_id, text FROM documents WHERE NOT (${IndexArtifacts.delPredSql("VARCHAR")})")))
+
+  /** Index-side delete SWEEP (VERDICT r10 task 1) — the merge-time half
+    * of the erasure path, `sim_graph_sweep`'s retrieval twin: physically
+    * rewrite every (term, block) posting row a tombstoned doc touches,
+    * re-delta-encoded over the survivors, with per-term df/cf stats
+    * reflecting the removals — so the swept rows are EXACTLY the rows a
+    * rebuild without the deleted docs would emit for those keys
+    * (IndexQueriesSpec pins the equality; fully-emptied blocks drop,
+    * as in a rebuild). Untouched (term, block) rows are never rewritten
+    * — the Lucene live-docs → segment-sweep discipline.
+    *
+    * Scale shape: the sweep reads the INDEX, not the corpus (tombstones
+    * come off the norms sidecar; PlanSpec pins no documents scan). One
+    * full decode pass over postings (corpus-linear — the cost any
+    * segment merge already pays), with the kill-list shuffled-joined,
+    * never broadcast (corpus-proportional); the rewrite itself groups
+    * only touched blocks, ≤ BlockSize rows per collect. */
+  private val indexDelete = Q(
+    "index_delete",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val post = IndexArtifacts.postings(s, dir)
+      val tomb = IndexArtifacts.docTombstones(s, dir)
+      val dec = IndexArtifacts.decodeBlocks(post)
+      val deleted = dec.join(tomb, "doc_id")
+      val touchedTB = deleted.select(col("term"), col("block")).distinct()
+      val rem = deleted.groupBy(col("term"))
+        .agg(count(lit(1)).as("df_removed"), sum(col("tf")).as("cf_removed"))
+      val surv = dec.join(touchedTB, Seq("term", "block"), "left_semi")
+        .join(tomb, Seq("doc_id"), "left_anti")
+      surv
+        .groupBy(col("term"), col("df"), col("cf"), col("block"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("ps"))
+        .join(rem, "term")
+        .select(col("term"), col("block"),
+          (col("df") - col("df_removed")).as("df_after"),
+          (col("cf") - col("cf_removed")).as("cf_after"),
+          col("df_removed"), col("cf_removed"),
+          size(col("ps")).cast("long").as("df_block"),
+          expr(s"""array_join(transform(ps, (p, i) -> concat(
+                     CAST(p.doc_id - IF(i = 0, block * $BlockSize,
+                       element_at(ps, i).doc_id) AS STRING),
+                     ':', CAST(p.tf AS STRING))), ' ')""").as("postings"))
+    },
+    Some(s"""WITH tok AS (
+               SELECT doc_id, unnest(list_filter(
+                 string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS term
+               FROM documents),
+             tf AS (
+               SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+               FROM tok GROUP BY term, doc_id),
+             stats AS (
+               SELECT term, CAST(count(*) AS BIGINT) AS df,
+                      CAST(sum(tf) AS BIGINT) AS cf
+               FROM tf GROUP BY term),
+             del AS (
+               SELECT doc_id FROM documents
+               WHERE ${IndexArtifacts.delPredSql("VARCHAR")}),
+             tb AS (
+               SELECT term, doc_id, tf, doc_id // $BlockSize AS block FROM tf),
+             touched AS (
+               SELECT DISTINCT term, block FROM tb JOIN del USING (doc_id)),
+             rem AS (
+               SELECT term, CAST(count(*) AS BIGINT) AS df_removed,
+                      CAST(sum(tf) AS BIGINT) AS cf_removed
+               FROM tb JOIN del USING (doc_id) GROUP BY term),
+             surv AS (
+               SELECT tb.term, tb.block, tb.doc_id, tb.tf,
+                 tb.doc_id - coalesce(
+                   lag(tb.doc_id) OVER (PARTITION BY tb.term, tb.block
+                     ORDER BY tb.doc_id),
+                   tb.block * $BlockSize) AS delta
+               FROM tb JOIN touched USING (term, block)
+               WHERE tb.doc_id NOT IN (SELECT doc_id FROM del))
+             SELECT surv.term, surv.block,
+               s.df - r.df_removed AS df_after,
+               s.cf - r.cf_removed AS cf_after,
+               r.df_removed, r.cf_removed,
+               CAST(count(*) AS BIGINT) AS df_block,
+               string_agg(CAST(delta AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+                 ' ' ORDER BY doc_id) AS postings
+             FROM surv JOIN stats s USING (term) JOIN rem r USING (term)
+             GROUP BY surv.term, surv.block, s.df, s.cf,
+               r.df_removed, r.cf_removed"""))
+
   val all: Seq[Q] = Seq(indexInverted, indexIncremental, indexMerge,
-    textBm25Served)
+    textBm25Served, textBm25MergedServed, textBm25Swept, indexDelete)
 }

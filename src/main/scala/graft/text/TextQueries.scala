@@ -315,14 +315,18 @@ object TextQueries {
   /** The fixed demo query-term set both BM25 queries rank against. */
   private[text] val bm25QueryTerms = Seq("spark", "dup", "window")
 
-  /** `text_bm25`'s full DuckDB oracle — also `text_bm25_served`'s
-    * oracle VERBATIM: the served query's correctness claim is exactly
-    * "same answer as recomputing from the corpus". */
-  private[text] val bm25OracleSql =
-    """WITH dl AS (
+  /** The BM25 oracle parameterized on its corpus relation — `docsRel`
+    * must select (doc_id, text). `text_bm25` / `text_bm25_served` /
+    * `text_bm25_merged_served` rank the full `documents`;
+    * `text_bm25_swept` ranks `documents` minus the erasure kill-list
+    * (the served ≡ recomputed-over-survivors claim). One template so
+    * the scoring CTEs can never drift between the four. */
+  private[text] def bm25OracleSqlOver(docsRel: String): String =
+    s"""WITH src AS ($docsRel),
+            dl AS (
               SELECT doc_id, CAST(len(list_filter(
                 string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS BIGINT) AS dl
-              FROM documents),
+              FROM src),
             stats AS (
               SELECT CAST(count(*) AS BIGINT) AS n_docs,
                      CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
@@ -331,7 +335,7 @@ object TextQueries {
               FROM (SELECT doc_id, unnest(list_filter(
                       string_split_regex(lower(text), '[^a-z]+'),
                       t -> t <> '')) AS term
-                    FROM documents)
+                    FROM src)
               WHERE term IN ('spark', 'dup', 'window')
               GROUP BY doc_id, term),
             df AS (
@@ -354,6 +358,13 @@ object TextQueries {
             SELECT doc_id, n_match, round(CAST(sq AS DOUBLE) / 1000000.0, 4) AS bm25,
               CAST(row_number() OVER (ORDER BY sq DESC, doc_id) AS BIGINT) AS rk
             FROM totals ORDER BY sq DESC, doc_id LIMIT 10"""
+
+  /** `text_bm25`'s full DuckDB oracle — also `text_bm25_served`'s and
+    * `text_bm25_merged_served`'s oracle VERBATIM: the served queries'
+    * correctness claim is exactly "same answer as recomputing from the
+    * corpus". */
+  private[text] val bm25OracleSql =
+    bm25OracleSqlOver("SELECT doc_id, text FROM documents")
 
   private val textBm25 = Q(
     "text_bm25",

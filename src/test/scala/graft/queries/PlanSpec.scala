@@ -1037,6 +1037,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "descent plan went all-pairs")
   }
 
+  test("text_bm25_swept / text_bm25_merged_served / index_delete stay index-side — no corpus scan") {
+    // the delete path must run off the index alone: tombstones derive
+    // from the norms sidecar (never a documents re-read), the sweep
+    // decodes postings, and the merged serve reads the folded segments
+    graft.text.IndexArtifacts.postings(spark, dir)
+    graft.text.IndexArtifacts.norms(spark, dir)
+    graft.text.IndexArtifacts.mergedPostings(spark, dir)
+    Seq("text_bm25_swept", "text_bm25_merged_served", "index_delete").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("word_ngrams"), s"$n re-tokenizes the corpus")
+      assert(!p.contains("documents.parquet"), s"$n scans the corpus")
+    }
+  }
+
   test("text_bm25_served answers from the index — no corpus scan, no re-tokenization") {
     // build the index artifacts first (session checkpoints), then audit
     // the SERVED plan: it must read only the checkpointed postings/norms

@@ -144,6 +144,78 @@ class IndexQueriesSpec extends SparkSpec {
       "served-from-postings BM25 diverges from the corpus recompute")
   }
 
+  private def md5DelByte(id: Long): Int = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"del:$id".getBytes("UTF-8"))
+    ((h(0) >> 4) & 0xF) * 16 + (h(0) & 0xF)
+  }
+
+  test("index_delete: swept rows ≡ a rebuild without the deleted docs, stats reflect removals") {
+    def toks(t: String) = t.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).toSeq
+    val docs = graft.queries.Tables.documents(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val deleted = docs.map(_._1).filter(id => md5DelByte(id) < 26).toSet
+    assert(deleted.nonEmpty, "fixture has no tombstoned docs — threshold drifted?")
+    // local ground truth: (term -> docs/tf), full-corpus stats, touched keys
+    val tf = docs.flatMap { case (d, t) =>
+      toks(t).groupBy(identity).map { case (w, v) => (w, d, v.size.toLong) } }
+    val byTerm = tf.groupBy(_._1)
+    val touched = tf.filter(x => deleted(x._2)).map(x => (x._1, x._2 / 100L)).toSet
+    val rows = Registry.queries("index_delete")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // output keys = touched (term, block) that still have survivors
+    val expectKeys = touched.filter { case (t, b) =>
+      byTerm(t).exists(x => !deleted(x._2) && x._2 / 100L == b) }
+    assert(rows.map(r => (r.getAs[String]("term"), r.getAs[Long]("block"))).toSet
+      === expectKeys, "swept keys ≠ touched-with-survivors keys")
+    rows.foreach { r =>
+      val t = r.getAs[String]("term"); val b = r.getAs[Long]("block")
+      val all = byTerm(t)
+      val rem = all.filter(x => deleted(x._2))
+      assert(r.getAs[Long]("df_removed") === rem.size.toLong, s"df_removed($t)")
+      assert(r.getAs[Long]("cf_removed") === rem.map(_._3).sum, s"cf_removed($t)")
+      assert(r.getAs[Long]("df_after") === (all.size - rem.size).toLong)
+      assert(r.getAs[Long]("cf_after") === all.map(_._3).sum - rem.map(_._3).sum)
+      // the swept postings decode to EXACTLY the surviving doc ids of the
+      // block — what a rebuild without the deleted docs would emit
+      val want = all.filter(x => !deleted(x._2) && x._2 / 100L == b)
+        .map(x => (x._2, x._3)).sortBy(_._1)
+      val got = r.getAs[String]("postings").split(" ").map { e =>
+        val Array(d, c) = e.split(":"); (d.toLong, c.toLong) }
+      val ids = got.map(_._1).scanLeft(b * 100L)(_ + _).tail
+      assert(ids.toSeq === want.map(_._1), s"swept postings($t, $b) ids")
+      assert(got.map(_._2).toSeq === want.map(_._2), s"swept postings($t, $b) tfs")
+      assert(r.getAs[Long]("df_block") === want.size.toLong)
+    }
+  }
+
+  test("text_bm25_swept never returns a tombstoned doc") {
+    val rows = Registry.queries("text_bm25_swept")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      assert(md5DelByte(d) >= 26, s"deleted doc $d served from the swept index")
+    }
+  }
+
+  test("mergedPostings ≡ postings: serve-after-merge reads exactly what a rebuild writes") {
+    def keyRows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getAs[String]("term"), r.getAs[Long]("block")) ->
+        ((r.getAs[Long]("df"), r.getAs[Long]("cf"), r.getAs[Long]("df_block"),
+          r.getAs[Long]("cf_block"), r.getAs[String]("postings")))
+    }.toMap
+    val merged = keyRows(IndexArtifacts.mergedPostings(spark, sfDir))
+    val rebuilt = keyRows(IndexArtifacts.postings(spark, sfDir))
+    assert(merged.keySet === rebuilt.keySet)
+    merged.foreach { case (k, v) =>
+      assert(v === rebuilt(k), s"merged row $k diverges from rebuild") }
+    // and the serve path off the fold equals the corpus recompute
+    def top(name: String) = Registry.queries(name)(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_match"),
+        r.getAs[Double]("bm25"), r.getAs[Long]("rk"))).toSet
+    assert(top("text_bm25_merged_served") === top("text_bm25"))
+  }
+
   test("index snapshot: persist/load round-trip, parquet-backed, stale key rebuilds") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-idx-fix").toString
