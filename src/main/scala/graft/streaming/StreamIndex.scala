@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+import graft.text.IndexArtifacts
+
+/** Streaming index maintenance — the speed layer of `index_incremental`
+  * + `index_merge` (VERDICT r10 task 3), completing the batch+speed
+  * pairing for the retrieval lifecycle the way [[StreamAttach]] pairs
+  * with `sim_graph_incremental`/`sim_graph_compact`: micro-batches of
+  * newly crawled documents (doc_id, text) each emit their DELTA
+  * postings (the `index_incremental` readout shape — per batch-touched
+  * term: df/cf and the delta-encoded batch posting list), and once the
+  * pending document count crosses `maxPendingDocs` the trigger gap runs
+  * a segment MERGE (the `index_merge` fold, built from the same
+  * [[IndexArtifacts.encodeBlocks]]/[[IndexArtifacts.decodeBlocks]] pair
+  * the batch operators share — one layout, two execution modes): the
+  * served postings become the lake segment with every streamed term
+  * re-encoded over lake ∪ pending, untouched terms passing through
+  * undecoded.
+  *
+  * `foreachBatch`, not a stream-native plan: posting assembly needs
+  * sort_array/collect_list grouping and the merge needs a join against
+  * the standing segment — shapes append-mode streaming cannot run
+  * incrementally — while a micro-batch of documents is EXACTLY the
+  * bounded ingest batch `index_incremental` is built for (the
+  * StreamIngest/StreamAttach discipline). Between merges, arrivals are
+  * delta-only — exactly the batch semantics, where appended postings
+  * become servable at the next `index_merge`.
+  *
+  * Scale shape: per-trigger work is batch-bounded (tokenize + one
+  * grouped aggregate over batch rows; the delta readout is bounded by
+  * the batch vocabulary). Merge cost is the fold — decode touched lake
+  * terms (left_semi keyed by the pending vocabulary; partition pruning
+  * on a term-range-partitioned store), re-encode with ≤ BlockSize rows
+  * per collect — paid once per `maxPendingDocs` documents, never a
+  * per-trigger rebuild. State is two checkpointed frames (served
+  * segment, pending tf log); superseded checkpoints are released at
+  * each merge, so resident state is one serving snapshot regardless of
+  * stream length.
+  */
+object StreamIndex {
+
+  /** Route each micro-batch of `stream` (`doc_id`, `text`) into the
+    * index: per-trigger delta postings to `sink`, threshold-triggered
+    * segment merges into the served postings.
+    *
+    * @param lakePostings the standing segment in the canonical
+    *                     `(term, block, df, cf, df_block, cf_block,
+    *                     postings)` layout (e.g.
+    *                     [[IndexArtifacts.encodeBlocks]] over the lake
+    *                     corpus), checkpointed or parquet-backed
+    * @param maxPendingDocs pending streamed-document threshold that
+    *                       triggers a merge after the emitting batch
+    * @param sink     per-batch consumer of the delta readout
+    *                 (term, df_batch, cf_batch, postings) — append
+    *                 semantics, the `index_incremental` contract
+    * @param onMerge  maintenance observer: (served postings after the
+    *                 fold, merge ordinal) — the hook StreamIndexSpec
+    *                 pins stream ≡ batch through
+    */
+  def index(stream: DataFrame, lakePostings: DataFrame,
+      maxPendingDocs: Long)(
+      sink: (DataFrame, Long) => Unit,
+      onMerge: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery = {
+    graft.functions.GraftFunctions.register(stream.sparkSession)
+    def cp(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+    def release(df: DataFrame): Unit =
+      graft.identity.Components.unpersistCheckpoint(df)
+    // serving state — mutated only inside foreachBatch (micro-batches
+    // of one query run strictly sequentially)
+    var served = lakePostings
+    var pendingTf: Option[DataFrame] = None
+    var pendingDocs = 0L
+    var merges = 0L
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // batch tf — the one tokenize pass this trigger pays
+        val btf = cp(batch
+          .select(col("doc_id"),
+            explode(expr(graft.text.TextQueries.tokenizeExpr)).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf")))
+        // the index_incremental delta readout: batch-vocab-bounded
+        val delta = btf
+          .groupBy(col("term"))
+          .agg(count(lit(1)).as("df_batch"), sum(col("tf")).as("cf_batch"),
+            sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("ps"))
+          .select(col("term"), col("df_batch"), col("cf_batch"),
+            expr("""array_join(transform(ps, (p, i) -> concat(
+                      CAST(p.doc_id - IF(i = 0, CAST(0 AS BIGINT),
+                        element_at(ps, i).doc_id) AS STRING),
+                      ':', CAST(p.tf AS STRING))), ' ')""").as("postings"))
+        sink(delta, id)
+        // grow the pending tf log
+        val pt = cp(pendingTf.map(_.unionByName(btf)).getOrElse(btf))
+        pendingTf.foreach(release); pendingTf = Some(pt)
+        pendingDocs += batch.select(col("doc_id")).distinct().count()
+        release(btf)
+        if (pendingDocs >= maxPendingDocs) {
+          merges += 1
+          // the index_merge fold, verbatim shape: decode ONLY the
+          // touched lake terms, union the pending rows, re-encode;
+          // untouched lake rows pass through undecoded
+          val touched = pt.select(col("term")).distinct()
+          val foldedTf = IndexArtifacts.decodeBlocks(
+              served.join(touched, Seq("term"), "left_semi"))
+            .select(col("doc_id"), col("term"), col("tf"))
+            .unionByName(pt.select(col("doc_id"), col("term"), col("tf")))
+          val servedNew = cp(served.join(touched, Seq("term"), "left_anti")
+            .unionByName(IndexArtifacts.encodeBlocks(foldedTf)))
+          // release the superseded snapshot — never the CALLER's lake
+          // frame (merge 1 supersedes the argument)
+          if (merges > 1) release(served)
+          pendingTf.foreach(release)
+          served = servedNew; pendingTf = None; pendingDocs = 0L
+          onMerge(servedNew, merges)
+        }
+      }
+      .start()
+  }
+}

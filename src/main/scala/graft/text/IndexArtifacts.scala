@@ -33,7 +33,7 @@ import graft.queries.Tables
 object IndexArtifacts {
 
   /** Documents per posting block (the `index_inverted` layout). */
-  private[text] val BlockSize = 100L
+  private[graft] val BlockSize = 100L
 
   private val postCache = new graft.queries.SessionCache[DataFrame](Seq(_))
   private val normsCache = new graft.queries.SessionCache[DataFrame](Seq(_))
@@ -47,7 +47,7 @@ object IndexArtifacts {
     * shuffled stats aggregate on term (vocab grows with the corpus —
     * never broadcast) and one (term, block) group whose collect_list is
     * bounded at ≤ [[BlockSize]] entries, stop-words included. */
-  private[text] def encodeBlocks(tf: DataFrame): DataFrame = {
+  private[graft] def encodeBlocks(tf: DataFrame): DataFrame = {
     val stats = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
     tf.join(stats, "term")
@@ -70,7 +70,7 @@ object IndexArtifacts {
     * (term, block) so each window is ≤ [[BlockSize]] rows. Shared by the
     * serve path (query-term slices), the delete sweep, and the merge
     * fold (touched-term slices). */
-  private[text] def decodeBlocks(post: DataFrame): DataFrame = {
+  private[graft] def decodeBlocks(post: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     post
       .select(col("term"), col("df"), col("cf"), col("block"),

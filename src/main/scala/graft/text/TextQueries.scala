@@ -15,7 +15,7 @@ object TextQueries {
   /** Word-token pipeline — the native one-pass expression, bit-identical
     * to `filter(split(lower(text), '[^a-z]+'), t -> t <> '')` (pinned by
     * WordNgramsSpec; the DuckDB oracles keep the SQL formulation). */
-  private[text] val tokenizeExpr = "word_ngrams(text, 1, false)"
+  private[graft] val tokenizeExpr = "word_ngrams(text, 1, false)"
 
   // Global token frequency — the session-shared vocabulary artifact
   // (TextArtifacts: one tokenize+aggregate pass for the whole family).

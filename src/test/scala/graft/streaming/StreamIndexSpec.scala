@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.Tables
+import graft.text.IndexArtifacts
+
+/** Stream ≡ batch for the retrieval-index speed layer: micro-batched
+  * documents emit `index_incremental`-shaped deltas, threshold-triggered
+  * merges fold them into the served segment, and after N batches + the
+  * final merge the served postings are ROW-FOR-ROW the segment a batch
+  * rebuild over lake ∪ streamed would write — the same one-definition
+  * guarantee StreamAttachSpec pins for the ANN lifecycle.
+  */
+class StreamIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tf(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(col("doc_id"),
+        explode(expr(graft.text.TextQueries.tokenizeExpr)).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  private def keyRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map { r =>
+      (r.getAs[String]("term"), r.getAs[Long]("block")) ->
+        ((r.getAs[Long]("df"), r.getAs[Long]("cf"), r.getAs[Long]("df_block"),
+          r.getAs[Long]("cf_block"), r.getAs[String]("postings")))
+    }.toMap
+
+  test("streamed batches + merges reproduce the batch-built segment exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val lake = docs.where(col("doc_id") % 5 =!= 0)
+    val incoming = docs.where(col("doc_id") % 5 === 0)
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(incoming.length >= 6, "fixture too small to form 4 batches")
+    // four batches sized a, a, a, rest with threshold 2a: batch 2 trips
+    // merge 1 (pending ACCUMULATED across two triggers), batches 3+4
+    // accumulate again and trip merge 2 against the ALREADY-merged
+    // segment — both the delta-log path and the post-merge fold path
+    // run, and the final batch always lands inside a merge (rest =
+    // len - 3a ≥ 2a since a = ⌊len/5⌋)
+    val a = math.max(1, incoming.length / 5)
+    val batches = Seq(incoming.slice(0, a), incoming.slice(a, 2 * a),
+      incoming.slice(2 * a, 3 * a), incoming.drop(3 * a))
+
+    val lakeSeg = IndexArtifacts.encodeBlocks(tf(lake))
+      .localCheckpoint(eager = true)
+
+    val deltas = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Array[org.apache.spark.sql.Row])]
+    val mergeSnaps = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Map[(String, Long), (Long, Long, Long, Long, String)])]
+    val source = MemoryStream[(Long, String)]
+    val q = StreamIndex.index(
+      source.toDF().toDF("doc_id", "text"), lakeSeg,
+      maxPendingDocs = 2L * a)(
+      sink = (d, id) => deltas += ((id, d.collect())),
+      onMerge = (served, n) => mergeSnaps += ((n, keyRows(served))))
+    try {
+      batches.foreach { b =>
+        source.addData(b.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // every trigger emitted its delta; each delta is batch-vocab-bounded
+    assert(deltas.size == batches.size)
+    deltas.zip(batches).foreach { case ((_, rows), b) =>
+      val batchDocs = b.map(_._1).toSet
+      val wantVocab = b.flatMap { case (_, t) =>
+        t.toLowerCase.split("[^a-z]+").filter(_.nonEmpty) }.toSet
+      assert(rows.map(_.getAs[String]("term")).toSet === wantVocab)
+      rows.foreach { r =>
+        val ids = r.getAs[String]("postings").split(" ")
+          .map(_.split(":")(0).toLong).scanLeft(0L)(_ + _).tail
+        assert(ids.length.toLong === r.getAs[Long]("df_batch"))
+        ids.foreach(id => assert(batchDocs(id), s"foreign doc $id in delta"))
+      }
+    }
+
+    // exactly 2 merges fired (post-merge arrivals folded into a merged
+    // segment); neither single batch tripped the threshold alone
+    assert(mergeSnaps.size == 2, s"merges=${mergeSnaps.size}")
+
+    // the final served segment ≡ a batch rebuild over lake ∪ all streamed
+    // docs up to the last merge boundary: with the thresholds above the
+    // final merge lands exactly after the last batch, so the rebuild is
+    // over the FULL corpus
+    val streamedThroughLastMerge = batches.flatten
+    val full = lake.unionByName(
+      streamedThroughLastMerge.toSeq.toDF("doc_id", "text"))
+    val want = keyRows(IndexArtifacts.encodeBlocks(tf(full)))
+    val got = mergeSnaps.last._2
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, v) =>
+      assert(v === want(k), s"served row $k diverges from batch rebuild") }
+  }
+}
