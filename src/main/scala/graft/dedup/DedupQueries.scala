@@ -122,6 +122,22 @@ object DedupQueries {
           FROM long a JOIN long b
             ON a.band_hash = b.band_hash AND a.doc_id < b.doc_id)"""
 
+  /** [[candPairsOracleCte]] with the [[DefaultMaxBucket]] degenerate-
+    * bucket cap applied before the self-join — the oracle twin of
+    * `pairsFromSignatures(sig, Some(DefaultMaxBucket))`. */
+  private[graft] def cappedCandPairsOracleCte: String =
+    s"""$sigLongOracleCte,
+        keepb AS (
+          SELECT band_hash FROM (
+            SELECT band_hash, count(*) AS bw FROM long GROUP BY band_hash)
+          WHERE bw <= $DefaultMaxBucket),
+        longc AS (
+          SELECT l.doc_id, l.band_hash FROM long l JOIN keepb USING (band_hash)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          FROM longc a JOIN longc b
+            ON a.band_hash = b.band_hash AND a.doc_id < b.doc_id)"""
+
   /** Unpivot a signature frame's band0..bandN columns into
     * (doc_id, band_no, band_hash) rows. */
   private[graft] def stackBands(sig: DataFrame): DataFrame =
@@ -129,6 +145,20 @@ object DedupQueries {
       s"stack(${NumHashes / BandSize}, " +
         (0 until NumHashes / BandSize)
           .map(b => s"$b, band$b").mkString(", ") + ") AS (band_no, band_hash)")
+
+  /** Default degenerate-bucket cap for VERIFY stages (VERDICT r10 task
+    * 4): buckets wider than this are boilerplate/template mass whose
+    * C(k,2) pairwise verifications are Θ(n²) by answer size on a
+    * degenerate corpus, while the exact-hash and cluster paths already
+    * handle the class at k−1 edges. 256 clears the widest HEALTHY
+    * bucket by 2.5× at every driver SF (measured max 18 at sf0.01, 100
+    * at sf0.1 — the planted 100-dup class stays fully verified) and
+    * collapses the constant-collision regime (`lsh_band_stats` is the
+    * observability readout; LshScaleSpec pins the no-op on healthy
+    * corpora). `dedup_minhash_pairs` keeps EXACT uncapped semantics —
+    * it IS the candidate-list contract; the cap belongs to verify
+    * consumers that pay per pair. */
+  private[graft] val DefaultMaxBucket = 256
 
   /** Band self-join over an already-materialized (or exchange-reusable)
     * signature frame — the "generate" half of generate-then-verify.
@@ -842,7 +872,17 @@ object DedupQueries {
       // checkpointed artifact (CandidateArtifacts) — the whole LSH family
       // reads ONE materialized shingle+minhash pass
       val sigs = CandidateArtifacts.signatures(s, dir).select("doc_id", "mh")
-      val pairs = CandidateArtifacts.pairs(s, dir)
+      // the DEFAULT-capped candidate list (VERDICT r10 task 4): the
+      // estimator pays per pair (two signature joins + two shingle-set
+      // joins), so degenerate buckets wider than DefaultMaxBucket are
+      // dropped BEFORE the self-join — Θ(n²)-by-answer-size on a
+      // template-farm corpus becomes bounded, while every healthy driver
+      // corpus is untouched (max measured bucket 100 at sf0.1;
+      // LshScaleSpec pins capped ≡ uncapped there). The oracle applies
+      // the identical cap in SQL. Built off the same checkpointed
+      // signature artifact the uncapped pairs read.
+      val pairs = pairsFromSignatures(
+        CandidateArtifacts.signatures(s, dir), Some(DefaultMaxBucket))
       val candDocs = pairs.select(col("a").as("doc_id"))
         .union(pairs.select(col("b"))).distinct()
       // native one-pass shingle-set builder: sorted distinct xxhash64 of
@@ -878,7 +918,7 @@ object DedupQueries {
       val agree = (0 until NumHashes)
         .map(j => s"CASE WHEN x.mh$j = y.mh$j THEN 1 ELSE 0 END")
         .mkString("(", " + ", ")")
-      s"""WITH $candPairsOracleCte,
+      s"""WITH $cappedCandPairsOracleCte,
           mhs AS (
             SELECT doc_id, $mhDefs
             FROM (SELECT doc_id, ${baseHashSql("md5(s)")} AS x
@@ -950,9 +990,51 @@ object DedupQueries {
                FROM (SELECT unnest(range(1, 20)) AS i)"""))
   }
 
+  /** LSH band observability (VERDICT r10 task 4) — the banding twin of
+    * `skew_diagnose`: the band-bucket WIDTH histogram per band, with
+    * each width class's exact pairwise-verification bill
+    * (n_buckets · C(bw, 2)) and whether it falls past the
+    * [[DefaultMaxBucket]] cap. This is the readout that makes the
+    * degenerate-corpus regime VISIBLE before it bites: on a healthy
+    * corpus every row has `over_cap = false` and the pairs column sums
+    * to the `dedup_minhash_pairs` bound; on a template-farm/tiny-vocab
+    * shard the over_cap rows carry almost the entire quadratic mass —
+    * exactly what the capped verify stages drop. Runs off the
+    * session-shared signature artifact: one stack + two map-side-
+    * combined aggregates, output bounded by the distinct width classes
+    * (≪ corpus), nothing pairwise is ever materialized. */
+  private val lshBandStats = Q(
+    "lsh_band_stats",
+    (s, dir) => {
+      val long = stackBands(CandidateArtifacts.signatures(s, dir))
+      long.groupBy(col("band_no"), col("band_hash"))
+        .agg(count(lit(1)).as("bw"))
+        .groupBy(col("band_no"), col("bw"))
+        .agg(count(lit(1)).as("n_buckets"))
+        .select(col("band_no").cast("long").as("band_no"),
+          col("bw"), col("n_buckets"),
+          expr("n_buckets * (bw * (bw - 1) div 2)").as("pairs_bound"),
+          (col("bw") > DefaultMaxBucket).as("over_cap"))
+    },
+    Some {
+      val bandUnion = (0 until NumHashes / BandSize)
+        .map(b => s"SELECT doc_id, $b AS band_no, band$b AS band_hash FROM sig")
+        .mkString(" UNION ALL ")
+      s"""WITH sig AS ($minhashOracle),
+          long AS ($bandUnion),
+          w AS (
+            SELECT band_no, band_hash, CAST(count(*) AS BIGINT) AS bw
+            FROM long GROUP BY band_no, band_hash)
+          SELECT CAST(band_no AS BIGINT) AS band_no, bw,
+            CAST(count(*) AS BIGINT) AS n_buckets,
+            CAST(count(*) AS BIGINT) * (bw * (bw - 1) // 2) AS pairs_bound,
+            bw > $DefaultMaxBucket AS over_cap
+          FROM w GROUP BY band_no, bw"""
+    })
+
   val all: Seq[Q] = Seq(dedupMinhash, dedupMinhashPairs, dedupSimhash,
     dedupNgramJaccard, dedupClusters, splitLeakageSafe, corpusClean,
     dedupIncremental, dedupSubstring, dedupWinnowFp, dedupWinnowPairs,
     dedupKeepBest, minePreferencePairs, dedupSoft, dedupMinhashEst,
-    dedupLshScurve)
+    dedupLshScurve, lshBandStats)
 }

@@ -87,4 +87,38 @@ class LshScaleSpec extends SparkSpec {
       DedupQueries.pairsFromSignatures(healthy).count(),
       "cap altered a corpus with no degenerate buckets")
   }
+
+  /** The DEFAULT cap (r11): `dedup_minhash_est`'s verify stage now runs
+    * capped at [[DedupQueries.DefaultMaxBucket]] by default — on the
+    * driver's real corpora the cap must be a no-op (widest measured
+    * bucket: 18 at sf0.01, 100 at sf0.1 — both well under 256), and the
+    * `lsh_band_stats` readout must agree that nothing is over-cap. */
+  test("DefaultMaxBucket is a no-op on the real test corpus; lsh_band_stats sees no over-cap mass") {
+    val sfDir = "/root/testdata/sf0.001"
+    val sig = CandidateArtifacts.signatures(spark, sfDir)
+    val uncapped = DedupQueries.pairsFromSignatures(sig).count()
+    val capped = DedupQueries.pairsFromSignatures(sig,
+      Some(DedupQueries.DefaultMaxBucket)).count()
+    assert(capped == uncapped,
+      s"default cap dropped pairs on a healthy corpus: $capped != $uncapped")
+    val stats = graft.queries.Registry.queries("lsh_band_stats")(spark, sfDir)
+      .collect()
+    assert(stats.nonEmpty)
+    assert(stats.forall(!_.getAs[Boolean]("over_cap")),
+      "healthy corpus reported over-cap band buckets")
+    // the histogram's pair bill folds back to the uncapped pair BOUND
+    // (≥ distinct pairs: a pair colliding in two bands is counted twice)
+    val bound = stats.map(_.getAs[Long]("pairs_bound")).sum
+    assert(bound >= uncapped, s"pairs_bound $bound < distinct pairs $uncapped")
+    // and on the degenerate class the default cap collapses the bill
+    val k = 400L
+    val degenerate = spark.range(k).select(col("id").as("doc_id"),
+      lit("the exact same boilerplate paragraph repeated verbatim " * 3)
+        .as("text"))
+    val dsig = DedupQueries.minhashSignaturesFull(degenerate)
+      .localCheckpoint(eager = true)
+    assert(DedupQueries.pairsFromSignatures(dsig,
+      Some(DedupQueries.DefaultMaxBucket)).count() == 0L,
+      "a 400-wide degenerate bucket survived the default cap")
+  }
 }
