@@ -42,6 +42,7 @@ object ArtifactFamilies {
     graft.queries.GraphBpeQueries.cnGraphInvalidate()
     graft.text.TextArtifacts.invalidate()
     graft.text.IndexArtifacts.invalidate()
+    graft.text.TrainQueries.trainInvalidate()
     graft.sim.SimQueries.descentInvalidate()
     graft.queries.GraphBpeQueries.uniRound2Invalidate()
   }

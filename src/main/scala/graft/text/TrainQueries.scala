@@ -118,10 +118,28 @@ object TrainQueries {
         s"(greatest(-${ZClamp}L, least(${ZClamp}L, z)) + ${ZClamp}L) div 4"))
   }
 
+  // The trained trajectory is a SESSION ARTIFACT (VERDICT r10 task 5):
+  // `quality_logreg_train` and `mine_training_dynamics` both walk the
+  // same k GD rounds, and each round is a corpus aggregate — without
+  // memoization a bench/verify pass pays the trajectory twice (measured
+  // 2.09 s isolated at sf0.1, ~⅔ of it the rounds). The cached value is
+  // the checkpointed training frame + the driver-side ≤ (k+1)×256-long
+  // weight history — the uni_round2 discipline.
+  private val trainCache =
+    new graft.queries.SessionCache[(org.apache.spark.sql.DataFrame,
+      Seq[Array[Long]])](v => Seq(v._1))
+
+  private[graft] def trainInvalidate(): Unit = trainCache.invalidate()
+
   /** Run the k GD rounds; returns the checkpointed training frame plus
     * the weight-vector HISTORY [w₀ = 0, w₁, …, w_k] — the training
-    * query reads the last entry, the dynamics query reads the path. */
+    * query reads the last entry, the dynamics query reads the path.
+    * Memoized once per (session, corpus). */
   private[text] def trainedWeights(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, Seq[Array[Long]]) =
+    trainCache.getOrBuild(s, dir) { trainedWeightsBuild(s, dir) }
+
+  private def trainedWeightsBuild(s: org.apache.spark.sql.SparkSession,
       dir: String): (org.apache.spark.sql.DataFrame, Seq[Array[Long]]) = {
     val docFeat = docFeatures(s, dir)
     val totTokens = docFeat.agg(sum(col("n_tok"))).head().getLong(0)
