@@ -54,6 +54,7 @@ object CandidateArtifacts {
 
   private val sigCache = new graft.queries.SessionCache[DataFrame](Seq(_))
   private val pairCache = new graft.queries.SessionCache[DataFrame](Seq(_))
+  private val cappedPairCache = new graft.queries.SessionCache[DataFrame](Seq(_))
   private val clusterCache = new graft.queries.SessionCache[DataFrame](Seq(_))
   private val builds = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -76,6 +77,21 @@ object CandidateArtifacts {
     memo(pairCache, s, dir) {
       // both self-join sides read the SAME materialized signature RDD
       DedupQueries.pairsFromSignatures(signatures(s, dir))
+        .localCheckpoint(eager = true)
+    }
+
+  /** (a, b) distinct candidate pairs with the [[DedupQueries
+    * .DefaultMaxBucket]] degenerate-bucket cap applied before the band
+    * self-join — the pair list the CAPPED verify stages
+    * (`dedup_minhash_est`) read (r11). Memoized separately from
+    * [[pairs]] so a bench/verify pass pays the capped self-join once,
+    * not per query execution; on a healthy corpus (no over-cap
+    * buckets) the contents are identical to [[pairs]], and both ride
+    * the same checkpointed signature RDD. */
+  def cappedPairs(s: SparkSession, dir: String): DataFrame =
+    memo(cappedPairCache, s, dir) {
+      DedupQueries.pairsFromSignatures(signatures(s, dir),
+        Some(DedupQueries.DefaultMaxBucket))
         .localCheckpoint(eager = true)
     }
 
@@ -109,7 +125,8 @@ object CandidateArtifacts {
 
   /** Drop all cached artifacts (tests that restart sessions). */
   def invalidate(): Unit = {
-    sigCache.invalidate(); pairCache.invalidate(); clusterCache.invalidate()
+    sigCache.invalidate(); pairCache.invalidate()
+    cappedPairCache.invalidate(); clusterCache.invalidate()
   }
 
   // ---------------------------------------------------------------------
@@ -165,6 +182,7 @@ object CandidateArtifacts {
       // a stale snapshot must not satisfy the session cache either
       sigCache.remove(s, corpusDir)
       pairCache.remove(s, corpusDir)
+      cappedPairCache.remove(s, corpusDir)
       clusterCache.remove(s, corpusDir)
       persistTo(s, corpusDir, artifactDir)
     }

@@ -881,8 +881,7 @@ object DedupQueries {
       // LshScaleSpec pins capped ≡ uncapped there). The oracle applies
       // the identical cap in SQL. Built off the same checkpointed
       // signature artifact the uncapped pairs read.
-      val pairs = pairsFromSignatures(
-        CandidateArtifacts.signatures(s, dir), Some(DefaultMaxBucket))
+      val pairs = CandidateArtifacts.cappedPairs(s, dir)
       val candDocs = pairs.select(col("a").as("doc_id"))
         .union(pairs.select(col("b"))).distinct()
       // native one-pass shingle-set builder: sorted distinct xxhash64 of
