@@ -38,6 +38,8 @@ object IndexArtifacts {
   private val postCache = new graft.queries.SessionCache[DataFrame](Seq(_))
   private val normsCache = new graft.queries.SessionCache[DataFrame](Seq(_))
   private val mergedCache = new graft.queries.SessionCache[DataFrame](Seq(_))
+  private val sweptCache = new graft.queries.SessionCache[DataFrame](Seq(_))
+  private val sweptNormsCache = new graft.queries.SessionCache[DataFrame](Seq(_))
 
   /** ENCODE: (doc_id, term, tf) rows → the canonical posting-row schema
     * `(term, block, df, cf, df_block, cf_block, postings)` — the one
@@ -172,9 +174,83 @@ object IndexArtifacts {
       out
     }
 
+  /** SWEPT SEGMENTS — the erasure twin of [[mergedPostings]], closing
+    * "sweep output is what serve reads" the way merged closed it for
+    * ingest (r11): [[postings]] with the [[docTombstones]] kill-list
+    * PHYSICALLY applied — the index a store serves after the
+    * compaction that follows a delete batch, so the serve path needs
+    * no kill-list at query time. Logically ≡ the index built over the
+    * surviving corpus (IndexQueriesSpec pins the row-for-row equality;
+    * `text_bm25_swept_served` hash-matches the rebuilt-without-deleted
+    * oracle off it).
+    *
+    * Three row classes, Lucene live-docs sweep style:
+    *  1. terms with no deleted doc — pass through byte-identical,
+    *     never decoded;
+    *  2. touched terms' clean blocks — postings string untouched,
+    *     df/cf stats re-stamped to reflect the term's removals;
+    *  3. touched (term, block) pairs — re-delta-encoded over the
+    *     survivors; fully-emptied blocks drop, as in a rebuild.
+    *
+    * Scale shape: one corpus-linear decode pass finds the touched
+    * keys (the cost any segment merge pays — there is no forward
+    * index), the kill-list joins shuffled (corpus-proportional, never
+    * broadcast), and the rewrite itself groups only touched blocks at
+    * ≤ BlockSize rows per collect. */
+  def sweptPostings(s: SparkSession, dir: String): DataFrame =
+    sweptCache.getOrBuild(s, dir) {
+      graft.functions.GraftFunctions.register(s)
+      val post = postings(s, dir)
+      val tomb = docTombstones(s, dir)
+      val dec = decodeBlocks(post)
+      val deleted = dec.join(tomb, "doc_id")
+        .localCheckpoint(eager = true) // feeds keys + stats, decode paid once
+      val touchedT = deleted.select(col("term")).distinct()
+      val touchedTB = deleted.select(col("term"), col("block")).distinct()
+      val rem = deleted.groupBy(col("term"))
+        .agg(count(lit(1)).as("df_removed"), sum(col("tf")).as("cf_removed"))
+      val untouchedTerms = post.join(touchedT, Seq("term"), "left_anti")
+      val cleanBlocks = post.join(touchedT, Seq("term"), "left_semi")
+        .join(touchedTB, Seq("term", "block"), "left_anti")
+        .join(rem, "term")
+        .select(col("term"), col("block"),
+          (col("df") - col("df_removed")).as("df"),
+          (col("cf") - col("cf_removed")).as("cf"),
+          col("df_block"), col("cf_block"), col("postings"))
+      val swept = dec.join(touchedTB, Seq("term", "block"), "left_semi")
+        .join(tomb, Seq("doc_id"), "left_anti")
+        .groupBy(col("term"), col("df"), col("cf"), col("block"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("ps"))
+        .join(rem, "term")
+        .select(col("term"), col("block"),
+          (col("df") - col("df_removed")).as("df"),
+          (col("cf") - col("cf_removed")).as("cf"),
+          size(col("ps")).cast("long").as("df_block"),
+          expr("aggregate(ps, CAST(0 AS BIGINT), (acc, p) -> acc + p.tf)")
+            .as("cf_block"),
+          expr(s"""array_join(transform(ps, (p, i) -> concat(
+                     CAST(p.doc_id - IF(i = 0, block * $BlockSize,
+                       element_at(ps, i).doc_id) AS STRING),
+                     ':', CAST(p.tf AS STRING))), ' ')""").as("postings"))
+      val out = untouchedTerms.unionByName(cleanBlocks).unionByName(swept)
+        .localCheckpoint(eager = true)
+      graft.identity.Components.unpersistCheckpoint(deleted)
+      out
+    }
+
+  /** The norms sidecar with the kill-list applied — [[sweptPostings]]'s
+    * doc-stats twin (dl of every SURVIVING doc; corpus stats off this
+    * frame reflect the erasure exactly as a rebuild would). */
+  def sweptNorms(s: SparkSession, dir: String): DataFrame =
+    sweptNormsCache.getOrBuild(s, dir) {
+      norms(s, dir).join(docTombstones(s, dir), Seq("doc_id"), "left_anti")
+        .localCheckpoint(eager = true)
+    }
+
   /** Drop all cached artifacts (tests that restart sessions). */
   def invalidate(): Unit = {
     postCache.invalidate(); normsCache.invalidate(); mergedCache.invalidate()
+    sweptCache.invalidate(); sweptNormsCache.invalidate()
   }
 
   // ---------------------------------------------------------------------
@@ -190,15 +266,20 @@ object IndexArtifacts {
       fingerprint(s, corpusDir),
       Seq("postings" -> postings(s, corpusDir),
         "norms" -> norms(s, corpusDir),
-        "merged" -> mergedPostings(s, corpusDir)))
+        "merged" -> mergedPostings(s, corpusDir),
+        "swept" -> sweptPostings(s, corpusDir),
+        "swept_norms" -> sweptNorms(s, corpusDir)))
 
   def loadFrom(s: SparkSession, corpusDir: String, artifactDir: String): Boolean =
     graft.queries.ArtifactStore.loadSnapshot(s, artifactDir,
-      fingerprint(s, corpusDir), Seq("postings", "norms", "merged")) match {
+      fingerprint(s, corpusDir),
+      Seq("postings", "norms", "merged", "swept", "swept_norms")) match {
       case Some(m) =>
         postCache.put(s, corpusDir, m("postings"))
         normsCache.put(s, corpusDir, m("norms"))
         mergedCache.put(s, corpusDir, m("merged"))
+        sweptCache.put(s, corpusDir, m("swept"))
+        sweptNormsCache.put(s, corpusDir, m("swept_norms"))
         true
       case None => false
     }
@@ -210,6 +291,7 @@ object IndexArtifacts {
       // a stale snapshot must not satisfy the session cache either
       postCache.remove(s, corpusDir); normsCache.remove(s, corpusDir)
       mergedCache.remove(s, corpusDir)
+      sweptCache.remove(s, corpusDir); sweptNormsCache.remove(s, corpusDir)
       persistTo(s, corpusDir, artifactDir)
     }
     hit

@@ -361,6 +361,26 @@ object IndexQueries {
     Some(TextQueries.bm25OracleSqlOver(
       s"SELECT doc_id, text FROM documents WHERE NOT (${IndexArtifacts.delPredSql("VARCHAR")})")))
 
+  /** Serve from the SWEPT INDEX (r11) — the erasure analogue of
+    * `text_bm25_merged_served`, closing "sweep output is what serve
+    * reads": [[IndexArtifacts.sweptPostings]] has the kill-list
+    * PHYSICALLY applied (the post-compaction store), so this query
+    * runs the serve body with NO tombstone work at query time — df/cf
+    * ride the swept rows, corpus stats aggregate the swept norms — and
+    * still hash-matches the rebuilt-without-deleted oracle
+    * (`text_bm25_swept`'s VERBATIM). Together the two queries pin both
+    * halves of the erasure path: swept-at-serve-time ≡
+    * swept-at-compaction-time ≡ rebuild. */
+  private val textBm25SweptServed = Q(
+    "text_bm25_swept_served",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      bm25ServeFrom(IndexArtifacts.sweptPostings(s, dir),
+        IndexArtifacts.sweptNorms(s, dir), None)
+    },
+    Some(TextQueries.bm25OracleSqlOver(
+      s"SELECT doc_id, text FROM documents WHERE NOT (${IndexArtifacts.delPredSql("VARCHAR")})")))
+
   /** Index-side delete SWEEP (VERDICT r10 task 1) — the merge-time half
     * of the erasure path, `sim_graph_sweep`'s retrieval twin: physically
     * rewrite every (term, block) posting row a tombstoned doc touches,
@@ -446,5 +466,6 @@ object IndexQueries {
                r.df_removed, r.cf_removed"""))
 
   val all: Seq[Q] = Seq(indexInverted, indexIncremental, indexMerge,
-    textBm25Served, textBm25MergedServed, textBm25Swept, indexDelete)
+    textBm25Served, textBm25MergedServed, textBm25Swept, textBm25SweptServed,
+    indexDelete)
 }

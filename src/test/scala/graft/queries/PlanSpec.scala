@@ -1044,7 +1044,10 @@ class PlanSpec extends SparkSpec {
     graft.text.IndexArtifacts.postings(spark, dir)
     graft.text.IndexArtifacts.norms(spark, dir)
     graft.text.IndexArtifacts.mergedPostings(spark, dir)
-    Seq("text_bm25_swept", "text_bm25_merged_served", "index_delete").foreach { n =>
+    graft.text.IndexArtifacts.sweptPostings(spark, dir)
+    graft.text.IndexArtifacts.sweptNorms(spark, dir)
+    Seq("text_bm25_swept", "text_bm25_merged_served", "index_delete",
+        "text_bm25_swept_served").foreach { n =>
       val p = plan(n)
       assert(!p.contains("word_ngrams"), s"$n re-tokenizes the corpus")
       assert(!p.contains("documents.parquet"), s"$n scans the corpus")

@@ -189,6 +189,33 @@ class IndexQueriesSpec extends SparkSpec {
     }
   }
 
+  test("sweptPostings ≡ a rebuild over the surviving corpus; swept serve reads it tombstone-free") {
+    import org.apache.spark.sql.functions._
+    // ground truth: the index built over documents MINUS the kill-list —
+    // same encodeBlocks, corpus pre-filtered
+    val tf = graft.queries.Tables.documents(spark, sfDir)
+      .where(expr(s"NOT (${IndexArtifacts.delPredSql("STRING")})"))
+      .select(col("doc_id"),
+        explode(expr(graft.text.TextQueries.tokenizeExpr)).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    def keyRows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getAs[String]("term"), r.getAs[Long]("block")) ->
+        ((r.getAs[Long]("df"), r.getAs[Long]("cf"), r.getAs[Long]("df_block"),
+          r.getAs[Long]("cf_block"), r.getAs[String]("postings")))
+    }.toMap
+    val want = keyRows(IndexArtifacts.encodeBlocks(tf))
+    val got = keyRows(IndexArtifacts.sweptPostings(spark, sfDir))
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, v) =>
+      assert(v === want(k), s"swept row $k diverges from rebuild-without-deleted") }
+    // and the two serve paths agree: kill-list-at-serve-time ≡
+    // swept-at-compaction-time
+    def top(name: String) = Registry.queries(name)(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_match"),
+        r.getAs[Double]("bm25"), r.getAs[Long]("rk"))).toSet
+    assert(top("text_bm25_swept_served") === top("text_bm25_swept"))
+  }
+
   test("text_bm25_swept never returns a tombstoned doc") {
     val rows = Registry.queries("text_bm25_swept")(spark, sfDir).collect()
     assert(rows.nonEmpty)
