@@ -64,6 +64,35 @@ object StreamIndex {
   def index(stream: DataFrame, lakePostings: DataFrame,
       maxPendingDocs: Long)(
       sink: (DataFrame, Long) => Unit,
+      onMerge: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery =
+    indexCdc(stream.withColumn("op", lit("add")), lakePostings,
+      maxPendingDocs)(sink, onMerge)
+
+  /** [[index]] with DELETES in the stream — the speed layer of the full
+    * erasure path (`index_delete` / `sweptPostings`), mirroring how
+    * `StreamAttach.attachCompacting` pairs with `sim_graph_sweep`:
+    * micro-batches carry `(doc_id, text, op)` with op ∈ add | delete.
+    * Adds emit their delta postings per trigger exactly like [[index]];
+    * deletes accumulate in a pending kill-list (serve-time consumers
+    * would anti-join it — the `text_bm25_swept` shape) and are applied
+    * PHYSICALLY at the next threshold-triggered merge:
+    *
+    *  - the merge's rewrite key set is (terms touched by pending adds)
+    *    ∪ (terms of any tombstoned doc) — the latter found by the one
+    *    full decode pass any segment sweep pays (there is no forward
+    *    index; the Lucene live-docs discipline);
+    *  - rewritten terms re-encode over (surviving decoded rows ∪
+    *    surviving pending adds) — so an add that was deleted before
+    *    ever being merged simply never lands;
+    *  - untouched terms pass through undecoded with valid stats (no
+    *    add and no deleted doc touches them by construction).
+    *
+    * After a merge the served segment is EXACTLY the segment a batch
+    * rebuild over (lake ∪ adds) − deletes would write — StreamIndexSpec
+    * pins it row-for-row, including the add-then-delete case. */
+  def indexCdc(stream: DataFrame, lakePostings: DataFrame,
+      maxPendingDocs: Long)(
+      sink: (DataFrame, Long) => Unit,
       onMerge: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery = {
     graft.functions.GraftFunctions.register(stream.sparkSession)
     def cp(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
@@ -73,11 +102,15 @@ object StreamIndex {
     // of one query run strictly sequentially)
     var served = lakePostings
     var pendingTf: Option[DataFrame] = None
+    var pendingDel: Option[DataFrame] = None
     var pendingDocs = 0L
     var merges = 0L
     stream.writeStream
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, id: Long) =>
+      .foreachBatch { (batchAll: DataFrame, id: Long) =>
+        val batch = batchAll.where(col("op") === "add")
+        val dels = batchAll.where(col("op") === "delete")
+          .select(col("doc_id"))
         // batch tf — the one tokenize pass this trigger pays
         val btf = cp(batch
           .select(col("doc_id"),
@@ -95,28 +128,57 @@ object StreamIndex {
                         element_at(ps, i).doc_id) AS STRING),
                       ':', CAST(p.tf AS STRING))), ' ')""").as("postings"))
         sink(delta, id)
-        // grow the pending tf log
+        // grow the pending tf log + kill-list
         val pt = cp(pendingTf.map(_.unionByName(btf)).getOrElse(btf))
         pendingTf.foreach(release); pendingTf = Some(pt)
-        pendingDocs += batch.select(col("doc_id")).distinct().count()
+        val pd = cp(pendingDel.map(_.unionByName(dels)).getOrElse(dels)
+          .distinct())
+        pendingDel.foreach(release); pendingDel = Some(pd)
+        // deletes count toward the maintenance threshold too — a
+        // delete-heavy stream must still trigger its sweeps
+        pendingDocs += batch.select(col("doc_id")).distinct().count() +
+          dels.count()
         release(btf)
         if (pendingDocs >= maxPendingDocs) {
           merges += 1
-          // the index_merge fold, verbatim shape: decode ONLY the
-          // touched lake terms, union the pending rows, re-encode;
-          // untouched lake rows pass through undecoded
-          val touched = pt.select(col("term")).distinct()
-          val foldedTf = IndexArtifacts.decodeBlocks(
-              served.join(touched, Seq("term"), "left_semi"))
-            .select(col("doc_id"), col("term"), col("tf"))
-            .unionByName(pt.select(col("doc_id"), col("term"), col("tf")))
-          val servedNew = cp(served.join(touched, Seq("term"), "left_anti")
-            .unionByName(IndexArtifacts.encodeBlocks(foldedTf)))
+          val hasDels = pd.limit(1).count() > 0
+          val servedNew = if (!hasDels) {
+            // the index_merge fold, verbatim shape: decode ONLY the
+            // touched lake terms, union the pending rows, re-encode;
+            // untouched lake rows pass through undecoded
+            val touched = pt.select(col("term")).distinct()
+            val foldedTf = IndexArtifacts.decodeBlocks(
+                served.join(touched, Seq("term"), "left_semi"))
+              .select(col("doc_id"), col("term"), col("tf"))
+              .unionByName(pt.select(col("doc_id"), col("term"), col("tf")))
+            cp(served.join(touched, Seq("term"), "left_anti")
+              .unionByName(IndexArtifacts.encodeBlocks(foldedTf)))
+          } else {
+            // merge + SWEEP (the sweptPostings discipline): one full
+            // decode pass finds the tombstoned docs' terms — the cost
+            // any segment sweep pays; the rewrite key set is
+            // (add-touched terms) ∪ (tombstoned docs' terms), and only
+            // those terms re-encode, over survivors ∪ surviving adds
+            val dec = cp(IndexArtifacts.decodeBlocks(served)
+              .select(col("doc_id"), col("term"), col("tf")))
+            val rewrite = cp(pt.select(col("term"))
+              .unionByName(dec.join(pd, "doc_id").select(col("term")))
+              .distinct())
+            val foldedTf = dec.join(rewrite, Seq("term"), "left_semi")
+              .join(pd, Seq("doc_id"), "left_anti")
+              .unionByName(pt.select(col("doc_id"), col("term"), col("tf"))
+                .join(pd, Seq("doc_id"), "left_anti"))
+            val out = cp(served.join(rewrite, Seq("term"), "left_anti")
+              .unionByName(IndexArtifacts.encodeBlocks(foldedTf)))
+            release(dec); release(rewrite)
+            out
+          }
           // release the superseded snapshot — never the CALLER's lake
           // frame (merge 1 supersedes the argument)
           if (merges > 1) release(served)
-          pendingTf.foreach(release)
-          served = servedNew; pendingTf = None; pendingDocs = 0L
+          pendingTf.foreach(release); pendingDel.foreach(release)
+          served = servedNew; pendingTf = None; pendingDel = None
+          pendingDocs = 0L
           onMerge(servedNew, merges)
         }
       }

@@ -101,4 +101,57 @@ class StreamIndexSpec extends SparkSpec {
     got.foreach { case (k, v) =>
       assert(v === want(k), s"served row $k diverges from batch rebuild") }
   }
+
+  test("CDC stream (adds + deletes): merge sweeps tombstones, served ≡ rebuild over survivors") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val lake = docs.where(col("doc_id") % 5 =!= 0)
+    val incoming = docs.where(col("doc_id") % 5 === 0)
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(incoming.length >= 4)
+    val (adds1, adds2) = incoming.splitAt(incoming.length / 2)
+    // tombstones: two standing lake docs + one doc added in batch 1 —
+    // the add-then-delete case must never land in the merged segment
+    val lakeDel = lake.select("doc_id").as[Long].collect().sorted.take(2)
+    val delIds = lakeDel :+ adds1.head._1
+
+    val lakeSeg = IndexArtifacts.encodeBlocks(tf(lake))
+      .localCheckpoint(eager = true)
+    val mergeSnaps = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Map[(String, Long), (Long, Long, Long, Long, String)])]
+    val source = MemoryStream[(Long, String, String)]
+    // threshold = everything streamed → exactly one merge, after batch 2
+    val q = StreamIndex.indexCdc(
+      source.toDF().toDF("doc_id", "text", "op"), lakeSeg,
+      maxPendingDocs = (incoming.length + delIds.length).toLong)(
+      sink = (_, _) => (),
+      onMerge = (served, n) => mergeSnaps += ((n, keyRows(served))))
+    try {
+      source.addData(adds1.map { case (d, t) => (d, t, "add") }.toIndexedSeq: _*)
+      q.processAllAvailable()
+      source.addData((adds2.map { case (d, t) => (d, t, "add") } ++
+        delIds.map(d => (d, "", "delete"))).toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(mergeSnaps.size == 1, s"merges=${mergeSnaps.size}")
+    val delSet = delIds.toSet
+    val survivors = lake.unionByName(incoming.toSeq.toDF("doc_id", "text"))
+      .where(!col("doc_id").isin(delSet.toSeq: _*))
+    val want = keyRows(IndexArtifacts.encodeBlocks(tf(survivors)))
+    val got = mergeSnaps.last._2
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, v) =>
+      assert(v === want(k), s"swept served row $k diverges from survivor rebuild") }
+    // tombstoned docs are really gone: no decoded posting mentions them
+    val decodedIds = IndexArtifacts.decodeBlocks(
+        mergeSnaps.last._2.foldLeft(Seq.empty[(String, Long, Long, Long, Long, Long, String)]) {
+          case (acc, ((t, b), (df, cf, dfb, cfb, p))) =>
+            acc :+ ((t, b, df, cf, dfb, cfb, p))
+        }.toDF("term", "block", "df", "cf", "df_block", "cf_block", "postings"))
+      .select("doc_id").as[Long].collect().toSet
+    delSet.foreach(d => assert(!decodedIds(d), s"tombstoned doc $d still served"))
+  }
 }
