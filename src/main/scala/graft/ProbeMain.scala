@@ -11,7 +11,8 @@ import org.apache.spark.sql.SparkSession
   * run (RegistrySpec pins the registered-query count).
   */
 object ProbeMain {
-  private val Whats = Set("descent", "triclosure", "base_index")
+  private val Whats = Set("descent", "triclosure", "base_index",
+    "base_index_stages")
 
   def main(args: Array[String]): Unit = {
     // ADVICE r08 #4: validate args and take the warmup dir as an
@@ -48,13 +49,17 @@ object ProbeMain {
         r1.queryExecution.toRdd.count()
         adj.queryExecution.toRdd.count()
         codes.queryExecution.toRdd.count()
+      case "base_index_stages" =>
+        graft.sim.SimQueries.descentInvalidate()
+        graft.sim.SimQueries.baseIndexStagesProbe(spark, dir)
+          .foreach { case (n, t) => println(f"  stage $n $t%.3f s") }
     }
     // JVM warm on the (small) warmup corpus
     what match {
       case "descent" => graft.sim.SimQueries.descentR1(spark, warmupDir)
       case "triclosure" =>
         graft.queries.GraphBpeQueries.coClosure(spark, warmupDir)
-      case "base_index" =>
+      case "base_index" | "base_index_stages" =>
         graft.sim.SimQueries.baseIndexBuild(spark, warmupDir)
     }
     (1 to 3).foreach { i =>

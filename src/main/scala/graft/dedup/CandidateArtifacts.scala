@@ -153,6 +153,7 @@ object CandidateArtifacts {
       corpusFingerprint(s, corpusDir),
       Seq("signatures" -> signatures(s, corpusDir),
         "pairs" -> pairs(s, corpusDir),
+        "capped_pairs" -> cappedPairs(s, corpusDir),
         "clusters" -> clusters(s, corpusDir)))
 
   /** If `artifactDir` holds a COMPLETE snapshot stamped with the CURRENT
@@ -164,10 +165,14 @@ object CandidateArtifacts {
   def loadFrom(s: SparkSession, corpusDir: String, artifactDir: String): Boolean =
     graft.queries.ArtifactStore.loadSnapshot(s, artifactDir,
       corpusFingerprint(s, corpusDir),
-      Seq("signatures", "pairs", "clusters")) match {
+      // capped_pairs rides the snapshot too (ADVICE r11: a warm session
+      // otherwise re-paid the capped band self-join on first use); an
+      // older 3-frame snapshot misses the key → miss → rebuild+persist
+      Seq("signatures", "pairs", "capped_pairs", "clusters")) match {
       case Some(m) =>
         sigCache.put(s, corpusDir, m("signatures"))
         pairCache.put(s, corpusDir, m("pairs"))
+        cappedPairCache.put(s, corpusDir, m("capped_pairs"))
         clusterCache.put(s, corpusDir, m("clusters"))
         true
       case None => false

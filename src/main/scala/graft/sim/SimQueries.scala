@@ -60,18 +60,26 @@ object SimQueries {
     if (((hex(0) >> 4) & 0xF) % 2 == 1) 1 else -1
   }
 
-  /** Projection sign expr for plane j over a double-cast array column. */
+  /** Projection sign expr for plane j: the ±1 plane as a 64-float literal
+    * array through the native ordered-fold dot product. Bit-identical to
+    * the 64-term `±CAST($arr[i] AS DOUBLE)` sum it replaces (multiplying
+    * by ±1.0f widened to double IS IEEE negation/identity; the fold order
+    * is the same left-to-right), but the expression tree is ~3× smaller
+    * and the fold is one codegen'd loop — the 8-plane bucket code was the
+    * dominant analysis+execution cost of every seed/forest build (r12
+    * stage probe: seed 2.5 s of the 5 s base-index build at sf0.1).
+    * Callers must have run GraftFunctions.register first (the dotExpr
+    * contract). The ORACLE keeps the spelled-out ±sum — results are
+    * hash-checked identical. */
   private def signExpr(arr: String, j: Int): String = {
-    val terms = (0 until Dim).map { i =>
-      val w = planeWeight(j, i)
-      if (w == 1) s"CAST($arr[$i] AS DOUBLE)" else s"(-CAST($arr[$i] AS DOUBLE))"
-    }
-    // left-fold addition order = array order on both engines
-    s"CASE WHEN (${terms.mkString(" + ")}) > 0 THEN '1' ELSE '0' END"
+    val w = (0 until Dim).map { i =>
+      s"CAST(${planeWeight(j, i)}.0 AS FLOAT)" }.mkString(", ")
+    s"CASE WHEN dot_ordered($arr, array($w)) > 0 THEN '1' ELSE '0' END"
   }
 
   def lshBuckets(emb: DataFrame, planes: Int = NumPlanes,
       firstPlane: Int = 0): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession) // dot_ordered
     val code = (firstPlane until firstPlane + planes)
       .map(j => expr(signExpr("embedding", j)))
     emb.select(col("vec_id"), concat(code: _*).as("bucket"))
@@ -557,13 +565,31 @@ object SimQueries {
   private[sim] def knnSeedDirected(emb: DataFrame,
       planes: Int = NumPlanes, firstPlane: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    val withBucket = lshBuckets(emb, planes, firstPlane)
-      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
-      .withColumn("norm2", expr(dotExpr("embedding", "embedding")))
+    // bucket + norm2 in ONE projection over emb — the former
+    // lshBuckets-then-join-back-on-vec_id paid a whole equi-join exchange
+    // to reattach the embedding column it had just projected away (guide
+    // §2.4: remove shuffles outright); vec_id is unique, so the direct
+    // select is row-identical
+    val withBucket = emb.select(col("vec_id"), col("embedding"),
+        concat((firstPlane until firstPlane + planes)
+          .map(j => expr(signExpr("embedding", j))): _*).as("bucket"),
+        expr(dotExpr("embedding", "embedding")).as("norm2"))
       .localCheckpoint(eager = true) // both sides of the bucket self-join
-    val a = withBucket.select(col("bucket"), col("vec_id").as("a_id"),
+    seedFromBuckets(withBucket, "bucket")
+  }
+
+  /** In-bucket exact-cosine directed top-3 off a checkpointed
+    * (vec_id, embedding, norm2, `bucketCol`) frame — the self-join +
+    * k-bounded select body shared by [[knnSeedDirected]] and the
+    * two-table [[knnDescentSeed]] (which computes both tables' codes in
+    * one projection/checkpoint instead of two). */
+  private def seedFromBuckets(withBucket: DataFrame,
+      bucketCol: String): DataFrame = {
+    val a = withBucket.select(col(bucketCol).as("bucket"),
+      col("vec_id").as("a_id"),
       col("embedding").as("a_emb"), col("norm2").as("a_norm2"))
-    val b = withBucket.select(col("bucket"), col("vec_id").as("b_id"),
+    val b = withBucket.select(col(bucketCol).as("bucket"),
+      col("vec_id").as("b_id"),
       col("embedding").as("b_emb"), col("norm2").as("b_norm2"))
     val tk = udaf(new graft.functions.TopKByValue(3),
       graft.functions.TopKByValue.inputEncoder)
@@ -788,10 +814,22 @@ object SimQueries {
   /** Two-table seed (planes [0, p) and [p, 2p)) for the descent round —
     * `planes` is the corpus-scaling knob (buckets = 2^planes per table;
     * grow planes with n to keep in-bucket candidate sets bounded). */
-  def knnDescentSeed(emb: DataFrame, planes: Int = NumPlanes): DataFrame =
-    knnSeedDirected(emb, planes, 0)
-      .union(knnSeedDirected(emb, planes, planes))
+  def knnDescentSeed(emb: DataFrame, planes: Int = NumPlanes): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    // both hash tables' codes + norm2 in ONE projection and ONE
+    // checkpoint (formerly two knnSeedDirected calls = two emb passes,
+    // two checkpoints, and two join-back exchanges)
+    val withBoth = emb.select(col("vec_id"), col("embedding"),
+        concat((0 until planes)
+          .map(j => expr(signExpr("embedding", j))): _*).as("bucket0"),
+        concat((planes until 2 * planes)
+          .map(j => expr(signExpr("embedding", j))): _*).as("bucket1"),
+        expr(dotExpr("embedding", "embedding")).as("norm2"))
+      .localCheckpoint(eager = true)
+    seedFromBuckets(withBoth, "bucket0")
+      .union(seedFromBuckets(withBoth, "bucket1"))
       .select(col("a_id"), col("b_id"))
+  }
 
   private val descentCache =
     new graft.queries.SessionCache[DataFrame](Seq(_))
@@ -866,6 +904,36 @@ object SimQueries {
   def baseIndexBuild(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) =
     baseIndex(s, dir, baseSplit(s, dir))
+
+  /** Stage-attributed timing of the [[baseIndexBuild]] pipeline (dev
+    * profiling only — graft.ProbeMain `base_index_stages`): each stage
+    * materialized and timed separately so the artifact line's cost can
+    * be attributed before optimizing (guide §1). Bypasses the session
+    * cache; caller should descentInvalidate() first. */
+  private[graft] def baseIndexStagesProbe(s: SparkSession, dir: String)
+      : Seq[(String, Double)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def timed[T](n: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      out += n -> (System.nanoTime() - t0) / 1e9
+      r
+    }
+    val b = timed("base_split_cp") {
+      baseSplit(s, dir).localCheckpoint(eager = true) }
+    val seed = timed("seed") {
+      knnDescentSeed(b).localCheckpoint(eager = true) }
+    val und = timed("und") {
+      seed.union(seed.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+        .distinct().localCheckpoint(eager = true) }
+    val cand = timed("candidates") {
+      candidatesFromUnd(und).localCheckpoint(eager = true) }
+    val r1 = timed("topk") {
+      knnDescentTopK(cand, b).localCheckpoint(eager = true) }
+    timed("capped_und") { cappedUnd(r1).localCheckpoint(eager = true) }
+    timed("forest_codes") { forestCodes(b).localCheckpoint(eager = true) }
+    out.toSeq
+  }
 
   /** Write the base-split index (scored graph + capped adjacency +
     * bucket codes) as a parquet snapshot keyed by the embeddings

@@ -82,14 +82,39 @@ object StreamIndex {
     *    full decode pass any segment sweep pays (there is no forward
     *    index; the Lucene live-docs discipline);
     *  - rewritten terms re-encode over (surviving decoded rows ∪
-    *    surviving pending adds) — so an add that was deleted before
-    *    ever being merged simply never lands;
+    *    pending adds) — so an add that was deleted before ever being
+    *    merged simply never lands;
     *  - untouched terms pass through undecoded with valid stats (no
     *    add and no deleted doc touches them by construction).
     *
+    * CDC ordering is LAST-WRITER-WINS per doc_id across the pending
+    * window (ADVICE r11): each trigger supersedes any pending state for
+    * the doc_ids it touches (a re-add replaces an earlier pending add's
+    * rows; a delete drops them), and within one micro-batch — which
+    * carries no sequence column — a delete of a doc_id supersedes an
+    * add of the same doc_id. Deletes are never cancelled by a later
+    * add: the tombstone still has to sweep the doc's LAKE rows at the
+    * merge (delete-then-re-add is Lucene's updateDocument — sweep the
+    * old version, land the new one). The one documented PRECONDITION:
+    * an add of a doc_id already LIVE in the served segment must be
+    * preceded (or accompanied) by a delete op — an un-tombstoned
+    * re-add would double-count the doc's (doc_id, term) rows. The
+    * merge throws on any such collision it can see in the rows it
+    * decodes anyway (all of them when any delete is pending; the
+    * add-touched term slice otherwise) rather than serving an
+    * inflated df.
+    *
     * After a merge the served segment is EXACTLY the segment a batch
-    * rebuild over (lake ∪ adds) − deletes would write — StreamIndexSpec
-    * pins it row-for-row, including the add-then-delete case. */
+    * rebuild over (lake − deletes) ∪ last-writer adds would write —
+    * StreamIndexSpec pins it row-for-row, including add-then-delete
+    * (never lands) and delete-then-re-add (new version lands).
+    *
+    * SESSION-SCOPED (ADVICE r11): state lives in driver-held frames and
+    * `foreachBatch` ignores `batchId`, so the stream must not be run
+    * with a recovery `checkpointLocation` — a replayed micro-batch
+    * would union its rows into the pending window twice. Restart = cold
+    * start from the current lake segment, the [[StreamAttach]]
+    * contract. */
   def indexCdc(stream: DataFrame, lakePostings: DataFrame,
       maxPendingDocs: Long)(
       sink: (DataFrame, Long) => Unit,
@@ -128,9 +153,18 @@ object StreamIndex {
                         element_at(ps, i).doc_id) AS STRING),
                       ':', CAST(p.tf AS STRING))), ' ')""").as("postings"))
         sink(delta, id)
-        // grow the pending tf log + kill-list
-        val pt = cp(pendingTf.map(_.unionByName(btf)).getOrElse(btf))
+        // grow the pending tf log + kill-list, LAST-WRITER-WINS per doc:
+        // this trigger's ops supersede any pending rows for the same
+        // doc_ids, and within the batch a delete supersedes an add
+        val touchedDocs = batchAll.select(col("doc_id")).distinct()
+        val btfLive = btf.join(dels, Seq("doc_id"), "left_anti")
+        val pt = cp(pendingTf
+          .map(_.join(touchedDocs, Seq("doc_id"), "left_anti")
+            .unionByName(btfLive))
+          .getOrElse(btfLive))
         pendingTf.foreach(release); pendingTf = Some(pt)
+        // deletes accumulate unconditionally — a later re-add does NOT
+        // cancel the tombstone, which still sweeps the doc's lake rows
         val pd = cp(pendingDel.map(_.unionByName(dels)).getOrElse(dels)
           .distinct())
         pendingDel.foreach(release); pendingDel = Some(pd)
@@ -142,32 +176,49 @@ object StreamIndex {
         if (pendingDocs >= maxPendingDocs) {
           merges += 1
           val hasDels = pd.limit(1).count() > 0
+          val ptDocs = pt.select(col("doc_id")).distinct()
+          def guardCollision(decodedLive: DataFrame): Unit = {
+            val hit = decodedLive.join(ptDocs, Seq("doc_id"), "left_semi")
+              .select(col("doc_id")).limit(1).collect()
+            if (hit.nonEmpty) throw new IllegalStateException(
+              s"StreamIndex: add of doc_id ${hit.head.getLong(0)} collides " +
+                "with a live lake doc — an update must arrive as delete+add " +
+                "(un-tombstoned re-adds would double-count postings)")
+          }
           val servedNew = if (!hasDels) {
             // the index_merge fold, verbatim shape: decode ONLY the
             // touched lake terms, union the pending rows, re-encode;
             // untouched lake rows pass through undecoded
             val touched = pt.select(col("term")).distinct()
-            val foldedTf = IndexArtifacts.decodeBlocks(
+            val decTouched = cp(IndexArtifacts.decodeBlocks(
                 served.join(touched, Seq("term"), "left_semi"))
-              .select(col("doc_id"), col("term"), col("tf"))
+              .select(col("doc_id"), col("term"), col("tf")))
+            guardCollision(decTouched) // best-effort: the slice decoded anyway
+            val foldedTf = decTouched
               .unionByName(pt.select(col("doc_id"), col("term"), col("tf")))
-            cp(served.join(touched, Seq("term"), "left_anti")
+            val out = cp(served.join(touched, Seq("term"), "left_anti")
               .unionByName(IndexArtifacts.encodeBlocks(foldedTf)))
+            release(decTouched)
+            out
           } else {
             // merge + SWEEP (the sweptPostings discipline): one full
             // decode pass finds the tombstoned docs' terms — the cost
             // any segment sweep pays; the rewrite key set is
             // (add-touched terms) ∪ (tombstoned docs' terms), and only
-            // those terms re-encode, over survivors ∪ surviving adds
+            // those terms re-encode, over lake survivors ∪ pending adds
+            // (adds are NOT anti-joined against the kill-list: the
+            // pending log is already last-writer-wins, so a pending add
+            // postdates any pending delete of the same doc — anti-joining
+            // here is what silently lost delete-then-re-add updates)
             val dec = cp(IndexArtifacts.decodeBlocks(served)
               .select(col("doc_id"), col("term"), col("tf")))
+            guardCollision(dec.join(pd, Seq("doc_id"), "left_anti"))
             val rewrite = cp(pt.select(col("term"))
               .unionByName(dec.join(pd, "doc_id").select(col("term")))
               .distinct())
             val foldedTf = dec.join(rewrite, Seq("term"), "left_semi")
               .join(pd, Seq("doc_id"), "left_anti")
-              .unionByName(pt.select(col("doc_id"), col("term"), col("tf"))
-                .join(pd, Seq("doc_id"), "left_anti"))
+              .unionByName(pt.select(col("doc_id"), col("term"), col("tf")))
             val out = cp(served.join(rewrite, Seq("term"), "left_anti")
               .unionByName(IndexArtifacts.encodeBlocks(foldedTf)))
             release(dec); release(rewrite)

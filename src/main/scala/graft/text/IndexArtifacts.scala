@@ -202,9 +202,13 @@ object IndexArtifacts {
       graft.functions.GraftFunctions.register(s)
       val post = postings(s, dir)
       val tomb = docTombstones(s, dir)
-      val dec = decodeBlocks(post)
+      // the one corpus-linear decode pass, checkpointed so BOTH readers
+      // (the deleted-rows frame and the survivor re-encode below) pay it
+      // once (ADVICE r11: only `deleted` was checkpointed, so the swept
+      // branch re-ran the full posexplode + window a second time)
+      val dec = decodeBlocks(post).localCheckpoint(eager = true)
       val deleted = dec.join(tomb, "doc_id")
-        .localCheckpoint(eager = true) // feeds keys + stats, decode paid once
+        .localCheckpoint(eager = true) // feeds keys + stats
       val touchedT = deleted.select(col("term")).distinct()
       val touchedTB = deleted.select(col("term"), col("block")).distinct()
       val rem = deleted.groupBy(col("term"))
@@ -234,6 +238,7 @@ object IndexArtifacts {
                      ':', CAST(p.tf AS STRING))), ' ')""").as("postings"))
       val out = untouchedTerms.unionByName(cleanBlocks).unionByName(swept)
         .localCheckpoint(eager = true)
+      graft.identity.Components.unpersistCheckpoint(dec)
       graft.identity.Components.unpersistCheckpoint(deleted)
       out
     }

@@ -154,4 +154,54 @@ class StreamIndexSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     delSet.foreach(d => assert(!decodedIds(d), s"tombstoned doc $d still served"))
   }
+
+  test("CDC delete-then-re-add (update): the NEW version lands, the lake version sweeps") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val lake = docs.where(col("doc_id") % 5 =!= 0)
+    // update target: a standing lake doc, re-added with CHANGED text; a
+    // second pending doc is added twice (re-add replaces the first
+    // pending version — last-writer-wins inside the window)
+    val updId = lake.select("doc_id").as[Long].collect().min
+    val newText = "updated body rewritten after erasure"
+    val (freshId, freshOld) = docs.where(col("doc_id") % 5 === 0)
+      .as[(Long, String)].collect().minBy(_._1)
+    val freshNew = freshOld + " trailing revision token"
+
+    val lakeSeg = IndexArtifacts.encodeBlocks(tf(lake))
+      .localCheckpoint(eager = true)
+    val mergeSnaps = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Map[(String, Long), (Long, Long, Long, Long, String)])]
+    val source = MemoryStream[(Long, String, String)]
+    val q = StreamIndex.indexCdc(
+      source.toDF().toDF("doc_id", "text", "op"), lakeSeg,
+      maxPendingDocs = 5L)(
+      sink = (_, _) => (),
+      onMerge = (served, n) => mergeSnaps += ((n, keyRows(served))))
+    try {
+      // batch 1: tombstone the lake doc, land the fresh doc's v1
+      source.addData((updId, "", "delete"), (freshId, freshOld, "add"))
+      q.processAllAvailable()
+      // batch 2: tombstone the still-pending fresh doc
+      source.addData((freshId, "", "delete"))
+      q.processAllAvailable()
+      // batch 3: re-add BOTH tombstoned docs with new text — trips the
+      // merge (5 pending doc events); both new versions must land
+      source.addData((freshId, freshNew, "add"), (updId, newText, "add"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(mergeSnaps.size == 1, s"merges=${mergeSnaps.size}")
+    // rebuild oracle: lake with updId's text REPLACED, plus freshId's v2
+    val want = keyRows(IndexArtifacts.encodeBlocks(tf(
+      lake.where(col("doc_id") =!= updId)
+        .unionByName(Seq((updId, newText), (freshId, freshNew))
+          .toDF("doc_id", "text")))))
+    val got = mergeSnaps.last._2
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, v) =>
+      assert(v === want(k), s"updated served row $k diverges from rebuild") }
+  }
 }
