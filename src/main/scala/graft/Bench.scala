@@ -247,6 +247,38 @@ object Bench {
     var keep = bySlowest.length
     while (keep > 1 && line(bySlowest.take(keep).sortBy(_._1)).length > 1800)
       keep -= 1
+    // Outlier protocol, automated (VERDICT r11 task 7): compare each
+    // query against the LAST capture on disk and flag >1.5× slowdowns
+    // as `# bench_outlier <name> <ratio>` so drift-vs-real triage starts
+    // in the same run instead of a round later. Read the prior capture
+    // BEFORE this run overwrites it; the flags are advisory comment
+    // lines (never bare JSON — the one-parseable-line contract), and the
+    // arbiter for a flagged line stays the isolated best-of-3
+    // (SPARK_GRAFT_ONLY=<name> SPARK_GRAFT_REPEAT=3), per BASELINE.md.
+    if (only.isEmpty) try {
+      val prior = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BENCH_FULL.json")), "UTF-8")
+      val entry = "\"([a-z0-9_]+)\":([0-9.]+)".r
+      def flag(block: String, now: Seq[(String, Double)], kind: String): Unit = {
+        val parts = prior.split("\"" + block + "\":\\{", 2)
+        if (parts.length == 2) {
+          val priorTimes = entry.findAllMatchIn(parts(1).split("\\}", 2)(0))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          now.sortBy(_._1).foreach { case (n, t) =>
+            priorTimes.get(n).filter(_ > 0.05).foreach { p =>
+              val ratio = t / p
+              if (ratio > 1.5)
+                println(f"# bench_outlier $kind $n $ratio%.2fx (${fmt(p)} -> ${fmt(t)})")
+            }
+          }
+        }
+      }
+      flag("queries", results.toSeq, "query")
+      // artifact builds get the same triage (an artifact-line swing is
+      // the same drift-vs-real question — r12 caught graph_triclosure
+      // 4.5 -> 16.8 s in a bandwidth-noisy window this way)
+      flag("artifacts", artifactTimes, "artifact")
+    } catch { case _: Throwable => () }
     // SPARK_GRAFT_ONLY is the local-profiling loop — a filtered run's
     // handful of queries must never clobber the committed full-registry
     // record (round 10: a 3-query isolated re-measure silently replaced

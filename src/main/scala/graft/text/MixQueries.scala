@@ -55,12 +55,14 @@ object MixQueries {
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val docs = Tables.documents(s, dir)
-      // (doc, lang, token) counts: ONE tokenize pass feeds both the LM fit
-      // and the per-doc scoring (the sample_importance shape).
-      val pre = Tables.spread(docs.select(col("doc_id"), col("lang"), col("text")))
-        .select(col("doc_id"), col("lang"), explode(expr(tokenizeExpr)).as("token"))
-        .groupBy(col("doc_id"), col("lang"), col("token"))
-        .agg(count(lit(1)).as("cnt"))
+      // (doc, lang, token) counts = the shared word-count artifact with
+      // the doc's lang attached (r12: the inline tokenize re-ran the
+      // regex pass this artifact already pays once per corpus); one
+      // checkpointed frame feeds both the LM fit and the per-doc scoring
+      // (the sample_importance shape).
+      val pre = graft.text.TextArtifacts.wordCounts(s, dir)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("lang"), col("token"), col("cnt"))
         .localCheckpoint(eager = true)
       val freq = pre.groupBy(col("lang"), col("token")).agg(sum(col("cnt")).as("c"))
       val totals = freq.groupBy(col("lang")).agg(sum(col("c")).as("tot"))
@@ -208,7 +210,14 @@ object MixQueries {
     *     so every step stays in exact integer micro-nats (a cross-engine
     *     exp() would break the determinism contract).
     *
-    * Scale shape: the frequency table is vocabulary-sized → joined
+    * Scale shape: rides the shared (doc_id, token, cnt) word-count
+    * artifact instead of re-tokenizing the corpus (r12: the inline
+    * explode ran the tokenizer twice — once under the reference
+    * frequency table, once under the per-source fold — and shuffled raw
+    * token INSTANCES into the freq join; the artifact shape shuffles
+    * per-doc aggregated counts, strictly fewer rows, and weights every
+    * per-token quantity by cnt — exact integer algebra, sums
+    * unchanged). The frequency table is vocabulary-sized → joined
     * shuffled, never hint-broadcast (the tfidf rule); model totals and
     * the per-source frame (≤ #sources rows) broadcast; per-token NLL
     * quantizes per ROW to micro-nats so every sum is order-free BIGINT
@@ -219,21 +228,24 @@ object MixQueries {
     "mix_doremi",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      val toks = Tables.documents(s, dir)
-        .withColumn("is_ref", expr(s"(${md5Byte("CAST(doc_id AS STRING)")}) < 128"))
-        .select(col("source"), col("is_ref"),
-          explode(expr(tokenizeExpr)).as("token"))
-      val freq = toks.where(col("is_ref"))
-        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-      val stats = freq.agg(sum(col("cnt")).as("rtot"), count(lit(1)).as("v"))
-      val per = toks
+      val wc = graft.text.TextArtifacts.wordCounts(s, dir)
+      // the reference half derives from doc_id alone — the freq branch
+      // filters the artifact directly, no doc-metadata join; only the
+      // per-source fold attaches `source` (one doc-keyed equi-join)
+      val freq = wc
+        .where(expr(s"(${md5Byte("CAST(doc_id AS STRING)")}) < 128"))
+        .groupBy(col("token")).agg(sum(col("cnt")).as("fcnt"))
+      val stats = freq.agg(sum(col("fcnt")).as("rtot"), count(lit(1)).as("v"))
+      val per = wc
+        .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          "doc_id")
         .join(freq, Seq("token"), "left")
         .crossJoin(broadcast(stats))
         .withColumn("q", expr(
-          """CAST(round(ln(CAST(coalesce(cnt, 0L) + 1 AS DOUBLE)
+          """CAST(round(ln(CAST(coalesce(fcnt, 0L) + 1 AS DOUBLE)
                / CAST(rtot + v AS DOUBLE)) * 1000000.0, 0) AS BIGINT)"""))
         .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_tok"), sum(col("q")).as("sq"))
+        .agg(sum(col("cnt")).as("n_tok"), sum(col("q") * col("cnt")).as("sq"))
       val tot = per.agg(sum(col("n_tok")).as("t_tok"), sum(col("sq")).as("t_sq"))
       val ex = per.crossJoin(broadcast(tot))
         .withColumn("nll_micro", expr("(-sq) div n_tok"))
