@@ -31,7 +31,9 @@ object ArtifactFamilies {
     "base_index" -> (() => graft.sim.SimQueries
       .baseIndexEnsure(spark, sfDir, s"$artifactDir/base_index")),
     "uni_round2" -> (() => graft.queries.GraphBpeQueries
-      .uniRound2Ensure(spark, sfDir, s"$artifactDir/uni_round2")))
+      .uniRound2Ensure(spark, sfDir, s"$artifactDir/uni_round2")),
+    "centroids" -> (() => graft.sim.ClusterQueries
+      .centroidsEnsure(spark, sfDir, s"$artifactDir/centroids")))
 
   /** Drop every family's session cache (bench passes, warm-gate second
     * passes, tests). */
@@ -45,5 +47,6 @@ object ArtifactFamilies {
     graft.text.TrainQueries.trainInvalidate()
     graft.sim.SimQueries.descentInvalidate()
     graft.queries.GraphBpeQueries.uniRound2Invalidate()
+    graft.sim.ClusterQueries.centroidsInvalidate()
   }
 }

@@ -133,16 +133,22 @@ class PlanSpec extends SparkSpec {
       "gram transform re-inlined above/below the checkpoint")
   }
 
-  test("cluster_kmeans assigns via partial agg, not a window") {
+  test("cluster_kmeans assigns via a literal-fold projection, not a window") {
     val q = graft.SparkEntry.queries("cluster_kmeans")(spark, dir)
     val windows = q.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
     assert(windows.isEmpty,
       "k-means argmin regressed to a row_number window (shuffles k*n rows)")
+    // r13: the argmin is least(struct(sqdist, cid), ...) over the k
+    // centroids inlined as literals — ONE codegen'd projection over the
+    // scan; any join or aggregate here means the crossJoin×k + sort-agg
+    // shape (which shuffled and sorted k·n rows per pass) came back
     val p = q.queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
-      "centroids are not broadcast")
+    assert(p.contains("least(struct(dist, sqdist_ordered("),
+      "centroid argmin is not the inlined least(struct(sqdist...)) fold")
+    assert(!p.contains("Exchange") && !p.contains("SortAggregate"),
+      "k-means assignment reintroduced a shuffle/sort-aggregate")
   }
 
   test("sim_ann_multiprobe explodes probes only on the query side") {
