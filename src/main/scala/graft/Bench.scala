@@ -108,7 +108,8 @@ object Bench {
       "sim_descent_r1" -> (() => graft.sim.SimQueries.descentR1(spark, sfDir)),
       "sim_base_index" -> (() => graft.sim.SimQueries.baseIndexBuild(spark, sfDir)),
       "uni_round2" -> (() => graft.queries.GraphBpeQueries.uniRound2Pieces(spark, sfDir)),
-      "cluster_centroids" -> (() => graft.sim.ClusterQueries.centroids(spark, sfDir)))
+      "cluster_centroids" -> (() => graft.sim.ClusterQueries.centroids(spark, sfDir)),
+      "eval_grams" -> (() => graft.queries.EvalQueries.gramCounts(spark, sfDir)))
     // A failed build must NOT vanish into an inflated query time
     // (VERDICT r06 what's-wrong #2): log it and mark the line -1.
     def buildOnce(): Seq[(String, Double)] = artifactBuilds.map { case (n, fn) =>

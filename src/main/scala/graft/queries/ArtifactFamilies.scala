@@ -33,7 +33,9 @@ object ArtifactFamilies {
     "uni_round2" -> (() => graft.queries.GraphBpeQueries
       .uniRound2Ensure(spark, sfDir, s"$artifactDir/uni_round2")),
     "centroids" -> (() => graft.sim.ClusterQueries
-      .centroidsEnsure(spark, sfDir, s"$artifactDir/centroids")))
+      .centroidsEnsure(spark, sfDir, s"$artifactDir/centroids")),
+    "eval_grams" -> (() => graft.queries.EvalQueries
+      .gramEnsure(spark, sfDir, s"$artifactDir/eval_grams")))
 
   /** Drop every family's session cache (bench passes, warm-gate second
     * passes, tests). */
@@ -48,5 +50,6 @@ object ArtifactFamilies {
     graft.sim.SimQueries.descentInvalidate()
     graft.queries.GraphBpeQueries.uniRound2Invalidate()
     graft.sim.ClusterQueries.centroidsInvalidate()
+    graft.queries.EvalQueries.gramInvalidate()
   }
 }

@@ -26,6 +26,69 @@ object EvalQueries {
 
   private val tokenizeExpr = "word_ngrams(text, 1, false)"
 
+  // ---------------------------------------------------------------------
+  // Session-shared per-candidate-doc gram tables — eval_bleu, eval_rouge_n
+  // and eval_token_f1 each re-ran the same `word_gram_hash_counts` pass
+  // over the candidate docs behind their own checkpoint; one frame feeds
+  // all three (the wordCounts discipline applied to the overlap family).
+  // ---------------------------------------------------------------------
+
+  private val gramCache = new graft.queries.SessionCache[DataFrame](Seq(_))
+
+  /** (doc_id, u, v) — sorted (gram-hash, multiplicity) tables + totals
+    * for unigrams and bigrams, one row per candidate doc, built once per
+    * (session, corpus). */
+  def gramCounts(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    gramCache.getOrBuild(s, dir) {
+      graft.functions.GraftFunctions.register(s)
+      val pairs = graft.dedup.CandidateArtifacts.pairs(s, dir)
+      val candDocs = pairs.select(col("a").as("doc_id"))
+        .union(pairs.select(col("b"))).distinct()
+      Tables.spread(Tables.documents(s, dir).select("doc_id", "text")
+          .join(candDocs, Seq("doc_id"), "left_semi"))
+        .select(col("doc_id"),
+          expr("word_gram_hash_counts(text, 1)").as("u"),
+          expr("word_gram_hash_counts(text, 2)").as("v"))
+        .localCheckpoint(eager = true)
+    }
+
+  def gramInvalidate(): Unit = gramCache.invalidate()
+
+  private def gramFingerprint(s: org.apache.spark.sql.SparkSession,
+      corpusDir: String): String =
+    graft.queries.TableFingerprint.of(s, s"$corpusDir/documents.parquet")
+
+  /** Write the gram tables as a parquet snapshot keyed by the documents
+    * fingerprint (the artifact-family warm-mode lifecycle). */
+  def gramPersistTo(s: org.apache.spark.sql.SparkSession, corpusDir: String,
+      artifactDir: String): Unit =
+    graft.queries.ArtifactStore.writeSnapshot(s, artifactDir,
+      gramFingerprint(s, corpusDir),
+      Seq("eval_grams" -> gramCounts(s, corpusDir)))
+
+  /** Seed the session cache from a persisted snapshot whose key matches
+    * the CURRENT documents fingerprint; false otherwise. */
+  def gramLoadFrom(s: org.apache.spark.sql.SparkSession, corpusDir: String,
+      artifactDir: String): Boolean =
+    graft.queries.ArtifactStore.loadSnapshot(s, artifactDir,
+      gramFingerprint(s, corpusDir), Seq("eval_grams")) match {
+      case Some(m) =>
+        gramCache.put(s, corpusDir, m("eval_grams"))
+        true
+      case None => false
+    }
+
+  /** Load-or-build-and-persist; true when the snapshot was reused. */
+  def gramEnsure(s: org.apache.spark.sql.SparkSession, corpusDir: String,
+      artifactDir: String): Boolean = {
+    val hit = gramLoadFrom(s, corpusDir, artifactDir)
+    if (!hit) {
+      gramCache.remove(s, corpusDir)
+      gramPersistTo(s, corpusDir, artifactDir)
+    }
+    hit
+  }
+
   /** First two md5 hex digits as 0..255 — same digit math on both engines
     * (the CurationQueries hashing convention). */
   private def md5Byte(sqlExprStr: String): String =
@@ -55,13 +118,19 @@ object EvalQueries {
 
   private[queries] def scoredDf(s: org.apache.spark.sql.SparkSession, dir: String) = {
     graft.functions.GraftFunctions.register(s)
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), col("n_chars"),
-        explode(expr(tokenizeExpr)).as("term"))
+    // rides the session word-count artifact (r13): Σ_instances w(term) ≡
+    // Σ_distinct cnt·w(term) and n_tok ≡ Σ cnt — exact integer algebra
+    // (the mix_doremi rewrite), so the corpus tokenize+explode pass leaves
+    // the query and the md5 weight is computed once per DISTINCT (doc,
+    // token) instead of per occurrence. Zero-token docs have no wordCounts
+    // row and the join is inner — same drop as the old explode.
+    graft.text.TextArtifacts.wordCounts(s, dir)
       .withColumn("w_milli",
-        expr(s"CAST((${md5Byte("term")}) AS BIGINT) * 2654435761 % 2001 - 1000"))
-      .groupBy(col("doc_id"), col("lang"), col("n_chars"))
-      .agg(count(lit(1)).as("n_tok"), sum(col("w_milli")).as("sw"))
+        expr(s"CAST((${md5Byte("token")}) AS BIGINT) * 2654435761 % 2001 - 1000"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tok"), sum(col("w_milli") * col("cnt")).as("sw"))
+      .join(Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars")), "doc_id")
       .select(col("lang"),
         expr("""(CAST(floor(CAST(sw AS DOUBLE) * 1000.0 / CAST(n_tok AS DOUBLE))
                   AS BIGINT) + 1000000) div 1000""").as("bucket"),
@@ -176,8 +245,12 @@ object EvalQueries {
     "eval_rate_ci",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
+      // n_tok folds off the doc-length artifact instead of re-tokenizing
+      // the corpus (r13); token-free docs have no artifact row → 0
       Tables.documents(s, dir)
-        .withColumn("n_tok", size(expr(tokenizeExpr)).cast("long"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .join(graft.text.TextArtifacts.docLens(s, dir), Seq("doc_id"), "left")
+        .withColumn("n_tok", coalesce(col("n_tok"), lit(0L)))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n"),
           sum((col("n_tok") >= 20 && col("n_chars") >= 100).cast("long"))
@@ -226,12 +299,9 @@ object EvalQueries {
     "eval_bleu",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      val docs = Tables.documents(s, dir)
       // session-shared checkpointed candidate pairs (CandidateArtifacts)
       // — already materialized for the candidate-doc gate + verify join
       val pairs = graft.dedup.CandidateArtifacts.pairs(s, dir)
-      val candDocs = pairs.select(col("a").as("doc_id"))
-        .union(pairs.select(col("b"))).distinct()
       // per candidate doc, ONE native pass per n builds the sorted
       // (gram-hash, multiplicity) table + total gram count; the clipped
       // match m_n then costs a linear merge per pair (sorted_summin)
@@ -239,13 +309,10 @@ object EvalQueries {
       // re-aggregate (the old shape's dominant cost). tot doubles as the
       // reference length r (unigram tot of the b side) — the DOCUMENT-
       // derived length, so a token-free reference still emits its row
-      // with r = 0 like the oracle's always-present rl CTE.
-      val per = Tables.spread(docs.select("doc_id", "text")
-          .join(candDocs, Seq("doc_id"), "left_semi"))
-        .select(col("doc_id"),
-          expr("word_gram_hash_counts(text, 1)").as("u"),
-          expr("word_gram_hash_counts(text, 2)").as("v"))
-        .localCheckpoint(eager = true) // a-side and b-side clipped-match passes
+      // with r = 0 like the oracle's always-present rl CTE. The frame is
+      // the session-shared [[gramCounts]] artifact (r13) — bleu, rouge_n
+      // and token_f1 each re-derived it.
+      val per = gramCounts(s, dir)
       // the a-side (candidate) stays an INNER semantics on having tokens:
       // a token-free candidate (digits/punctuation-only, t1 = 0) emits no
       // gram rows in the oracle's gc CTE, so its pairs drop on BOTH
@@ -335,16 +402,9 @@ object EvalQueries {
     "eval_rouge_n",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      val docs = Tables.documents(s, dir)
       val pairs = graft.dedup.CandidateArtifacts.pairs(s, dir)
-      val candDocs = pairs.select(col("a").as("doc_id"))
-        .union(pairs.select(col("b"))).distinct()
-      val per = Tables.spread(docs.select("doc_id", "text")
-          .join(candDocs, Seq("doc_id"), "left_semi"))
-        .select(col("doc_id"),
-          expr("word_gram_hash_counts(text, 1)").as("u"),
-          expr("word_gram_hash_counts(text, 2)").as("v"))
-        .localCheckpoint(eager = true) // a-side and b-side passes
+      // session-shared gram tables (the eval_bleu note)
+      val per = gramCounts(s, dir)
       pairs
         .join(per.select(col("doc_id").as("a"), col("u").as("ua"),
           col("v").as("va")), "a")
@@ -564,13 +624,10 @@ object EvalQueries {
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val pairs = graft.dedup.CandidateArtifacts.pairs(s, dir)
-      val candDocs = pairs.select(col("a").as("doc_id"))
-        .union(pairs.select(col("b"))).distinct()
-      val per = Tables.spread(Tables.documents(s, dir)
-          .select(col("doc_id"), col("text"))
-          .join(candDocs, Seq("doc_id"), "left_semi"))
-        .select(col("doc_id"), expr("word_gram_hash_counts(text, 1)").as("g"))
-        .localCheckpoint(eager = true) // a-side and b-side passes
+      // session-shared gram tables (the eval_bleu note); F1 reads the
+      // unigram half only
+      val per = gramCounts(s, dir)
+        .select(col("doc_id"), col("u").as("g"))
       pairs
         .join(per.select(col("doc_id").as("a"), col("g").as("ga")), "a")
         .join(per.select(col("doc_id").as("b"), col("g").as("gb")), "b")
@@ -655,8 +712,11 @@ object EvalQueries {
     "eval_pass_at_k",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
+      // n_tok off the doc-length artifact (the eval_rate_ci note)
       Tables.documents(s, dir)
-        .withColumn("n_tok", size(expr(tokenizeExpr)).cast("long"))
+        .select(col("doc_id"), col("n_chars"))
+        .join(graft.text.TextArtifacts.docLens(s, dir), Seq("doc_id"), "left")
+        .withColumn("n_tok", coalesce(col("n_tok"), lit(0L)))
         .groupBy(expr("doc_id div 50").as("task_id"))
         .agg(count(lit(1)).as("n"),
           sum((col("n_tok") >= 20 && col("n_chars") >= 100).cast("long"))
@@ -965,9 +1025,12 @@ object EvalQueries {
     "eval_bootstrap_ci",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
+      // n_tok off the doc-length artifact (the eval_rate_ci note)
       val gated = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .join(graft.text.TextArtifacts.docLens(s, dir), Seq("doc_id"), "left")
         .select(col("doc_id"), col("lang"),
-          (size(expr(tokenizeExpr)) >= 20 && col("n_chars") >= 100)
+          (coalesce(col("n_tok"), lit(0L)) >= 20 && col("n_chars") >= 100)
             .cast("long").as("x"))
         .localCheckpoint(eager = true) // point estimate + B-replica explode
       val u16 = PortableHash.md5Hex4("concat(CAST(doc_id AS STRING), '|', CAST(r AS STRING))")
@@ -1064,9 +1127,12 @@ object EvalQueries {
     "eval_permutation_test",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
+      // n_tok off the doc-length artifact (the eval_rate_ci note)
       val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"))
+        .join(graft.text.TextArtifacts.docLens(s, dir), Seq("doc_id"), "left")
         .select(col("doc_id"),
-          (lit(5L) * size(expr(tokenizeExpr)).cast("long") - col("n_chars"))
+          (lit(5L) * coalesce(col("n_tok"), lit(0L)) - col("n_chars"))
             .as("d"))
         .localCheckpoint(eager = true) // observed sum + B-replica explode
       val obs = d.agg(count(lit(1)).as("n"), sum(col("d")).as("d_sum"))
@@ -1140,13 +1206,14 @@ object EvalQueries {
     "eval_agreement",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      val judged = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), col("n_chars"),
-          explode(expr(tokenizeExpr)).as("term"))
+      // rides the word-count artifact — the scoredDf rewrite's algebra
+      val judged = graft.text.TextArtifacts.wordCounts(s, dir)
         .withColumn("w_milli",
-          expr(s"CAST((${md5Byte("term")}) AS BIGINT) * 2654435761 % 2001 - 1000"))
-        .groupBy(col("doc_id"), col("lang"), col("n_chars"))
-        .agg(count(lit(1)).as("n_tok"), sum(col("w_milli")).as("sw"))
+          expr(s"CAST((${md5Byte("token")}) AS BIGINT) * 2654435761 % 2001 - 1000"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_tok"), sum(col("w_milli") * col("cnt")).as("sw"))
+        .join(Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("n_chars")), "doc_id")
         .select(col("lang"),
           (col("n_tok") >= 20L && col("n_chars") >= 100L).as("ka"),
           (col("sw") > 0L).as("kb"))

@@ -77,8 +77,24 @@ object TextArtifacts {
         .localCheckpoint(eager = true)
     }
 
+  private val lensCache = new graft.queries.SessionCache[DataFrame](Seq(_))
+
+  /** (doc_id, n_tok) — per-doc token totals off [[wordCounts]] (r13):
+    * the gate-family queries each re-tokenized the corpus for one
+    * `size(word_ngrams(...))` column; this folds the checkpointed counts
+    * instead. Zero-token docs contribute no row — consumers that must
+    * see every doc left-join and coalesce to 0. */
+  def docLens(s: SparkSession, dir: String): DataFrame =
+    memo(lensCache, s, dir) {
+      wordCounts(s, dir)
+        .groupBy(col("doc_id")).agg(sum(col("cnt")).as("n_tok"))
+        .localCheckpoint(eager = true)
+    }
+
   /** Drop all cached artifacts (tests that restart sessions). */
-  def invalidate(): Unit = { wcCache.invalidate(); vocabCache.invalidate() }
+  def invalidate(): Unit = {
+    wcCache.invalidate(); vocabCache.invalidate(); lensCache.invalidate()
+  }
 
   // ---------------------------------------------------------------------
   // Parquet persistence — same contract as CandidateArtifacts /
@@ -96,16 +112,21 @@ object TextArtifacts {
     graft.queries.ArtifactStore.writeSnapshot(s, artifactDir,
       fingerprint(s, corpusDir),
       Seq("word_counts" -> wordCounts(s, corpusDir),
-        "vocab" -> vocab(s, corpusDir)))
+        "vocab" -> vocab(s, corpusDir),
+        "doc_lens" -> docLens(s, corpusDir)))
 
   /** Seed the session caches from a COMPLETE persisted snapshot whose
-    * key matches the CURRENT corpus fingerprint; false otherwise. */
+    * key matches the CURRENT corpus fingerprint; false otherwise. An
+    * older 2-frame snapshot misses `doc_lens` and rebuilds cleanly (the
+    * capped_pairs upgrade path). */
   def loadFrom(s: SparkSession, corpusDir: String, artifactDir: String): Boolean =
     graft.queries.ArtifactStore.loadSnapshot(s, artifactDir,
-      fingerprint(s, corpusDir), Seq("word_counts", "vocab")) match {
+      fingerprint(s, corpusDir),
+      Seq("word_counts", "vocab", "doc_lens")) match {
       case Some(m) =>
         wcCache.put(s, corpusDir, m("word_counts"))
         vocabCache.put(s, corpusDir, m("vocab"))
+        lensCache.put(s, corpusDir, m("doc_lens"))
         true
       case None => false
     }
@@ -116,6 +137,7 @@ object TextArtifacts {
     if (!hit) {
       // a stale snapshot must not satisfy the session cache either
       wcCache.remove(s, corpusDir); vocabCache.remove(s, corpusDir)
+      lensCache.remove(s, corpusDir)
       persistTo(s, corpusDir, artifactDir)
     }
     hit
