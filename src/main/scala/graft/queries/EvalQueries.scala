@@ -840,20 +840,30 @@ object EvalQueries {
     graft.functions.GraftFunctions.register(s)
     val docs = Tables.documents(s, dir)
     val w = Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))
+    // adjacent md5-shuffled ranks pair via lead() over the SAME window —
+    // the old shape re-grouped the ranked rows by (bucket, (rk+1) div 2)
+    // with max/min(struct(...)), which cost a second corpus exchange plus
+    // a SortAggregate pair (struct aggs can't hash-aggregate); rk odd +
+    // a non-null lead is exactly the nm = 2 group, and the (n_chars,
+    // −doc_id) comparison picks the same winner (r13, guide §2.4)
     val matches = Tables.spread(docs
         .select(col("doc_id"), col("source"), col("n_chars")))
       .withColumn("bucket",
         expr(md5Byte("CAST(doc_id AS STRING)")).cast("long"))
       .withColumn("h", expr("md5(concat('pair', CAST(doc_id AS STRING)))"))
       .withColumn("rk", row_number().over(w))
-      .groupBy(col("bucket"), expr("(rk + 1) div 2").as("m"))
-      .agg(count(lit(1)).as("nm"),
-        max(struct(col("n_chars"), (-col("doc_id")).as("neg"),
-          col("source"))).as("ws"),
-        min(struct(col("n_chars"), (-col("doc_id")).as("neg"),
-          col("source"))).as("ls"))
-      .where(col("nm") === 2 && col("ws.source") =!= col("ls.source"))
-      .select(col("ws.source").as("wsrc"), col("ls.source").as("lsrc"))
+      .withColumn("nc2", lead(col("n_chars"), 1).over(w))
+      .withColumn("id2", lead(col("doc_id"), 1).over(w))
+      .withColumn("src2", lead(col("source"), 1).over(w))
+      .where(col("rk") % 2 === 1 && col("id2").isNotNull
+        && col("source") =!= col("src2"))
+      .select(
+        when(col("n_chars") > col("nc2")
+          || (col("n_chars") === col("nc2") && col("doc_id") < col("id2")),
+          col("source")).otherwise(col("src2")).as("wsrc"),
+        when(col("n_chars") > col("nc2")
+          || (col("n_chars") === col("nc2") && col("doc_id") < col("id2")),
+          col("src2")).otherwise(col("source")).as("lsrc"))
       .localCheckpoint(eager = true) // feeds the matrix AND the real stats
     val srcs = docs.select(col("source")).distinct()
     val realw = matches.groupBy(col("wsrc"), col("lsrc"))
